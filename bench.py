@@ -1,0 +1,58 @@
+"""Benchmark runner: times the headline queries and prints ONE JSON line.
+
+Usage: ``python bench.py``; env knobs:
+- ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``   (default 32)
+
+Materialization is via the ``noop`` sink — full execution, zero
+serialization/collection cost, so the number measures the plan, not the
+driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from summit_23_snowpark_data_lake_workloads_spark.plans.queries import HEADLINE, QUERIES
+from summit_23_snowpark_data_lake_workloads_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("summit23_bench")
+
+    # warm-up: JVM + parquet footer caches, not counted
+    materialize(QUERIES[HEADLINE[0]](spark, sf_dir).limit(1))
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,599 @@
+"""The declared query workload (SURVEY §2 inventory + §2.11 consume layer).
+
+Each query is registered with ``@query(name, oracle=...)``:
+- the callable takes ``(spark, sf_dir)`` and returns a lazy DataFrame built
+  with the DataFrame / Spark SQL API (Catalyst owns the physical plan);
+- ``oracle`` is the equivalent ANSI SQL that DuckDB runs on the same
+  parquet tables for the differential-correctness gate.
+
+Determinism rules (both engines must agree bit-for-bit after the driver's
+order-insensitive hash):
+- every floating-point aggregate is wrapped in ``round(x, n)`` on BOTH
+  sides, so sub-ULP summation-order differences disappear;
+- every LIMIT / top-k has a total deterministic ordering (unique tie-break
+  key);
+- column aliases are lowercase and identical on both sides (the driver
+  sorts columns by name before hashing).
+
+Scale notes are attached per query; the common ones: dimension joins are
+broadcast (explicit ``F.broadcast`` on region/nation/supplier/part-master
+sized inputs), aggregations rely on Spark's automatic partial (map-side)
+aggregation, and no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+#: queries timed by bench.py (the headline set)
+HEADLINE: list[str] = []
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        if headline:
+            HEADLINE.append(name)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.batch import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (SURVEY §2.5 A1-A4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg: the canonical partial-agg benchmark.
+
+    Scale: single scan, map-side partial aggregation into 6 groups — the
+    shuffle moves only #groups x #partitions rows. Filter + 7-column
+    projection push into the parquet scan (verified via explain:
+    PushedFilters / ReadSchema).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (SURVEY §2.4 J1-J4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_unshipped",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two equi-joins + agg + deterministic top-k (J1, A1, O1/O2).
+
+    Scale: customer (filtered on mktsegment) broadcasts against orders;
+    the orders->lineitem join shuffles on orderkey only after both sides
+    are filtered. Top-k is a TakeOrderedAndProject — no global sort
+    materialization.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+    headline=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join tree (J1/J2 shape at depth) + agg.
+
+    Scale: region/nation/supplier are broadcast dims; the only shuffles are
+    customer⋈orders (custkey) and orders⋈lineitem (orderkey). Catalyst +
+    AQE pick the join order; the explicit broadcasts pin the dims.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "cohort_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN part     ON l_partkey  = p_partkey
+        WHERE p_name LIKE 'b%'
+        GROUP BY o_custkey
+        HAVING count(*) >= 5
+    )
+    """,
+)
+def cohort_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q1 cohort (``1_recommendation_app.py:20-32``): customers
+    with >=N purchases of products LIKE 'b%', via IN-subquery -> semi-join
+    (SURVEY P6/P7/J4/A1).
+
+    Scale: the HAVING-filtered aggregate is tiny relative to customer, so
+    it broadcasts into a left-semi hash join; no customer-side shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("b%"))
+    cust = _t(spark, sf_dir, "customer")
+    buyers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    return cust.join(
+        F.broadcast(buyers), cust.c_custkey == buyers.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "overdue_report",
+    oracle="""
+    SELECT o_orderkey,
+           c_name || ', ' || c_mktsegment AS customer_label,
+           round(o_totalprice, 2)          AS total
+    FROM orders, customer
+    WHERE o_custkey = c_custkey
+      AND o_orderstatus = 'F'
+    """,
+)
+def overdue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q3 unpaid-invoice report (``2_unpaid_invoice_analysis.py:11-15``):
+    implicit-cross-join + WHERE equi (J3), literal filter (P5), string
+    concat (F10). Global ORDER BY total DESC in the app is presentation-
+    only — the hash compare is order-insensitive, so it is omitted here
+    and exercised in ``window_rank_topk``.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        F.concat_ws(", ", "c_name", "c_mktsegment").alias("customer_label"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@query(
+    "left_join_nulls",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      ON c_custkey = o_custkey
+    """,
+)
+def left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a null-producing right side (J2, the
+    ``04_sales_enrich_sp.sql:55`` product-master join shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "anti_join_inactive",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+)
+def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with no recent orders. Beyond-reference
+    but required engine surface (NOT EXISTS rewrite)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family (SURVEY §2.6 W1-W3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_dedup_rownum",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS row_num
+        FROM part
+    ) t
+    WHERE row_num = 1
+    """,
+)
+def window_dedup_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 dedup-to-master: ``row_number() OVER (PARTITION BY ...) = 1``
+    (``04_sales_enrich_sp.sql:43-47``). The reference orders by the
+    partition key itself (non-deterministic tie-break); per SURVEY §7 we
+    order by the unique key so both engines pick the same row.
+
+    Scale: one hash shuffle on the partition key; no global sort.
+    """
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_partkey")
+    return (
+        part.withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") == 1)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@query(
+    "window_rank_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) t
+    WHERE rk <= 3
+    """,
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 server-side top-k per group (the altair top-20 rank chart of
+    ``2_unpaid_invoice_analysis.py:44-48``, pushed into the engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk"
+        )
+    )
+
+
+@query(
+    "window_first_value",
+    oracle="""
+    SELECT DISTINCT p_brand,
+           first_value(p_name) OVER (PARTITION BY p_brand
+                                     ORDER BY p_partkey) AS first_name
+    FROM part
+    """,
+)
+def window_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the commented-out ``first_value(...) OVER w`` + distinct
+    alternative dedup (``04_sales_enrich_sp.sql:48-51``)."""
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_partkey")
+    return part.select(
+        "p_brand", F.first_value("p_name").over(w).alias("first_name")
+    ).distinct()
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (rowsBetween) — beyond-reference window surface."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / scalar-expression family (SURVEY §2.2-2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')      AS padded_id,
+           split_part(c_name, '#', 1)                     AS name_prefix,
+           split_part(c_name, '#', 5)                     AS oob_empty,
+           trim(concat('  ', c_mktsegment, ' '))          AS trimmed,
+           substring(c_name, 1, 8)                        AS first8,
+           instr(c_name, '#')                             AS hash_pos,
+           length(c_name)                                 AS name_len,
+           regexp_replace(c_name, '[^0-9]', '', 'g')      AS digits_only,
+           upper(c_mktsegment) || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F7/F8/F9/F10 scalar-function parity in one projection:
+    split_part (1-based, '' out-of-range), lpad, trim, substring, instr,
+    length, concat — the exact functions behind the reference's invoice
+    parse (``3BC_create_raw_pdf_text_view.sql:3-11``) and phone cleanup
+    (``02_customer_sp.sql:24-31``). Pure narrow projection: stays in one
+    whole-stage-codegen stage, no shuffle.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(5)).alias("oob_empty"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("first8"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace(F.col("c_name"), "[^0-9]", "").alias("digits_only"),
+        F.concat_ws(
+            "-", F.upper("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+    )
+
+
+@query(
+    "conditional_case",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS balance_band,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 when/otherwise chain (the phone-prefix normalization shape of
+    ``02_customer_sp.sql:24-26``)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS distinct_parts,
+           count(DISTINCT l_suppkey)  AS distinct_supps,
+           count(*)                   AS rows_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under group-by — Spark expands to a two-phase
+    aggregate automatically (beyond-reference agg surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("rows_total"),
+    )
+
+
+@query(
+    "union_counts",
+    oracle="""
+    SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+    UNION ALL
+    SELECT 'orders'   AS table_name, count(*) AS row_count FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS table_name, count(*) AS row_count FROM lineitem
+    """,
+)
+def union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O4/X5: the reference's load-validation report
+    (``0_setup_env_and_ingest.py:101-105``) — scalar counts stacked with
+    UNION ALL."""
+    out = None
+    for name in ["customer", "orders", "lineitem"]:
+        one = (
+            _t(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select(F.lit(name).alias("table_name"), "row_count")
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+@query(
+    "full_row_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def full_row_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 distinct as dedup (``04_sales_enrich_sp.sql:56``)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Events table — the streaming schema queried in batch (SURVEY §2.9 T3 analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts)       AS bucket,
+           event_type,
+           count(*)                     AS n_events,
+           count(DISTINCT user_id)      AS n_users,
+           round(sum(value), 2)         AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup of the event stream, run in batch — the
+    dynamic-table (T3) maintenance query; the streaming module runs the
+    same plan incrementally."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the ``from_json`` path of the streaming
+    ingest, SURVEY §2.9 S12): pull a typed field out of a JSON string."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )

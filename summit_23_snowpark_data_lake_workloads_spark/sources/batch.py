@@ -1,0 +1,134 @@
+"""Batch sources/sinks (SURVEY §2.1 S1-S11, S14-S15).
+
+Reference semantics being re-expressed Spark-first:
+- S1/S3 ``INFER_SCHEMA`` + ``CREATE TABLE USING TEMPLATE``
+  (``code/ingest/3A_load_cust_data.sql:6-13``,
+  ``3C_load_txn_history.sql:4-18``): Spark infers parquet schemas from
+  footers for free; JSON inference is bounded with ``samplingRatio`` the
+  way the reference bounds it with ``LIMIT 1000``.
+- S2 ``COPY INTO ... MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE``
+  (``3A:16-19``): by-name, case-insensitive column alignment before append.
+- S4/S5 directory stage + scoped file URL (``3B2_load_pdf_to_text.sql:4-6``,
+  ``3B1_pdf_to_text_udf.sql:14``): ``binaryFile`` source delivers
+  (path, content) rows directly — no URL indirection needed.
+
+Scale notes: every loader returns a lazy DataFrame; nothing collects.
+Parquet scans get predicate pushdown + column pruning from Catalyst;
+``maxPartitionBytes`` in the session config sets scan parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the driver-generated TPC-H-ish test tables (TESTDATA.md)
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing physical quirks.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos-epoch
+    long, which we convert to a proper TimestampType (values carry only
+    microsecond precision, so the division is lossless — and matches what
+    DuckDB's ns->us truncation produces on the oracle side).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the testdata parquet tables lazily; optionally register temp views.
+
+    Registering views lets ``spark.sql`` queries and DataFrame queries share
+    one catalog, mirroring the reference's session.table / session.sql split
+    (SURVEY §2.1 S6/S7) with a single Catalyst IR underneath.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or TESTDATA_TABLES:
+        df = read_table(spark, sf_dir, name)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def read_parquet_by_name(
+    spark: SparkSession, path: str, target_columns: list[str]
+) -> DataFrame:
+    """Parquet read + case-insensitive by-name projection onto a target schema.
+
+    Mirrors ``MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE``
+    (``3A_load_cust_data.sql:19``): source columns are matched to
+    ``target_columns`` ignoring case; missing columns error, extra columns
+    are dropped. Pure projection — stays inside whole-stage codegen.
+    """
+    df = spark.read.parquet(path)
+    lookup = {c.lower(): c for c in df.columns}
+    missing = [c for c in target_columns if c.lower() not in lookup]
+    if missing:
+        raise ValueError(f"source {path} lacks columns {missing}")
+    return df.select(*[df[lookup[c.lower()]].alias(c) for c in target_columns])
+
+
+def read_json_sampled(
+    spark: SparkSession, path: str, sampling_ratio: float = 0.1
+) -> DataFrame:
+    """JSON-lines load with bounded schema inference (S3).
+
+    The reference samples 1,000 records for INFER_SCHEMA
+    (``3C_load_txn_history.sql:12``); ``samplingRatio`` is the Spark-native
+    bound. Gzip decompression is automatic for ``*.json.gz``.
+    """
+    return spark.read.option("samplingRatio", str(sampling_ratio)).json(path)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Directory-stage scan (S4): one row per file with bytes.
+
+    Returns columns ``path, modificationTime, length, content`` — the
+    ``content`` column replaces the reference's scoped-URL + UDF-side
+    ``SnowflakeFile.open`` dance (``3B1_pdf_to_text_udf.sql:14``).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def overwrite_table(df: DataFrame, name: str) -> None:
+    """S9: ``df.write.mode("overwrite").save_as_table`` equivalent."""
+    df.write.mode("overwrite").saveAsTable(name)
+
+
+def validation_counts(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """Row-count validation report (SURVEY §2.10 X5; A2/O4 union of counts).
+
+    Mirrors ``0_setup_env_and_ingest.py:101-105``: one COUNT(*) per table,
+    stacked with UNION ALL.
+    """
+    sql = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}" for t in tables
+    )
+    return spark.sql(sql)
