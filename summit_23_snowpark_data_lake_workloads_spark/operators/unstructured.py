@@ -1,0 +1,92 @@
+"""Unstructured-file operators (SURVEY §2.1 S4/S5, §2.8 U1).
+
+The reference's PDF->text path (``3B1_pdf_to_text_udf.sql:1-20``) is a
+row-at-a-time Python UDF opening staged files via SnowflakeFile. Here the
+``binaryFile`` source hands bytes straight to an Arrow-batched pandas UDF
+(R13: strictly better than row-at-a-time — no per-row interpreter
+round-trip, one Arrow batch per ~10k rows).
+
+Extraction strategy: ``pypdf`` when installed (the modern successor of
+the reference's pinned PyPDF2); otherwise a stdlib fallback that handles
+simple PDFs (uncompressed or FlateDecode content streams, Tj/TJ text
+operators) — enough for the invoice-style single-page documents the
+reference processes, and fully deterministic for tests.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
+_TJARR_RE = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ", re.DOTALL)
+_STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_ESCAPES = {b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\", b"\\n": b"\n", b"\\r": b"\r"}
+
+
+def _unescape(raw: bytes) -> bytes:
+    for k, v in _ESCAPES.items():
+        raw = raw.replace(k, v)
+    return raw
+
+
+def _fallback_extract(data: bytes) -> str:
+    """Minimal stdlib extractor: first page's content streams, Tj/TJ strings
+    joined with single spaces (matching the single-space layout the
+    reference's SPLIT_PART parser expects, ``3BC:3-11``)."""
+    pieces: list[bytes] = []
+    for m in _STREAM_RE.finditer(data):
+        body = m.group(1)
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            pass  # already uncompressed
+        for tj in _TJ_RE.finditer(body):
+            pieces.append(_unescape(tj.group(1)))
+        for arr in _TJARR_RE.finditer(body):
+            for s in _STR_RE.finditer(arr.group(1)):
+                pieces.append(_unescape(s.group(1)))
+    return " ".join(p.decode("latin-1") for p in pieces)
+
+
+def extract_pdf_text_bytes(data: bytes) -> str:
+    """Extract page-0 text from one PDF (U1 semantics: the reference UDF
+    reads ``pages[0]`` only — invoice PDFs are single-page)."""
+    try:
+        from io import BytesIO
+
+        from pypdf import PdfReader
+
+        return PdfReader(BytesIO(data)).pages[0].extract_text() or ""
+    except ImportError:
+        return _fallback_extract(data)
+
+
+@F.pandas_udf(StringType())
+def pdf_to_text_udf(content: pd.Series) -> pd.Series:
+    """Arrow-batched PDF->text (replaces ``3B1_pdf_to_text_udf.sql``)."""
+    return content.apply(extract_pdf_text_bytes)
+
+
+def extract_pdf_text(binary_df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """binaryFile rows -> (RELATIVE_PATH, PDF_TEXT).
+
+    ``num_partitions`` mirrors the reference's manual scale-out for this
+    stage (R9: a dedicated 2XL warehouse, ``0_setup_env_and_ingest.py:82``):
+    repartition before the expensive UDF so every core works. The
+    ``GROUP BY file_url`` dedup of ``3B2:4-6`` (R10) becomes
+    ``dropDuplicates`` on the path.
+    """
+    df = binary_df.dropDuplicates(["path"])
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("RELATIVE_PATH"),
+        pdf_to_text_udf(F.col("content")).alias("PDF_TEXT"),
+    )

@@ -19,6 +19,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: repo root (parent of this package) — must be importable on Python workers
+#: so pickled UDFs resolve. Local mode: inherit via PYTHONPATH. Real cluster:
+#: ship the package with --py-files / a wheel (the Spark-native equivalent of
+#: the reference's staged-import ``imports=('@.../common_utils.py')``,
+#: SURVEY §2.8 U3).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_package_to_workers() -> None:
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_REPO_ROOT}{os.pathsep}{existing}" if existing else _REPO_ROOT
+        )
+
 
 def get_spark(
     app_name: str = "summit23_spark",
@@ -40,6 +55,7 @@ def get_spark(
     - ``spark.sql.files.maxPartitionBytes=128m`` — scan parallelism at
       multi-TB inputs without tiny-task overhead.
     """
+    _export_package_to_workers()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS

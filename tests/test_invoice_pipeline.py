@@ -1,0 +1,70 @@
+"""End-to-end unpaid-invoice slice (SURVEY §7 step 2) — the most novel
+operator chain in the reference:
+
+binaryFile scan (S4) -> Arrow-batched PDF->text UDF (U1/R13) ->
+SPLIT_PART parse cascade (F1-F5) -> standardized customer join (J3) ->
+Overdue filter + sort (P5/O1) == ``2_unpaid_invoice_analysis.py:11-15``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.unstructured import (
+    extract_pdf_text,
+)
+from summit_23_snowpark_data_lake_workloads_spark.plans.curate import (
+    parse_invoice_text,
+    standardize_customer,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_binary_dir
+
+from . import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def pdf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("invoices")
+    customers = FX.gen_customers(50)
+    texts = FX.gen_invoice_texts(customers, n=40)
+    for i, t in enumerate(texts):
+        # mix compressed and uncompressed content streams
+        (d / t["RELATIVE_PATH"]).write_bytes(
+            FX.make_pdf(t["PDF_TEXT"], compress=i % 2 == 0)
+        )
+    return d, customers, texts
+
+
+def test_pdf_binary_scan_and_extract(spark, pdf_dir):
+    d, _, texts = pdf_dir
+    binary = read_binary_dir(spark, str(d), glob="*.pdf")
+    assert set(binary.columns) >= {"path", "content", "length"}
+    out = {r.RELATIVE_PATH: r.PDF_TEXT for r in extract_pdf_text(binary).collect()}
+    want = {t["RELATIVE_PATH"]: t["PDF_TEXT"] for t in texts}
+    assert out == want, "extracted text must round-trip exactly"
+
+
+def test_unpaid_invoice_report_end_to_end(spark, pdf_dir):
+    d, customers, texts = pdf_dir
+    pdf_text = extract_pdf_text(read_binary_dir(spark, str(d), glob="*.pdf"))
+    details = parse_invoice_text(pdf_text)
+    cust = standardize_customer(spark.createDataFrame(customers))
+    # pad customer ids the way the invoice parser does (LPAD 10 '0')
+    cust = cust.withColumn("CUSTOMER_ID", F.lpad("CUSTOMER_ID", 10, "0"))
+    report = (
+        details.join(cust, "CUSTOMER_ID")
+        .filter(F.col("INV_STATUS") == "Overdue")
+        .orderBy(F.desc("TOTAL"))
+        .select("CUSTOMER_ID", "FIRST_NAME", "LAST_NAME", "STATE", "TOTAL", "INVOICE_NUM")
+    )
+    rows = report.collect()
+    # oracle: compute the same from the fixture dicts
+    want_overdue = {
+        FX.oracle_parse_invoice(t)["INVOICE_NUM"]
+        for t in texts
+        if FX.oracle_parse_invoice(t)["INV_STATUS"] == "Overdue"
+    }
+    assert {r.INVOICE_NUM for r in rows} == want_overdue
+    totals = [float(r.TOTAL) for r in rows]
+    assert totals == sorted(totals, reverse=True), "ORDER BY TOTAL DESC"
