@@ -1,0 +1,114 @@
+"""Text-analysis column helpers for training-data pipelines: tokenization,
+shingling, language-ID scoring, quality scoring, fingerprinting.
+
+All pure ``pyspark.sql.functions`` compositions (JVM-side) so they run at
+100 TB without Python workers; each has an exact DuckDB-SQL equivalent for
+the oracle gate (the md5-based :func:`portable hash
+<..functions.scalar.portable_hash64>` keeps hashes engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .scalar import portable_hash64
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(col, r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (the 'token counting' primitive; BPE-level
+    counting belongs in a pandas UDF when a real tokenizer is installed)."""
+    return F.array_size(tokens(c))
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings: ``transform(sequence(...))`` over the
+    token array — stays in codegen; the standard unit for MinHash/Jaccard
+    near-dup detection."""
+    t = tokens(c)
+    count = F.array_size(t) - (n - 1)
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    # empty — documents shorter than n tokens must yield zero shingles
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+
+
+def shingle_hashes(c: Column | str, n: int = 3) -> Column:
+    """Distinct hashed shingles (array<bigint>) — the input to MinHash."""
+    return F.transform(F.array_distinct(word_shingles(c, n)), portable_hash64)
+
+
+#: simple per-language marker (stopword) lists for the heuristic
+#: language-ID scorer. Real pipelines swap in fastText / CLD3 via a pandas
+#: UDF; the heuristic keeps the operator JVM-side and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "fr": ["le", "la", "de", "et", "un", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+
+def lang_marker_score(c: Column | str, lang: str) -> Column:
+    """Fraction of tokens that are marker words for ``lang`` (rounded so
+    Spark and DuckDB agree bit-for-bit)."""
+    t = tokens(c)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(t, lambda w: F.array_contains(markers, F.lower(w))))
+    return F.round(hits / F.array_size(t), 6)
+
+
+def lang_id(c: Column | str) -> Column:
+    """Argmax language over marker scores; deterministic tie-break by
+    language code (ties go to the alphabetically-first code)."""
+    col = F.col(c) if isinstance(c, str) else c
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        score = lang_marker_score(col, lang)
+        if best is None:
+            best = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            cand = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            best = F.when(cand["score"] > best["score"], cand).otherwise(best)
+    return best["lang"]
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band + mean word length
+    band + alphabetic ratio (the length/punct/stopword-ratio family).
+    Deterministic, rounded; thresholds are ordinary literals so Catalyst
+    constant-folds them."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    mean_word = n_chars / n_tokens
+    alpha_ratio = F.length(F.regexp_replace(col, r"[^A-Za-z ]", "")) / n_chars
+    length_band = (
+        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0))
+        .when(n_chars >= 30, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    word_band = (
+        F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    )
+    return F.round(0.4 * length_band + 0.3 * word_band + 0.3 * alpha_ratio, 6)
+
+
+def doc_fingerprint(c: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: min of the hashed n-gram shingles (a 1-hash
+    MinHash / winnowing-style signature). Equal fingerprints are strong
+    near-dup candidates; cheap enough to compute on every document at
+    ingest."""
+    return F.array_min(shingle_hashes(c, n))

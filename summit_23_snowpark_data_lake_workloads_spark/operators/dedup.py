@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five tiers, all relational-first so Catalyst distributes them and the
+DuckDB oracle can replay them exactly (hashes via the md5-based
+portable_hash64):
+
+- exact         — hash-groupBy on content (one shuffle).
+- n-gram Jaccard— shingle self-join with exact similarity (quadratic in
+                  docs-per-shingle; the verifier tier).
+- MinHash + LSH — signature -> banded buckets -> candidate join -> exact
+                  verify (the scale tier: candidates only, never all pairs).
+- SimHash       — 32-bit fingerprint; equal-fingerprint or banded buckets.
+- embedding     — cosine over ``array<float>`` (see operators.similarity).
+
+Scale notes: every operator shuffles on content-derived keys (shingle,
+band signature, fingerprint) — uniform by construction since they're
+hashes; the explicit ``max_df`` knob drops degenerate stop-shingles that
+would otherwise create join skew at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import portable_hash64
+from ..functions.text import tokens
+
+SIMHASH_BITS = 32
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct content with the
+    surviving (minimum) id and the duplicate count.
+
+    Scale: group key is md5(text) — 16 bytes instead of the full document
+    moves through the shuffle.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Exploded distinct word-n-gram shingles: (id, shingle).
+
+    Built relationally — posexplode tokens once, then ``lead()`` windows
+    stitch n-grams — NOT via array higher-order functions: HOF lambdas
+    evaluate interpreted (outside whole-stage codegen, no common-subexpr
+    elimination), which re-runs the tokenizing split per shingle and costs
+    ~10x at scale (measured: 12s -> <2s for 5k docs).
+
+    ``max_df`` drops shingles occurring in more than that many documents
+    (stop-shingles): they contribute little discrimination but dominate
+    self-join cost and create shuffle skew.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    stitched = tok.select("id", "token", *leads).filter(
+        F.col(f"t{n - 1}").isNotNull()
+    )
+    sh = stitched.select(
+        "id",
+        F.concat_ws(" ", "token", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        w2 = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+        sh = sh.join(F.broadcast(w2.filter(F.col("df_count") <= max_df)), "shingle").drop(
+            "df_count"
+        )
+    return sh
+
+
+def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard restricted to given candidate (id_a, id_b) pairs —
+    the verify stage shared by the LSH tiers. Never touches non-candidate
+    pairs: cost is O(candidates x shingles-per-doc)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnsRenamed({"id": "id_a", "shingle": "sh_a"})
+    b = sh.withColumnsRenamed({"id": "b_id", "shingle": "sh_b"})
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard).
+
+    Relational formulation: distinct shingles -> self-equi-join on shingle
+    (id_a < id_b) -> intersection counts -> |A∩B| / (|A|+|B|-|A∩B|).
+    The shingle join is an ordinary shuffle join — fully distributed, but
+    quadratic in docs-per-shingle; at scale run it only on LSH candidates
+    (see :func:`minhash_lsh_pairs`).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, seed, minhash).
+
+    seed-i hash of a shingle = portable_hash64(concat(i, ':', shingle)) —
+    one md5 family indexed by seed, reproducible in any engine. min per
+    (doc, seed) is a single partial-aggregated groupBy.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .withColumn(
+            "h",
+            portable_hash64(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification:
+    signature -> ``bands`` bands of ``num_hashes/bands`` rows -> docs
+    sharing any band signature become candidates -> candidates verified
+    with exact n-gram Jaccard >= threshold. Output (id_a, id_b, jaccard).
+
+    Scale: the band join touches only colliding documents — the whole
+    point of LSH; with b=4, r=3 the S-curve crosses ~50% capture at
+    jaccard ≈ (1/b)^(1/r) ≈ 0.63.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify ONLY the candidates — running the exhaustive jaccard here
+    # would defeat LSH (measured 40s -> ~8s at sf0.1)
+    return _jaccard_for_pairs(
+        candidates, shingle_table(df, id_col, text_col, n), threshold
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash fingerprints: (id, simhash).
+
+    Token-occurrence hashes (with multiplicity); per-bit signed sums; bit
+    b set iff its sum >= 0. Bit extraction uses exact bigint ``div``/``%``
+    arithmetic (no floats, no engine-specific bitops) so DuckDB reproduces
+    the value exactly.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).withColumn("h", portable_hash64("token") % (2**SIMHASH_BITS))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h div {2 ** b}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def simhash_band_candidates(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 8
+) -> DataFrame:
+    """Near-dup candidate pairs: documents sharing any ``band_bits``-wide
+    SimHash band (Hamming-distance blocking): (id_a, id_b, band)."""
+    sims = simhash_table(df, id_col, text_col)
+    n_bands = SIMHASH_BITS // band_bits
+    banded = sims.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash div {2 ** (i * band_bits)}) % {2 ** band_bits}").alias(
+                            "chunk"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,174 @@
+"""Similarity-search operators over embedding columns (``array<float>``)
+and TF-IDF document similarity (the scalable re-expression of the
+reference's sklearn recommendation app, ``1_recommendation_app.py:38-98``).
+
+Two tiers for ANN:
+- brute-force cosine top-k — exact baseline, O(Q x N) pairs;
+- LSH-bucketed top-k — deterministic random-hyperplane signs bucket the
+  vectors; search only within the bucket (the 100 TB path: the bucket
+  join prunes candidates before any arithmetic).
+
+Rankings order by ROUNDED cosine with an id tie-break so results are
+reproducible across engines (float summation order differs; rounding
+absorbs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import portable_hash64
+from ..functions.vector import cosine
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, cos_sim, rk).
+
+    ``query_pred`` restricts the query side (e.g. ``F.col("vec_id") < 20``);
+    the candidate side is always the full table. The pairwise cosine runs
+    JVM-side via zip_with/aggregate on a broadcast-joined pair stream —
+    no Python boundary, no shuffle until the final per-query top-k.
+    """
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("qv", "cv"), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def hyperplane_bucket(
+    vec_col: str, n_planes: int = 8, dim: int = 64
+) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id for a vector column.
+
+    Plane j, coordinate i gets a pseudo-random weight in [-1, 1] derived
+    from the portable md5 hash of ``"j_i"`` — reproducible in any engine,
+    no stored model. Bucket = integer of the n_planes sign bits.
+    """
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        proj = F.lit(0.0)
+        for i in range(dim):
+            w = (portable_hash64(F.lit(f"{j}_{i}")) % 2001 - 1000) / 1000.0
+            proj = proj + F.element_at(F.col(vec_col), i + 1).cast("double") * w
+        bucket = bucket + F.when(proj >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    query_pred=None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket — the candidate set shrinks ~2^n_planes-fold. Same output shape
+    as :func:`knn_bruteforce` (recall < 1.0 by design)."""
+    bucketed = emb.withColumn("bucket", hyperplane_bucket(vec_col, n_planes, dim))
+    q = bucketed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cosine("qv", "cv"), 4).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def tfidf_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Relational TF-IDF: (id, token, weight) with weight = tf * idf,
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style).
+
+    Fully distributed: two groupBys (tf, df) + one broadcast of the
+    document count. No vocabulary table on the driver.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "weight",
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+        .select("id", "token", "weight")
+    )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_pred=None,
+) -> DataFrame:
+    """Doc-to-doc TF-IDF cosine top-k: (query_id, neighbor_id, cos_sim, rk).
+
+    The sparse dot product is a token self-join + groupBy — the classic
+    distributed formulation of the reference's dense sklearn cosine matrix
+    (which is O(n²) driver memory; this is O(pairs-sharing-a-token) across
+    the cluster). ``query_pred`` is applied to the QUERY side BEFORE the
+    join — essential at scale: it bounds the pair stream to
+    |queries| x docs-per-token instead of the full n² blowup.
+    """
+    wts = tfidf_weights(docs, id_col, text_col)
+    norms = wts.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
+    )
+    a = wts
+    if query_pred is not None:
+        a = a.filter(query_pred)
+    a = a.alias("a")
+    b = wts.alias("b")
+    dots = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
+        .agg(F.sum(F.col("a.weight") * F.col("b.weight")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnsRenamed({"id": "query_id", "nrm": "nrm_q"}), "query_id")
+        .join(
+            F.broadcast(norms.withColumnsRenamed({"id": "neighbor_id", "nrm": "nrm_n"})),
+            "neighbor_id",
+        )
+        .withColumn("cos_sim", F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_n")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

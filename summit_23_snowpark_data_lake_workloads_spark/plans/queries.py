@@ -597,3 +597,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+# registration side-effect: the ML/training-data extension queries
+from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)

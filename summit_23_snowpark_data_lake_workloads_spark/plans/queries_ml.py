@@ -1,0 +1,391 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis)
+over the ``documents`` and ``embeddings`` tables — the beyond-reference
+extensions, each oracle-checked against DuckDB.
+
+Hash portability: every hash is ``portable_hash64`` (md5-prefix bigint),
+reproduced in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT``, so
+even MinHash signatures and SimHash fingerprints hash-match across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import portable_hash64
+from ..functions.text import lang_id, quality_score, token_count
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from ..operators.similarity import knn_bruteforce, knn_lsh, tfidf_cosine_topk
+from .queries import _t, query
+
+_DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# shared oracle CTE: distinct 3-gram shingles per document
+_SH_CTE = """
+sh AS (
+    SELECT doc_id AS id,
+           unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+jac AS (
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)   AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, min-id survivor (one shuffle on a
+    16-byte key)."""
+    return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    headline=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.5."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (
+        SELECT id, seed,
+               min({_DUCK_HASH.format(x="seed::VARCHAR || ':' || shingle")}) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+        GROUP BY id, seed
+    ),
+    band AS (
+        SELECT id, seed // 3 AS band,
+               string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS bsig
+        FROM sig GROUP BY id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands x 3 rows) candidates, exact-verified at
+    jaccard >= 0.5. The scale-path near-dup operator: only banded
+    collisions are ever paired."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=12,
+        bands=4,
+        n=3,
+        threshold=0.5,
+    )
+
+
+def _simhash_oracle() -> str:
+    h = _DUCK_HASH.format(x="token")
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN {2 ** b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id, {h} % {2 ** SIMHASH_BITS} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    sums AS (
+        SELECT id,
+           {bit_sums}
+        FROM tok GROUP BY id
+    )
+    SELECT id, ({fingerprint})::BIGINT AS simhash FROM sums
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (value-exact across
+    engines thanks to integer-only bit arithmetic)."""
+    return simhash_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_EMB_POS_CTE = """
+e AS (
+    SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id)
+"""
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.val * c.val) AS dot
+        FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+    headline=True,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 20 query vectors — the ANN
+    baseline. Spark side computes JVM-side zip_with/aggregate on a
+    broadcast pair stream (no shuffle until top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, k=5, query_pred=F.col("query_id") < 20).select(
+        "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+
+
+def _lsh_plane_sql(j: int, dim: int = 64) -> str:
+    # Spark's hyperplane_bucket hashes the 0-BASED coordinate index; the
+    # exploded CTE's pos is 1-based, hence (i - 1)
+    h = _DUCK_HASH.format(x=f"'{j}_' || (i - 1)::VARCHAR")
+    return f"sum(val * (({h} % 2001 - 1000) / 1000.0))"
+
+
+def _knn_lsh_oracle(n_planes: int = 4) -> str:
+    projs = ",\n           ".join(
+        f"CASE WHEN {_lsh_plane_sql(j)} >= 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH {_EMB_POS_CTE},
+    buckets AS (
+        SELECT vec_id,
+           ({projs.replace(chr(10) + '           ', ' + ')}) AS bucket
+        FROM (SELECT vec_id, pos AS i, val FROM e)
+        GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.val * c.val) AS dot
+        FROM e q
+        JOIN buckets bq ON bq.vec_id = q.vec_id
+        JOIN buckets bc ON bq.bucket = bc.bucket
+        JOIN e c ON c.vec_id = bc.vec_id AND q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """
+
+
+@query("knn_lsh", oracle=_knn_lsh_oracle())
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 4 deterministic random hyperplanes -> bucket ->
+    exact cosine only within the query's bucket (the 100 TB path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_lsh(
+        emb, k=5, n_planes=4, dim=64, query_pred=F.col("query_id") < 20
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
+
+
+@query(
+    "tfidf_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+    dfq AS (SELECT token, count(*) AS df
+            FROM (SELECT DISTINCT id, token FROM tok) GROUP BY token),
+    total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    wts AS (
+        SELECT id, tf.token, tf * (ln((n_docs + 1) / (df + 1)) + 1) AS weight
+        FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN total
+    ),
+    norms AS (SELECT id, sqrt(sum(weight * weight)) AS nrm FROM wts GROUP BY id),
+    dots AS (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               sum(a.weight * b.weight) AS dot
+        FROM wts a JOIN wts b ON a.token = b.token AND a.id <> b.id
+        WHERE a.id < 10
+        GROUP BY a.id, b.id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.id = query_id
+        JOIN norms nn ON nn.id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-3 per document (first 10 docs) — the distributed
+    re-expression of the reference's sklearn TfidfVectorizer + cosine
+    matrix (``1_recommendation_app.py:38-98``, SURVEY §2.11 Q2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_topk(docs, k=3, query_pred=F.col("id") < 10)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    from ..functions.text import LANG_MARKERS
+
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"round(len(list_filter(w, x -> list_contains([{markers}], lower(x))))"
+            f" / len(w), 6) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    case_lines = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case_lines.append(f"WHEN {cond} THEN '{lang}'")
+    return ",\n           ".join(score_cols), "\n             ".join(case_lines)
+
+
+_SCORES, _LANG_CASE = _lang_scores_sql()
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text, n_chars, len(w) AS n_tokens,
+           {_SCORES}
+        FROM base
+    )
+    SELECT doc_id,
+           n_tokens AS token_cnt,
+           CASE {_LANG_CASE}
+           END AS lang_guess,
+           round(0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0
+                             WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+               + 0.3 * (CASE WHEN n_chars / n_tokens >= 3
+                              AND n_chars / n_tokens <= 12 THEN 1.0 ELSE 0.3 END)
+               + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / n_chars),
+             6) AS quality
+    FROM scored
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + heuristic language-ID + quality score per document —
+    the text-analysis trio, all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("token_cnt"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id, min({_DUCK_HASH.format(x='shingle')}) AS fp
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling-hash fingerprint (min hashed 3-gram shingle),
+    computed on the relational shingle path (codegen) rather than the
+    array-HOF column helper (interpreted)."""
+    from ..operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", 3)
+    return sh.groupBy(F.col("id").alias("doc_id")).agg(
+        F.min(portable_hash64("shingle")).alias("fp")
+    )

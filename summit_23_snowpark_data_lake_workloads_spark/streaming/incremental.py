@@ -1,0 +1,72 @@
+"""Incremental materialization (SURVEY §2.9 T3 — the architecture
+diagram's Dynamic Table, the one inferred component).
+
+``PROCESSED_DB.SALES.TRANSACTION`` = typed stream union typed history,
+maintained continuously; consumed by the sales-enrich step on the DAG
+cadence (``04_sales_enrich_sp.sql:22``). Spark-native: a Structured
+Streaming query appending to the processed table, plus a watermarked
+windowed rollup as the standing aggregate example.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window rollup of the event stream — the
+    incremental twin of the batch ``events_hourly_rollup`` query (the
+    driver's oracle checks the batch twin; the streaming test checks
+    stream==batch).
+
+    Late data beyond ``watermark`` is dropped — the late-data policy the
+    reference never states (its connector just appends); making it
+    explicit is the Spark-native upgrade.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def hourly_rollup_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`hourly_rollup_stream` (identical output
+    schema) for stream-batch equivalence testing."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str):
+    """Drain all pending input into a parquet table and stop — the
+    ``trigger(availableNow=True)`` pattern that gives streaming pipelines
+    the task-DAG cadence (T4) with exactly-once checkpoints."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

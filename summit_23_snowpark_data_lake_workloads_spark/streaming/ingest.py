@@ -1,0 +1,110 @@
+"""Streaming ingestion (SURVEY §2.9 T1/S12/S13).
+
+Reference path: Kafka topic ``sales_txn`` -> Snowflake sink connector ->
+``RAW_DB.SALES.TXN_STREAM`` (at-least-once, buffered 10 s / 10 k rows /
+5 MB — ``snowflake_sink_connector.json:15-20``).
+
+Spark-native: ``readStream`` (Kafka in production, file/json in tests —
+same DataFrame transform either way) -> ``from_json`` with the datagen
+schema (``streaming_kafka_datagen.py:93-102``) -> typed, upper-cased
+append via ``writeStream`` with checkpointing. Checkpointed micro-batches
+give exactly-once into the table — deliberately stronger than the
+connector's at-least-once (documented divergence, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalar import parse_ts
+
+#: Kafka message schema (lower-case keys, streaming_kafka_datagen.py:93-102)
+TXN_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("txn_date", T.StringType()),
+        T.StructField("txn_quantity", T.IntegerType()),
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("product_id", T.StringType()),
+        T.StructField("product_unit_price", T.DoubleType()),
+        T.StructField("product_desc", T.StringType()),
+        T.StructField("payment_method", T.StringType()),
+    ]
+)
+
+
+def parse_txn_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON message payload -> typed, upper-cased TXN rows.
+
+    The ``txn_date`` string uses the stream's 12-hour-with-microseconds
+    format (``MM/dd/yyyy hh:mm:ss.SSSSSS a``); output column names are
+    upper-cased to align with the history feed for downstream union
+    (the dynamic-table input, T3).
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), TXN_STREAM_SCHEMA).alias("j")
+    ).select("j.*")
+    return parsed.select(
+        F.col("txn_id").alias("TXN_ID"),
+        parse_ts("txn_date", "stream").alias("TXN_DATE"),
+        F.col("txn_quantity").alias("TXN_QUANTITY"),
+        F.col("customer_id").alias("CUSTOMER_ID"),
+        F.col("product_id").alias("PRODUCT_ID"),
+        F.col("product_unit_price").alias("PRODUCT_UNIT_PRICE"),
+        F.col("product_desc").alias("PRODUCT_DESC"),
+        F.col("payment_method").alias("PAYMENT_METHOD"),
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession, brokers: str, topic: str = "sales_txn"
+) -> DataFrame:
+    """Production source: Kafka (S12). Requires the spark-sql-kafka
+    package on the cluster; tests use :func:`read_json_file_stream`
+    (identical downstream plan)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def read_json_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Test/replay source: a directory of JSON-lines message dumps, one
+    message per line in a ``value`` string column (the Kafka-equivalent
+    shape)."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "16")
+        .load(src_dir)
+        .withColumnRenamed("value", "value")
+    )
+
+
+def ingest_txn_stream(
+    raw_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    processing_time: str | None = None,
+):
+    """Parsed stream -> parquet table sink.
+
+    ``processing_time="10 seconds"`` mirrors the connector's flush cadence
+    (S13); ``None`` uses ``availableNow`` — drain everything pending, then
+    stop (the task-DAG cadence pattern, T4)."""
+    writer = (
+        parse_txn_stream(raw_stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

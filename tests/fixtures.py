@@ -202,6 +202,42 @@ def gen_txn_history(
     return rows
 
 
+STREAM_CARDS = ["VISA", "MASTERCARD", "AMEX", "DISCOVER", "GIFT_CARD"]
+
+
+def gen_txn_stream_messages(
+    customers: list[dict], products: list[str], n: int = 500, seed: int = 46
+) -> list[str]:
+    """FIXTURES.md §3: Kafka-shaped JSON messages (lower-case keys,
+    ``MM/dd/yyyy hh:mm:ss.SSSSSS a`` 12-hour timestamp format with
+    microseconds — the datagen quirk)."""
+    import json
+
+    rng = random.Random(seed)
+    msgs = []
+    for i in range(n):
+        hour24 = rng.randrange(0, 24)
+        ampm = "AM" if hour24 < 12 else "PM"
+        hour12 = hour24 % 12 or 12
+        msgs.append(
+            json.dumps(
+                {
+                    "txn_id": f"W{rng.randrange(10**10, 10**11)}",
+                    "txn_date": f"{rng.randrange(1, 13):02d}/{rng.randrange(1, 29):02d}/2023 "
+                    f"{hour12:02d}:{rng.randrange(0, 60):02d}:{rng.randrange(0, 60):02d}."
+                    f"{rng.randrange(0, 10**6):06d} {ampm}",
+                    "txn_quantity": rng.randrange(1, 31),
+                    "customer_id": rng.choice(customers)["CUSTOMER_ID"],
+                    "product_id": rng.choice(products),
+                    "product_unit_price": round(rng.uniform(1, 900), 2),
+                    "product_desc": "Widget",
+                    "payment_method": rng.choice(STREAM_CARDS),
+                }
+            )
+        )
+    return msgs
+
+
 # --- minimal PDF generation (for the binaryFile -> pandas UDF path) -------
 
 

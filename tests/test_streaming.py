@@ -1,0 +1,94 @@
+"""Structured Streaming tests (SURVEY §5.4): file-source streams with
+``availableNow``, asserting stream-batch equivalence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
+    hourly_rollup_batch,
+    hourly_rollup_stream,
+    run_available_now,
+)
+from summit_23_snowpark_data_lake_workloads_spark.streaming.ingest import (
+    TXN_STREAM_SCHEMA,
+    ingest_txn_stream,
+    parse_txn_stream,
+    read_json_file_stream,
+)
+
+from . import fixtures as FX
+
+
+def test_txn_stream_ingest_equals_batch(spark, tmp_path):
+    """Kafka-shaped JSON messages through the streaming ingest == the same
+    transform applied in batch (exactly-once, typed, upper-cased)."""
+    customers = FX.gen_customers(20)
+    msgs = FX.gen_txn_stream_messages(customers, ["R1-6725013G", "b2-1111111A"], n=300)
+    src = tmp_path / "src"
+    src.mkdir()
+    # three "topic dumps" arriving as separate files
+    for i in range(3):
+        (src / f"batch_{i}.jsonl").write_text("\n".join(msgs[i::3]))
+
+    out = tmp_path / "raw_txn_stream"
+    q = ingest_txn_stream(
+        read_json_file_stream(spark, str(src)),
+        str(out),
+        str(tmp_path / "ckpt_ingest"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    want = parse_txn_stream(spark.read.text(str(src)))
+    assert got.count() == 300
+    assert dict(got.dtypes)["TXN_DATE"] == "timestamp"
+    assert got.filter(F.col("TXN_DATE").isNull()).count() == 0, (
+        "every 12h-format timestamp must parse"
+    )
+    sym_diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert sym_diff == 0, "stream result must equal batch transform"
+
+    # idempotent restart: re-running over the same checkpoint adds nothing
+    q2 = ingest_txn_stream(
+        read_json_file_stream(spark, str(src)), str(out), str(tmp_path / "ckpt_ingest")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == 300, "exactly-once on restart"
+
+
+def test_windowed_rollup_stream_batch_equivalence(spark, sf_dir, tmp_path):
+    """Watermarked hourly rollup over the events table fed as a file
+    stream == batch twin, for every window the watermark closed."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # materialize with a plain timestamp column for the file stream
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "events_src"
+    ev.write.parquet(str(src))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = run_available_now(
+        hourly_rollup_stream(stream, watermark="1 hour"),
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt_rollup"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "rollup"))
+    want = hourly_rollup_batch(ev)
+    # append mode emits only watermark-closed windows; the tail window(s)
+    # may be withheld — compare on the emitted buckets and require all
+    # clearly-closed windows to be present
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    closed = want.filter(
+        F.col("bucket") < (F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    missing = closed.exceptAll(got).count()
+    assert missing == 0, "every closed window must be emitted exactly"
+    wrong = got.exceptAll(want).count()
+    assert wrong == 0, "no emitted row may differ from the batch twin"
