@@ -209,6 +209,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_semi_join",
+    headline=True,
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
@@ -351,6 +352,7 @@ def window_dedup_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rank_topk",
+    headline=True,
     oracle="""
     SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rk
     FROM (
@@ -556,6 +558,7 @@ def full_row_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_rollup",
+    headline=True,
     oracle="""
     SELECT date_trunc('hour', ts)       AS bucket,
            event_type,
@@ -596,6 +599,338 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / pivot / rollup / set ops (beyond-reference engine surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, session_seq,
+           count(*)             AS n_events,
+           min(ts)              AS session_start,
+           max(ts)              AS session_end,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    headline=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> flag ->
+    running-sum session ids -> per-session aggregates. The batch twin of
+    ``applyInPandasWithState`` sessionization; microsecond-exact gap
+    arithmetic (unix_micros) so both engines cut sessions identically.
+
+    Scale: two window passes + one agg, all partitioned by user_id —
+    a single shuffle key end to end, no driver involvement.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session").over(w).alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority x status via ``groupBy().pivot()``
+    (explicit value list — no extra pass to discover keys)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"O": "n_open", "F": "n_finished", "P": "n_pending"})
+    )
+    return out.fillna(0, subset=["n_open", "n_finished", "n_pending"])
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)                    AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status+priority -> grand total)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "segments_intersect",
+    oracle="""
+    SELECT c_mktsegment FROM customer c JOIN orders o ON c_custkey = o_custkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT c_mktsegment FROM customer c JOIN orders o ON c_custkey = o_custkey
+    WHERE o.o_orderpriority = '5-LOW'
+    """,
+)
+def segments_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (beyond-reference: the reference only uses UNION ALL)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    urgent = joined.filter(F.col("o_orderpriority") == "1-URGENT").select("c_mktsegment")
+    low = joined.filter(F.col("o_orderpriority") == "5-LOW").select("c_mktsegment")
+    return urgent.intersect(low)
+
+
+@query(
+    "sample_hash_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 100 < 5
+    """,
+)
+def sample_hash_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via content hash — the reproducible,
+    engine-portable version of the reference's random 1,000-customer
+    sample (Q4, ``1_recommendation_app.py:41``); at scale this is also
+    how you carve stable eval splits."""
+    from ..functions.scalar import portable_hash64
+
+    cust = _t(spark, sf_dir, "customer")
+    return cust.filter(
+        portable_hash64(F.col("c_custkey").cast("string")) % 100 < 5
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "adhoc_sql_top_suppliers",
+    oracle="""
+    SELECT s_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY s_name, n_name
+    """,
+)
+def adhoc_sql_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry point (SURVEY §2.1 S7 ``session.sql``): same
+    Catalyst pipeline as the DataFrame API, registered views shared."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(
+        """
+        SELECT s_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY s_name, n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-pipeline semantics under the oracle gate (synthesized inputs)
+# ---------------------------------------------------------------------------
+
+_INVOICE_TEXT_SQL = """
+    'Customer: ' || CAST(o_custkey AS VARCHAR)
+    || ' Invoice #: INV-' || CAST(o_orderkey AS VARCHAR)
+    || ' Generated On: ' || strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00Z'
+    || ' Invoice Status: ' || CASE o_orderstatus WHEN 'F' THEN 'Overdue'
+                                                 WHEN 'O' THEN 'Paid'
+                                                 ELSE 'Pending' END
+    || ' Payment Date: ' || strftime(o_orderdate, '%Y-%m-%d')
+    || ' Item 1 $' || CAST(o_orderkey % 900 + 10 AS VARCHAR) || '.25'
+    || ' Item 2 $' || CAST(o_orderkey % 90 + 1 AS VARCHAR) || '.50'
+    || ' Item 3 $' || CAST(o_orderkey % 9 + 1 AS VARCHAR) || '.75'
+    || ' Total ' || CAST(o_orderkey % 9999 + 100 AS VARCHAR) || '.99'
+"""
+
+
+@query(
+    "invoice_parse_synthetic",
+    oracle=f"""
+    WITH pdf AS (
+        SELECT 'inv_' || CAST(o_orderkey AS VARCHAR) AS relative_path,
+               {_INVOICE_TEXT_SQL} AS t
+        FROM orders
+    )
+    SELECT relative_path,
+           lpad(split_part(split_part(t, 'Customer:', 2), ' ', 2), 10, '0') AS customer_id,
+           split_part(split_part(t, 'Invoice #:', 2), ' ', 2)    AS invoice_num,
+           split_part(split_part(t, 'Generated On:', 2), ' ', 2) AS inv_gen_dt,
+           trim(split_part(split_part(t, 'Status:', 2), 'Payment', 1)) AS inv_status,
+           split_part(split_part(t, 'Payment Date:', 2), ' ', 2) AS payment_dt,
+           CAST(replace(replace(split_part(split_part(t, 'Item 1', 2), ' ', 2), '$', ''), ',', '') AS DOUBLE) AS item_1,
+           CAST(replace(replace(split_part(split_part(t, 'Item 2', 2), ' ', 2), '$', ''), ',', '') AS DOUBLE) AS item_2,
+           CAST(replace(replace(split_part(split_part(t, 'Item 3', 2), ' ', 2), '$', ''), ',', '') AS DOUBLE) AS item_3,
+           CAST(split_part(split_part(t, 'Total', 2), ' ', 2) AS DOUBLE) AS total
+    FROM pdf
+    """,
+)
+def invoice_parse_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invoice SPLIT_PART cascade (F1-F5, ``3BC:3-11``) under the
+    oracle gate: invoice-layout text synthesized deterministically from
+    ``orders``, parsed by the REAL curate step (``parse_invoice_text``).
+    DuckDB lacks Snowflake's TO_NUMBER format grammar, so its side strips
+    ``$``/``,`` before casting — numerically identical."""
+    from .curate import parse_invoice_text
+
+    orders = _t(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "Overdue")
+        .when(F.col("o_orderstatus") == "O", "Paid")
+        .otherwise("Pending")
+    )
+    text = F.concat(
+        F.lit("Customer: "), F.col("o_custkey").cast("string"),
+        F.lit(" Invoice #: INV-"), F.col("o_orderkey").cast("string"),
+        F.lit(" Generated On: "), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("T00:00:00Z"),
+        F.lit(" Invoice Status: "), status,
+        F.lit(" Payment Date: "), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit(" Item 1 $"), (F.col("o_orderkey") % 900 + 10).cast("string"), F.lit(".25"),
+        F.lit(" Item 2 $"), (F.col("o_orderkey") % 90 + 1).cast("string"), F.lit(".50"),
+        F.lit(" Item 3 $"), (F.col("o_orderkey") % 9 + 1).cast("string"), F.lit(".75"),
+        F.lit(" Total "), (F.col("o_orderkey") % 9999 + 100).cast("string"), F.lit(".99"),
+    )
+    pdf = orders.select(
+        F.concat(F.lit("inv_"), F.col("o_orderkey").cast("string")).alias(
+            "RELATIVE_PATH"
+        ),
+        text.alias("PDF_TEXT"),
+    )
+    out = parse_invoice_text(pdf, strict=True)
+    return out.select(
+        F.col("RELATIVE_PATH").alias("relative_path"),
+        F.col("CUSTOMER_ID").alias("customer_id"),
+        F.col("INVOICE_NUM").alias("invoice_num"),
+        F.col("INV_GEN_DT").alias("inv_gen_dt"),
+        F.col("INV_STATUS").alias("inv_status"),
+        F.col("PAYMENT_DT").alias("payment_dt"),
+        F.col("ITEM_1").cast("double").alias("item_1"),
+        F.col("ITEM_2").cast("double").alias("item_2"),
+        F.col("ITEM_3").cast("double").alias("item_3"),
+        F.col("TOTAL").cast("double").alias("total"),
+    )
+
+
+@query(
+    "phone_standardize_synthetic",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey,
+               lpad(CAST((c_custkey * 7919 + 123456) % 10000000000 AS VARCHAR), 10, '0') AS d,
+               c_custkey % 3 AS style
+        FROM customer
+    ),
+    phones AS (
+        SELECT c_custkey,
+               CASE style
+                   WHEN 0 THEN '(' || substr(d, 1, 3) || ')' || substr(d, 4, 3) || '-' || substr(d, 7, 4)
+                   WHEN 1 THEN '+1-' || substr(d, 1, 3) || '-' || substr(d, 4, 3) || '-' || substr(d, 7, 4)
+                   ELSE substr(d, 1, 3) || '.' || substr(d, 4, 3) || '.' || substr(d, 7, 4) || 'x99'
+               END AS phone_raw
+        FROM raw
+    )
+    SELECT c_custkey, phone_raw,
+           CASE WHEN starts_with(regexp_replace(phone_raw, '[^0-9_]', '', 'g'), '1')
+                THEN substr(regexp_replace(phone_raw, '[^0-9_]', '', 'g'), 2, 10)
+                ELSE substr(regexp_replace(phone_raw, '[^0-9_]', '', 'g'), 1, 10)
+           END AS phone_norm
+    FROM phones
+    """,
+)
+def phone_standardize_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer phone standardization (P8/P9/F6/F7,
+    ``02_customer_sp.sql:24-26``) under the oracle gate: free-format
+    phones synthesized deterministically from c_custkey, normalized by the
+    REAL ``normalize_phone`` helper (including the +1/leading-1 branch)."""
+    from ..functions.scalar import normalize_phone
+
+    cust = _t(spark, sf_dir, "customer")
+    d = F.lpad(((F.col("c_custkey") * 7919 + 123456) % 10_000_000_000).cast("string"), 10, "0")
+    style = F.col("c_custkey") % 3
+    phone_raw = (
+        F.when(
+            style == 0,
+            F.concat(
+                F.lit("("), d.substr(1, 3), F.lit(")"), d.substr(4, 3), F.lit("-"), d.substr(7, 4)
+            ),
+        )
+        .when(
+            style == 1,
+            F.concat(
+                F.lit("+1-"), d.substr(1, 3), F.lit("-"), d.substr(4, 3), F.lit("-"), d.substr(7, 4)
+            ),
+        )
+        .otherwise(
+            F.concat(
+                d.substr(1, 3), F.lit("."), d.substr(4, 3), F.lit("."), d.substr(7, 4), F.lit("x99")
+            )
+        )
+    )
+    return cust.select(
+        "c_custkey",
+        phone_raw.alias("phone_raw"),
+        normalize_phone(phone_raw).alias("phone_norm"),
     )
 
 

@@ -146,7 +146,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle())
+@query("dedup_simhash", oracle=_simhash_oracle(), headline=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (value-exact across
     engines thanks to integer-only bit arithmetic)."""
@@ -259,6 +259,7 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tfidf_topk",
+    headline=True,
     oracle="""
     WITH tok AS (
         SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents

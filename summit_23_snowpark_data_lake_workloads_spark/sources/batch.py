@@ -49,7 +49,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, not /: float division ROUNDS the ns residue while
+        # DuckDB (and any ns->us cast) TRUNCATES — 1us mismatches otherwise
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
