@@ -367,6 +367,105 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sims AS ({_simhash_oracle()}),
+    banded AS (
+        -- literal divisors: DuckDB's ** returns DOUBLE, which would turn
+        -- the chunk arithmetic into lossy float division
+        SELECT id, 0 AS band, simhash % 256 AS chunk, simhash FROM sims
+        UNION ALL
+        SELECT id, 1, (simhash // 256) % 256, simhash FROM sims
+        UNION ALL
+        SELECT id, 2, (simhash // 65536) % 256, simhash FROM sims
+        UNION ALL
+        SELECT id, 3, (simhash // 16777216) % 256, simhash FROM sims
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: banded candidates (any equal 8-bit chunk)
+    verified by Hamming distance <= 6 via ``bit_count(xor)`` — both
+    engine-portable. The standard web-scale near-dup recipe: bands bound
+    the candidate set; popcount verifies."""
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash_table(docs, "doc_id", "text")
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash div {2 ** (i * 8)}) % 256").alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.withColumnsRenamed({"id": "id_a", "simhash": "sh_a"})
+    b = banded.withColumnsRenamed({"id": "id_b", "simhash": "sh_b"})
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band) & (a.chunk == b.chunk) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dot
+        FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4; the synthetic embeddings
+    top out near 0.5, so 0.4 marks the "near-duplicate" tail) — the semantic-dedup
+    tier. Exhaustive at oracle scale; at 100 TB the same verify runs on
+    LSH-bucket candidates only (compose with ``hyperplane_bucket``)."""
+    from ..functions.vector import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle=f"""
     WITH sh AS (

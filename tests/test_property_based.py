@@ -1,0 +1,75 @@
+"""Hypothesis property tests (SURVEY §5.5): generated inputs through the
+standardization/parse expressions vs pure-Python oracles implementing the
+reference semantics."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.functions.scalar import (
+    between_labels,
+    normalize_phone,
+)
+
+from .fixtures import oracle_phone
+
+# free-format phone-ish strings: digits, punctuation, extensions, noise
+phone_chars = st.text(
+    alphabet="0123456789()-.+x_ abc", min_size=0, max_size=25
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(phone_chars)
+def test_phone_normalization_property(spark, s):
+    got = (
+        spark.createDataFrame([(s,)], ["p"])
+        .select(normalize_phone("p").alias("n"))
+        .first()
+        .n
+    )
+    assert got == oracle_phone(s)
+
+
+tokens = st.text(alphabet="abcdefgh$,.0123456789", min_size=1, max_size=8)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(tokens, min_size=1, max_size=12), st.integers(1, 14))
+def test_split_part_field_property(spark, words, field):
+    """split_part(s, ' ', n): 1-based, '' out of range — against Python."""
+    s = " ".join(words)
+    got = (
+        spark.createDataFrame([(s,)], ["t"])
+        .select(F.split_part(F.col("t"), F.lit(" "), F.lit(field)).alias("x"))
+        .first()
+        .x
+    )
+    parts = s.split(" ")
+    want = parts[field - 1] if field <= len(parts) else ""
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.text(alphabet="abcdef 0123456789", min_size=1, max_size=20).filter(
+        lambda s: "Label:" not in s
+    )
+)
+def test_between_labels_property(spark, payload):
+    """The invoice parse idiom on arbitrary payloads after a label."""
+    text = f"prefix words Label: {payload} suffix"
+    got = (
+        spark.createDataFrame([(text,)], ["t"])
+        .select(between_labels("t", "Label:").alias("x"))
+        .first()
+        .x
+    )
+    after = text.split("Label:", 1)[1] if "Label:" in text else ""
+    parts = after.split(" ")
+    want = parts[1] if len(parts) >= 2 else ""
+    assert got == want

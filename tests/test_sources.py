@@ -1,0 +1,81 @@
+"""Source-loader tests: JSON sampled inference (S3), by-name parquet
+projection (S2), call_function/call_udf parity (F14/F15)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from summit_23_snowpark_data_lake_workloads_spark.sources.batch import (
+    read_json_sampled,
+    read_parquet_by_name,
+)
+
+from . import fixtures as FX
+
+
+def test_read_json_gz_with_sampled_inference(spark, tmp_path):
+    """Gzipped JSON-lines with schema inferred from a sample — the
+    ``3C_load_txn_history.sql`` path, including scientific-notation
+    doubles (``9.2841e+04``)."""
+    customers = FX.gen_customers(20)
+    txns = FX.gen_txn_history(customers, ["R1-6725013G"], n=200)
+    # encode prices in scientific notation like the reference feed
+    lines = []
+    for t in txns:
+        t = dict(t)
+        t["PRODUCT_UNIT_PRICE"] = float(f"{t['PRODUCT_UNIT_PRICE']:.4e}")
+        lines.append(json.dumps(t))
+    for i in range(4):
+        with gzip.open(tmp_path / f"txn__{i}.json.gz", "wt") as f:
+            f.write("\n".join(lines[i::4]))
+
+    df = read_json_sampled(spark, str(tmp_path / "*.json.gz"), sampling_ratio=0.5)
+    assert df.count() == 200
+    dtypes = dict(df.dtypes)
+    assert dtypes["PRODUCT_UNIT_PRICE"] == "double"
+    assert dtypes["TXN_QUANTITY"] == "bigint"
+    assert df.filter(F.col("PRODUCT_UNIT_PRICE") <= 0).count() == 0
+
+
+def test_read_parquet_by_name_case_insensitive(spark, tmp_path):
+    """MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE (S2): reorder + case-fold +
+    drop extras; missing columns error."""
+    src = tmp_path / "t.parquet"
+    spark.createDataFrame(
+        [(1, "a", 2.0)], ["Alpha", "beta", "GAMMA"]
+    ).write.parquet(str(src))
+    df = read_parquet_by_name(spark, str(src), ["GAMMA", "ALPHA"])
+    assert df.columns == ["GAMMA", "ALPHA"]
+    assert df.first().asDict() == {"GAMMA": 2.0, "ALPHA": 1}
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_parquet_by_name(spark, str(src), ["missing_col"])
+
+
+def test_call_function_and_call_udf(spark):
+    """F14/F15: dynamic invocation by name — ``call_function('position')``
+    (``02:27``) and ``call_udf`` for registered UDFs (``03:23``)."""
+    df = spark.createDataFrame([("Ann Smith",)], ["name"])
+    pos = df.select(
+        F.call_function("instr", F.col("name"), F.lit(" ")).alias("p")
+    ).first().p
+    assert pos == 4
+
+    spark.udf.register("shout", lambda s: s.upper(), T.StringType())
+    out = df.select(F.call_udf("shout", F.col("name")).alias("s")).first().s
+    assert out == "ANN SMITH"
+
+
+def test_collect_list_struct_idiom(spark, sf_dir):
+    """A5: ``array_agg(object_construct(*))`` equivalent —
+    ``collect_list(struct(*))`` (the reference's schema-inference idiom)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    row = region.agg(
+        F.collect_list(F.struct("r_regionkey", "r_name")).alias("rows")
+    ).first()
+    assert len(row.rows) == 5
+    assert {r.r_regionkey for r in row.rows} == {0, 1, 2, 3, 4}
