@@ -34,23 +34,26 @@ def main() -> None:
     materialize(QUERIES[HEADLINE[0]](spark, sf_dir).limit(1))
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one failing query must not lose the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -602,6 +602,34 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_range_trailing",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS trailing_90d
+    FROM orders
+    """,
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame spec: trailing-90-day spend per customer — the
+    value-based frame (vs the row-based ``window_running_sum``). Ordering
+    key is integer epoch seconds so both engines bound the frame
+    identically."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization / pivot / rollup / set ops (beyond-reference engine surface)
 # ---------------------------------------------------------------------------

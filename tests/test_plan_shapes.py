@@ -1,0 +1,69 @@
+"""Physical-plan shape assertions: the scale posture is part of the
+contract, not an accident. These tests pin the optimizer outcomes the
+100 TB design depends on — if a refactor breaks pushdown or broadcast,
+this fails before the cluster bill does."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.plans.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_and_projection_pushed(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must read only the 7 needed columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read
+    assert read.count(":") <= 9, f"scan reads too many columns: {read}"
+
+
+def test_q5_dimensions_broadcast_fact_not(spark, sf_dir):
+    df = QUERIES["q5_region_revenue"](spark, sf_dir)
+    df.collect()  # AQE finalizes join strategies at runtime
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 5, "all five joins broadcast the small side"
+    assert "SortMergeJoin" not in final, "the fact table must never sort-merge here"
+
+
+def test_semi_join_rewrite(spark, sf_dir):
+    plan = plan_of(QUERIES["cohort_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan, "IN-subquery shape must execute as a semi join"
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["q3_top_unshipped"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY + LIMIT must run as top-k, not a full sort"
+    )
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No declared query may contain an unbounded cartesian product.
+    (Broadcast nested loop with a one-row side — e.g. the TF-IDF doc-count
+    join — is fine; CartesianProduct is not.)"""
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    """events.props (the widest column) must not be read by queries that
+    don't use it."""
+    plan = plan_of(QUERIES["events_hourly_rollup"](spark, sf_dir))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read
