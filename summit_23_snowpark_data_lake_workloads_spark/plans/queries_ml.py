@@ -87,8 +87,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SH_CTE},
     sig AS (
+        -- universal-hash family over one md5 per shingle (mirrors
+        -- operators.dedup.minhash_signatures exactly)
         SELECT id, seed,
-               min({_DUCK_HASH.format(x="seed::VARCHAR || ':' || shingle")}) AS minhash
+               min(((seed * 2 + 3) * ({_DUCK_HASH.format(x="shingle")} % 2147483648)
+                    + seed * 12582917) % 2305843009213693951) AS minhash
         FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
         GROUP BY id, seed
     ),

@@ -28,13 +28,24 @@ def save_table(
     qualified_name: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
 ) -> None:
     """S9 sink: ``df.write.mode(...).saveAsTable`` with optional
-    partitioning. Partition columns should be low-cardinality query
-    filters (e.g. a date) so scans prune directories."""
+    partitioning/bucketing.
+
+    - ``partition_by``: low-cardinality query filters (e.g. a date) so
+      scans prune directories (R5).
+    - ``bucket_by=(n, cols)``: hash-bucket on the recurring join key —
+      two tables bucketed the same way join WITHOUT a shuffle (the
+      write-once-shuffle-never pattern for the 500M-row fact ⋈ 50M-row
+      dim joins the reference runs hourly).
+    """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(qualified_name)
 
 

@@ -1,0 +1,72 @@
+"""Scale join strategies: salted join equivalence + bucketed co-located
+join (no shuffle on the read side)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.joins import salted_join
+from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import (
+    bootstrap_catalog,
+    save_table,
+)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "o_custkey", n_salts=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    few = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(10).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(few, "o_custkey", "left").select("o_orderkey", "c_name")
+    salted = salted_join(orders, few, "o_custkey", n_salts=4, how="left").select(
+        "o_orderkey", "c_name"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange operators — the write-time shuffle pays for every future
+    join."""
+    bootstrap_catalog(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    save_table(orders, "raw.orders_bucketed", bucket_by=(8, ["o_custkey"]))
+    save_table(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"),
+        "raw.customer_bucketed",
+        bucket_by=(8, ["o_custkey"]),
+    )
+    a = spark.table("raw.orders_bucketed")
+    b = spark.table("raw.customer_bucketed")
+    # disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
