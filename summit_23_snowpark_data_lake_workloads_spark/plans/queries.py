@@ -54,6 +54,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _money_sum(expr, scale: int = 4):
+    """Order-independent money aggregate: cast each addend to DECIMAL
+    (deterministic nearest-decimal rounding of the double in any engine),
+    sum exactly in integer arithmetic, round, return double.
+
+    Plain double sums differ across engines in summation ORDER; on a
+    large group that occasionally lands a sum on a .005 rounding boundary
+    and flips the 2-decimal output (hit ~0.06% of q7 groups). Decimal
+    sums cannot: addition is exact, so order is irrelevant.
+    """
+    return F.round(F.sum(expr.cast(f"decimal(18,{scale})")), 2).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation family (SURVEY §2.5 A1-A4)
 # ---------------------------------------------------------------------------
@@ -63,13 +76,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_price,
+           round(sum(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -92,12 +105,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _money_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _money_sum(disc_price, 4).alias("sum_disc_price"),
+            _money_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -112,7 +133,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -146,7 +167,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -160,7 +181,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -200,7 +221,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -401,9 +422,9 @@ def window_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend
     FROM orders
     """,
 )
@@ -418,7 +439,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2).cast("double").alias("running_spend"),
     )
 
 
@@ -564,7 +585,7 @@ def full_row_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)                     AS n_events,
            count(DISTINCT user_id)      AS n_users,
-           round(sum(value), 2)         AS total_value
+           round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -579,7 +600,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _money_sum(F.col("value"), 2).alias("total_value"),
     )
 
 
@@ -603,12 +624,182 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS correlated semi-join + agg (late-shipping
+    orders per priority). Catalyst rewrites EXISTS to a left-semi join on
+    orderkey with the date predicate as join condition."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           round(sum(CAST(volume AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS yr,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped cross-nation volume by year: five joins including
+    the nation table used twice under different aliases."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item revenue: 4-way join, agg,
+    deterministic top-20 (tie-break on the unique custkey)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "above_avg_customers",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H-Q2/Q17 shape): customers above
+    their nation's average balance. Written as SQL text so Catalyst's
+    decorrelation (RewriteCorrelatedScalarSubquery) owns the rewrite to
+    an aggregate + join."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, c_mktsegment,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): status-only,
+    segment-only, and grand-total groups in one pass."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, c_mktsegment,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
     "window_range_trailing",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS trailing_90d
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS trailing_90d
     FROM orders
     """,
 )
@@ -626,7 +817,7 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2).cast("double").alias("trailing_90d"),
     )
 
 
@@ -656,7 +847,7 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)             AS n_events,
            min(ts)              AS session_start,
            max(ts)              AS session_end,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total_value
     FROM sess
     GROUP BY user_id, session_seq
     """,
@@ -696,7 +887,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _money_sum(F.col("value"), 2).alias("total_value"),
     )
 
 
@@ -728,7 +919,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS revenue,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
            count(*)                    AS n_orders
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -738,7 +929,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (status -> status+priority -> grand total)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        _money_sum(F.col("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -788,7 +979,7 @@ def sample_hash_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "adhoc_sql_top_suppliers",
     oracle="""
     SELECT s_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -804,7 +995,7 @@ def adhoc_sql_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT s_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
