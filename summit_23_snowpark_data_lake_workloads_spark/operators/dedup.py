@@ -61,25 +61,30 @@ def shingle_table(
     (stop-shingles): they contribute little discrimination but dominate
     self-join cost and create shuffle skew.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(text_col)).alias("pos", "token"),
-    )
-    w = W.partitionBy("id").orderBy("pos")
-    leads = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, n)]
-    stitched = tok.select("id", "token", *leads).filter(
-        F.col(f"t{n - 1}").isNotNull()
-    )
-    sh = stitched.select(
-        "id",
-        F.concat_ws(" ", "token", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
-    ).distinct()
+    sh = _all_shingles(df, id_col, text_col, n).distinct()
     if max_df is not None:
         w2 = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
         sh = sh.join(F.broadcast(w2.filter(F.col("df_count") <= max_df)), "shingle").drop(
             "df_count"
         )
     return sh
+
+
+def _all_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Every shingle occurrence (WITH duplicates): (id, shingle). The
+    multiset variant backing frequency reports; ``shingle_table`` is the
+    distinct variant backing similarity."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    stitched = tok.select("id", "token", *leads).filter(F.col(f"t{n - 1}").isNotNull())
+    return stitched.select(
+        "id",
+        F.concat_ws(" ", "token", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
+    )
 
 
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:

@@ -469,6 +469,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "common_ngrams",
+    oracle="""
+    WITH sh_all AS (
+        SELECT doc_id AS id,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT shingle,
+           count(DISTINCT id) AS doc_freq,
+           count(*)           AS total_freq
+    FROM sh_all
+    GROUP BY shingle
+    HAVING count(DISTINCT id) >= 5
+    """,
+)
+def common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated n-gram report (doc-frequency >= 5): the
+    memorization/boilerplate audit a training-data pipeline runs before
+    substring dedup, and the input to the ``max_df`` stop-shingle cutoff.
+    Counts every occurrence (not distinct-per-doc), one groupBy."""
+    from ..operators.dedup import _all_shingles
+
+    sh = _all_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    return sh.groupBy("shingle").agg(
+        F.countDistinct("id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_freq"),
+    ).filter(F.col("doc_freq") >= 5)
+
+
+@query(
     "doc_fingerprints",
     oracle=f"""
     WITH sh AS (

@@ -58,6 +58,34 @@ def hourly_rollup_batch(events: DataFrame) -> DataFrame:
     )
 
 
+TRANSACTION_COLUMNS = [
+    "TXN_ID",
+    "TXN_DATE",
+    "TXN_QUANTITY",
+    "CUSTOMER_ID",
+    "PRODUCT_ID",
+    "PRODUCT_DESC",
+    "PRODUCT_UNIT_PRICE",
+    "PAYMENT_METHOD",
+]
+
+
+def unified_transactions(history: DataFrame, stream_typed: DataFrame) -> DataFrame:
+    """The T3 target: ``PROCESSED_DB.SALES.TRANSACTION`` = typed history
+    UNION typed stream (consumed by ``04_sales_enrich_sp.sql:22``).
+
+    History carries ``TXN_DT`` strings in the batch format; the stream is
+    already typed by ``ingest.parse_txn_stream``. Both are projected onto
+    one fixed column order so the union is by position AND by name.
+    """
+    from ..functions.scalar import parse_ts
+
+    hist = history.withColumn("TXN_DATE", parse_ts("TXN_DATE", "history")).select(
+        *TRANSACTION_COLUMNS
+    )
+    return hist.unionByName(stream_typed.select(*TRANSACTION_COLUMNS))
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str):
     """Drain all pending input into a parquet table and stop — the
     ``trigger(availableNow=True)`` pattern that gives streaming pipelines

@@ -60,6 +60,30 @@ def test_txn_stream_ingest_equals_batch(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 300, "exactly-once on restart"
 
 
+def test_unified_transactions_union(spark, tmp_path):
+    """T3: history (string timestamps) + typed stream -> one processed
+    transaction table, schema-aligned."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
+        TRANSACTION_COLUMNS,
+        unified_transactions,
+    )
+
+    customers = FX.gen_customers(10)
+    hist = spark.createDataFrame(FX.gen_txn_history(customers, ["R1-6725013G"], n=50))
+    hist = hist.withColumnRenamed("TXN_DATE", "TXN_DATE")
+    msgs = FX.gen_txn_stream_messages(customers, ["R1-6725013G"], n=30)
+    src = tmp_path / "stream_msgs"
+    src.mkdir()
+    (src / "m.jsonl").write_text("\n".join(msgs))
+    stream_typed = parse_txn_stream(spark.read.text(str(src)))
+
+    uni = unified_transactions(hist, stream_typed)
+    assert uni.columns == TRANSACTION_COLUMNS
+    assert uni.count() == 80
+    assert dict(uni.dtypes)["TXN_DATE"] == "timestamp"
+    assert uni.filter(F.col("TXN_DATE").isNull()).count() == 0
+
+
 def test_windowed_rollup_stream_batch_equivalence(spark, sf_dir, tmp_path):
     """Watermarked hourly rollup over the events table fed as a file
     stream == batch twin, for every window the watermark closed."""
