@@ -6,7 +6,6 @@ from __future__ import annotations
 import contextlib
 import io
 
-import pytest
 from pyspark.sql import functions as F
 
 from summit_23_snowpark_data_lake_workloads_spark.operators.joins import salted_join

@@ -8,9 +8,6 @@ from __future__ import annotations
 import contextlib
 import io
 
-import pytest
-from pyspark.sql import functions as F
-
 from summit_23_snowpark_data_lake_workloads_spark.plans.queries import QUERIES
 
 

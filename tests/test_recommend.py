@@ -3,7 +3,6 @@ sink."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from summit_23_snowpark_data_lake_workloads_spark.plans.recommend import recommend

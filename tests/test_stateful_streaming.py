@@ -3,7 +3,6 @@ plus the rate-source datagen."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table

@@ -3,9 +3,6 @@
 
 from __future__ import annotations
 
-import json
-
-import pytest
 from pyspark.sql import functions as F
 
 from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
@@ -14,7 +11,6 @@ from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
     run_available_now,
 )
 from summit_23_snowpark_data_lake_workloads_spark.streaming.ingest import (
-    TXN_STREAM_SCHEMA,
     ingest_txn_stream,
     parse_txn_stream,
     read_json_file_stream,
