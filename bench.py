@@ -33,13 +33,19 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, not counted
     materialize(QUERIES[HEADLINE[0]](spark, sf_dir).limit(1))
 
+    # median of 3 runs per query: this box shows +/-50% noise under load,
+    # and a single sample regularly misreports a query by seconds
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
+        samples = []
         try:
-            materialize(QUERIES[name](spark, sf_dir))
-            per_query[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            per_query[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as exc:  # one failing query must not lose the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 

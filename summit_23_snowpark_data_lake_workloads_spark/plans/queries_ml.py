@@ -212,8 +212,8 @@ def _lsh_plane_sql(j: int, dim: int = 64) -> str:
     return f"sum(val * (({h} % 2001 - 1000) / 1000.0))"
 
 
-def _knn_lsh_oracle(n_planes: int = 4) -> str:
-    projs = ",\n           ".join(
+def _knn_lsh_oracle(n_planes: int = 4, multiprobe: bool = False) -> str:
+    projs = " + ".join(
         f"CASE WHEN {_lsh_plane_sql(j)} >= 0 THEN {2 ** j} ELSE 0 END"
         for j in range(n_planes)
     )
@@ -221,15 +221,18 @@ def _knn_lsh_oracle(n_planes: int = 4) -> str:
     WITH {_EMB_POS_CTE},
     buckets AS (
         SELECT vec_id,
-           ({projs.replace(chr(10) + '           ', ' + ')}) AS bucket
+           ({projs}) AS bucket
         FROM (SELECT vec_id, pos AS i, val FROM e)
         GROUP BY vec_id
+    ),
+    qprobes AS (
+        SELECT vec_id, unnest({{probe_list}}) AS bucket FROM buckets
     ),
     dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                sum(q.val * c.val) AS dot
         FROM e q
-        JOIN buckets bq ON bq.vec_id = q.vec_id
+        JOIN qprobes bq ON bq.vec_id = q.vec_id
         JOIN buckets bc ON bq.bucket = bc.bucket
         JOIN e c ON c.vec_id = bc.vec_id AND q.pos = c.pos AND q.vec_id <> c.vec_id
         WHERE q.vec_id < 20
@@ -247,7 +250,14 @@ def _knn_lsh_oracle(n_planes: int = 4) -> str:
                                        ORDER BY cos_sim DESC, neighbor_id) AS rk
           FROM scored)
     WHERE rk <= 5
-    """
+    """.replace(
+        "{probe_list}",
+        "[bucket, "
+        + ", ".join(f"xor(bucket, {2 ** j})" for j in range(n_planes))
+        + "]"
+        if multiprobe
+        else "[bucket]",
+    )
 
 
 @query("knn_lsh", oracle=_knn_lsh_oracle())
@@ -257,6 +267,22 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return knn_lsh(
         emb, k=5, n_planes=4, dim=64, query_pred=F.col("query_id") < 20
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
+
+
+@query("knn_lsh_multiprobe", oracle=_knn_lsh_oracle(multiprobe=True))
+def knn_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query additionally probes every
+    1-bit-flip neighbor bucket — ~(n_planes+1)x candidates for 2-3x the
+    recall of single-probe; still a small fraction of brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_lsh(
+        emb,
+        k=5,
+        n_planes=4,
+        dim=64,
+        query_pred=F.col("query_id") < 20,
+        multiprobe=True,
     ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 

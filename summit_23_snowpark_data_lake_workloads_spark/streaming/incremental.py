@@ -86,6 +86,21 @@ def unified_transactions(history: DataFrame, stream_typed: DataFrame) -> DataFra
     return hist.unionByName(stream_typed.select(*TRANSACTION_COLUMNS))
 
 
+def enrich_txn_stream(stream_typed: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the continuous version of the sales
+    enrichment's customer join (``04_sales_enrich_sp.sql:36``) — each
+    micro-batch joins against the (slowly-changing) customer dimension.
+
+    Scale: Spark re-plans the static side per micro-batch, so a
+    broadcast-sized dim never shuffles the stream; derived SALES_AMT
+    stays in codegen.
+    """
+    enriched = stream_typed.withColumn(
+        "SALES_AMT", F.col("TXN_QUANTITY") * F.col("PRODUCT_UNIT_PRICE")
+    )
+    return enriched.join(F.broadcast(customer_dim), "CUSTOMER_ID")
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str):
     """Drain all pending input into a parquet table and stop — the
     ``trigger(availableNow=True)`` pattern that gives streaming pipelines

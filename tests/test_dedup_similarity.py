@@ -97,4 +97,14 @@ def test_knn_lsh_subset_of_bucket(spark, sf_dir):
     # assertion pins "clearly better than random" (random would be ~1%:
     # 5 of ~500 candidates), not production recall (multi-probe raises it)
     hits = sum(1 for r in approx_rows if (r.query_id, r.neighbor_id) in exact_pairs)
-    assert hits / len(approx_rows) > 0.05
+    single_recall = hits / len(approx_rows)
+    assert single_recall > 0.05
+
+    multi = knn_lsh(
+        emb, k=5, n_planes=4, query_pred=F.col("query_id") < 10, multiprobe=True
+    ).collect()
+    multi_hits = sum(1 for r in multi if (r.query_id, r.neighbor_id) in exact_pairs)
+    multi_recall = multi_hits / len(multi)
+    assert multi_recall > single_recall, (
+        f"multi-probe must beat single-probe: {multi_recall} vs {single_recall}"
+    )

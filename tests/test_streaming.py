@@ -80,6 +80,44 @@ def test_unified_transactions_union(spark, tmp_path):
     assert uni.filter(F.col("TXN_DATE").isNull()).count() == 0
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: streaming txns enriched with the customer dim
+    == the same join in batch."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans.curate import (
+        standardize_customer,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
+        enrich_txn_stream,
+        run_available_now,
+    )
+
+    customers = FX.gen_customers(25)
+    msgs = FX.gen_txn_stream_messages(customers, ["R1-6725013G"], n=200)
+    src = tmp_path / "msgs"
+    src.mkdir()
+    (src / "m.jsonl").write_text("\n".join(msgs))
+
+    cust_dim = standardize_customer(spark.createDataFrame(customers)).select(
+        "CUSTOMER_ID", "FIRST_NAME", "LAST_NAME", "STATE"
+    )
+    stream = (
+        spark.readStream.format("text").load(str(src)).withColumnRenamed("value", "value")
+    )
+    q = run_available_now(
+        enrich_txn_stream(parse_txn_stream(stream), cust_dim),
+        str(tmp_path / "enriched"),
+        str(tmp_path / "ckpt_enrich"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "enriched"))
+    want = enrich_txn_stream(parse_txn_stream(spark.read.text(str(src))), cust_dim)
+    assert got.count() == want.count() == 200
+    assert got.exceptAll(want).count() == 0
+    row = got.first()
+    assert abs(row.SALES_AMT - row.TXN_QUANTITY * row.PRODUCT_UNIT_PRICE) < 1e-9
+
+
 def test_windowed_rollup_stream_batch_equivalence(spark, sf_dir, tmp_path):
     """Watermarked hourly rollup over the events table fed as a file
     stream == batch twin, for every window the watermark closed."""
