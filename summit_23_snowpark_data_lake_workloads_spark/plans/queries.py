@@ -798,21 +798,24 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS trailing_90d
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS trailing_90d
     FROM orders
     """,
 )
 def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame spec: trailing-90-day spend per customer — the
     value-based frame (vs the row-based ``window_running_sum``). Ordering
-    key is integer epoch seconds so both engines bound the frame
-    identically."""
+    key is CALENDAR day number (datediff from epoch), not unix seconds:
+    epoch functions on timezone-naive timestamps depend on the session
+    timezone and shift across DST boundaries; day arithmetic is pure
+    calendar and engine/timezone independent."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-7776000, 0)
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-90, 0)
     )
     return orders.select(
         "o_custkey",
@@ -1155,3 +1158,4 @@ def phone_standardize_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
+from . import queries_tpch  # noqa: E402,F401
