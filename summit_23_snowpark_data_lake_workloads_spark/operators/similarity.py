@@ -51,6 +51,65 @@ def knn_bruteforce(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def knn_bruteforce_arrow(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via an Arrow-batched pandas UDF —
+    same output contract as :func:`knn_bruteforce`, different physical
+    strategy.
+
+    The bounded query side (typically 10s-1000s of vectors) is collected
+    once and broadcast to every executor as a dense float64 matrix; the
+    unbounded candidate side streams through ``mapInPandas`` in Arrow
+    batches, where one numpy matmul scores |queries| x |batch| pairs per
+    batch. This beats the JVM zip_with/aggregate formulation once pair
+    counts pass ~10^7: the HOF lambda is interpreted per element, the
+    matmul is vectorized C. Candidates never leave their partitions;
+    only the final per-query top-k shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    if query_pred is not None:
+        q_rows = q_rows.filter(query_pred)
+    collected = q_rows.collect()  # bounded by construction: the query set
+    q_ids = np.array([r[0] for r in collected], dtype=np.int64)
+    qm = np.array([r[1] for r in collected], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = emb.sparkSession.sparkContext.broadcast((q_ids, qn))
+
+    def score(batches):
+        ids, qmat = bq.value
+        for pdf in batches:
+            c = np.array(list(pdf["cv"]), dtype=np.float64)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = qmat @ cn.T  # |queries| x |batch|
+            nq, nc = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, nc),
+                    "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(), nq),
+                    "cos_sim": np.round(sims.ravel(), 4),
+                }
+            )
+
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def hyperplane_bucket(
     vec_col: str, n_planes: int = 8, dim: int = 64
 ) -> F.Column:

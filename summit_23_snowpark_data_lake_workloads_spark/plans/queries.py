@@ -1156,6 +1156,66 @@ def phone_standardize_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           round(p.value, 6) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (click-to-purchase attribution within 1
+    hour) — the batch twin of
+    ``streaming.incremental.attribution_join_streams``; the streaming
+    version adds watermarks for state eviction, this version puts the
+    identical semantics under the DuckDB oracle gate.
+
+    Scale: equi-key (user_id) + time-range predicate — Spark executes a
+    shuffled hash/sort-merge join on user_id with the range as a
+    post-join filter; per-user event counts bound the pair blowup.
+    """
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+    )
+
+
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401

@@ -22,7 +22,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_table,
 )
-from ..operators.similarity import knn_bruteforce, knn_lsh, tfidf_cosine_topk
+from ..operators.similarity import (
+    knn_bruteforce,
+    knn_bruteforce_arrow,
+    knn_lsh,
+    tfidf_cosine_topk,
+)
 from .queries import _t, query
 
 _DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -126,6 +131,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_prefilter",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (
+        SELECT id, seed,
+               min(((seed * 2 + 3) * ({_DUCK_HASH.format(x="shingle")} % 2147483648)
+                    + seed * 12582917) % 2305843009213693951) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+        GROUP BY id, seed
+    ),
+    band AS (
+        SELECT id, seed // 3 AS band,
+               string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS bsig
+        FROM sig GROUP BY id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+    ),
+    kept AS (
+        -- signature-estimate pre-filter: >= 5 of 12 seeds agree
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+        GROUP BY c.id_a, c.id_b
+        HAVING sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) >= 5
+    )
+    SELECT k.id_a, k.id_b, j.jaccard
+    FROM kept k JOIN jac j ON j.id_a = k.id_a AND j.id_b = k.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_minhash_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the signature-estimate pre-filter: candidates
+    whose signatures agree on < 5/12 seeds (estimated jaccard < ~0.42)
+    never reach the exact-Jaccard verify join — the verify stage is the
+    cost center at scale (shingles per doc >> 12 signature rows), so
+    this trades a small recall loss for a several-fold verify-volume
+    cut. Same output contract as ``dedup_minhash_lsh``."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=12,
+        bands=4,
+        n=3,
+        threshold=0.5,
+        prefilter_min_matches=5,
+    )
+
+
 def _simhash_oracle() -> str:
     h = _DUCK_HASH.format(x="token")
     bit_sums = ",\n           ".join(
@@ -203,6 +262,43 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, k=5, query_pred=F.col("query_id") < 20).select(
         "query_id", "neighbor_id", "cos_sim", "rk"
     )
+
+
+_KNN_ORACLE = f"""
+    WITH {_EMB_POS_CTE},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.val * c.val) AS dot
+        FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """
+
+
+@query("knn_bruteforce_arrow", oracle=_KNN_ORACLE)
+def knn_bruteforce_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via the Arrow/pandas-UDF physical strategy —
+    numerically identical to ``knn_bruteforce`` (same oracle): broadcast
+    query matrix, numpy matmul per Arrow batch on the distributed
+    candidate stream. The >10^7-pair scale path where the interpreted
+    JVM HOF formulation falls behind."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce_arrow(
+        emb, k=5, query_pred=F.col("query_id") < 20
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 
 def _lsh_plane_sql(j: int, dim: int = 64) -> str:
@@ -523,6 +619,58 @@ def common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_freq"),
     ).filter(F.col("doc_freq") >= 5)
+
+
+@query(
+    "dup_substring_spans",
+    oracle="""
+    WITH sp AS (
+        SELECT doc_id AS id,
+               unnest([array_to_string(w[i:i+7], ' ')
+                       for i in range(1, len(w) - 6)]) AS span
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    shared AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT id) >= 2)
+    SELECT id AS doc_id,
+           count(*) AS n_dup_positions,
+           count(DISTINCT sp.span) AS n_dup_spans
+    FROM sp JOIN shared USING (span)
+    GROUP BY id
+    """,
+)
+def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022 style, at
+    token-window granularity): every 8-token sliding window occurring in
+    >= 2 documents, aggregated per document as (positions covered,
+    distinct shared spans) — the operator behind "cut memorized
+    boilerplate out of training data".
+
+    Scale: the sliding windows come from the relational posexplode +
+    lead() chain (codegen, no interpreted HOF); the shared-span set is a
+    groupBy on the span itself; at 100 TB, hash the span to 8 bytes
+    before the shuffle and ``max_df``-cap stop-spans. A full
+    suffix-array construction is not expressible relationally — the
+    fixed-window formulation is the standard distributed approximation
+    (it detects every duplicated substring of length >= window)."""
+    from ..operators.dedup import _all_shingles
+
+    sp = _all_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", 8).select(
+        "id", F.col("shingle").alias("span")
+    )
+    shared = (
+        sp.groupBy("span")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    return (
+        sp.join(shared, "span")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_positions"),
+            F.countDistinct("span").alias("n_dup_spans"),
+        )
+    )
 
 
 @query(

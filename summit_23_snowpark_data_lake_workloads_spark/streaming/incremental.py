@@ -101,6 +101,54 @@ def enrich_txn_stream(stream_typed: DataFrame, customer_dim: DataFrame) -> DataF
     return enriched.join(F.broadcast(customer_dim), "CUSTOMER_ID")
 
 
+def attribution_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``horizon`` (click-to-buy attribution
+    — the canonical two-stream use case).
+
+    Both sides are watermarked and the join condition bounds event time
+    in BOTH directions (purchase in [click_ts, click_ts + horizon]), so
+    Spark can size the join state and evict rows as the watermark
+    advances — without the time bound the state store grows forever.
+    State is partitioned by the equi-key (user_id): skew-free here since
+    user activity is roughly uniform; a hot key would need salting on
+    the click side.
+
+    Inputs must carry (user_id, ts, event_id); output one row per
+    qualifying (click, purchase) pair.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str):
     """Drain all pending input into a parquet table and stop — the
     ``trigger(availableNow=True)`` pattern that gives streaming pipelines

@@ -118,6 +118,43 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert abs(row.SALES_AMT - row.TXN_QUANTITY * row.PRODUCT_UNIT_PRICE) < 1e-9
 
 
+def test_stream_stream_attribution_join(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == the batch interval
+    join, for pairs whose event times the watermark has fully closed."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans.queries import QUERIES
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
+        attribution_join_streams,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "ev_src"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+
+    q = run_available_now(
+        attribution_join_streams(clicks, purchases),
+        str(tmp_path / "attr"),
+        str(tmp_path / "ckpt_attr"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "attr")).drop("purchase_value")
+    want = QUERIES["events_attribution_join"](spark, sf_dir).drop("purchase_value")
+    # inner stream-stream join may withhold pairs still inside the final
+    # watermark at stream end; every pair must be correct, and all pairs
+    # clearly older than the tail watermark must be present
+    wrong = got.exceptAll(want).count()
+    assert wrong == 0, "no emitted pair may differ from the batch twin"
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    closed = want.filter(
+        F.col("purchase_ts") < (F.lit(max_ts) - F.expr("INTERVAL 3 HOURS"))
+    )
+    assert closed.exceptAll(got).count() == 0, "all closed pairs must be emitted"
+
+
 def test_windowed_rollup_stream_batch_equivalence(spark, sf_dir, tmp_path):
     """Watermarked hourly rollup over the events table fed as a file
     stream == batch twin, for every window the watermark closed."""
