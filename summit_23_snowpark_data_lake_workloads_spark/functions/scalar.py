@@ -72,6 +72,47 @@ def try_parse_currency(c: Column | str) -> Column:
     return F.try_to_number(col, F.lit("$999,999.99")).cast(DecimalType(38, 2))
 
 
+def to_number_fmt(c: Column | str, fmt: str) -> Column:
+    """Snowflake ``TO_NUMBER(expr, format)`` for the full documented
+    format-element grammar the reference's ``'$999,999.99'`` belongs to
+    (ROADMAP item) — still a pure built-in composition, no UDF:
+
+    - ``9`` / ``0`` digit positions, ``,`` group separators (ignored on
+      parse), ``.`` decimal point (fixes the result scale);
+    - ``$`` leading currency symbol;
+    - ``S`` leading sign (``+``/``-`` accepted);
+    - ``MI`` trailing minus (``123-`` = -123);
+    - ``X...X`` hexadecimal (``'ff', 'XX'`` = 255);
+    - ``EEEE`` scientific notation (``1.23E+04``).
+
+    Snowflake errors on malformed input; so does the strict decimal cast
+    here under ANSI mode — use try variants for dirty data.
+    """
+    import re as _re
+
+    col = F.col(c) if isinstance(c, str) else c
+    f = fmt.strip().upper()
+    if _re.fullmatch(r"X+", f):
+        return F.conv(F.trim(col), 16, 10).cast("bigint")
+    scale = 0
+    if "." in f:
+        tail = f.split(".", 1)[1]
+        scale = sum(ch in "09" for ch in tail)
+    if "EEEE" in f:
+        return col.cast("double").cast(DecimalType(38, scale))
+    s = F.trim(col)
+    if f.endswith("MI"):
+        # trailing-minus: '123.45-' -> '-123.45' before the cast
+        s = F.when(
+            s.endswith("-"),
+            F.concat(F.lit("-"), s.substr(F.lit(1), F.length(s) - 1)),
+        ).otherwise(s)
+    # 'S' (leading +/-) needs no rewrite: the decimal cast accepts both;
+    # '$' and ',' are presentation-only — strip them
+    s = F.regexp_replace(s, r"[$,]", "")
+    return s.cast(DecimalType(38, scale))
+
+
 def cast_decimal_38_2(c: Column | str) -> Column:
     """``::number(38,2)`` plain cast (F5; ``3BC:11``) for the ``$``-less Total."""
     col = F.col(c) if isinstance(c, str) else c
