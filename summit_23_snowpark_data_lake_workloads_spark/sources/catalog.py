@@ -52,3 +52,57 @@ def save_table(
 def create_view(spark: SparkSession, name: str, sql: str) -> None:
     """S10 sink: named view over a query (``3BC_create_raw_pdf_text_view``)."""
     spark.sql(f"CREATE OR REPLACE VIEW {name} AS {sql}")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_table: str,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Parquet-native MERGE (upsert-by-key) — the transactional-format
+    gap (Delta/Iceberg ``MERGE INTO``) closed with plain parquet tables:
+    matched keys are replaced by their update row, unmatched target rows
+    survive, new keys insert.
+
+    Scale strategy: plain parquet has no row-level deletes, so an upsert
+    is a rewrite — the job is to BOUND the rewrite.
+
+    - With ``partition_col`` (the table must be partitioned by it): only
+      partitions present in ``updates`` are rewritten, via
+      ``partitionOverwriteMode=dynamic`` — at 100 TB with daily
+      partitions an incremental load rewrites days, not the table.
+      Requirement: a key never changes partition (true for
+      date-keyed facts); a key updated INTO a different partition would
+      leave the old row in the untouched partition.
+    - Without ``partition_col``: full-table rewrite (correct but O(table);
+      use the partitioned form at scale).
+
+    The merged plan reads the table it overwrites, so the result is
+    materialized (localCheckpoint) before the write — on a real cluster
+    prefer a reliable checkpoint dir or a staging table.
+    """
+    target = spark.table(target_table)
+    if partition_col is not None:
+        touched = updates.select(partition_col).distinct()
+        from pyspark.sql import functions as F
+
+        keep = (
+            target.join(F.broadcast(touched), partition_col, "left_semi")
+            .join(updates.select(*key_cols), key_cols, "left_anti")
+        )
+        # insertInto resolves by POSITION: project to the target's order
+        merged = (
+            keep.unionByName(updates).select(*target.columns).localCheckpoint(eager=True)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").insertInto(target_table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        keep = target.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = keep.unionByName(updates).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").saveAsTable(target_table)

@@ -63,3 +63,56 @@ def test_full_medallion_dag(spark, loaded_raw):
         ).collect()
     }
     assert counts["processed.invoice_details"] == len(texts)
+
+
+def test_merge_upsert_full_table(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import merge_upsert
+
+    bootstrap_catalog(spark)
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, tag string, v double"
+    )
+    save_table(base, "processed.upsert_target")
+    updates = spark.createDataFrame(
+        [(2, "B2", 21.0), (4, "d", 40.0)], "id int, tag string, v double"
+    )
+    merge_upsert(spark, updates, "processed.upsert_target", ["id"])
+    got = {r.id: (r.tag, r.v) for r in spark.table("processed.upsert_target").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    import os
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import merge_upsert
+
+    bootstrap_catalog(spark)
+    base = spark.createDataFrame(
+        [(1, 100.0, "2024-01-01"), (2, 200.0, "2024-01-01"), (3, 300.0, "2024-01-02")],
+        "id int, v double, day string",
+    )
+    save_table(base, "processed.upsert_part", partition_by=["day"])
+    tbl_path = (
+        spark.sql("DESCRIBE TABLE EXTENDED processed.upsert_part")
+        .filter(F.col("col_name") == "Location")
+        .first()
+        .data_type.replace("file:", "")
+    )
+    untouched = os.path.join(tbl_path, "day=2024-01-02")
+    before = sorted(os.listdir(untouched))
+
+    updates = spark.createDataFrame(
+        [(2, 222.0, "2024-01-01"), (9, 900.0, "2024-01-03")],
+        "id int, v double, day string",
+    )
+    merge_upsert(spark, updates, "processed.upsert_part", ["id"], partition_col="day")
+
+    got = {r.id: (r.v, r.day) for r in spark.table("processed.upsert_part").collect()}
+    assert got == {
+        1: (100.0, "2024-01-01"),
+        2: (222.0, "2024-01-01"),
+        3: (300.0, "2024-01-02"),
+        9: (900.0, "2024-01-03"),
+    }
+    # dynamic overwrite must not rewrite the untouched partition's files
+    assert sorted(os.listdir(untouched)) == before
