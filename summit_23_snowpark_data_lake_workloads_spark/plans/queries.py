@@ -1157,6 +1157,62 @@ def phone_standardize_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` — one
+    groupBy, no window-function passes (the aggregate merges sessions
+    internally). Boundary semantics are half-open: an event exactly
+    ``gap`` after the previous one STARTS a new session, hence the
+    ``>=`` in the oracle's island test (vs ``>`` in the lag-based
+    ``events_sessionize``). ``session_window.end`` is last-event + gap,
+    so the emitted session_end subtracts the gap back off.
+
+    Scale: single shuffle on (user_id) with map-side partial session
+    merge — strictly fewer passes than the two-window lag formulation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "events_attribution_join",
     oracle="""
     SELECT c.user_id,

@@ -64,3 +64,40 @@ def test_events_scan_prunes_props(spark, sf_dir):
     plan = plan_of(QUERIES["events_hourly_rollup"](spark, sf_dir))
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "props" not in read
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    """TPC-H Q6 is the pushdown benchmark: every predicate must reach the
+    parquet scan, and only the 4 referenced columns may be read."""
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, f"{col} filter not pushed: {pushed}"
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    """Q9's part/supplier/nation joins must broadcast; only the
+    lineitem⋈orders join may shuffle."""
+    df = QUERIES["q9_product_profit"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in final
+
+
+def test_q18_semi_join_filters_fact(spark, sf_dir):
+    """The qualifying-order set must reach lineitem as a broadcast
+    LEFT SEMI, not a second shuffle of the fact table."""
+    df = QUERIES["q18_large_volume"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in final
+
+
+def test_q22_anti_join(spark, sf_dir):
+    plan = plan_of(QUERIES["q22_idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan, "NOT EXISTS must execute as an anti join"
