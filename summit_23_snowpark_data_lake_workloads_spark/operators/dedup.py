@@ -267,6 +267,59 @@ def minhash_lsh_pairs(
     return _jaccard_for_pairs(candidates, sh, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the cluster step that
+    turns pairwise dedup output into "keep one document per cluster":
+    (id, cluster_id) with cluster_id = min doc id in the component;
+    singletons get their own id.
+
+    Algorithm: distributed min-label propagation. Each node starts
+    labeled with itself; every iteration each node takes the min of its
+    label and its neighbors' labels; converges in <= component-diameter
+    iterations (dup clusters are near-cliques from LSH verification, so
+    diameter is tiny). The loop is driver-side CONTROL only — each step
+    is a distributed join+groupBy keyed on the node id; nothing but the
+    one convergence counter ever reaches the driver. localCheckpoint
+    per iteration truncates the exponentially-growing lineage.
+
+    Scale: cost per iteration is O(|edges|) shuffle on uniformly-hashed
+    ids. For web-scale graphs swap in large-star/small-star
+    (Kiveris et al.) — same join primitives, fewer iterations.
+    """
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+        .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
+        .distinct()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnsRenamed({"id": "t", "lab": "tl"}), "t")
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.min("tl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("lab", F.coalesce("nl", "lab")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash fingerprints: (id, simhash).
 

@@ -17,6 +17,7 @@ from ..functions.scalar import portable_hash64
 from ..functions.text import lang_id, quality_score, token_count
 from ..operators.dedup import (
     SIMHASH_BITS,
+    connected_components,
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -619,6 +620,44 @@ def common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_freq"),
     ).filter(F.col("doc_freq") >= 5)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    e0 AS (SELECT id_a AS s, id_b AS t FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.t = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id,
+           CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: n-gram-Jaccard pairs (>= 0.5) resolved into
+    connected components; each document gets its component's min id as
+    cluster_id and ``keep=1`` iff it is that canonical survivor — the
+    final step of a dedup pipeline (pairs alone can't answer "which
+    copies do I drop": transitive chains a~b~c must collapse to ONE
+    survivor, not two).
+
+    Spark side: distributed min-label propagation (driver only steers);
+    oracle side: DuckDB recursive CTE computing min reachable id — two
+    entirely different fixpoint engines agreeing bit-for-bit.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs, docs, id_col="doc_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(F.col("id") == F.col("cluster_id"), 1).otherwise(0).alias("keep"),
+    )
 
 
 @query(

@@ -108,3 +108,35 @@ def test_knn_lsh_subset_of_bucket(spark, sf_dir):
     assert multi_recall > single_recall, (
         f"multi-probe must beat single-probe: {multi_recall} vs {single_recall}"
     )
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b and b~c (but NOT a~c directly) must collapse to ONE cluster;
+    isolated nodes keep their own id."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, nodes, id_col="doc_id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — pins the
+    fixpoint loop, not just one iteration."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in connected_components(pairs, nodes, "doc_id").collect()}
+    assert got == {i: 0 for i in range(n)}
