@@ -106,6 +106,40 @@ def quality_score(c: Column | str) -> Column:
     return F.round(0.4 * length_band + 0.3 * word_band + 0.3 * alpha_ratio, 6)
 
 
+#: PII / boilerplate patterns for training-data scrubbing — engine-portable
+#: regex subset (no lookaround, no \b): runs identically on Java regex
+#: (Spark) and RE2-ish engines (DuckDB).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^ ]+",
+    "PHONE": r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact emails / URLs / phone numbers to ``<KIND>`` placeholders —
+    the standard pre-training scrub pass. Pure chained regexp_replace:
+    JVM-side, one codegen stage, no Python workers at 100 TB.
+
+    Order matters: URLs first (an URL may embed an @ that the email
+    pattern would half-eat), then emails, then phones.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(col, PII_PATTERNS["URL"], "<URL>")
+    out = F.regexp_replace(out, PII_PATTERNS["EMAIL"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["PHONE"], "<PHONE>")
+    return out
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (audit columns for the scrub report)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return {
+        kind.lower() + "_cnt": F.regexp_count(col, F.lit(pat))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
 def doc_fingerprint(c: Column | str, n: int = 3) -> Column:
     """Document fingerprint: min of the hashed n-gram shingles (a 1-hash
     MinHash / winnowing-style signature). Equal fingerprints are strong

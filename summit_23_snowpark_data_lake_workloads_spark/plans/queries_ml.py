@@ -493,6 +493,124 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_scrub_synthetic",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR ||
+               '@example.com or +1-555-123-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+               ' see https://ex.com/p/' || doc_id::VARCHAR || ' end' AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, 'https?://[^ ]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email_cnt,
+           len(regexp_extract_all(txt, 'https?://[^ ]+')) AS url_cnt,
+           len(regexp_extract_all(txt, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS phone_cnt
+    FROM synth
+    """,
+)
+def pii_scrub_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub under the oracle gate: emails / URLs / phone numbers are
+    synthesized deterministically from doc_id (the corpus itself is
+    clean), then redacted by the REAL ``scrub_pii`` pass with per-kind
+    audit counts — chained JVM-side regexp_replace, no Python workers."""
+    from ..functions.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did,
+            F.lit("@example.com or +1-555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" see https://ex.com/p/"),
+            did,
+            F.lit(" end"),
+        ).alias("txt"),
+    )
+    counts = pii_counts("txt")
+    return synth.select(
+        "doc_id",
+        scrub_pii("txt").alias("scrubbed"),
+        counts["email_cnt"].alias("email_cnt"),
+        counts["url_cnt"].alias("url_cnt"),
+        counts["phone_cnt"].alias("phone_cnt"),
+    )
+
+
+@query(
+    "training_set_filter",
+    headline=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               length(text) AS n_chars,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS copy_rank
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text, n_chars, copy_rank, len(w) AS n_tokens,
+           {_SCORES}
+        FROM base
+    ),
+    labeled AS (
+        SELECT doc_id, copy_rank, n_tokens AS token_cnt,
+               CASE {_LANG_CASE}
+               END AS lang_guess,
+               round(0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0
+                                 WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN n_chars / n_tokens >= 3
+                                  AND n_chars / n_tokens <= 12 THEN 1.0 ELSE 0.3 END)
+                   + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                            / n_chars),
+                 6) AS quality
+        FROM scored
+    )
+    SELECT doc_id, token_cnt, lang_guess, quality
+    FROM labeled
+    WHERE copy_rank = 1 AND quality >= 0.5 AND lang_guess = 'en'
+    """,
+)
+def training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-set materialization: exact-dedup survivors
+    (min-id per content hash) ∩ quality >= 0.5 ∩ language 'en' — the
+    final SELECT a data pipeline runs before writing a training shard.
+
+    One window (dedup rank over md5) + JVM-side scoring expressions —
+    a single shuffle plus a scan; every predicate is a plain column
+    filter Catalyst can reorder.
+    """
+    from ..functions.text import lang_id, quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    labeled = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("copy_rank"),
+        token_count("text").alias("token_cnt"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+    return labeled.filter(
+        (F.col("copy_rank") == 1)
+        & (F.col("quality") >= 0.5)
+        & (F.col("lang_guess") == "en")
+    ).select("doc_id", "token_cnt", "lang_guess", "quality")
+
+
+@query(
     "simhash_hamming_pairs",
     oracle=f"""
     WITH sims AS ({_simhash_oracle()}),

@@ -396,6 +396,46 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT join so zero-order
+    customers appear (count(o_orderkey) counts non-null only), then a
+    second aggregation into a histogram. The join-condition filter
+    (excluding '5-LOW' priority; the testdata has no o_comment) must
+    stay IN the join clause — as a WHERE it would silently turn the
+    left join into an inner one and drop the zero bucket.
+
+    Scale: first agg shuffles on c_custkey (uniform key); the histogram
+    agg moves one row per distinct count — negligible.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
     "q22_idle_rich_customers",
     oracle="""
     WITH threshold AS (

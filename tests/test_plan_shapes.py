@@ -101,3 +101,32 @@ def test_q18_semi_join_filters_fact(spark, sf_dir):
 def test_q22_anti_join(spark, sf_dir):
     plan = plan_of(QUERIES["q22_idle_rich_customers"](spark, sf_dir))
     assert "LeftAnti" in plan, "NOT EXISTS must execute as an anti join"
+
+
+def test_partition_pruning_on_date_partitioned_table(spark, sf_dir):
+    """A date filter on a date-partitioned table must prune at planning
+    time: the scan reads ONLY the matching partition's files (Snowflake
+    micro-partition pruning analog, SURVEY R5)."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import (
+        bootstrap_catalog,
+        save_table,
+    )
+
+    bootstrap_catalog(spark)
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    save_table(ev, "processed.events_by_day", partition_by=["day"])
+    tbl = spark.table("processed.events_by_day")
+    n_days = tbl.select("day").distinct().count()
+    assert n_days > 1
+
+    one_day = tbl.select("day").distinct().orderBy("day").first().day
+    filtered = tbl.filter(F.col("day") == F.lit(one_day))
+    plan = plan_of(filtered)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf, f"partition filter missing from scan: {pf}"
+    # the decisive check: pruned scan touches a strict subset of files
+    assert len(filtered.inputFiles()) < len(tbl.inputFiles())
+    assert filtered.count() == tbl.filter(F.col("day") == F.lit(one_day)).count()

@@ -118,6 +118,31 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert abs(row.SALES_AMT - row.TXN_QUANTITY * row.PRODUCT_UNIT_PRICE) < 1e-9
 
 
+def test_checkpoint_recovery_incremental_drain(spark, tmp_path):
+    """Recovery semantics: drain half the input, 'crash' (query ends),
+    more data arrives, restart from the SAME checkpoint — every message
+    lands exactly once, new files only are processed on resume."""
+    customers = FX.gen_customers(15)
+    msgs = FX.gen_txn_stream_messages(customers, ["R1-6725013G"], n=200)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "first.jsonl").write_text("\n".join(msgs[:120]))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q1 = ingest_txn_stream(read_json_file_stream(spark, str(src)), out, ckpt)
+    q1.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 120
+
+    # late arrivals while "down"
+    (src / "second.jsonl").write_text("\n".join(msgs[120:]))
+    q2 = ingest_txn_stream(read_json_file_stream(spark, str(src)), out, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 200, "resume must add exactly the new messages"
+    assert got.select("TXN_ID").distinct().count() == 200, "no duplicates"
+
+
 def test_stream_stream_attribution_join(spark, sf_dir, tmp_path):
     """Watermarked stream-stream interval join == the batch interval
     join, for pairs whose event times the watermark has fully closed."""
