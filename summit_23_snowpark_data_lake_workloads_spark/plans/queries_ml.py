@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import portable_hash64
-from ..functions.text import lang_id, quality_score, token_count
+from ..functions.text import quality_score, token_count
 from ..operators.dedup import (
     SIMHASH_BITS,
     connected_components,
@@ -482,13 +482,20 @@ _SCORES, _LANG_CASE = _lang_scores_sql()
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + heuristic language-ID + quality score per document —
-    the text-analysis trio, all JVM-side expressions."""
+    the text-analysis trio. Scalar stats stay row-level expressions;
+    language scores run on the relational explode/agg path (see
+    ``lang_id_relational`` — interpreted HOF lambdas cost ~4x)."""
+    from ..functions.text import lang_id_relational
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    scalar = docs.select(
         "doc_id",
         token_count("text").alias("token_cnt"),
-        lang_id("text").alias("lang_guess"),
         quality_score("text").alias("quality"),
+    )
+    langs = lang_id_relational(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    return scalar.join(langs, "doc_id").select(
+        "doc_id", "token_cnt", "lang_guess", "quality"
     )
 
 
@@ -586,11 +593,12 @@ def training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-id per content hash) ∩ quality >= 0.5 ∩ language 'en' — the
     final SELECT a data pipeline runs before writing a training shard.
 
-    One window (dedup rank over md5) + JVM-side scoring expressions —
-    a single shuffle plus a scan; every predicate is a plain column
-    filter Catalyst can reorder.
+    One window (dedup rank over md5) + one explode/agg for language
+    scores (relational — interpreted HOF lambdas cost ~4x here, see
+    ``lang_id_relational``), joined back on doc_id: two shuffles total,
+    every predicate a plain column filter Catalyst can reorder.
     """
-    from ..functions.text import lang_id, quality_score, token_count
+    from ..functions.text import lang_id_relational, quality_score, token_count
 
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
@@ -600,14 +608,18 @@ def training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).alias("copy_rank"),
         token_count("text").alias("token_cnt"),
-        lang_id("text").alias("lang_guess"),
         quality_score("text").alias("quality"),
     )
-    return labeled.filter(
-        (F.col("copy_rank") == 1)
-        & (F.col("quality") >= 0.5)
-        & (F.col("lang_guess") == "en")
-    ).select("doc_id", "token_cnt", "lang_guess", "quality")
+    langs = lang_id_relational(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    return (
+        labeled.join(langs, "doc_id")
+        .filter(
+            (F.col("copy_rank") == 1)
+            & (F.col("quality") >= 0.5)
+            & (F.col("lang_guess") == "en")
+        )
+        .select("doc_id", "token_cnt", "lang_guess", "quality")
+    )
 
 
 @query(
