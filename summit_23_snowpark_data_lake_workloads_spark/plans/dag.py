@@ -64,6 +64,7 @@ def run_dag(
     spark: SparkSession,
     steps: list[Step],
     notifier: Notifier | None = None,
+    event_table: str | None = None,
 ) -> dict[str, str]:
     """Run all steps respecting AFTER edges; returns {name: status string}.
 
@@ -71,22 +72,36 @@ def run_dag(
     {INVOICE_PROCESSED, SALES_ENRICH_CURATED}. Steps return status strings
     ("TABLE LOADED") exactly like the reference SPs (``02:40`` etc.);
     failures propagate after notification.
+
+    ``event_table``: X3's event-table sink (``01_setup.sql:23-31`` routes
+    SP ``logging`` calls into ``COMMON.EVENTS.SUMMIT_EVENTS``) — when set,
+    one row per step outcome (ts, step, status, duration, error) appends
+    to that catalog table; one tiny batched write per run, after the
+    steps, so observability never interleaves with pipeline writes.
     """
     notifier = notifier or Notifier()
     results: dict[str, str] = {}
-    for step in topo_order(steps):
-        t0 = time.perf_counter()
-        logger.info("step %s: started", step.name)
-        try:
-            results[step.name] = step.fn(spark)
-        except Exception:
-            notifier.send(f"DAG step {step.name} FAILED", "see logs")
-            raise
-        logger.info(
-            "step %s: finished in %.2fs -> %s",
-            step.name,
-            time.perf_counter() - t0,
-            results[step.name],
-        )
-    notifier.send("DAG completed", f"steps={list(results)}")
+    events: list[tuple] = []
+    try:
+        for step in topo_order(steps):
+            t0 = time.perf_counter()
+            logger.info("step %s: started", step.name)
+            try:
+                results[step.name] = step.fn(spark)
+            except Exception as exc:
+                events.append(
+                    (time.time(), step.name, "FAILED", time.perf_counter() - t0, str(exc))
+                )
+                notifier.send(f"DAG step {step.name} FAILED", "see logs")
+                raise
+            dt = time.perf_counter() - t0
+            events.append((time.time(), step.name, results[step.name], dt, None))
+            logger.info("step %s: finished in %.2fs -> %s", step.name, dt, results[step.name])
+        notifier.send("DAG completed", f"steps={list(results)}")
+    finally:
+        if event_table is not None and events:
+            spark.createDataFrame(
+                events,
+                "ts double, step string, status string, duration_s double, error string",
+            ).write.mode("append").saveAsTable(event_table)
     return results

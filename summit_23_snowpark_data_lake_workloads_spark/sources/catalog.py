@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: medallion namespaces (COMMON holds shared helpers; no tables here)
-MEDALLION_DATABASES = ["raw", "processed", "curated"]
+#: medallion namespaces; COMMON holds cross-cutting tables (the X3
+#: log-events sink), mirroring the reference's 4th database
+MEDALLION_DATABASES = ["raw", "processed", "curated", "common"]
 
 
 def bootstrap_catalog(spark: SparkSession) -> None:

@@ -65,6 +65,25 @@ def test_full_medallion_dag(spark, loaded_raw):
     assert counts["processed.invoice_details"] == len(texts)
 
 
+def test_dag_event_table_sink(spark, loaded_raw):
+    """X3: with event_table set, one row per step lands in the catalog
+    log table with status + duration."""
+    bootstrap_catalog(spark)
+    spark.sql("DROP TABLE IF EXISTS common.log_events")
+    run_dag(spark, reference_dag(), event_table="common.log_events")
+    ev = spark.table("common.log_events").toPandas()
+    assert set(ev["step"]) == {
+        "CUSTOMER_PROCESSED",
+        "INVOICE_PROCESSED",
+        "SALES_ENRICH_CURATED",
+    }
+    assert (ev["duration_s"] > 0).all()
+    assert ev["error"].isnull().all()
+    # append mode: a second run doubles the rows (an audit log, not state)
+    run_dag(spark, reference_dag(), event_table="common.log_events")
+    assert spark.table("common.log_events").count() == 6
+
+
 def test_merge_upsert_full_table(spark):
     from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import merge_upsert
 
