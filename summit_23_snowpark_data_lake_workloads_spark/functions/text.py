@@ -27,6 +27,23 @@ def token_count(c: Column | str) -> Column:
     return F.array_size(tokens(c))
 
 
+#: GPT-2-style pre-tokenizer pattern, reduced to the engine-portable
+#: regex subset (no lookahead, no unicode classes): contractions, letter
+#: runs, digit runs, punctuation runs — each optionally space-prefixed.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+
+def token_count_bpe(c: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex — the standard "how many tokens will this cost" estimator
+    when no real tokenizer is installed (a real BPE belongs in a pandas
+    UDF; this stays JVM-side and oracle-portable). Counts pre-merge
+    word pieces, so it upper-bounds a trained BPE's count.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
+
+
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings: ``transform(sequence(...))`` over the
     token array — stays in codegen; the standard unit for MinHash/Jaccard

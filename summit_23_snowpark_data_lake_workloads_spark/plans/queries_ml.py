@@ -623,6 +623,31 @@ def training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_counts_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+'))
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-cost estimation two ways: whitespace tokens vs GPT-2-style
+    pre-tokenizer pieces (``token_count_bpe``) — the per-document "how
+    many tokens will training cost" audit, pure regexp_count JVM-side."""
+    from ..functions.text import token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        token_count_bpe("text").alias("bpe_tokens"),
+    )
+
+
+@query(
     "simhash_hamming_pairs",
     oracle=f"""
     WITH sims AS ({_simhash_oracle()}),
@@ -688,6 +713,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    headline=True,
     oracle=f"""
     WITH {_EMB_POS_CTE},
     dots AS (
