@@ -220,6 +220,83 @@ def knn_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: (id, cent_id, cell_rank) — each vector ranked
+    against every centroid by cosine (rank 1 = its home cell).
+
+    Centroids are the ``n_cells`` lowest-id vectors — deterministic "seed
+    centroids" instead of trained k-means, so the DuckDB oracle can
+    reproduce the exact partitioning (a trained IVF would swap in a
+    centroid table here; every downstream plan is unchanged). The
+    centroid side broadcasts (n_cells x dim); assignment is
+    |vectors| x n_cells pairs — linear in the table, the whole point
+    of IVF vs the n² bucket-free search.
+    """
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    )
+    pairs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).crossJoin(
+        F.broadcast(cents)
+    )
+    scored = pairs.select(
+        "id",
+        "cent_id",
+        F.round(cosine("v", "centv"), 4).alias("cent_cos"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("cent_cos"), "cent_id")
+    return scored.withColumn("cell_rank", F.row_number().over(w))
+
+
+def knn_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """IVF ANN: search only the query's ``n_probe`` nearest cells.
+
+    Candidates live in their rank-1 (home) cell; queries probe their
+    ``n_probe`` top cells — the classic inverted-file recall/cost dial
+    (probe more cells => higher recall, linearly more candidates).
+    Output shape matches :func:`knn_bruteforce`; recall < 1 by design.
+
+    Scale: assignment is linear; the probe join is an equi-join on
+    cent_id (cells are balanced when vectors are spread, skew-prone if
+    the corpus clusters — mitigate with more cells); exact cosine runs
+    only on |queries| x (n_probe/n_cells) x n fraction of pairs.
+    """
+    assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    home = assign.filter(F.col("cell_rank") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("cent_id").alias("cell")
+    )
+    probes = assign.filter(F.col("cell_rank") <= n_probe).select(
+        F.col("id").alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = (
+        q.join(probes, "query_id")
+        .join(home, "cell")
+        .join(c, "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine("qv", "cv"), 4).alias("cos_sim")
+    ).distinct()
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def tfidf_weights(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

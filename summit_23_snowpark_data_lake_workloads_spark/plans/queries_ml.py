@@ -384,6 +384,70 @@ def knn_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id,
+               row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+               ) AS cell_rank
+        FROM cent_dots
+        JOIN norms nv ON nv.vec_id = id
+        JOIN norms nc ON nc.vec_id = cent_id
+    ),
+    home AS (SELECT id AS neighbor_id, cent_id AS cell FROM assign
+             WHERE cell_rank = 1),
+    probes AS (SELECT id AS query_id, cent_id AS cell FROM assign
+               WHERE cell_rank <= 2),
+    cand AS (
+        SELECT DISTINCT p.query_id, h.neighbor_id
+        FROM probes p JOIN home h ON p.cell = h.cell
+        WHERE p.query_id < 20 AND p.query_id <> h.neighbor_id
+    ),
+    dots AS (
+        SELECT query_id, neighbor_id, sum(q.val * c.val) AS dot
+        FROM cand
+        JOIN e q ON q.vec_id = query_id
+        JOIN e c ON c.vec_id = neighbor_id AND q.pos = c.pos
+        GROUP BY query_id, neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 deterministic seed centroids, 2 probes): the
+    inverted-file counterpart to the hyperplane-LSH tier — assignment is
+    linear in the table, search touches only the probed cells. Both
+    engines reproduce the identical cell partitioning (rounded cosine,
+    centroid-id tie-break), so the gate is exact despite approximate
+    recall."""
+    from ..operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        emb, k=5, n_cells=16, n_probe=2, query_pred=F.col("query_id") < 20
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
+
+
+@query(
     "tfidf_topk",
     headline=True,
     oracle="""
