@@ -1272,6 +1272,31 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_approx_stats")  # no oracle: sketches are engine-specific
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketch tier every 100 TB engine
+    needs (exact distinct counts / percentiles shuffle every value;
+    sketches shuffle kilobytes): HyperLogLog++ distinct users and
+    Greenwald-Khanna value percentiles per event_type.
+
+    Declared WITHOUT oracle SQL: sketch outputs are algorithm- and
+    merge-order-specific, not portable across engines — the driver
+    records the weaker rows-only check by design;
+    ``test_approx_stats_tolerance`` pins accuracy against exact values
+    (HLL++ rsd 1%, percentile accuracy 10k).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4
+        ).alias("p50_value"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 4
+        ).alias("p95_value"),
+    )
+
+
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401
