@@ -55,6 +55,45 @@ def create_view(spark: SparkSession, name: str, sql: str) -> None:
     spark.sql(f"CREATE OR REPLACE VIEW {name} AS {sql}")
 
 
+def compact_table(
+    spark: SparkSession, qualified_name: str, target_files: int
+) -> tuple[int, int]:
+    """Small-file compaction — the maintenance job every parquet lake
+    needs (streaming appends and per-partition upserts accrete files;
+    scan planning cost and task overhead scale with file count, and
+    footer/stat pruning degrades). Rewrites the table into
+    ``target_files`` files; returns (files_before, files_after).
+
+    At 100 TB run this per partition (combine with the
+    ``partition_col`` path of :func:`merge_upsert`), sized so files land
+    near ``spark.sql.files.maxPartitionBytes`` (128 MB here) — the
+    sweet spot where one scan task reads one file.
+    """
+    df = spark.table(qualified_name)
+    before = len(df.inputFiles())
+    merged = df.repartition(target_files).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").saveAsTable(qualified_name)
+    return before, len(spark.table(qualified_name).inputFiles())
+
+
+def cluster_table(
+    spark: SparkSession, qualified_name: str, by_cols: list[str], n_files: int
+) -> None:
+    """Range-cluster a table on ``by_cols`` (Z-order's 1-D little
+    sibling): repartitionByRange + sortWithinPartitions gives each
+    output file a disjoint key range, so parquet min/max row-group
+    stats prune file scans for range predicates on those columns —
+    the Snowflake micro-partition clustering-key analog.
+    """
+    df = spark.table(qualified_name)
+    clustered = (
+        df.repartitionByRange(n_files, *by_cols)
+        .sortWithinPartitions(*by_cols)
+        .localCheckpoint(eager=True)
+    )
+    clustered.write.mode("overwrite").saveAsTable(qualified_name)
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,

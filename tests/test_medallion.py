@@ -100,6 +100,47 @@ def test_merge_upsert_full_table(spark):
     assert got == {1: ("a", 10.0), 2: ("B2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
+def test_compact_table_reduces_files_preserves_data(spark, sf_dir):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import compact_table
+
+    bootstrap_catalog(spark)
+    ev = read_table(spark, sf_dir, "events")
+    # simulate streaming-append fragmentation: 64 tiny files
+    ev.repartition(64).write.mode("overwrite").saveAsTable("processed.events_frag")
+    want = spark.table("processed.events_frag").toPandas()
+
+    before, after = compact_table(spark, "processed.events_frag", target_files=4)
+    assert before >= 64 and after <= 4
+    got = spark.table("processed.events_frag")
+    assert got.count() == len(want)
+    assert got.exceptAll(read_table(spark, sf_dir, "events")).count() == 0
+
+
+def test_cluster_table_gives_disjoint_file_ranges(spark, sf_dir):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import cluster_table
+
+    bootstrap_catalog(spark)
+    ev = read_table(spark, sf_dir, "events")
+    ev.repartition(8).write.mode("overwrite").saveAsTable("processed.events_clust")
+    cluster_table(spark, "processed.events_clust", ["user_id"], n_files=4)
+
+    tbl = spark.table("processed.events_clust")
+    assert tbl.count() == ev.count()
+    # each file must own a disjoint user_id range (this is what lets
+    # parquet min/max stats prune whole files on range predicates)
+    ranges = []
+    for f in tbl.inputFiles():
+        pdf = spark.read.parquet(f.replace("file:", "")).agg(
+            F.min("user_id"), F.max("user_id")
+        ).first()
+        ranges.append((pdf[0], pdf[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
 def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     import os
 
