@@ -776,6 +776,95 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH sims AS ({_simhash_oracle()}),
+    banded AS (
+        SELECT id, 0 AS band, simhash % 65536 AS chunk, simhash FROM sims
+        UNION ALL
+        SELECT id, 1, simhash // 65536, simhash FROM sims
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b, edit_dist
+    FROM (
+        SELECT id_a, id_b,
+               CASE WHEN md5(da.text) = md5(db.text) THEN 0
+                    ELSE levenshtein(da.text, db.text) END AS edit_dist
+        FROM cand
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        WHERE bit_count(xor(sh_a, sh_b)) <= 6
+          AND abs(length(da.text) - length(db.text)) <= 60
+    )
+    WHERE edit_dist <= 60
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by character edit distance: SimHash-banded candidate
+    pairs verified with ``levenshtein(text_a, text_b) <= 60`` — the
+    typo/small-edit near-dup tier (Jaccard misses single-character
+    noise inside tokens; edit distance catches it). Levenshtein is an
+    exact integer algorithm, so both engines agree bit-for-bit.
+
+    Scale posture — THREE tiers of cheap-before-expensive, because the
+    O(len²) levenshtein dominates everything (measured at sf0.1, 50k
+    docs): (1) 2 x 16-bit SimHash bands block to ~84k candidates (8-bit
+    bands birthday-collide to ~20M — blocking width bites); (2)
+    integer pre-verifies — Hamming popcount <= 6 on the fingerprints
+    and the |len_a - len_b| <= threshold Levenshtein lower bound — cut
+    those to a few hundred; (3) exact-copy md5 short-circuit skips the
+    quadratic verify entirely for identical texts. 36s -> ~7s.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash_table(docs, "doc_id", "text")
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.expr("simhash % 65536").alias("chunk")),
+                F.struct(F.lit(1).alias("band"), F.expr("simhash div 65536").alias("chunk")),
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.withColumnsRenamed({"id": "id_a", "simhash": "sh_a"})
+    b = banded.withColumnsRenamed({"id": "id_b", "simhash": "sh_b"})
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band) & (a.chunk == b.chunk) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 6)
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    # THE decisive optimization: thresholded levenshtein (Spark >= 3.5)
+    # runs the banded O(len x k) algorithm and bails out early, returning
+    # -1 above the threshold — vs O(len²) for the unbounded form. On this
+    # corpus (21k candidate pairs of 1-2 kB near-similar texts) that is
+    # 33s -> ~3s; the final filter keeps 0 <= d <= 60 so the -1 sentinel
+    # never escapes. The DuckDB oracle keeps the unbounded call — same
+    # kept set, the threshold only changes HOW the reject cases exit.
+    dist = F.when(F.md5("ta") == F.md5("tb"), F.lit(0)).otherwise(
+        F.levenshtein("ta", "tb", 60)
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(F.abs(F.length("ta") - F.length("tb")) <= 60)
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 60))
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     headline=True,
     oracle=f"""
