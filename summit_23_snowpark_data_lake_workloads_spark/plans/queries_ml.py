@@ -687,6 +687,74 @@ def training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DUCK_HASH.format(x="'strat_' || doc_id::VARCHAR")} % 100 <
+          CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 50 ELSE 100 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — downsample dominant strata,
+    keep the tail (here: 10% of English, 50% of Spanish, 100% of
+    everything else) — the training-data rebalancing primitive.
+    Hash-gated per row (md5 of a salted id), NOT ``df.sample``: the
+    same rows are selected on any engine, any partitioning, any rerun —
+    reproducibility is the point at 100 TB (and what makes the oracle
+    gate possible at all).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    gate = portable_hash64(F.concat(F.lit("strat_"), F.col("doc_id").cast("string"))) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "es", 50)
+        .otherwise(100)
+    )
+    return docs.filter(gate < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "acctbal_ntile_quartiles",
+    oracle="""
+    SELECT q,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM (
+        SELECT c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+        FROM customer
+    )
+    GROUP BY q
+    """,
+)
+def acctbal_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile binning over customer balances (the classic
+    value-segmentation window), aggregated to per-quartile count and
+    bounds. The window orders by (acctbal, custkey) — the unique
+    tie-break that makes bucket membership engine-deterministic.
+
+    Scale: an unpartitioned NTILE is a global sort — acceptable on a
+    dimension table; on a fact table partition the window or derive
+    bins from approx percentile cutpoints instead.
+    """
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
     "token_counts_bpe",
     oracle=r"""
     SELECT doc_id,
