@@ -1272,6 +1272,34 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_stats",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 4) AS avg_value,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(corr(value, user_id::DOUBLE), 4) AS corr_value_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev, Pearson correlation) per
+    event type — the profiling pass run before anomaly thresholds.
+    Both engines compute these via streaming co-moments whose merge
+    order differs only at the last ulp; rounding to 4 decimals leaves
+    ~8 orders of magnitude of margin.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+            "corr_value_user"
+        ),
+    )
+
+
 @query("events_approx_stats")  # no oracle: sketches are engine-specific
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the sketch tier every 100 TB engine
