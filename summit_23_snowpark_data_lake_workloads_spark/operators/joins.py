@@ -27,11 +27,15 @@ def salted_join(
     """Equi-join with the large side's hot keys split across ``n_salts``
     sub-keys and the small side replicated to every salt.
 
-    The salt derives deterministically from the large side's full key
-    hash, so results are exactly those of ``large.join(small, on, how)``
-    — only the shuffle distribution changes. Cost: small side x n_salts.
+    The salt must vary PER ROW of the large side (not per key — a
+    key-derived salt would send every row of the hot key to the same
+    reducer, making the operator a no-op). It derives deterministically
+    from a hash over ALL large-side columns, so retries re-hash to the
+    same salt and results are exactly those of
+    ``large.join(small, on, how)`` — only the shuffle distribution
+    changes. Cost: small side x n_salts.
     """
-    salt = F.pmod(F.xxhash64(F.col(on)), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts))
     large_s = large.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

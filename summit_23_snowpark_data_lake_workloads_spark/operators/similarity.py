@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.scalar import portable_hash64
 from ..functions.vector import cosine
 
 
@@ -29,6 +28,7 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors: (query_id, neighbor_id, cos_sim, rk).
 
@@ -36,7 +36,18 @@ def knn_bruteforce(
     the candidate side is always the full table. The pairwise cosine runs
     JVM-side via zip_with/aggregate on a broadcast-joined pair stream —
     no Python boundary, no shuffle until the final per-query top-k.
+
+    The query side is BROADCAST: it must be bounded. Without
+    ``query_pred`` this would broadcast the whole table and cross-join it
+    with itself (O(n²) pairs, driver/executor OOM at scale), so an
+    unbounded call requires the explicit ``allow_full_scan=True`` opt-in.
     """
+    if query_pred is None and not allow_full_scan:
+        raise ValueError(
+            "knn_bruteforce without query_pred broadcasts the FULL table as "
+            "the query side (O(n^2) pairs). Pass query_pred to bound it, or "
+            "allow_full_scan=True for a known-small corpus."
+        )
     q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if query_pred is not None:
         q = q.filter(query_pred)
@@ -159,6 +170,69 @@ def allpairs_cosine_arrow(
     return cand.mapInPandas(score, "id_a long, id_b long, cos_sim double")
 
 
+def allpairs_cosine_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: (id_a < id_b, cos_sim >= threshold),
+    exact cosine verified ONLY within each hyperplane bucket — the
+    100 TB semantic-dedup path.
+
+    Shape: one narrow projection per row computes the deterministic
+    bucket id; one shuffle on ``bucket``; each bucket verifies its own
+    candidates with a single vectorized numpy matmul inside
+    ``applyInPandas``. Nothing is ever collected to the driver and no
+    pair outside a bucket is materialized, so total work is
+    sum_b |b|^2 / 2 ~ n^2 / 2^n_planes instead of n^2 — and each
+    bucket's verify is embarrassingly parallel. Recall < 1 by design
+    (pairs split across buckets are missed); raise recall with more
+    planes + multi-probe (see :func:`knn_lsh`) or a second plane set.
+    Skew guard: a pathologically hot bucket = one big pandas group —
+    add planes to split it (each plane halves expected bucket size).
+
+    Versus :func:`allpairs_cosine_arrow` (broadcast full matrix,
+    exhaustive): same verify arithmetic, but candidates are pruned
+    BEFORE any arithmetic and memory per task is bounded by the bucket,
+    not the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, n_planes, dim).alias("bucket"),
+    )
+
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ mn.T, 4)
+        ai, bi = np.triu_indices(len(ids), k=1)  # rows sorted by id => id_a < id_b
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai[keep]],
+                "id_b": ids[bi[keep]],
+                "cos_sim": sims[ai[keep], bi[keep]],
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        verify, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def hyperplane_bucket(
     vec_col: str, n_planes: int = 8, dim: int = 64
 ) -> F.Column:
@@ -167,15 +241,28 @@ def hyperplane_bucket(
     Plane j, coordinate i gets a pseudo-random weight in [-1, 1] derived
     from the portable md5 hash of ``"j_i"`` — reproducible in any engine,
     no stored model. Bucket = integer of the n_planes sign bits.
+
+    The weights are CONSTANTS, so they are computed here in Python
+    (hashlib md5 — bit-identical to ``portable_hash64``/DuckDB) and the
+    whole projection is emitted as ONE ``F.expr`` string parsed JVM-side
+    in a single pass. Building the same tree Column-by-Column costs
+    thousands of py4j round trips (~6 s of pure plan construction for
+    4x64 — measured); this costs milliseconds, same plan.
     """
-    bucket = F.lit(0)
+    import hashlib
+
+    def w(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    planes = []
     for j in range(n_planes):
-        proj = F.lit(0.0)
-        for i in range(dim):
-            w = (portable_hash64(F.lit(f"{j}_{i}")) % 2001 - 1000) / 1000.0
-            proj = proj + F.element_at(F.col(vec_col), i + 1).cast("double") * w
-        bucket = bucket + F.when(proj >= 0, F.lit(2**j)).otherwise(F.lit(0))
-    return bucket
+        proj = " + ".join(
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * {w(j, i)!r}"
+            for i in range(dim)
+        )
+        planes.append(f"(CASE WHEN 0.0 + {proj} >= 0 THEN {2 ** j} ELSE 0 END)")
+    return F.expr(" + ".join(planes))
 
 
 def knn_lsh(
@@ -304,7 +391,10 @@ def tfidf_weights(
     idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style).
 
     Fully distributed: two groupBys (tf, df) + one broadcast of the
-    document count. No vocabulary table on the driver.
+    1-row document count. The token->df join is left to AQE: df_ has one
+    row per DISTINCT TOKEN in the corpus (billions at 100 TB), far past
+    any broadcast ceiling — a forced broadcast here would OOM the driver;
+    AQE broadcasts it only when it is actually small.
     """
     tok = docs.select(
         F.col(id_col).alias("id"),
@@ -316,7 +406,7 @@ def tfidf_weights(
     )
     total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "weight",
@@ -359,7 +449,8 @@ def tfidf_cosine_topk(
     scored = (
         dots.join(norms.withColumnsRenamed({"id": "query_id", "nrm": "nrm_q"}), "query_id")
         .join(
-            F.broadcast(norms.withColumnsRenamed({"id": "neighbor_id", "nrm": "nrm_n"})),
+            # per-doc norms: unbounded cardinality — no broadcast hint, AQE decides
+            norms.withColumnsRenamed({"id": "neighbor_id", "nrm": "nrm_n"}),
             "neighbor_id",
         )
         .withColumn("cos_sim", F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_n")), 4))

@@ -842,8 +842,9 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS session_seq
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                    AS BIGINT) AS session_seq
         FROM gaps
     )
     SELECT user_id, session_seq,
@@ -898,9 +899,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -326,22 +326,26 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     average quantity threshold.
 
     The correlated subquery decorrelates to a self-join against a
-    per-part aggregate — Spark expresses it directly; the per-part agg
-    is tiny (one row per part) and broadcasts. The 0.2*avg threshold is
-    derived from an EXACT decimal sum divided once as double, so the
-    float comparison is bit-identical in both engines.
+    per-part aggregate. Scale shape: the Brand#4 part filter broadcasts
+    and prunes the fact stream FIRST (1/25 of parts), the per-part
+    average is then computed on that pruned stream, and the agg-to-fact
+    join carries NO broadcast hint — per_part has one row per part
+    (20M+ rows at sf100), past any broadcast ceiling, so AQE picks the
+    strategy from runtime stats. The 0.2*avg threshold is derived from
+    an EXACT decimal sum divided once as double, so the float comparison
+    is bit-identical in both engines.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    li_p = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li_p.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey"))
+        li_p.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -374,8 +378,10 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the qualifying-order set (sum qty > 300) is tiny — it
     broadcasts as a semi-join filter into the lineitem scan instead of
-    shuffling the full fact table twice. l_quantity sums exactly (X.0
-    doubles), so no decimal cast is needed.
+    shuffling the full fact table twice. Customer is NOT hinted: it
+    grows with SF (15B rows at 100 TB) while the semi-filtered fact side
+    is a few thousand rows — AQE broadcasts the small side at runtime.
+    l_quantity sums exactly (X.0 doubles), so no decimal cast is needed.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -389,7 +395,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(big), "l_orderkey", "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )

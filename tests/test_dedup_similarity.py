@@ -140,3 +140,35 @@ def test_connected_components_long_path_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     got = {r.id: r.cluster_id for r in connected_components(pairs, nodes, "doc_id").collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_knn_bruteforce_guards_unbounded_query_side(spark, sf_dir):
+    """No query_pred => whole-table broadcast cross-join; must refuse
+    unless explicitly opted in."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="query_pred"):
+        knn_bruteforce(emb, k=3)
+    # the explicit opt-in still works for a known-small corpus
+    out = knn_bruteforce(emb.limit(30), k=2, allow_full_scan=True)
+    assert out.count() > 0
+
+
+def test_allpairs_lsh_subset_of_exhaustive(spark, sf_dir):
+    """Every LSH-verified pair must also appear (with the identical
+    rounded cosine) in the exhaustive all-pairs result; identical vectors
+    always share a bucket, so recall on true duplicates is 1.0."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+        allpairs_cosine_arrow,
+        allpairs_cosine_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exhaustive = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in allpairs_cosine_arrow(emb, threshold=0.4).collect()
+    }
+    lsh_pairs = allpairs_cosine_lsh(emb, threshold=0.4, n_planes=4).collect()
+    assert lsh_pairs, "bucketed dedup found nothing at the planted threshold"
+    for r in lsh_pairs:
+        assert r.id_a < r.id_b
+        assert exhaustive[(r.id_a, r.id_b)] == r.cos_sim

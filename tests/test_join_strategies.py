@@ -41,6 +41,24 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """The whole point of salting: rows of ONE pathological hot key must
+    land on multiple (key, salt) sub-keys, not a single reducer. A salt
+    derived only from the join key would be a silent no-op here."""
+    hot = spark.range(10_000).select(
+        F.lit(42).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(42, "x")], ["k", "v"])
+    n_salts = 8
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(n_salts))
+    distinct_salts = hot.withColumn("_salt", salt).select("_salt").distinct().count()
+    assert distinct_salts > 1, "hot-key rows must spread across salts"
+    assert distinct_salts <= n_salts
+    # and the join still returns exactly the unsalted result
+    out = salted_join(hot, dim, "k", n_salts=n_salts)
+    assert out.count() == 10_000
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Two tables bucketed on the join key must sort-merge join with zero
     Exchange operators — the write-time shuffle pays for every future

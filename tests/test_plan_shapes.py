@@ -103,6 +103,40 @@ def test_q22_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan, "NOT EXISTS must execute as an anti join"
 
 
+def _broadcast_hints(df) -> int:
+    """Count explicit broadcast hints in the ANALYZED logical plan (the
+    only place hints are still visible — the optimizer consumes them)."""
+    return df._jdf.queryExecution().analyzed().toString().count(
+        "strategy=broadcast"
+    )
+
+
+def test_q17_no_forced_broadcast_on_per_part_agg(spark, sf_dir):
+    """q17's per-part average has one row per part (20M+ at sf100): the
+    ONLY allowed hint is the filtered part dim; the agg join must be left
+    to AQE. The part hint appears twice because the pruned fact stream
+    (fact ⋈ broadcast(part)) feeds both the agg branch and the final
+    join — still the one bounded dim."""
+    df = QUERIES["q17_small_qty_revenue"](spark, sf_dir)
+    assert _broadcast_hints(df) == 2, "only the part dim may be hinted"
+
+
+def test_tfidf_no_forced_broadcast_on_vocab(spark, sf_dir):
+    """tfidf's document-frequency table has one row per distinct corpus
+    token — unbounded; the only allowed hint is the 1-row doc count
+    (which appears 4x in the analyzed tree: the weights subplan — query
+    side, candidate side, and both norm branches — each embed it)."""
+    df = QUERIES["tfidf_topk"](spark, sf_dir)
+    assert _broadcast_hints(df) == 4, "only the 1-row n_docs may be hinted"
+
+
+def test_q18_no_forced_broadcast_on_customer(spark, sf_dir):
+    """customer grows with SF — only the tiny qualifying-order set may
+    carry a broadcast hint."""
+    df = QUERIES["q18_large_volume"](spark, sf_dir)
+    assert _broadcast_hints(df) == 1, "only the qualifying-order set may be hinted"
+
+
 def test_partition_pruning_on_date_partitioned_table(spark, sf_dir):
     """A date filter on a date-partitioned table must prune at planning
     time: the scan reads ONLY the matching partition's files (Snowflake
