@@ -94,16 +94,21 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     Frame count is estimated from metadata (``meta['n_frames']``), the way
     a production pipeline would carry probe results alongside the payload.
+    Videos with missing, non-numeric, or zero ``n_frames`` produce NO
+    sample rows (a frame_idx-0 row for a frameless payload would be a
+    phantom frame).
     """
     n_frames = F.coalesce(
         F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
     )
     return (
         media.filter(F.col("media_type") == "video")
+        .select("media_id", n_frames.alias("_nf"))
+        .filter(F.col("_nf") > 0)
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+                F.sequence(F.lit(0), F.col("_nf") - 1, F.lit(every_n))
             ).alias("frame_idx"),
         )
     )

@@ -86,7 +86,15 @@ def extract_pdf_text(binary_df: DataFrame, num_partitions: int | None = None) ->
     df = binary_df.dropDuplicates(["path"])
     if num_partitions:
         df = df.repartition(num_partitions)
-    return df.select(
+    out = df.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("RELATIVE_PATH"),
         pdf_to_text_udf(F.col("content")).alias("PDF_TEXT"),
+        F.length("content").alias("_n_bytes"),
     )
+    # Observability: the stdlib fallback extracts nothing from PDFs using
+    # filters it doesn't speak (LZW, object streams, ...). An empty result
+    # from a non-empty payload must be countable, not silent.
+    return out.withColumn(
+        "EXTRACT_OK",
+        ~((F.length(F.trim("PDF_TEXT")) == 0) & (F.col("_n_bytes") > 0)),
+    ).drop("_n_bytes")

@@ -55,6 +55,22 @@ def create_view(spark: SparkSession, name: str, sql: str) -> None:
     spark.sql(f"CREATE OR REPLACE VIEW {name} AS {sql}")
 
 
+def _staged_rewrite(spark: SparkSession, df: DataFrame, qualified_name: str) -> None:
+    """Rewrite ``qualified_name`` with ``df``'s contents via a STAGING
+    table + rename swap. A direct ``overwrite`` of a table the plan also
+    READS destroys the table if anything fails between truncation and
+    rewrite (localCheckpoint blocks live on executor-local storage — not
+    reliable). Staging writes never touch the original until the new data
+    is fully durable; the only non-atomic window is drop->rename, which
+    leaves the finished staging table on disk to recover from.
+    """
+    staging = f"{qualified_name}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    df.write.mode("overwrite").saveAsTable(staging)
+    spark.sql(f"DROP TABLE {qualified_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {qualified_name}")
+
+
 def compact_table(
     spark: SparkSession, qualified_name: str, target_files: int
 ) -> tuple[int, int]:
@@ -71,8 +87,7 @@ def compact_table(
     """
     df = spark.table(qualified_name)
     before = len(df.inputFiles())
-    merged = df.repartition(target_files).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").saveAsTable(qualified_name)
+    _staged_rewrite(spark, df.repartition(target_files), qualified_name)
     return before, len(spark.table(qualified_name).inputFiles())
 
 
@@ -86,12 +101,11 @@ def cluster_table(
     the Snowflake micro-partition clustering-key analog.
     """
     df = spark.table(qualified_name)
-    clustered = (
-        df.repartitionByRange(n_files, *by_cols)
-        .sortWithinPartitions(*by_cols)
-        .localCheckpoint(eager=True)
+    _staged_rewrite(
+        spark,
+        df.repartitionByRange(n_files, *by_cols).sortWithinPartitions(*by_cols),
+        qualified_name,
     )
-    clustered.write.mode("overwrite").saveAsTable(qualified_name)
 
 
 def merge_upsert(
@@ -119,9 +133,13 @@ def merge_upsert(
     - Without ``partition_col``: full-table rewrite (correct but O(table);
       use the partitioned form at scale).
 
-    The merged plan reads the table it overwrites, so the result is
-    materialized (localCheckpoint) before the write — on a real cluster
-    prefer a reliable checkpoint dir or a staging table.
+    The non-partitioned path writes through a staging table + rename
+    (:func:`_staged_rewrite`) — the original is never truncated before
+    the new data is durable. The dynamic-partition path must
+    ``insertInto`` the live table, so it materializes via localCheckpoint
+    first; on a real cluster point ``spark.sql.checkpoint.dir`` at
+    reliable storage (executor-local checkpoint blocks die with the
+    executor).
     """
     target = spark.table(target_table)
     if partition_col is not None:
@@ -144,5 +162,4 @@ def merge_upsert(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
         keep = target.join(updates.select(*key_cols), key_cols, "left_anti")
-        merged = keep.unionByName(updates).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").saveAsTable(target_table)
+        _staged_rewrite(spark, keep.unionByName(updates), target_table)

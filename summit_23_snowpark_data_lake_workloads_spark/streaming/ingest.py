@@ -58,17 +58,48 @@ def parse_txn_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str = "sales_txn",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> dict[str, str]:
+    """The Kafka reader option contract (S12), as data so it is testable
+    without a broker: the option-contract unit test pins this surface
+    (no container broker exists, so the prod path would otherwise rot
+    silently).
+
+    ``maxOffsetsPerTrigger`` bounds each micro-batch — without it the
+    first batch after downtime reads the ENTIRE backlog into one batch
+    (the classic streaming-restart OOM at scale).
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
-    spark: SparkSession, brokers: str, topic: str = "sales_txn"
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "sales_txn",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
 ) -> DataFrame:
     """Production source: Kafka (S12). Requires the spark-sql-kafka
     package on the cluster; tests use :func:`read_json_file_stream`
     (identical downstream plan)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(
+            **kafka_source_options(
+                brokers, topic, starting_offsets, max_offsets_per_trigger
+            )
+        )
         .load()
     )
 

@@ -45,6 +45,30 @@ def test_pdf_binary_scan_and_extract(spark, pdf_dir):
     assert out == want, "extracted text must round-trip exactly"
 
 
+def test_extract_flags_unsupported_encoding(spark, tmp_path):
+    """A PDF whose content stream uses a filter the extractor doesn't
+    speak (here: LZWDecode, random bytes) must come back with
+    EXTRACT_OK=false — countable, never a silent empty string."""
+    good = FX.make_pdf("INVOICE NO 1 OK", compress=True)
+    bad = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 16 >>\n"
+        b"stream\n\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01\xff\xee\x12\x34\x56\x78\x9a\nendstream\n"
+        b"endobj\ntrailer\n%%EOF\n"
+    )
+    (tmp_path / "good.pdf").write_bytes(good)
+    (tmp_path / "bad.pdf").write_bytes(bad)
+    out = {
+        r.RELATIVE_PATH: r
+        for r in extract_pdf_text(
+            read_binary_dir(spark, str(tmp_path), glob="*.pdf")
+        ).collect()
+    }
+    assert out["good.pdf"].EXTRACT_OK
+    assert out["good.pdf"].PDF_TEXT == "INVOICE NO 1 OK"
+    assert not out["bad.pdf"].EXTRACT_OK
+    assert out["bad.pdf"].PDF_TEXT == ""
+
+
 def test_unpaid_invoice_report_end_to_end(spark, pdf_dir):
     d, customers, texts = pdf_dir
     pdf_text = extract_pdf_text(read_binary_dir(spark, str(d), glob="*.pdf"))

@@ -212,3 +212,27 @@ def test_windowed_rollup_stream_batch_equivalence(spark, sf_dir, tmp_path):
     assert missing == 0, "every closed window must be emitted exactly"
     wrong = got.exceptAll(want).count()
     assert wrong == 0, "no emitted row may differ from the batch twin"
+
+
+def test_kafka_option_contract():
+    """No broker exists in this container, so the Kafka reader can never
+    run here — pin its option surface instead so the prod path can't rot:
+    bounded batches (maxOffsetsPerTrigger), explicit offsets, topic
+    subscription."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.ingest import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options("broker1:9092,broker2:9092")
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "sales_txn"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "100000", (
+        "micro-batches must be bounded or a restart reads the whole backlog"
+    )
+    latest = kafka_source_options(
+        "b:9092", topic="other", starting_offsets="latest", max_offsets_per_trigger=None
+    )
+    assert latest["subscribe"] == "other"
+    assert latest["startingOffsets"] == "latest"
+    assert "maxOffsetsPerTrigger" not in latest
