@@ -59,6 +59,32 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+
+    # regression floor: per-query delta vs the last recorded round's bench
+    # (BENCH_r01.json = round 1's anchor). Positive pct = slower than the
+    # floor. Informational only — box noise is +/-50%, rerun before
+    # believing a single regression.
+    floor_path = os.environ.get("SPARK_GRAFT_BENCH_FLOOR")
+    if floor_path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        recorded = sorted(
+            f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        )
+        floor_path = os.path.join(here, recorded[-1]) if recorded else None
+    if floor_path and os.path.exists(floor_path):
+        try:
+            with open(floor_path) as fh:
+                floor = json.load(fh)
+            # driver-recorded BENCH_r{N}.json wraps our line under "parsed"
+            fq = floor.get("parsed", floor).get("queries", {})
+            payload["floor"] = os.path.basename(floor_path)
+            payload["delta_vs_floor_pct"] = {
+                name: round(100.0 * (t - fq[name]) / fq[name], 1)
+                for name, t in per_query.items()
+                if name in fq and fq[name]
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     print(json.dumps(payload))
     spark.stop()
 
