@@ -42,3 +42,116 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = large_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    suffix: str = "_r",
+    how: str = "left",
+) -> DataFrame:
+    """As-of (temporal) join: for each left row, the LATEST right row with
+    ``right_ts <= left_ts`` in the same ``on`` group — the operator behind
+    point-in-time feature lookups and last-touch attribution, which Spark
+    has no built-in for (an inequality join would plan as a nested loop).
+
+    Physical strategy (the scale-correct one): tag both sides, UNION,
+    one window pass per ``on`` group ordered by (ts, side) carrying the
+    last non-null right attributes forward, keep left rows. ONE shuffle
+    on ``on`` — work is O(n log n) within each group, never O(n_l x n_r).
+    At equal timestamps the right row sorts first, so the match is
+    inclusive (mirrors DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    Requirement: the right side must be unique per (on, right_ts) —
+    pre-aggregate duplicates or the carried attributes are order-defined.
+    ``how="inner"`` drops left rows with no prior right row.
+
+    Columns out: all left columns + each non-key right column as
+    ``<name><suffix>``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in rcols
+        ],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_ats", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in rcols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *keys,
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in rcols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    return out
+
+
+def range_join_point_in_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT a nested-loop/cartesian plan: both
+    sides key by fixed-width time chunks, equi-join on the chunk id, then
+    refine with the exact BETWEEN predicate.
+
+    Spark plans a raw ``p.ts BETWEEN i.start AND i.end`` join as
+    BroadcastNestedLoopJoin — O(|points| x |intervals|) compares and a
+    driver-sized broadcast. Chunking shuffles both sides on a bounded
+    integer key instead: each interval replicates into
+    ``len/chunk + 1`` chunk rows, each point into exactly one, and only
+    same-chunk pairs are ever compared. Pick ``chunk_seconds`` near the
+    median interval length (too small => interval fanout; too large =>
+    chunk skew). Output: one row per (point, covering interval).
+    """
+    us = F.lit(int(chunk_seconds) * 1_000_000)
+    p = points.withColumn("_chunk", F.floor(F.unix_micros(F.col(point_ts)) / us))
+    i = intervals.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / us),
+                F.floor(F.unix_micros(F.col(end_ts)) / us),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_chunk")
+        .filter(F.col(point_ts).between(F.col(start_ts), F.col(end_ts)))
+        .drop("_chunk")
+    )

@@ -1326,6 +1326,104 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_lasttouch",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts,
+           c.ts AS click_ts, c.click_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+    """,
+)
+def events_asof_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as an AS-OF JOIN: each purchase matched to
+    the user's latest click at-or-before it (null when no prior click).
+    The oracle is DuckDB's native ``ASOF LEFT JOIN``; the Spark side is
+    :func:`operators.joins.asof_join` — union + single window pass, one
+    shuffle on user_id, never a nested-loop inequality join. Clicks
+    pre-aggregate to one row per (user_id, ts) (max event_id) so the
+    as-of pick is deterministic in both engines.
+    """
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts", right_ts="ts"
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.col("ts_r").alias("click_ts"),
+        F.col("click_id_r").alias("click_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros(F.col("ts_r"))).alias("gap_us"),
+    )
+
+
+@query(
+    "events_range_join_windows",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id AS owner_id,
+               min(ts) AS w_start,
+               min(ts) + INTERVAL 6 HOUR AS w_end
+        FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+    )
+    SELECT owner_id, w_start, count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total_value
+    FROM events e JOIN iv ON e.ts BETWEEN iv.w_start AND iv.w_end
+    GROUP BY owner_id, w_start
+    """,
+)
+def events_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN: activity windows (each sampled
+    user's first 6 hours) x ALL users' events falling inside them —
+    no equi-key between the sides, the classic range-join shape.
+
+    Spark would plan the raw BETWEEN join as BroadcastNestedLoopJoin
+    (O(points x intervals)); :func:`range_join_point_in_interval`
+    rewrites it as an hour-chunk equi-join + exact refine, so the
+    shuffle key is bounded and only same-chunk pairs are compared —
+    the formulation that survives intervals tables too big to broadcast.
+    """
+    from ..operators.joins import range_join_point_in_interval
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") % 10 == 0)
+        .groupBy(F.col("user_id").alias("owner_id"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    pts = ev.select("ts", "value")
+    joined = range_join_point_in_interval(
+        pts, iv, point_ts="ts", start_ts="w_start", end_ts="w_end", chunk_seconds=3600
+    )
+    return joined.groupBy("owner_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money_sum(F.col("value"), 2).alias("total_value"),
+    )
+
+
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401

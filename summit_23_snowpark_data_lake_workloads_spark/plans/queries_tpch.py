@@ -493,3 +493,107 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates), adapted to
+    the testdata schema (no p_container/l_shipmode columns: brand x size
+    x quantity bands carry the disjunction).
+
+    The point of Q19 is OR-of-ANDs predicate handling: the part-only
+    disjunction (brand AND size bands) is pre-applied to the part dim
+    BEFORE the broadcast, so the fact stream joins against only
+    potentially-matching parts; the residual brand x quantity disjunction
+    evaluates post-join inside codegen. Quantity bounds are also pushed
+    to the lineitem scan as a single coarse range (1..30 covers all
+    arms) — parquet row groups outside any arm never decompress.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    part = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35))
+    )
+    arms = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arms)
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: the
+    returnflag 'R' marks the at-fault lineitem (testdata has no
+    commit/receipt dates). Keeps Q21's signature shape — a correlated
+    EXISTS and NOT EXISTS against the same fact table.
+
+    Scale rewrite: instead of two lineitem self-joins (the literal
+    EXISTS translation — two extra shuffles of the biggest table), ONE
+    per-order aggregate computes n_supp = distinct suppliers and
+    n_supp_r = distinct at-fault suppliers; then
+    EXISTS(other supplier)      <=> n_supp   >= 2
+    NOT EXISTS(other at fault)  <=> n_supp_r == 1   (l1 itself is 'R').
+    One shuffle on l_orderkey replaces both semi/anti self-joins; the
+    supplier/nation dims broadcast; TakeOrderedAndProject caps the top-10.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_okey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_okey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -87,3 +87,74 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at equal ts, latest-prior otherwise, null when no prior
+    right row; inner mode drops the unmatched."""
+    from datetime import datetime
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.joins import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:00:00"), "early"),   # before any right row
+            (1, t("2024-01-01 12:00:00"), "exact"),   # ties a right row
+            (1, t("2024-01-01 13:30:00"), "between"),
+            (2, t("2024-01-01 09:00:00"), "other"),   # user with no right rows
+        ],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 11:00:00"), 100),
+            (1, t("2024-01-01 12:00:00"), 200),
+            (1, t("2024-01-01 14:00:00"), 300),
+        ],
+        ["user_id", "ts", "val"],
+    )
+    got = {
+        r.tag: (r.ts_r, r.val_r)
+        for r in asof_join(left, right, "user_id", "ts", "ts").collect()
+    }
+    assert got["early"] == (None, None)
+    assert got["exact"] == (t("2024-01-01 12:00:00"), 200), "equal ts matches"
+    assert got["between"] == (t("2024-01-01 12:00:00"), 200), "latest prior, not next"
+    assert got["other"] == (None, None)
+
+    inner = asof_join(left, right, "user_id", "ts", "ts", how="inner")
+    assert {r.tag for r in inner.collect()} == {"exact", "between"}
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_dir):
+    """Chunked range join must return exactly the naive BETWEEN join's
+    rows — including intervals spanning chunk boundaries — with an
+    equi-join plan (no BroadcastNestedLoopJoin / CartesianProduct)."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.joins import (
+        range_join_point_in_interval,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy(F.col("user_id").alias("owner_id"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 100 MINUTES"))
+    )
+    pts = ev.select("event_id", "ts")
+    chunked = range_join_point_in_interval(pts, iv, "ts", "w_start", "w_end", 3600)
+    naive = pts.join(iv, F.col("ts").between(F.col("w_start"), F.col("w_end")))
+    keys = ["event_id", "owner_id"]
+    assert chunked.select(keys).exceptAll(naive.select(keys)).count() == 0
+    assert naive.select(keys).exceptAll(chunked.select(keys)).count() == 0
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunked.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
