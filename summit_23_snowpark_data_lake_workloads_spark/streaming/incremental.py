@@ -149,6 +149,30 @@ def attribution_join_streams(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon — the ingest-side dedup a training-data
+    pipeline needs when the upstream bus is at-least-once (the
+    reference's connector explicitly is, ``snowflake_sink_connector.json:15``).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on
+    ``key_cols`` and — unlike plain ``dropDuplicates`` on a streaming
+    DataFrame — EVICTS each key once the watermark passes it, so state
+    is bounded by (arrival rate x watermark) instead of growing with the
+    whole history. Duplicates separated by more than the watermark are
+    NOT caught here; the batch `dedup_exact` tier sweeps those in the
+    lake.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str):
     """Drain all pending input into a parquet table and stop — the
     ``trigger(availableNow=True)`` pattern that gives streaming pipelines

@@ -164,3 +164,41 @@ def test_partition_pruning_on_date_partitioned_table(spark, sf_dir):
     # the decisive check: pruned scan touches a strict subset of files
     assert len(filtered.inputFiles()) < len(tbl.inputFiles())
     assert filtered.count() == tbl.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
+    """A filter on the DIM side of a join against a partitioned fact
+    must prune fact partitions at RUNTIME (dynamic partition pruning) —
+    the 100 TB pattern where the partition key is only constrained
+    transitively through the join."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import (
+        bootstrap_catalog,
+        save_table,
+    )
+
+    bootstrap_catalog(spark)
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    save_table(ev, "processed.events_dpp", partition_by=["day"])
+    fact = spark.table("processed.events_dpp")
+    # dim: one row per day with an attribute the query filters on.
+    # NOTE: the filter must be one DPP's isLikelySelective() recognizes
+    # (equality/IN/LIKE) — a bare boolean attribute does NOT qualify and
+    # silently disables the rewrite.
+    dim = fact.select("day").distinct().withColumn(
+        "day_kind",
+        F.when(F.dayofweek("day").isin(1, 7), "weekend").otherwise("weekday"),
+    )
+    save_table(dim, "processed.days_dpp")
+    dim_t = spark.table("processed.days_dpp")
+
+    joined = fact.join(dim_t, "day").filter(F.col("day_kind") == "weekend")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        "dim-side filter must reach the fact scan as a runtime partition filter"
+    )
+    got = joined.count()
+    want = fact.join(dim_t.filter(F.col("day_kind") == "weekend"), "day").count()
+    assert got == want > 0

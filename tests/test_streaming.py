@@ -236,3 +236,39 @@ def test_kafka_option_contract():
     assert latest["subscribe"] == "other"
     assert latest["startingOffsets"] == "latest"
     assert "maxOffsetsPerTrigger" not in latest
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once re-deliveries of the same event_id across
+    micro-batches must collapse to one row; distinct events all survive."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.incremental import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # batch 0: events 0..99; batch 1: re-delivers 50..99 plus new 100..149
+    def lines(ids):
+        return "\n".join(
+            f'{{"event_id": {i}, "ts": "2024-03-01 10:{i % 60:02d}:00", "v": {i}}}'
+            for i in ids
+        )
+
+    (src / "b0.jsonl").write_text(lines(range(100)))
+    (src / "b1.jsonl").write_text(lines(range(50, 150)))
+
+    schema = "event_id long, ts timestamp, v long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = run_available_now(
+        dedup_stream(stream, ["event_id"], watermark="2 hours"),
+        str(tmp_path / "dedup_out"),
+        str(tmp_path / "ckpt_dedup"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "dedup_out"))
+    assert got.count() == 150, "150 distinct events, re-deliveries dropped"
+    assert got.select("event_id").distinct().count() == 150
