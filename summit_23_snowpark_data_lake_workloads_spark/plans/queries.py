@@ -1424,6 +1424,116 @@ def events_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT count(s_ts) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    FROM s
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup -> first click at-or-after it ->
+    first purchase at-or-after that click, counted per stage. The
+    sequential constraint (each stage strictly downstream of the
+    previous user-level timestamp) is what a bare GROUP BY can't say.
+
+    Scale: three passes over events, every one shuffling on user_id
+    only — the stage joins are user-level aggregates (one row per
+    funnel survivor), so each pass is fact ⋈ shrinking-agg; the final
+    three 1-row counts cross-join as broadcasts.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    c = (
+        ev.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") >= F.col("s_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("s_ts").alias("n_signup"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+                    AS BIGINT) AS week_n
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_n, count(*) AS n_users
+    FROM active GROUP BY cohort_week, week_n
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted in each subsequent week they were active — the
+    standard growth-analytics triangle.
+
+    Scale: first-week agg shuffles on user_id; the activity join is
+    fact ⋈ per-user-agg on the same key (co-partitioned under AQE); the
+    distinct + final agg shuffle on (cohort_week, week_n) — tiny
+    cardinality. Week arithmetic stays on date_trunc boundaries so both
+    engines bucket identically (day-diff is always a multiple of 7 —
+    the division is exact).
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401

@@ -597,3 +597,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "q12_late_lines",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           count(*) AS total_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay quality by priority), adapted:
+    no l_shipmode/l_receiptdate in the testdata, so "late" = shipped
+    more than 90 days after order date, split by order priority.
+    Conditional sums are BIGINT-cast in the oracle (DuckDB HUGEINT
+    stringification lesson from round 1).
+
+    Scale: one fact⋈fact equi-join on the order key (both sides huge —
+    sort-merge under AQE), one 5-group aggregate; the CASE evaluates in
+    codegen post-join.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_lines"),
+            F.count(F.lit(1)).alias("total_lines"),
+        )
+    )

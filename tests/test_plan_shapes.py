@@ -202,3 +202,67 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
     got = joined.count()
     want = fact.join(dim_t.filter(F.col("day_kind") == "weekend"), "day").count()
     assert got == want > 0
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling is part of the declared 100 TB posture:
+    a planted hot key (10% of the big side on one value) must be split
+    at runtime — the final adaptive plan marks the join skew=true."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # half the big side lands on ONE key: the hot shuffle partition is
+        # ~8x the median, beyond any sane skew factor regardless of the
+        # session's shuffle-partition count
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 2 == 0, 42).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "k")
+        j.collect()
+        final = plan_of(j).split("== Initial Plan ==")[0]
+        assert "skew=true" in final, "hot key must be split by AQE skew join"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective dim filter must
+    inject a bloom filter into the fact side so non-matching rows drop
+    at the scan, before the shuffle (the non-partition-column sibling of
+    dynamic partition pruning). Size thresholds are lowered — at 100 TB
+    the defaults (10 GB application side) trigger on their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F.col("p_brand") == "Brand#4"
+        )
+        j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        assert "bloom" in plan_of(j).lower(), (
+            "selective dim join must inject a runtime bloom filter"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
