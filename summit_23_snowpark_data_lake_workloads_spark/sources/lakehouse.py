@@ -1,0 +1,315 @@
+"""Snapshot-versioned parquet tables — the transactional-format gap
+(reference: permanent/transient tables with time travel + fail-safe,
+``3B2_load_pdf_to_text.sql:1``, ``1_env_setup.sql``) closed without
+Delta/Iceberg jars (unavailable offline): the same file-level
+copy-on-write design those formats use, on plain parquet + JSON
+manifests.
+
+Layout::
+
+    <table>/
+      data/b-<uuid>/part-*.parquet   immutable data files (never edited)
+      _manifests/v0000000001.json    one manifest per committed version
+
+A manifest lists the exact data files of one table version. Commits are
+atomic via exclusive-create (``open(..., "x")``) of the next manifest:
+two writers racing on the same version — one wins, the loser retries on
+the next number (optimistic concurrency, the Delta protocol's commit
+rule). Readers never lock: a manifest, once written, is immutable.
+
+Scale posture: every metadata operation is O(#files) driver-side JSON —
+the identical cost model Delta/Iceberg accept (at 100 TB with 128 MB
+files that is ~10^6 manifest entries; shard manifests per partition
+before that point). DELETE/MERGE rewrite ONLY files that contain
+affected rows (located via ``_metadata.file_path`` pushdown, a
+file-count-bounded collect), so an upsert touching one day of a
+year-partitioned fact rewrites that day's files, not the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed since this operation read the table, and
+    the operation does not commute (Delta's conflict rule: appends
+    rebase, everything else aborts for the caller to retry on fresh
+    state)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """One committed table version."""
+
+    version: int
+    timestamp_ms: int
+    operation: str
+    files: list[str]  # paths relative to the table root
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``path``.
+
+    All writes go through :meth:`_commit`: write new immutable data
+    files first, then publish a manifest naming the version's full file
+    set. A crash before the manifest publishes leaves orphan data files
+    (cleaned by :meth:`vacuum`) and NO visible change — readers always
+    see the last committed version.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ---------------------------------------------------------------- io
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:010d}.json")
+
+    def _versions(self) -> list[int]:
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def snapshot(self, version: int | None = None, as_of_ms: int | None = None) -> Snapshot:
+        """Resolve a version (latest by default; ``as_of_ms`` = the last
+        version committed at-or-before that wall-clock, i.e. time travel
+        ``AT (TIMESTAMP => ...)``)."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if version is None and as_of_ms is None:
+            version = versions[-1]
+        elif version is None:
+            eligible = [
+                v for v in versions
+                if self._load(v).timestamp_ms <= as_of_ms
+            ]
+            if not eligible:
+                raise LookupError(f"no version at or before {as_of_ms}")
+            version = eligible[-1]
+        if version not in versions:
+            raise LookupError(f"version {version} not in {versions}")
+        return self._load(version)
+
+    def _load(self, version: int) -> Snapshot:
+        with open(self._manifest_path(version)) as fh:
+            m = json.load(fh)
+        return Snapshot(m["version"], m["timestamp_ms"], m["operation"], m["files"])
+
+    def _commit(
+        self,
+        operation: str,
+        base_version: int,
+        add: list[str],
+        remove: frozenset[str] | None = None,
+        replace_all: bool = False,
+    ) -> Snapshot:
+        """Publish the next version as ``(base files - remove) + add``
+        (or just ``add`` when ``replace_all``). Exclusive-create of the
+        manifest makes the commit atomic; a racing writer makes one of
+        the two retry. On retry against a moved HEAD, the file delta is
+        re-applied to the NEW latest — sound only for operations that
+        commute (append, and no-op deltas); anything else raises
+        :class:`ConcurrentWriteError` rather than silently dropping or
+        resurrecting the other writer's rows (the lost-update anomaly)."""
+        remove = remove or frozenset()
+        os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
+        while True:
+            versions = self._versions()
+            latest = versions[-1] if versions else 0
+            if latest != base_version and (remove or replace_all):
+                raise ConcurrentWriteError(
+                    f"{operation} based on v{base_version}, but table is at "
+                    f"v{latest}; re-read and retry"
+                )
+            base_files = [] if replace_all or not latest else self._load(latest).files
+            files = [f for f in base_files if f not in remove] + add
+            next_v = latest + 1
+            snap = Snapshot(next_v, int(time.time() * 1000), operation, sorted(files))
+            body = json.dumps(
+                {
+                    "version": snap.version,
+                    "timestamp_ms": snap.timestamp_ms,
+                    "operation": snap.operation,
+                    "files": snap.files,
+                }
+            )
+            try:
+                with open(self._manifest_path(next_v), "x") as fh:
+                    fh.write(body)
+                return snap
+            except FileExistsError:
+                continue  # lost the race; retry against the new latest
+
+    def _write_batch(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as a new immutable batch dir; return the parquet
+        files created (relative paths)."""
+        batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, batch)
+        df.write.mode("error").parquet(out)
+        return [
+            os.path.join(batch, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    # ------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """The table at a version (default latest). ``mergeSchema`` makes
+        added-column evolution transparent: old files surface NULLs."""
+        snap = self.snapshot(version, as_of_ms)
+        if not snap.files:
+            raise ValueError(f"version {snap.version} is empty")
+        paths = [os.path.join(self.path, f) for f in snap.files]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def history(self) -> list[Snapshot]:
+        return [self._load(v) for v in self._versions()]
+
+    # ------------------------------------------------------------ writes
+
+    def create(self, df: DataFrame) -> Snapshot:
+        if self._versions():
+            raise FileExistsError(f"table already exists at {self.path}")
+        return self._commit("create", 0, self._write_batch(df), replace_all=True)
+
+    def append(self, df: DataFrame) -> Snapshot:
+        prev = self.snapshot()
+        # pure addition commutes: a racing append rebases onto the new HEAD
+        return self._commit("append", prev.version, self._write_batch(df))
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        prev = self.snapshot()
+        return self._commit(
+            "overwrite", prev.version, self._write_batch(df), replace_all=True
+        )
+
+    def _touched_files(self, current: DataFrame, row_filter) -> list[str]:
+        """Absolute paths of data files containing rows where
+        ``row_filter`` holds — a file-count-bounded collect (metadata
+        scale, not data scale)."""
+        return [
+            r.f
+            for r in row_filter(
+                current.withColumn("_lh_file", F.col("_metadata.file_path"))
+            )
+            .select(F.col("_lh_file").alias("f"))
+            .distinct()
+            .collect()
+        ]
+
+    def _relativize(self, abs_path: str) -> str:
+        # _metadata.file_path is a file: URI or plain path; strip both
+        p = abs_path.removeprefix("file://").removeprefix("file:")
+        return os.path.relpath(p, self.path)
+
+    def delete(self, predicate) -> Snapshot:
+        """Row-level DELETE: rewrite only files that contain matching
+        rows; every other file carries over untouched (copy-on-write at
+        file granularity — Delta's exact DELETE strategy)."""
+        prev = self.snapshot()
+        cur = self.read()
+        touched_abs = self._touched_files(cur, lambda d: d.filter(predicate))
+        if not touched_abs:
+            return self._commit("delete", prev.version, [])
+        touched_rel = frozenset(self._relativize(p) for p in touched_abs)
+        survivors = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*touched_abs)
+            .filter(~predicate)
+        )
+        new_files = self._write_batch(survivors) if survivors.limit(1).count() else []
+        return self._commit("delete", prev.version, new_files, remove=touched_rel)
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
+        """Row-level MERGE (upsert-by-key): matched target rows are
+        replaced by their source row, unmatched survive, new keys
+        insert. Only files holding matched keys are rewritten."""
+        prev = self.snapshot()
+        cur = self.read()
+        keys = source.select(*key_cols)
+        touched_abs = self._touched_files(
+            cur, lambda d: d.join(F.broadcast(keys), key_cols, "left_semi")
+        )
+        touched_rel = frozenset(self._relativize(p) for p in touched_abs)
+        if touched_abs:
+            survivors = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*touched_abs)
+                .join(keys, key_cols, "left_anti")
+            )
+            rewrite = survivors.unionByName(source, allowMissingColumns=True)
+        else:
+            rewrite = source
+        return self._commit(
+            "merge", prev.version, self._write_batch(rewrite), remove=touched_rel
+        )
+
+    def rollback(self, version: int) -> Snapshot:
+        """Restore an old version AS A NEW COMMIT (history is never
+        rewritten — the bad versions stay auditable)."""
+        return self._commit(
+            "rollback",
+            self.snapshot().version,
+            list(self.snapshot(version).files),
+            replace_all=True,
+        )
+
+    def compact(self, target_files: int) -> Snapshot:
+        """Small-file compaction: rewrite the current data into
+        ``target_files`` files. Pure metadata swap for readers —
+        same rows, new layout."""
+        prev = self.snapshot()
+        return self._commit(
+            "compact",
+            prev.version,
+            self._write_batch(self.read().repartition(target_files)),
+            replace_all=True,
+        )
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Delete data files referenced by NO retained manifest and drop
+        the expired manifests. Time travel keeps working for the last
+        ``retain_last`` versions; older versions are gone (the fail-safe
+        retention boundary). Also collects orphans from crashed writes.
+        Returns the deleted data-file paths."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self._versions()
+        keep_v = versions[-retain_last:]
+        live = {f for v in keep_v for f in self._load(v).files}
+        removed = []
+        ddir = os.path.join(self.path, _DATA_DIR)
+        for batch in os.listdir(ddir) if os.path.isdir(ddir) else []:
+            bdir = os.path.join(ddir, batch)
+            for f in os.listdir(bdir):
+                rel = os.path.join(_DATA_DIR, batch, f)
+                if f.endswith(".parquet") and rel not in live:
+                    os.unlink(os.path.join(bdir, f))
+                    removed.append(rel)
+            if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
+                # batch fully vacuumed; drop its _SUCCESS etc. and the dir
+                for f in os.listdir(bdir):
+                    os.unlink(os.path.join(bdir, f))
+                os.rmdir(bdir)
+        for v in versions[:-retain_last]:
+            os.unlink(self._manifest_path(v))
+        return removed
