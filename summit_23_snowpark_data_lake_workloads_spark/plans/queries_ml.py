@@ -1148,3 +1148,289 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy(F.col("id").alias("doc_id")).agg(
         F.min(portable_hash64("shingle")).alias("fp")
     )
+
+
+@query(
+    "gopher_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wstats AS (
+        SELECT doc_id, count(*) AS n_words,
+               round(avg(length(word)), 6) AS mean_word_len
+        FROM words GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS g
+        FROM toks
+    ),
+    gstats AS (
+        SELECT doc_id,
+               round(1.0 - count(DISTINCT g) / count(*), 6) AS dup_3gram_frac
+        FROM grams GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words, w.mean_word_len,
+           coalesce(g.dup_3gram_frac, 0.0) AS dup_3gram_frac,
+           CASE WHEN w.n_words BETWEEN 50 AND 100000
+                 AND w.mean_word_len BETWEEN 2 AND 12
+                 AND coalesce(g.dup_3gram_frac, 0.0) <= 0.6
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM wstats w LEFT JOIN gstats g USING (doc_id)
+    """,
+)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) repetition/quality gate: per
+    document the duplicate-3-gram fraction (1 - distinct/total), word
+    count, mean word length, and the pass/fail flag used to drop
+    boilerplate-heavy documents before training.
+
+    Scale: both stats come from the relational shingle/word explodes
+    (codegen, no interpreted HOF); each aggregates on doc_id — the same
+    single shuffle key — and the join is agg ⋈ agg on that key. At
+    100 TB nothing is driver-side and no state exceeds one doc's grams.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import _all_shingles
+
+    words = docs.select(
+        F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    wstats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.length("word")), 6).alias("mean_word_len"),
+    )
+    gstats = (
+        _all_shingles(docs, "doc_id", "text", 3)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.round(
+                1.0 - F.countDistinct("shingle") / F.count(F.lit(1)), 6
+            ).alias("dup_3gram_frac")
+        )
+    )
+    j = wstats.join(gstats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac"),
+    )
+    return j.withColumn(
+        "quality_pass",
+        F.when(
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(2, 12)
+            & (F.col("dup_3gram_frac") <= 0.6),
+            1,
+        ).otherwise(0),
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': w[i]} for i in range(1, len(w) + 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id,
+           CAST(floor((s.pos - 1) / 64) AS BIGINT) AS chunk_id,
+           count(*) AS n_tokens,
+           string_agg(s.w, ' ' ORDER BY s.pos) AS chunk_text
+    FROM pos
+    GROUP BY doc_id, CAST(floor((s.pos - 1) / 64) AS BIGINT)
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking (64-token chunks) — the context
+    -length packing step of a training pipeline: every document splits
+    into contiguous chunks carrying their token count and text.
+
+    Scale: posexplode (codegen) + one groupBy on (doc_id, chunk_id);
+    chunk reassembly sorts each chunk's <= 64 collected (pos, word)
+    structs — bounded per-group state, no windows over the whole doc.
+    The transform() extracting words runs interpreted but on 64-element
+    arrays once per chunk — plan-build cost, not a per-token hot loop.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    )
+    return (
+        tok.withColumn("chunk_id", F.floor(F.col("pos") / 64))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "domain_mix_weights",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    p AS (
+        SELECT source, n_tokens,
+               n_tokens / (sum(n_tokens) OVER ()) AS frac
+        FROM per_src
+    )
+    SELECT source, n_tokens,
+           round(frac, 6) AS token_frac,
+           round(sqrt(frac) / (sum(sqrt(frac)) OVER ()), 6) AS mix_weight
+    FROM p
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights (alpha = 0.5, the
+    multilingual-sampling rule of Conneau & Lample 2019): per-source
+    token counts, the raw token fraction, and the alpha-smoothed mixing
+    weight that up-samples small domains.
+
+    Scale: one groupBy on source (domain cardinality — tiny), then
+    window totals over the domain table only. The fact-table pass
+    computes size(split()) JVM-side; no token explode is needed for a
+    count."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy()
+    p = per_src.withColumn(
+        "frac", F.col("n_tokens") / F.sum("n_tokens").over(tot)
+    )
+    return p.select(
+        "source",
+        "n_tokens",
+        F.round("frac", 6).alias("token_frac"),
+        F.round(
+            F.sqrt("frac") / F.sum(F.sqrt("frac")).over(tot), 6
+        ).alias("mix_weight"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, len(w) - 3)])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    bench AS (
+        SELECT sh.id, sh.g FROM sh JOIN documents d ON sh.id = d.doc_id
+        WHERE d.source = 'src0'
+    ),
+    corpus AS (
+        SELECT sh.id, sh.g FROM sh JOIN documents d ON sh.id = d.doc_id
+        WHERE d.source <> 'src0'
+    )
+    SELECT c.id AS corpus_doc, b.id AS bench_doc,
+           count(*) AS n_shared_5grams
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.id, b.id
+    HAVING count(*) >= 3
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit (GPT-3 appendix C style): distinct
+    5-gram overlap between held-out/benchmark documents (source =
+    'src0') and the rest of the corpus; pairs sharing >= 3 distinct
+    5-grams are flagged for decontamination.
+
+    Scale: the join key is the n-gram itself (hash it to 8 bytes at
+    100 TB); the benchmark side is the small one — AQE broadcasts it —
+    and the HAVING floor keeps the pair table sparse. Same
+    candidates-only shape as the dedup tiers: no doc x doc product.
+    """
+    from ..operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", 5).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("id").alias("bench_doc"), "shingle"
+    )
+    corpus = sh.filter(F.col("source") != "src0").select(
+        F.col("id").alias("corpus_doc"), "shingle"
+    )
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
+        .filter(F.col("n_shared_5grams") >= 3)
+    )
+
+
+@query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest([CAST(x AS DOUBLE) for x in embedding]) AS val
+        FROM embeddings
+    ),
+    scales AS (
+        SELECT vec_id, max(abs(val)) / 127 AS scale
+        FROM flat GROUP BY vec_id
+    ),
+    q AS (
+        SELECT f.vec_id,
+               f.val,
+               round(f.val / nullif(s.scale, 0)) * s.scale AS deq
+        FROM flat f JOIN scales s USING (vec_id)
+    )
+    SELECT vec_id,
+           round(max(abs(coalesce(deq, 0) - val)), 6) AS max_abs_err,
+           round(avg(pow(coalesce(deq, 0) - val, 2)), 6) AS mse
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 symmetric-quantization audit: per vector, the max-abs and
+    mean-squared reconstruction error of round(x/scale)*scale with
+    scale = max|x|/127 — the report run before shipping a quantized
+    ANN index to decide if int8 recall is acceptable.
+
+    Scale: relational posexplode (codegen) -> per-vector scale agg ->
+    join back on vec_id (same shuffle key, co-partitioned) -> error agg.
+    All math in DOUBLE on both engines (float32 -> double widening is
+    exact, so Spark and DuckDB compute bit-identical doubles before the
+    stabilizing round)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.explode("embedding").alias("v")
+    ).select("vec_id", F.col("v").cast("double").alias("val"))
+    scales = flat.groupBy("vec_id").agg(
+        (F.max(F.abs("val")) / 127).alias("scale")
+    )
+    q = flat.join(scales, "vec_id").select(
+        "vec_id",
+        "val",
+        (
+            F.round(F.col("val") / F.nullif("scale", F.lit(0.0))) * F.col("scale")
+        ).alias("deq"),
+    )
+    err = F.coalesce("deq", F.lit(0.0)) - F.col("val")
+    return q.groupBy("vec_id").agg(
+        F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
+        F.round(F.avg(F.pow(err, 2)), 6).alias("mse"),
+    )
