@@ -56,6 +56,61 @@ class Snapshot:
     timestamp_ms: int
     operation: str
     files: list[str]  # paths relative to the table root
+    #: per-file column stats {relpath: {col: [min, max]}} harvested from
+    #: parquet footers at write time — the data-skipping index
+    stats: dict = None  # type: ignore[assignment]
+
+
+def _footer_stats(abs_path: str) -> dict:
+    """Column [min, max] from a parquet file's row-group footers — pure
+    metadata (no data pages read), the same stats Delta stores in its
+    transaction log. Only JSON-stable scalar types are kept."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            name = col.path_in_schema
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
+    """Conservative skip test: False ONLY when the file's [min, max]
+    range proves no row can satisfy ``col op value``. Missing stats keep
+    the file (never an incorrect skip)."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col]
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True  # incomparable types: keep the file
+    raise ValueError(f"unsupported skip op {op!r} (use = < <= > >=)")
 
 
 class SnapshotTable:
@@ -111,7 +166,10 @@ class SnapshotTable:
     def _load(self, version: int) -> Snapshot:
         with open(self._manifest_path(version)) as fh:
             m = json.load(fh)
-        return Snapshot(m["version"], m["timestamp_ms"], m["operation"], m["files"])
+        return Snapshot(
+            m["version"], m["timestamp_ms"], m["operation"], m["files"],
+            m.get("stats", {}),
+        )
 
     def _commit(
         self,
@@ -139,16 +197,28 @@ class SnapshotTable:
                     f"{operation} based on v{base_version}, but table is at "
                     f"v{latest}; re-read and retry"
                 )
-            base_files = [] if replace_all or not latest else self._load(latest).files
+            if replace_all or not latest:
+                base_files, base_stats = [], {}
+            else:
+                base = self._load(latest)
+                base_files, base_stats = base.files, base.stats or {}
             files = [f for f in base_files if f not in remove] + add
+            # stats carry over with their file; new files get footer stats
+            stats = {f: base_stats[f] for f in base_files if f in base_stats}
+            for f in add:
+                stats[f] = _footer_stats(os.path.join(self.path, f))
+            stats = {f: s for f, s in stats.items() if f in set(files)}
             next_v = latest + 1
-            snap = Snapshot(next_v, int(time.time() * 1000), operation, sorted(files))
+            snap = Snapshot(
+                next_v, int(time.time() * 1000), operation, sorted(files), stats
+            )
             body = json.dumps(
                 {
                     "version": snap.version,
                     "timestamp_ms": snap.timestamp_ms,
                     "operation": snap.operation,
                     "files": snap.files,
+                    "stats": snap.stats,
                 }
             )
             try:
@@ -172,13 +242,39 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- reads
 
-    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        skip_where: list[tuple] | None = None,
+    ) -> DataFrame:
         """The table at a version (default latest). ``mergeSchema`` makes
-        added-column evolution transparent: old files surface NULLs."""
+        added-column evolution transparent: old files surface NULLs.
+
+        ``skip_where`` — ``[(col, op, value), ...]`` conjuncts — prunes
+        files whose manifest [min, max] stats prove they hold no
+        matching row, BEFORE Spark plans the scan (manifest-level data
+        skipping, the Delta/Iceberg fast path; parquet row-group pruning
+        still applies within surviving files). Callers must still apply
+        the real ``.filter`` — skipping is file-granular, not row-exact.
+        """
         snap = self.snapshot(version, as_of_ms)
-        if not snap.files:
+        files = snap.files
+        if skip_where:
+            stats = snap.stats or {}
+            files = [
+                f
+                for f in files
+                if all(
+                    _file_may_match(stats.get(f), c, op, v)
+                    for (c, op, v) in skip_where
+                )
+            ]
+            if not files:
+                return self.read(version, as_of_ms).limit(0)  # empty, right schema
+        if not files:
             raise ValueError(f"version {snap.version} is empty")
-        paths = [os.path.join(self.path, f) for f in snap.files]
+        paths = [os.path.join(self.path, f) for f in files]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def history(self) -> list[Snapshot]:

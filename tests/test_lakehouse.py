@@ -187,6 +187,49 @@ def test_crash_before_manifest_publishes_nothing(spark, table):
     assert any("b-orphan" in f for f in removed)
 
 
+def test_data_skipping_prunes_files(spark, tmp_path):
+    """Manifest [min,max] stats must prune non-matching files before the
+    scan is even planned — range-clustered writes give disjoint id
+    ranges per file, so a selective predicate reads a strict subset."""
+    t = SnapshotTable(spark, str(tmp_path / "skip"))
+    t.create(
+        spark.range(0, 1000)
+        .select("id", (F.col("id") % 5).alias("grp"))
+        .repartitionByRange(4, "id")
+    )
+    full = t.read()
+    pruned = t.read(skip_where=[("id", ">=", 900)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(r.id for r in pruned.filter(F.col("id") >= 900).collect())
+    assert got == list(range(900, 1000))
+
+
+def test_data_skipping_string_and_miss(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "skipstr"))
+    t.create(
+        spark.createDataFrame(
+            [Row(id=i, name=f"name{i:03d}") for i in range(100)]
+        ).repartitionByRange(4, "name")
+    )
+    pruned = t.read(skip_where=[("name", "=", "name095")])
+    assert len(pruned.inputFiles()) == 1
+    # a predicate no file can satisfy returns an empty frame, right schema
+    none = t.read(skip_where=[("id", ">", 10_000)])
+    assert none.count() == 0 and set(none.columns) == {"id", "name"}
+
+
+def test_stats_carry_over_cow(spark, table):
+    """A COW delete must keep the carried-over files' stats (no silent
+    loss of the skipping index on untouched data)."""
+    table.append(
+        spark.range(1000, 1100).select("id", (F.col("id") % 5).alias("grp"))
+    )
+    table.delete(F.col("id") >= 1050)
+    snap = table.snapshot()
+    assert snap.stats and set(snap.stats) == set(snap.files)
+    assert all("id" in s for s in snap.stats.values())
+
+
 def test_manifest_is_valid_json_listing(table):
     snap = table.snapshot()
     with open(
