@@ -59,6 +59,10 @@ class Snapshot:
     #: per-file column stats {relpath: {col: [min, max]}} harvested from
     #: parquet footers at write time — the data-skipping index
     stats: dict = None  # type: ignore[assignment]
+    #: idempotent-writer marker {"app_id": str, "batch_id": int} — the
+    #: Delta txn action: a streaming writer stamps each commit so replays
+    #: of the same micro-batch after a checkpoint restart are detectable
+    txn: dict = None  # type: ignore[assignment]
 
 
 def _footer_stats(abs_path: str) -> dict:
@@ -168,7 +172,7 @@ class SnapshotTable:
             m = json.load(fh)
         return Snapshot(
             m["version"], m["timestamp_ms"], m["operation"], m["files"],
-            m.get("stats", {}),
+            m.get("stats", {}), m.get("txn"),
         )
 
     def _commit(
@@ -178,6 +182,7 @@ class SnapshotTable:
         add: list[str],
         remove: frozenset[str] | None = None,
         replace_all: bool = False,
+        txn: dict | None = None,
     ) -> Snapshot:
         """Publish the next version as ``(base files - remove) + add``
         (or just ``add`` when ``replace_all``). Exclusive-create of the
@@ -208,9 +213,15 @@ class SnapshotTable:
             for f in add:
                 stats[f] = _footer_stats(os.path.join(self.path, f))
             stats = {f: s for f, s in stats.items() if f in set(files)}
+            if txn is not None:
+                # re-check idempotency inside the commit loop: a replayed
+                # micro-batch racing its twin must not double-append
+                seen = self.last_committed_batch(txn["app_id"])
+                if seen is not None and txn["batch_id"] <= seen:
+                    return self._load(latest)
             next_v = latest + 1
             snap = Snapshot(
-                next_v, int(time.time() * 1000), operation, sorted(files), stats
+                next_v, int(time.time() * 1000), operation, sorted(files), stats, txn
             )
             body = json.dumps(
                 {
@@ -219,6 +230,7 @@ class SnapshotTable:
                     "operation": snap.operation,
                     "files": snap.files,
                     "stats": snap.stats,
+                    **({"txn": snap.txn} if snap.txn else {}),
                 }
             )
             try:
@@ -287,10 +299,21 @@ class SnapshotTable:
             raise FileExistsError(f"table already exists at {self.path}")
         return self._commit("create", 0, self._write_batch(df), replace_all=True)
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, txn: dict | None = None) -> Snapshot:
         prev = self.snapshot()
         # pure addition commutes: a racing append rebases onto the new HEAD
-        return self._commit("append", prev.version, self._write_batch(df))
+        return self._commit("append", prev.version, self._write_batch(df), txn=txn)
+
+    def last_committed_batch(self, app_id: str) -> int | None:
+        """Highest ``batch_id`` this ``app_id`` has committed (None if
+        never) — the streaming sink's replay detector. History scan is
+        O(#versions) driver-side JSON; vacuum bounds it."""
+        best = None
+        for v in self._versions():
+            t = self._load(v).txn
+            if t and t.get("app_id") == app_id:
+                best = t["batch_id"] if best is None else max(best, t["batch_id"])
+        return best
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         prev = self.snapshot()

@@ -238,3 +238,39 @@ def test_manifest_is_valid_json_listing(table):
         m = json.load(fh)
     assert m["files"] == snap.files
     assert all(f.startswith("data/") and f.endswith(".parquet") for f in m["files"])
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """foreachBatch -> SnapshotTable: a drained file stream lands every
+    row exactly once; a replayed batch_id (checkpoint restart semantics)
+    is a no-op; late files drain into a SECOND txn-stamped commit."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        write_stream_to_snapshot_table,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"row{i}" for i in range(10)) + "\n")
+    t = SnapshotTable(spark, str(tmp_path / "lake"))
+    stream = spark.readStream.format("text").load(str(src))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = write_stream_to_snapshot_table(stream, t, "ingest-app", ckpt)
+    q.awaitTermination(120)
+    assert t.read().count() == 10
+    assert t.snapshot().txn == {"app_id": "ingest-app", "batch_id": 0}
+
+    # replay of batch 0 (what a restart does for the last batch): no-op
+    batch0 = spark.read.format("text").load(str(src))
+    t.append(batch0, txn={"app_id": "ingest-app", "batch_id": 0})
+    assert t.read().count() == 10
+
+    # late data -> next batch appends exactly once, same checkpoint
+    (src / "b.txt").write_text("\n".join(f"late{i}" for i in range(5)) + "\n")
+    q2 = write_stream_to_snapshot_table(stream, t, "ingest-app", ckpt)
+    q2.awaitTermination(120)
+    assert t.read().count() == 15
+    assert t.last_committed_batch("ingest-app") == 1
