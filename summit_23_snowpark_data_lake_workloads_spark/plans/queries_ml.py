@@ -1434,3 +1434,205 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
         F.round(F.avg(F.pow(err, 2)), 6).alias("mse"),
     )
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    e0 AS (SELECT id_a AS s, id_b AS t FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.t = r.id
+    ),
+    clus AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    ex AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS keep_exact
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wstats AS (
+        SELECT doc_id, count(*) AS n_words, avg(length(word)) AS mwl
+        FROM words GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, len(w) - 1)]) AS g
+        FROM toks
+    ),
+    gstats AS (
+        SELECT doc_id, 1.0 - count(DISTINCT g) / count(*) AS dupf
+        FROM grams GROUP BY doc_id
+    ),
+    qual AS (
+        SELECT w.doc_id,
+               CASE WHEN w.n_words BETWEEN 50 AND 100000
+                     AND w.mwl BETWEEN 2 AND 12
+                     AND coalesce(g.dupf, 0) <= 0.6
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM wstats w LEFT JOIN gstats g USING (doc_id)
+    ),
+    sh5 AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, len(w) - 3)])) AS g
+        FROM toks
+    ),
+    cont AS (
+        SELECT c.id AS doc_id
+        FROM (SELECT sh5.id, sh5.g FROM sh5 JOIN documents d ON sh5.id = d.doc_id
+              WHERE d.source <> 'src0') c
+        JOIN (SELECT sh5.id, sh5.g FROM sh5 JOIN documents d ON sh5.id = d.doc_id
+              WHERE d.source = 'src0') b
+          ON c.g = b.g
+        GROUP BY c.id, b.id HAVING count(*) >= 3
+    )
+    SELECT d.doc_id,
+           ex.keep_exact,
+           CASE WHEN d.doc_id = clus.cluster_id THEN 1 ELSE 0 END AS keep_cluster,
+           q.quality_pass,
+           CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM cont)
+                THEN 1 ELSE 0 END AS contaminated,
+           CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS is_benchmark,
+           CASE WHEN d.source <> 'src0' AND ex.keep_exact = 1
+                 AND d.doc_id = clus.cluster_id AND q.quality_pass = 1
+                 AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM cont)
+                THEN 1 ELSE 0 END AS final_keep
+    FROM documents d
+    JOIN ex   USING (doc_id)
+    JOIN clus USING (doc_id)
+    JOIN qual q USING (doc_id)
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-corpus build, as one declarative plan:
+    exact dedup (md5 survivor) -> near-dup clusters (3-gram Jaccard >=
+    0.5 via banded candidates + connected components, canonical = min
+    id) -> Gopher-style quality gate -> benchmark decontamination
+    (distinct-5-gram overlap >= 3 vs the 'src0' held-out set) -> one
+    ``final_keep`` verdict per document with every intermediate flag
+    exposed for auditing.
+
+    This is the query a reference user actually runs nightly; each stage
+    is also available standalone (``dedup_exact``, ``dedup_clusters``,
+    ``gopher_repetition_filter``, ``contamination_ngram_overlap``).
+
+    Scale: every stage shuffles on doc_id or on a token/shingle key with
+    candidates-only joins — the composition adds NO new join shape
+    beyond its stages; the final assembly is agg ⋈ agg on doc_id, all
+    co-partitioned. The CC fixpoint is the only iterative piece
+    (log-diameter rounds, tiny edge set after thresholding).
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import (
+        _all_shingles,
+        connected_components,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    ex = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(F.md5("text"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep_exact"),
+    )
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clus = connected_components(pairs, docs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    wstats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.avg(F.length("word")).alias("mwl"),
+    )
+    gstats = (
+        _all_shingles(docs, "doc_id", "text", 3)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            (1.0 - F.countDistinct("shingle") / F.count(F.lit(1))).alias("dupf")
+        )
+    )
+    qual = wstats.join(gstats, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("n_words").between(50, 100000)
+            & F.col("mwl").between(2, 12)
+            & (F.coalesce("dupf", F.lit(0.0)) <= 0.6),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+    sh5 = shingle_table(docs, "doc_id", "text", 5).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    bench = sh5.filter(F.col("source") == "src0").select(
+        F.col("id").alias("bench_doc"), "shingle"
+    )
+    corpus = sh5.filter(F.col("source") != "src0").select(
+        F.col("id").alias("doc_id"), "shingle"
+    )
+    cont = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+
+    out = (
+        docs.select("doc_id", "source")
+        .join(ex, "doc_id")
+        .join(clus, "doc_id")
+        .join(qual, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "keep_exact",
+            F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+            .otherwise(0)
+            .alias("keep_cluster"),
+            "quality_pass",
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_benchmark"),
+            F.col("source").alias("_src"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "keep_exact",
+        "keep_cluster",
+        "quality_pass",
+        "contaminated",
+        "is_benchmark",
+        F.when(
+            (F.col("_src") != "src0")
+            & (F.col("keep_exact") == 1)
+            & (F.col("keep_cluster") == 1)
+            & (F.col("quality_pass") == 1)
+            & (F.col("contaminated") == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("final_keep"),
+    ).drop("_src")
