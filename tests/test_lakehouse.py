@@ -274,3 +274,34 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.read().count() == 15
     assert t.last_committed_batch("ingest-app") == 1
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """After Z-order clustering on (x, y), a selective range predicate
+    on EITHER column must prune files via manifest stats — the property
+    a 1-D sort cannot give (its second column's ranges span everything).
+    """
+    t = SnapshotTable(spark, str(tmp_path / "z"))
+    grid = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 100).alias("x"),
+            (F.col("id") / 100).cast("long").alias("y"),
+        )
+    )
+    t.create(grid)
+    t.cluster_zorder(["x", "y"], n_files=16)
+    total = len(t.snapshot().files)
+    assert total >= 8
+    for col in ("x", "y"):
+        pruned = t.read(skip_where=[(col, ">=", 90)])
+        n = len(pruned.inputFiles())
+        assert n < total, f"{col}-predicate must prune z-ordered files"
+        assert pruned.filter(F.col(col) >= 90).count() == 1000
+    # contrast: 1-D clustering on x gives y NO pruning power
+    t2 = SnapshotTable(spark, str(tmp_path / "oned"))
+    t2.create(grid)
+    t2.cluster_zorder(["x"], n_files=16)
+    y_pruned = len(t2.read(skip_where=[("y", ">=", 90)]).inputFiles())
+    z_pruned = len(t.read(skip_where=[("y", ">=", 90)]).inputFiles())
+    assert z_pruned < y_pruned, "z-order must beat 1-D sort on the 2nd dim"
