@@ -266,3 +266,36 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_contamination_joins_broadcast_no_cartesian(spark, sf_dir):
+    """The decontamination join keys on the shingle itself; the benchmark
+    side is the small one — AQE must broadcast it, and nothing in the
+    plan may degenerate to a cartesian/nested-loop product."""
+    df = QUERIES["contamination_ngram_overlap"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "BroadcastHashJoin" in final, "small bench side should broadcast"
+
+
+def test_corpus_pipeline_no_cartesian_no_python_udf(spark, sf_dir):
+    """The flagship corpus build must stay relational end-to-end: no
+    cartesian products, no row-at-a-time Python evaluation anywhere in
+    its (large) plan."""
+    df = QUERIES["training_corpus_pipeline"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_doc_chunk_windows_single_shuffle(spark, sf_dir):
+    """Chunk reassembly is one groupBy on (doc_id, chunk_id): exactly one
+    exchange over the exploded tokens — a second shuffle would double
+    the dominant cost at 100 TB."""
+    plan = plan_of(QUERIES["doc_chunk_windows"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"expected <=2 Exchange nodes, got {n_exchanges}"
