@@ -1438,6 +1438,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "training_corpus_pipeline",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE {_SH_CTE},
     e0 AS (SELECT id_a AS s, id_b AS t FROM jac WHERE jaccard >= 0.5),
