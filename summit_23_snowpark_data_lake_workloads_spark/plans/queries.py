@@ -1537,3 +1537,85 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both linear-interpolated
+    type-7 quantiles).
+
+    Scale note: EXACT percentiles sort each group's values — fine for
+    bounded group counts; at 100 TB swap to ``percentile_approx``
+    (t-digest sketch, mergeable map-side, kB of state) and accept the
+    documented error bound — the declared approx twin is
+    ``events_approx_stats``."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(least(floor(value / 5), 19) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events
+    GROUP BY CAST(least(floor(value / 5), 19) AS BIGINT)
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width 5, top-clamped at bucket 19) —
+    the distribution profile every monitoring layer draws. One codegen
+    projection + one 20-group aggregate; partial aggregation makes the
+    shuffle 20 rows per task regardless of input size."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 5), F.lit(19)).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@query(
+    "events_type_correlation",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+               AS corr_value_hour,
+           round(covar_samp(value, CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+               AS covar_value_hour,
+           round(stddev_samp(value), 6) AS sd_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation / sample covariance between event
+    value and hour-of-day (the "is value seasonal by hour" screen), plus
+    the value stddev. All three are single-pass streaming moments —
+    partial-aggregatable, constant state per group."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), hour), 6).alias("corr_value_hour"),
+        F.round(F.covar_samp(F.col("value"), hour), 6).alias("covar_value_hour"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+    )
