@@ -1619,3 +1619,28 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("value"), hour), 6).alias("covar_value_hour"),
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
     )
+
+
+@query(
+    "heavy_hitters_value",
+    oracle="""
+    SELECT CAST(floor(value) AS BIGINT) AS k,
+           count(*) AS freq
+    FROM events
+    GROUP BY CAST(floor(value) AS BIGINT)
+    HAVING count(*) > 0.02 * (SELECT count(*) FROM events)
+    """,
+)
+def heavy_hitters_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items over the floored event value (theta = 2%): the
+    two-pass candidate-prune plan from
+    :func:`operators.frequency.heavy_hitters` — EXACT output (the
+    pass-1 union over-admits, never drops, so a plain GROUP BY oracle
+    checks it) with the shuffle bounded to candidate keys instead of
+    every distinct key."""
+    from ..operators.frequency import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(
+        ev, F.floor(F.col("value")).cast("bigint"), theta=0.02
+    )

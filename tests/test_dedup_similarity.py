@@ -172,3 +172,48 @@ def test_allpairs_lsh_subset_of_exhaustive(spark, sf_dir):
     for r in lsh_pairs:
         assert r.id_a < r.id_b
         assert exhaustive[(r.id_a, r.id_b)] == r.cos_sim
+
+
+def test_heavy_hitters_equals_naive_groupby(spark):
+    """Two-pass candidate-prune heavy hitters must equal the naive
+    full-shuffle groupBy exactly, including near-threshold keys spread
+    adversarially across partitions (the pigeonhole superset guarantee)."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.frequency import (
+        heavy_hitters,
+    )
+
+    n = 20_000
+    # skewed synthetic: key 0 ~ 12%, key 1 ~ 3%, long uniform tail; then
+    # shuffled across 16 partitions so no key is partition-local
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 8 == 0, 0)
+            .when(F.col("id") % 32 == 1, 1)
+            .otherwise(F.pmod(F.xxhash64("id"), 500) + 10)
+            .alias("k")
+        )
+        .repartition(16)
+    )
+    got = {(r.k, r.freq) for r in heavy_hitters(df, "k", theta=0.02).collect()}
+    want = {
+        (r.k, r.freq)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > 0.02 * n)
+        .collect()
+    }
+    assert got == want and got, f"two-pass {got} != naive {want}"
+
+
+def test_heavy_hitters_rejects_non_bigint(spark):
+    import pytest
+    from summit_23_snowpark_data_lake_workloads_spark.operators.frequency import (
+        heavy_hitters,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("s"))
+    with pytest.raises(TypeError):
+        heavy_hitters(df, "s", theta=0.1)
