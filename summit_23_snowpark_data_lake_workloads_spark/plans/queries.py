@@ -1644,3 +1644,82 @@ def heavy_hitters_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         ev, F.floor(F.col("value")).cast("bigint"), theta=0.02
     )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all four grouping-set combinations of status x
+    priority) — the OLAP cross-tab sibling of the ROLLUP/GROUPING SETS
+    queries. Spark expands the cube map-side into the same single
+    shuffle as a plain groupBy (4x partial rows, tiny group count).
+    DECIMAL-cast money sums keep the total order-independent across
+    engines (round-1 float-sum lesson)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "customer_spend_distribution",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           total,
+           round(percent_rank() OVER (ORDER BY total, o_custkey), 6) AS pr,
+           round(cume_dist()    OVER (ORDER BY total, o_custkey), 6) AS cd
+    FROM spend
+    """,
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend with percent_rank / cume_dist over the whole
+    distribution — the percentile-position view behind "top-x%% customer"
+    segmentation. The customer key breaks rank ties so both engines see
+    one total order.
+
+    Scale caveat (declared): a global ORDER BY window is a single-task
+    sort at the limit; at 100 TB compute distribution position against
+    percentile-bucket boundaries (one small agg + broadcast join)
+    instead — the NTILE variant (``acctbal_ntile_quartiles``) shows the
+    bucketed form."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total")
+    )
+    w = W.orderBy("total", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
