@@ -1723,3 +1723,57 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    wau AS (
+        SELECT d.day, count(DISTINCT du.user_id) AS wau
+        FROM days d
+        JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+    SELECT dau.day, dau.dau, wau.wau,
+           round(dau.dau / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / trailing-7-day WAU / stickiness per day. Rolling
+    COUNT DISTINCT has no window form (distinct state isn't mergeable
+    across frames), so the scale-correct exact plan dedups to day-user
+    grain FIRST (the big shrink: |days| x |users| upper bound), then
+    fans each day-user row into the <= 7 window days it serves and
+    counts distinct per day — joins and aggs all on day-grain keys.
+    At 100 TB swap the distinct for a per-day HLL sketch union
+    (``events_approx_stats`` shows the sketch tier)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(
+                F.col("d.day") - F.expr("INTERVAL 6 DAYS"), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
