@@ -1637,3 +1637,62 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("final_keep"),
     ).drop("_src")
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -- u in (0,1) from a portable 53-bit hash; key = u^(1/w),
+               -- w = n_chars (longer docs proportionally likelier)
+               pow(
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                    + 1.0) / 4503599627370497.0,
+                   1.0 / n_chars
+               ) AS samp_key
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(samp_key, 9) AS samp_key
+    FROM (
+        SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY samp_key DESC, doc_id
+                  ) AS rn
+        FROM keyed
+    )
+    WHERE rn <= 3
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, top-3 per source
+    (Efraimidis-Spirakis A-Res: key = u^(1/w), take the largest keys),
+    with the randomness DERIVED FROM A HASH of the stable id — the
+    reproducible variant a training pipeline needs (same corpus in,
+    same sample out, any cluster size, no driver RNG state).
+
+    Scale: one codegen projection + per-stratum top-k window (partial
+    TakeOrdered per partition, then one shuffle on source). Weights
+    here are n_chars; swap in any positive score column."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    # 13 hex chars = 52 bits => fits a double exactly; +1 keeps u > 0
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4503599627370497.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pow(u, 1.0 / F.col("n_chars")).alias("samp_key"),
+    )
+    w = W.partitionBy("source").orderBy(F.desc("samp_key"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "source", "n_chars", F.round("samp_key", 9).alias("samp_key")
+        )
+    )
