@@ -358,7 +358,9 @@ class SnapshotTable:
         new_files = self._write_batch(survivors) if survivors.limit(1).count() else []
         return self._commit("delete", prev.version, new_files, remove=touched_rel)
 
-    def merge(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
+    def merge(
+        self, source: DataFrame, key_cols: list[str], txn: dict | None = None
+    ) -> Snapshot:
         """Row-level MERGE (upsert-by-key): matched target rows are
         replaced by their source row, unmatched survive, new keys
         insert. Only files holding matched keys are rewritten."""
@@ -379,7 +381,11 @@ class SnapshotTable:
         else:
             rewrite = source
         return self._commit(
-            "merge", prev.version, self._write_batch(rewrite), remove=touched_rel
+            "merge",
+            prev.version,
+            self._write_batch(rewrite),
+            remove=touched_rel,
+            txn=txn,
         )
 
     def rollback(self, version: int) -> Snapshot:
@@ -392,16 +398,26 @@ class SnapshotTable:
             replace_all=True,
         )
 
-    def compact(self, target_files: int) -> Snapshot:
+    def compact(self, target_files: int, preserve_order: bool = True) -> Snapshot:
         """Small-file compaction: rewrite the current data into
         ``target_files`` files. Pure metadata swap for readers —
-        same rows, new layout."""
+        same rows, new layout.
+
+        ``preserve_order=True`` (default) bin-packs via ``coalesce`` —
+        no shuffle, and file-local ordering survives, so a prior
+        ``cluster_zorder`` keeps its data-skipping power (Delta's
+        OPTIMIZE does the same). ``False`` hash-repartitions for
+        perfectly even output sizes at the cost of destroying any
+        clustering."""
         prev = self.snapshot()
+        cur = self.read()
+        packed = (
+            cur.coalesce(target_files)
+            if preserve_order
+            else cur.repartition(target_files)
+        )
         return self._commit(
-            "compact",
-            prev.version,
-            self._write_batch(self.read().repartition(target_files)),
-            replace_all=True,
+            "compact", prev.version, self._write_batch(packed), replace_all=True
         )
 
     def cluster_zorder(self, cols: list[str], n_files: int) -> Snapshot:

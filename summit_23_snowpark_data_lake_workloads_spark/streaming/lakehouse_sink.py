@@ -56,3 +56,39 @@ def write_stream_to_snapshot_table(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_stream_into_snapshot_table(
+    stream_df: DataFrame,
+    table: SnapshotTable,
+    key_cols: list[str],
+    app_id: str,
+    checkpoint: str,
+    processing_time: str | None = None,
+):
+    """Streaming UPSERT (CDC apply): each micro-batch row-level-MERGEs
+    into ``table`` by ``key_cols`` — later batches overwrite matching
+    keys, new keys insert. Same txn-stamp idempotency as the append
+    sink, so checkpoint replays cannot double-apply a batch; within a
+    batch the source must be unique per key (pre-aggregate a
+    last-write-wins if not). The table must already exist (MERGE needs
+    a schema to match against)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen = table.last_committed_batch(app_id)
+        if seen is not None and batch_id <= seen:
+            return
+        table.merge(
+            batch_df, key_cols, txn={"app_id": app_id, "batch_id": batch_id}
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -305,3 +305,61 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     y_pruned = len(t2.read(skip_where=[("y", ">=", 90)]).inputFiles())
     z_pruned = len(t.read(skip_where=[("y", ">=", 90)]).inputFiles())
     assert z_pruned < y_pruned, "z-order must beat 1-D sort on the 2nd dim"
+
+
+def test_compact_preserves_zorder_skipping(spark, tmp_path):
+    """Order-preserving compaction (coalesce bin-packing) must keep the
+    clustering's data-skipping power — a hash repartition here would
+    silently destroy the z-order investment."""
+    t = SnapshotTable(spark, str(tmp_path / "zc"))
+    t.create(
+        spark.range(10_000).select(
+            (F.col("id") % 100).alias("x"),
+            (F.col("id") / 100).cast("long").alias("y"),
+        )
+    )
+    t.cluster_zorder(["x", "y"], n_files=16)
+    t.compact(target_files=8, preserve_order=True)
+    total = len(t.snapshot().files)
+    assert total <= 8
+    pruned = len(t.read(skip_where=[("x", ">=", 90)]).inputFiles())
+    assert pruned < total, "skipping must survive order-preserving compaction"
+    assert t.read().count() == 10_000
+
+
+def test_streaming_merge_sink_upserts(spark, tmp_path):
+    """CDC-style streaming MERGE: per-batch upsert by key, idempotent
+    across batch replays."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        merge_stream_into_snapshot_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cdc"))
+    t.create(
+        spark.createDataFrame(
+            [Row(k=1, v="old1"), Row(k=2, v="old2"), Row(k=3, v="old3")]
+        )
+    )
+    src = tmp_path / "updates"
+    src.mkdir()
+    (src / "u1.json").write_text(
+        '{"k": 2, "v": "new2"}\n{"k": 9, "v": "new9"}\n'
+    )
+    stream = (
+        spark.readStream.schema("k long, v string").json(str(src))
+    )
+    q = merge_stream_into_snapshot_table(
+        stream, t, ["k"], "cdc-app", str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "old1"), (2, "new2"), (3, "old3"), (9, "new9")}
+    # replayed batch is a no-op
+    t.merge(
+        spark.createDataFrame([Row(k=2, v="evil")]),
+        ["k"],
+        txn={"app_id": "cdc-app", "batch_id": 0},
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "old1"), (2, "new2"), (3, "old3"), (9, "new9")
+    }
