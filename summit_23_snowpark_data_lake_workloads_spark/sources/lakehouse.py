@@ -63,6 +63,9 @@ class Snapshot:
     #: Delta txn action: a streaming writer stamps each commit so replays
     #: of the same micro-batch after a checkpoint restart are detectable
     txn: dict = None  # type: ignore[assignment]
+    #: per-file bloom bitsets {relpath: {col: hex}} for ``=`` skipping on
+    #: high-cardinality unsorted columns (range stats can't prune those)
+    blooms: dict = None  # type: ignore[assignment]
 
 
 def _footer_stats(abs_path: str) -> dict:
@@ -94,10 +97,55 @@ def _footer_stats(abs_path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins}
 
 
-def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
+_BLOOM_BITS = 8192  # 1 KiB/column/file; ~1% FP at ~850 distinct values
+_BLOOM_K = 4
+
+
+def _bloom_hashes(value) -> list[int]:
+    import hashlib
+
+    out = []
+    for salt in range(_BLOOM_K):
+        h = hashlib.md5(f"{salt}:{value!r}".encode()).digest()
+        out.append(int.from_bytes(h[:8], "big") % _BLOOM_BITS)
+    return out
+
+
+def _file_bloom(abs_path: str, cols: list[str]) -> dict:
+    """Per-column bloom filter over a file's values (hex-packed bitset).
+    Unlike footer stats this READS the indexed columns — a write-time
+    one-off, amortized over every point-lookup read after it (the
+    Delta/Iceberg bloom-index trade)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(abs_path, columns=[c for c in cols])
+    out = {}
+    for c in tbl.column_names:
+        bits = bytearray(_BLOOM_BITS // 8)
+        for v in tbl[c].to_pylist():
+            if v is None:
+                continue
+            for h in _bloom_hashes(v):
+                bits[h >> 3] |= 1 << (h & 7)
+        out[c] = bits.hex()
+    return out
+
+
+def _bloom_may_contain(bloom_hex: str, value) -> bool:
+    bits = bytes.fromhex(bloom_hex)
+    return all(bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value))
+
+
+def _file_may_match(
+    stats: dict | None, col: str, op: str, value, bloom: dict | None = None
+) -> bool:
     """Conservative skip test: False ONLY when the file's [min, max]
-    range proves no row can satisfy ``col op value``. Missing stats keep
-    the file (never an incorrect skip)."""
+    range (or, for ``=``, its bloom filter) proves no row can satisfy
+    ``col op value``. Missing stats keep the file (never an incorrect
+    skip)."""
+    if op == "=" and bloom and col in bloom:
+        if not _bloom_may_contain(bloom[col], value):
+            return False
     if not stats or col not in stats:
         return True
     lo, hi = stats[col]
@@ -127,9 +175,18 @@ class SnapshotTable:
     see the last committed version.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bloom_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
+        #: columns to bloom-index on every future write of THIS handle
+        #: (an index policy, not table state: existing files keep
+        #: whatever index they were written with)
+        self.bloom_cols = list(bloom_cols or [])
 
     # ---------------------------------------------------------------- io
 
@@ -172,7 +229,7 @@ class SnapshotTable:
             m = json.load(fh)
         return Snapshot(
             m["version"], m["timestamp_ms"], m["operation"], m["files"],
-            m.get("stats", {}), m.get("txn"),
+            m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
         )
 
     def _commit(
@@ -203,16 +260,25 @@ class SnapshotTable:
                     f"v{latest}; re-read and retry"
                 )
             if replace_all or not latest:
-                base_files, base_stats = [], {}
+                base_files, base_stats, base_blooms = [], {}, {}
             else:
                 base = self._load(latest)
-                base_files, base_stats = base.files, base.stats or {}
+                base_files = base.files
+                base_stats = base.stats or {}
+                base_blooms = base.blooms or {}
             files = [f for f in base_files if f not in remove] + add
-            # stats carry over with their file; new files get footer stats
+            # stats/blooms carry over with their file; new files get fresh
             stats = {f: base_stats[f] for f in base_files if f in base_stats}
+            blooms = {f: base_blooms[f] for f in base_files if f in base_blooms}
             for f in add:
                 stats[f] = _footer_stats(os.path.join(self.path, f))
-            stats = {f: s for f, s in stats.items() if f in set(files)}
+                if self.bloom_cols:
+                    blooms[f] = _file_bloom(
+                        os.path.join(self.path, f), self.bloom_cols
+                    )
+            live = set(files)
+            stats = {f: s for f, s in stats.items() if f in live}
+            blooms = {f: b for f, b in blooms.items() if f in live}
             if txn is not None:
                 # re-check idempotency inside the commit loop: a replayed
                 # micro-batch racing its twin must not double-append
@@ -221,7 +287,8 @@ class SnapshotTable:
                     return self._load(latest)
             next_v = latest + 1
             snap = Snapshot(
-                next_v, int(time.time() * 1000), operation, sorted(files), stats, txn
+                next_v, int(time.time() * 1000), operation, sorted(files),
+                stats, txn, blooms,
             )
             body = json.dumps(
                 {
@@ -230,6 +297,7 @@ class SnapshotTable:
                     "operation": snap.operation,
                     "files": snap.files,
                     "stats": snap.stats,
+                    **({"blooms": snap.blooms} if snap.blooms else {}),
                     **({"txn": snap.txn} if snap.txn else {}),
                 }
             )
@@ -274,11 +342,12 @@ class SnapshotTable:
         files = snap.files
         if skip_where:
             stats = snap.stats or {}
+            blooms = snap.blooms or {}
             files = [
                 f
                 for f in files
                 if all(
-                    _file_may_match(stats.get(f), c, op, v)
+                    _file_may_match(stats.get(f), c, op, v, blooms.get(f))
                     for (c, op, v) in skip_where
                 )
             ]

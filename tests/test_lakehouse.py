@@ -363,3 +363,42 @@ def test_streaming_merge_sink_upserts(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read().collect()} == {
         (1, "old1"), (2, "new2"), (3, "old3"), (9, "new9")
     }
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_path):
+    """Range stats can't prune '=' on a high-cardinality UNSORTED column
+    (every file spans ~the full range); the per-file bloom index must.
+    """
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable as ST,
+    )
+
+    t = ST(spark, str(tmp_path / "bloom"), bloom_cols=["uid"])
+    # hash-scrambled ids: each of 8 files spans nearly the full range,
+    # so [min,max] stats are useless for equality
+    t.create(
+        spark.range(20_000)
+        .select(F.xxhash64("id").alias("uid"), F.col("id").alias("payload"))
+        .repartition(8)
+    )
+    target = t.read().limit(1).collect()[0].uid
+    total = len(t.snapshot().files)
+    pruned = t.read(skip_where=[("uid", "=", int(target))])
+    assert len(pruned.inputFiles()) < total, "bloom must prune sibling files"
+    assert pruned.filter(F.col("uid") == target).count() >= 1
+    # absent key: bloom proves absence everywhere (modulo ~1% FP/file)
+    ghost = t.read(skip_where=[("uid", "=", 123456789)])
+    assert len(ghost.inputFiles() if ghost.count() else []) <= 1
+
+
+def test_bloom_survives_cow_carry_over(spark, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable as ST,
+    )
+
+    t = ST(spark, str(tmp_path / "bloomcow"), bloom_cols=["uid"])
+    t.create(spark.range(100).select(F.xxhash64("id").alias("uid")))
+    t.append(spark.range(100, 200).select(F.xxhash64("id").alias("uid")))
+    t.delete(F.col("uid") % 2 == 0)
+    snap = t.snapshot()
+    assert snap.blooms and set(snap.blooms) == set(snap.files)
