@@ -1777,3 +1777,35 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "events_type_trend",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, epoch(ts) - 1704067200), 6)     AS slope_per_sec,
+           round(regr_intercept(value, epoch(ts) - 1704067200), 6) AS intercept,
+           round(regr_r2(value, epoch(ts) - 1704067200), 6)        AS r2,
+           CAST(regr_count(value, epoch(ts) - 1704067200) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time (slope / intercept /
+    R^2) via the SQL regression aggregate family — "is this metric
+    drifting" in one pass, no ML library. Streaming moments like
+    corr/covar: constant per-group state, fully partial-aggregatable,
+    so the shuffle is 5 rows however large the fact table is."""
+    ev = _t(spark, sf_dir, "events")
+    # fractional epoch seconds (matches DuckDB epoch()), centered on the
+    # corpus start so the OLS normal equations stay well-conditioned —
+    # raw 1.7e9-magnitude x makes the intercept's cancellation visible
+    # at the 4th decimal across engines
+    x = F.col("ts").cast("double") - F.lit(1704067200.0)
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(v, x), 6).alias("slope_per_sec"),
+        F.round(F.regr_intercept(v, x), 6).alias("intercept"),
+        F.round(F.regr_r2(v, x), 6).alias("r2"),
+        F.regr_count(v, x).cast("bigint").alias("n"),
+    )
