@@ -307,11 +307,71 @@ def knn_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means centroids for IVF, trained with ``n_iters``
+    Lloyd rounds — deterministic end to end (seed centroids = the
+    ``n_cells`` lowest-id vectors; fixed iteration count; ties broken by
+    cent_id), so a trained index is still reproducible run-to-run.
+
+    Each round is two distributed passes, both scale-shaped:
+    assignment = |vectors| x n_cells broadcast-compare (argmax cosine);
+    update = posexplode to (cell, dim_idx) partial means — one groupBy
+    whose state is n_cells x dim doubles, collected to the driver only
+    at that size (KBs) to rebuild the broadcast centroid table.
+    Balanced cells are the point: seed centroids inherit corpus skew,
+    k-means spreads it (measured in ``test_dedup_similarity``).
+    """
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    )
+    flat = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "x")
+    )
+    spark = emb.sparkSession
+    for _ in range(n_iters):
+        pairs = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).crossJoin(F.broadcast(cents))
+        w_ = W.partitionBy("id").orderBy(
+            F.desc(F.round(cosine("v", "centv"), 9)), "cent_id"
+        )
+        assigned = (
+            pairs.withColumn("rk", F.row_number().over(w_))
+            .filter(F.col("rk") == 1)
+            .select("id", "cent_id")
+        )
+        means = (
+            flat.join(assigned, "id")
+            .groupBy("cent_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r.cent_id, {})[r.i] = r.m
+        rows = []
+        for cid, dims in sorted(by_cell.items()):
+            vec = [dims[i] for i in range(len(dims))]
+            norm = sum(v * v for v in vec) ** 0.5 or 1.0
+            rows.append((cid, [v / norm for v in vec]))
+        cents = spark.createDataFrame(
+            rows, "cent_id long, centv array<double>"
+        )
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF cell assignment: (id, cent_id, cell_rank) — each vector ranked
     against every centroid by cosine (rank 1 = its home cell).
@@ -324,8 +384,12 @@ def ivf_assign(
     |vectors| x n_cells pairs — linear in the table, the whole point
     of IVF vs the n² bucket-free search.
     """
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    cents = (
+        centroids
+        if centroids is not None
+        else emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+        )
     )
     pairs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).crossJoin(
         F.broadcast(cents)
@@ -347,8 +411,13 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN: search only the query's ``n_probe`` nearest cells.
+    ``train_iters > 0`` swaps the deterministic seed centroids for
+    spherical-k-means-refined ones (:func:`kmeans_centroids`) — same
+    plan, better-balanced cells; the oracle-gated declared query keeps
+    ``0`` so DuckDB can replay the partitioning.
 
     Candidates live in their rank-1 (home) cell; queries probe their
     ``n_probe`` top cells — the classic inverted-file recall/cost dial
@@ -360,7 +429,12 @@ def knn_ivf(
     the corpus clusters — mitigate with more cells); exact cosine runs
     only on |queries| x (n_probe/n_cells) x n fraction of pairs.
     """
-    assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    cents = (
+        kmeans_centroids(emb, n_cells, train_iters, id_col, vec_col)
+        if train_iters > 0
+        else None
+    )
+    assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=cents)
     home = assign.filter(F.col("cell_rank") == 1).select(
         F.col("id").alias("neighbor_id"), F.col("cent_id").alias("cell")
     )
