@@ -1696,3 +1696,41 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_chars", F.round("samp_key", 9).alias("samp_key")
         )
     )
+
+
+@query(
+    "source_length_mad",
+    oracle="""
+    WITH med AS (
+        SELECT source, median(n_chars) AS med_len
+        FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           round(any_value(m.med_len), 6) AS med_len,
+           round(median(abs(d.n_chars - m.med_len)), 6) AS mad_len,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN med m ON d.source = m.source
+    GROUP BY d.source
+    """,
+)
+def source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median absolute deviation of document length — the
+    robust dispersion screen (outlier-resistant, unlike stddev) run
+    before setting per-domain length cutoffs. A NESTED aggregation:
+    median first, join back on the group key, median of deviations —
+    both shuffles on the same small ``source`` key, co-partitioned."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_len")
+    )
+    return (
+        docs.join(med, "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.first("med_len"), 6).alias("med_len"),
+            F.round(
+                F.expr("percentile(abs(n_chars - med_len), 0.5)"), 6
+            ).alias("mad_len"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
