@@ -634,3 +634,201 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("total_lines"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+        SELECT p_partkey, s_acctbal, s_name, n_name, unit_cost,
+               min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM supply
+        JOIN part     ON l_partkey = p_partkey
+                     AND p_size <= 15 AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           round(unit_cost, 4) AS unit_cost
+    FROM regional WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table in
+    the testdata, so the part-supplier relationship and its supply cost
+    derive from lineitem — unit_cost = min observed l_extendedprice /
+    l_quantity per (part, supplier). Keeps Q2's signature shape: a
+    correlated per-part MIN over the region's suppliers deciding which
+    (part, supplier) rows survive.
+
+    Scale: the correlated subquery is re-expressed as a window MIN
+    partitioned by part over the already-joined regional supply rows —
+    one shuffle on l_partkey for the supply aggregate, the part filter
+    and all three dimension joins (part/supplier/nation+region)
+    broadcast BEFORE the window, so the window input is the filtered
+    subset, not the full supply table. No self-join of the aggregate
+    (the literal Q2 plan) — the window pass replaces it.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "PROMO")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = (
+        supply.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH scoped AS (
+        SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+    ), pv AS (
+        SELECT l_partkey AS p_partkey, sum(val) AS value_dec
+        FROM scoped GROUP BY l_partkey
+    )
+    SELECT p_partkey, round(value_dec, 2)::DOUBLE AS value
+    FROM pv
+    WHERE value_dec > (SELECT sum(val) * 0.001 FROM scoped)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: part value
+    held by a region's suppliers = sum of their lineitem extendedprice
+    (no partsupp availqty/supplycost in the testdata). Keeps Q11's
+    signature shape — GROUP BY with a HAVING threshold that is a scalar
+    subquery over the SAME scoped input (value > 0.1% of the global
+    total).
+
+    Scale: supplier/nation/region broadcast onto the fact scan; ONE
+    shuffle produces the per-part decimal sums; the global total is the
+    second-stage reduce of those partials (tiny), cross-joined back as
+    a broadcast scalar — the fact table is read and shuffled once, not
+    twice. Decimal addends make both sums order-independent.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    scoped = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("l_partkey"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        )
+    )
+    pv = scoped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("val").alias("value_dec")
+    )
+    total = pv.agg((F.sum("value_dec") * F.lit(0.001)).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select(
+            "p_partkey",
+            F.round("value_dec", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@query(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ), shares AS (
+        SELECT l_suppkey, qty,
+               sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM shipped
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shares WHERE qty > 0.3 * part_qty)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (suppliers with excess stock), adapted: no partsupp
+    availqty, so "excess" = the supplier shipped more than 30% of a
+    'red%' part's total 1996 volume. Keeps Q20's signature shape — a
+    semi-join on a nested, per-part-correlated aggregate threshold.
+
+    Scale: part filter broadcasts onto the fact scan (with the shipdate
+    range pushed to parquet); one shuffle on (l_partkey, l_suppkey) for
+    the per-pair sums; the per-part denominator is a window over those
+    (already small) aggregates, NOT a second fact shuffle; the surviving
+    supplier ids dedup and semi-join the supplier dim. Quantities are
+    integer-valued doubles, so the sums are exact and order-independent.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    shares = shipped.withColumn(
+        "part_qty", F.sum("qty").over(W.partitionBy("l_partkey"))
+    )
+    excess = (
+        shares.filter(F.col("qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
