@@ -1809,3 +1809,44 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(v, x), 6).alias("r2"),
         F.regr_count(v, x).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "events_variant_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY k_bucket
+    """,
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` ingests the raw JSON props into the binary variant
+    encoding once, ``variant_get`` extracts a typed field, and the
+    grouped aggregate runs on the extracted column. The modern
+    replacement for per-access ``get_json_object`` string re-parsing —
+    on a wide events table the variant decode happens once per row
+    however many fields the query touches.
+
+    Scale: variant parse + extraction are JVM-side codegen expressions
+    (no UDF); the groupBy shuffles 10 buckets of partial sums. Decimal
+    addends keep the sums order-independent across engines.
+    """
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(
+            (k % 10).alias("k_bucket"),
+            F.col("value").cast("decimal(18,6)").alias("val"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).cast("double").alias("total_value"),
+        )
+    )

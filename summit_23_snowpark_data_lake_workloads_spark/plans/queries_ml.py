@@ -1734,3 +1734,140 @@ def source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_offset
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / 512) AS BIGINT) AS seq_start,
+           CAST(floor((start_offset + n_tokens - 1) / 512) AS BIGINT) AS seq_end
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing plan: concatenate each
+    source's documents in doc_id order and cut the token stream into
+    fixed 512-token sequences. Emits, per document, its byte-free token
+    offset in the packed stream and the first/last sequence index it
+    lands in — the materialization map a sequence-builder job needs
+    (docs with seq_start != seq_end straddle a boundary).
+
+    Scale: ONE window pass (cumulative sum partitioned by source,
+    ordered by doc_id) computes every offset — no driver loop, no
+    sequential state; sources pack independently, so partitions
+    parallelize and a skewed giant source is one window partition, not
+    a global serial scan. Token counts are whitespace-split counts
+    (the JVM-side tokenizer tier from functions/text.py).
+    """
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    seq = F.lit(512)
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "start_offset",
+        F.floor(F.col("start_offset") / seq).alias("seq_start"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq).alias(
+            "seq_end"
+        ),
+    )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://WWW.' || source || '.example.com/doc/'
+                   || CAST(doc_id % 100 AS VARCHAR)
+                   || '?id=' || CAST(doc_id % 2 AS VARCHAR)
+                   || '&utm_source=feed&utm_medium=rss#sec' AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       '(?:[?&]utm_[^&#]*)+', ''
+                   ),
+                   '^https://www\\.', 'https://'
+               ) AS canonical_url
+        FROM urls
+    )
+    SELECT canonical_url,
+           min(doc_id) AS keep_doc_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL dedup (the first dedup tier of a scrape pipeline):
+    canonicalize URLs — lowercase, drop the fragment, strip utm_*
+    tracking params, collapse the www. host alias — then keep the
+    lowest doc_id per canonical URL. URLs are synthesized
+    deterministically from (source, doc_id) since the corpus has no URL
+    column; the canonicalization chain is the operator under test.
+
+    Scale: pure codegen string expressions (no UDF) + one groupBy on
+    the canonical URL — the same md5-bucketed shuffle shape as exact
+    text dedup; tracking-param noise never reaches the shuffle key.
+    Note the id=N param (non-utm) survives canonicalization, so only
+    URLs agreeing on BOTH path and retained params merge.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("?id="),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("&utm_source=feed&utm_medium=rss#sec"),
+        ).alias("url"),
+    )
+    canon = urls.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), r"#.*$", ""),
+                r"(?:[?&]utm_[^&#]*)+",
+                "",
+            ),
+            r"^https://www\.",
+            "https://",
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )

@@ -299,3 +299,62 @@ def test_doc_chunk_windows_single_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["doc_chunk_windows"](spark, sf_dir))
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, f"expected <=2 Exchange nodes, got {n_exchanges}"
+
+
+def test_q2_dimensions_broadcast_window_after_join(spark, sf_dir):
+    """Q2's correlated-MIN rewrite: all four dims broadcast onto the
+    supply aggregate (no sort-merge), so the window input is already
+    the filtered regional subset."""
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in final
+
+
+def test_q11_single_fact_shuffle(spark, sf_dir):
+    """Q11's global-threshold HAVING must not re-shuffle the fact: the
+    per-part aggregate is one hash shuffle; the total is a broadcast
+    scalar joined with a nested loop over one row."""
+    df = QUERIES["q11_important_parts"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in final
+    # exactly one shuffle keyed by the part (plus AQE's final sortless reads)
+    assert final.count("Exchange hashpartitioning(l_partkey") == 1
+
+
+def test_q20_date_range_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q20_excess_share_suppliers"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_one_window_shuffle_no_udf(spark, sf_dir):
+    """The packing map is a single cumulative-sum window: one hash
+    exchange on source, zero Python boundaries."""
+    plan = plan_of(QUERIES["sequence_packing"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
+
+
+def test_url_dedup_no_python_udf(spark, sf_dir):
+    """URL canonicalization must stay in codegen string expressions —
+    the regex chain is the operator, not a UDF."""
+    plan = plan_of(QUERIES["url_canonical_dedup"](spark, sf_dir))
+    assert "EvalPython" not in plan
+
+
+def test_variant_agg_pushes_type_filter_and_prunes(spark, sf_dir):
+    """The variant decode is JVM-side: no Python boundary, the
+    event_type IN filter reaches the scan, and unused columns
+    (user_id, ts) are pruned from the read schema."""
+    plan = plan_of(QUERIES["events_variant_agg"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "In(event_type" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "user_id" not in read
