@@ -18,6 +18,16 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def simple_plan_of(df) -> str:
+    """Simple-mode explain: each Exchange prints its partitioning inline,
+    so `Exchange hashpartitioning(<key>` is matchable on a single line
+    (formatted mode splits node name and arguments across sections)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def test_q1_filter_and_projection_pushed(spark, sf_dir):
     plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -319,12 +329,21 @@ def test_q11_single_fact_shuffle(spark, sf_dir):
     scalar joined with a nested loop over one row."""
     df = QUERIES["q11_important_parts"](spark, sf_dir)
     df.collect()
-    plan = plan_of(df)
-    final = plan.split("== Initial Plan ==")[0]
+    # simple-mode explain prints each Exchange with its partitioning
+    # inline on one line (formatted mode splits them across the tree and
+    # a node-details section, which made the old assertion misfire)
+    final = simple_plan_of(df).split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in final
-    # exactly one shuffle keyed by the part (plus AQE's final sortless reads)
-    assert final.count("Exchange hashpartitioning(l_partkey") == 1
+    # exactly one REAL fact shuffle on the part key; the total-sum branch
+    # must reuse it (ReusedExchange echoes the original node's text, so
+    # exclude those lines from the count)
+    real_fact_shuffles = [
+        l for l in final.splitlines()
+        if "Exchange hashpartitioning(l_partkey" in l and "ReusedExchange" not in l
+    ]
+    assert len(real_fact_shuffles) == 1, final
+    assert "ReusedExchange" in final, "total-sum branch must reuse the fact shuffle"
 
 
 def test_q20_date_range_pushed_to_scan(spark, sf_dir):
@@ -337,7 +356,8 @@ def test_q20_date_range_pushed_to_scan(spark, sf_dir):
 def test_sequence_packing_one_window_shuffle_no_udf(spark, sf_dir):
     """The packing map is a single cumulative-sum window: one hash
     exchange on source, zero Python boundaries."""
-    plan = plan_of(QUERIES["sequence_packing"](spark, sf_dir))
+    plan = simple_plan_of(QUERIES["sequence_packing"](spark, sf_dir))
+    # simple mode keeps the Exchange node and its partitioning on one line
     assert plan.count("Exchange hashpartitioning(source") == 1
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
 
