@@ -1760,16 +1760,26 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     days = du.select("day").distinct()
+    # Fan each day-user row into the <= 7 serving days it contributes to
+    # (explode of a 7-element sequence), then BROADCAST-equi-join against
+    # the tiny observed-days set to drop serving days with no events.
+    # Cost is |du| x 7, not |du| x |days|: the BETWEEN formulation would
+    # plan as a BroadcastNestedLoopJoin whose work grows with the day
+    # count — exactly what range_join_point_in_interval exists to avoid.
+    served = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
     wau = (
-        days.alias("d")
-        .join(
-            du.alias("u"),
-            F.col("u.day").between(
-                F.col("d.day") - F.expr("INTERVAL 6 DAYS"), F.col("d.day")
-            ),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("u.user_id").alias("wau"))
+        served.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
     return dau.join(wau, "day").select(
         "day",

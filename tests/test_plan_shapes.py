@@ -362,6 +362,16 @@ def test_sequence_packing_one_window_shuffle_no_udf(spark, sf_dir):
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
 
 
+def test_dau_wau_day_fanout_no_nested_loop(spark, sf_dir):
+    """The trailing-7-day WAU must fan day-user rows into serving days
+    (explode + broadcast equi-join on day), never a BETWEEN nested loop
+    whose cost grows with the day count."""
+    plan = plan_of(QUERIES["events_dau_wau"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan and "explode" in plan  # the 7-day fanout
+
+
 def test_url_dedup_no_python_udf(spark, sf_dir):
     """URL canonicalization must stay in codegen string expressions —
     the regex chain is the operator, not a UDF."""
