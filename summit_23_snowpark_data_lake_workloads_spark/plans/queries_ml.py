@@ -1815,7 +1815,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(
                    regexp_replace(
                        regexp_replace(lower(url), '#.*$', ''),
-                       '(?:[?&]utm_[^&#]*)+', ''
+                       '(?:[?&]utm_[^&#]*)+', '', 'g'
                    ),
                    '^https://www\\.', 'https://'
                ) AS canonical_url

@@ -722,7 +722,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey, round(value_dec, 2)::DOUBLE AS value
     FROM pv
-    WHERE value_dec > (SELECT sum(val) * 0.001 FROM scoped)
+    WHERE value_dec * 1000 > (SELECT sum(val) FROM scoped)
     ORDER BY value DESC, p_partkey
     """,
 )
@@ -756,10 +756,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = scoped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum("val").alias("value_dec")
     )
-    total = pv.agg((F.sum("value_dec") * F.lit(0.001)).alias("threshold"))
+    # threshold comparison stays in exact decimal on BOTH engines:
+    # value_dec * 1000 > grand_total (a double 0.001 multiplier could
+    # flip the > for a part landing within rounding distance of 0.1%)
+    total = pv.agg(F.sum("value_dec").alias("grand_total"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") > F.col("threshold"))
+        .filter(F.col("value_dec") * F.lit(1000) > F.col("grand_total"))
         .select(
             "p_partkey",
             F.round("value_dec", 2).cast("double").alias("value"),
