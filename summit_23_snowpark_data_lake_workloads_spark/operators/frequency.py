@@ -53,10 +53,21 @@ def heavy_hitters(df: DataFrame, key, theta: float = 0.01) -> DataFrame:
             counts.update(pdf["k"].value_counts().to_dict())
         cut = theta * n
         cand = [k for k, c in counts.items() if c > cut]
-        yield pd.DataFrame({"k": pd.Series(cand, dtype="int64")})
+        # one sentinel row (k NULL) carries this partition's row count,
+        # so the global N falls out of pass 1 — no separate count() scan
+        yield pd.DataFrame(
+            {
+                "k": pd.array(cand + [None], dtype="Int64"),
+                "rows": pd.array([None] * len(cand) + [n], dtype="Int64"),
+            }
+        )
 
-    candidates = keyed.mapInPandas(local_candidates, "k long").distinct()
-    total = keyed.count()
+    # pass-1 output is tiny (candidates + one sentinel per partition);
+    # persist it so reading the total and the candidate join don't each
+    # re-scan the fact table through mapInPandas
+    pass1 = keyed.mapInPandas(local_candidates, "k long, rows long").persist()
+    total = pass1.agg(F.sum("rows")).first()[0] or 0
+    candidates = pass1.filter(F.col("k").isNotNull()).select("k").distinct()
     return (
         keyed.join(F.broadcast(candidates), "k")
         .groupBy("k")

@@ -208,6 +208,37 @@ def test_heavy_hitters_equals_naive_groupby(spark):
     assert got == want and got, f"two-pass {got} != naive {want}"
 
 
+def test_heavy_hitters_candidates_from_cache_not_rescan(spark):
+    """Pass 1 must be scanned once: the broadcast candidate side of the
+    pass-2 join reads the persisted pass-1 output (InMemoryTableScan),
+    never a second mapInPandas pass over the fact — and the fact itself
+    appears exactly once in the final plan (the recount join)."""
+    import contextlib
+    import io
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.frequency import (
+        heavy_hitters,
+    )
+
+    df = (
+        spark.range(5_000)
+        .select((F.pmod(F.col("id"), 20)).alias("k"))
+        .repartition(8)
+    )
+    out = heavy_hitters(df, "k", theta=0.03)
+    out.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in plan, plan
+    # MapInPandas may appear only BELOW the InMemoryTableScan node, i.e.
+    # as the cached relation's plan description — never as an executed
+    # node of the pass-2 query itself
+    assert plan.index("InMemoryTableScan") < plan.index("MapInPandas"), plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_heavy_hitters_rejects_non_bigint(spark):
     import pytest
     from summit_23_snowpark_data_lake_workloads_spark.operators.frequency import (
