@@ -70,21 +70,37 @@ def shingle_table(
     return sh
 
 
-def _all_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Every shingle occurrence (WITH duplicates): (id, shingle). The
-    multiset variant backing frequency reports; ``shingle_table`` is the
-    distinct variant backing similarity."""
+def token_ngram_base(
+    df: DataFrame, id_col: str, text_col: str, max_n: int
+) -> DataFrame:
+    """One tokenize + ONE lead-window pass producing
+    (id, token, t1..t{max_n-1}) — the shared base from which every n-gram
+    width up to ``max_n`` stitches for free. Pipelines needing several
+    widths (3-gram dedup + 5-gram decontamination) persist this once
+    instead of paying the partitionBy(id) window shuffle per width."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
     )
     w = W.partitionBy("id").orderBy("pos")
-    leads = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, n)]
-    stitched = tok.select("id", "token", *leads).filter(F.col(f"t{n - 1}").isNotNull())
-    return stitched.select(
+    leads = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, max_n)]
+    return tok.select("id", "token", *leads)
+
+
+def ngrams_from_base(base: DataFrame, n: int) -> DataFrame:
+    """Multiset n-grams (id, shingle) stitched from a
+    :func:`token_ngram_base` built with ``max_n >= n``."""
+    return base.filter(F.col(f"t{n - 1}").isNotNull()).select(
         "id",
         F.concat_ws(" ", "token", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
     )
+
+
+def _all_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Every shingle occurrence (WITH duplicates): (id, shingle). The
+    multiset variant backing frequency reports; ``shingle_table`` is the
+    distinct variant backing similarity."""
+    return ngrams_from_base(token_ngram_base(df, id_col, text_col, n), n)
 
 
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -118,6 +134,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard).
 
@@ -126,8 +143,12 @@ def ngram_jaccard_pairs(
     The shingle join is an ordinary shuffle join — fully distributed, but
     quadratic in docs-per-shingle; at scale run it only on LSH candidates
     (see :func:`minhash_lsh_pairs`).
+
+    ``shingles`` lets callers share one (ideally persisted) distinct
+    shingle table — this plan reads it three times (both self-join sides
+    plus the per-doc sizes).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

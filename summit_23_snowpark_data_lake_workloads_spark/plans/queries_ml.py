@@ -1532,10 +1532,10 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.dedup import (
-        _all_shingles,
         connected_components,
         ngram_jaccard_pairs,
-        shingle_table,
+        ngrams_from_base,
+        token_ngram_base,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1551,24 +1551,27 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("keep_exact"),
     )
 
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # ONE tokenize + lead-window pass (persisted) feeds every text-derived
+    # branch: word stats, 3-gram dup fraction, 3-gram Jaccard dedup, and
+    # the 5-gram decontamination shingles — previously each branch re-ran
+    # the tokenize + window shuffle from the parquet scan.
+    base = token_ngram_base(docs, "doc_id", "text", max_n=5).persist()
+    sh3_all = ngrams_from_base(base, 3)
+    sh3 = sh3_all.distinct().persist()
+
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, shingles=sh3
+    )
     clus = connected_components(pairs, docs, id_col="doc_id").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
 
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    )
-    wstats = words.groupBy("doc_id").agg(
+    wstats = base.groupBy(F.col("id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.avg(F.length("word")).alias("mwl"),
+        F.avg(F.length("token")).alias("mwl"),
     )
-    gstats = (
-        _all_shingles(docs, "doc_id", "text", 3)
-        .groupBy(F.col("id").alias("doc_id"))
-        .agg(
-            (1.0 - F.countDistinct("shingle") / F.count(F.lit(1))).alias("dupf")
-        )
+    gstats = sh3_all.groupBy(F.col("id").alias("doc_id")).agg(
+        (1.0 - F.countDistinct("shingle") / F.count(F.lit(1))).alias("dupf")
     )
     qual = wstats.join(gstats, "doc_id", "left").select(
         "doc_id",
@@ -1582,7 +1585,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality_pass"),
     )
 
-    sh5 = shingle_table(docs, "doc_id", "text", 5).join(
+    sh5 = ngrams_from_base(base, 5).distinct().join(
         docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
     bench = sh5.filter(F.col("source") == "src0").select(
