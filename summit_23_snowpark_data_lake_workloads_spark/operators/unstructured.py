@@ -7,10 +7,21 @@ row-at-a-time Python UDF opening staged files via SnowflakeFile. Here the
 round-trip, one Arrow batch per ~10k rows).
 
 Extraction strategy: ``pypdf`` when installed (the modern successor of
-the reference's pinned PyPDF2); otherwise a stdlib fallback that handles
-simple PDFs (uncompressed or FlateDecode content streams, Tj/TJ text
-operators) — enough for the invoice-style single-page documents the
-reference processes, and fully deterministic for tests.
+the reference's pinned PyPDF2); otherwise a stdlib fallback with two
+tiers:
+
+1. **CMap-aware** (the real-corpus path): walks page 0's object graph
+   (Catalog -> Pages -> Page -> Resources/Fonts/Contents), parses each
+   font's /ToUnicode CMap (beginbfchar / beginbfrange entries, UTF-16BE
+   targets), then replays the content stream in order — tracking the
+   current font through ``Tf`` — and maps every ``Tj``/``TJ`` string
+   byte through the active CMap. The reference's actual invoice corpus
+   (``data/invoice/*.pdf``, produced by PyPDF2) uses subset TrueType
+   fonts with non-identity encodings, so raw ``Tj`` bytes are
+   gibberish without this.
+2. **Raw-latin1** (fixture path): when no /ToUnicode fonts exist, join
+   ``Tj``/``TJ`` strings as latin-1 — handles the uncompressed
+   synthetic fixtures deterministically.
 """
 
 from __future__ import annotations
@@ -36,10 +47,10 @@ def _unescape(raw: bytes) -> bytes:
     return raw
 
 
-def _fallback_extract(data: bytes) -> str:
-    """Minimal stdlib extractor: first page's content streams, Tj/TJ strings
-    joined with single spaces (matching the single-space layout the
-    reference's SPLIT_PART parser expects, ``3BC:3-11``)."""
+def _raw_extract(data: bytes) -> str:
+    """Raw tier: every stream's Tj/TJ strings as latin-1, joined with
+    single spaces (matches the single-space layout the synthetic fixture
+    PDFs encode and the SPLIT_PART parser expects, ``3BC:3-11``)."""
     pieces: list[bytes] = []
     for m in _STREAM_RE.finditer(data):
         body = m.group(1)
@@ -53,6 +64,138 @@ def _fallback_extract(data: bytes) -> str:
             for s in _STR_RE.finditer(arr.group(1)):
                 pieces.append(_unescape(s.group(1)))
     return " ".join(p.decode("latin-1") for p in pieces)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
+)
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.DOTALL)
+_FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_CS_OP_RE = re.compile(
+    rb"/(\w+)\s+[\d.]+\s+Tf"  # group 1: font select
+    rb"|\(((?:\\.|[^\\()])*)\)\s*(?:Tj|')"  # group 2: literal show
+    rb"|\[((?:\\.|[^\]])*)\]\s*TJ",  # group 3: array show
+    re.DOTALL,
+)
+
+
+def _u16(hexbytes: bytes) -> str:
+    return bytes.fromhex(hexbytes.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """(code -> text, code byte-width) from a /ToUnicode CMap stream."""
+    out: dict[int, str] = {}
+    m = _CODESPACE_RE.search(cmap)
+    width = len(m.group(1)) // 2 if m else 1
+    for seg in _BFCHAR_RE.findall(cmap):
+        hexes = _HEX_RE.findall(seg)
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            out[int(src, 16)] = _u16(dst)
+    for seg in _BFRANGE_RE.findall(cmap):
+        for lo, hi, dst in _BFRANGE_ENTRY_RE.findall(seg):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if dst.startswith(b"["):  # explicit per-code targets
+                targets = _HEX_RE.findall(dst)
+                for i, t in enumerate(targets[: hi_i - lo_i + 1]):
+                    out[lo_i + i] = _u16(t)
+            else:
+                base = int(dst.strip(b"<>"), 16)
+                for c in range(lo_i, hi_i + 1):
+                    out[c] = chr(base + (c - lo_i))
+    return out, width
+
+
+def _resolve(objs: dict[int, bytes], body: bytes, key: bytes) -> bytes | None:
+    """Value of ``/key`` in a dict body: inline ``<<..>>`` is returned
+    as-is; an ``N 0 R`` indirect reference is chased one level."""
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+0\s+R", body)
+    if m:
+        return objs.get(int(m.group(1)))
+    m = re.search(re.escape(key) + rb"\s*(<<.*?>>)", body, re.DOTALL)
+    return m.group(1) if m else None
+
+
+def _stream_of(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    raw = m.group(1)
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def _decode_with_cmap(raw: bytes, cmap: dict[int, str], width: int) -> str:
+    if width == 2:
+        codes = [
+            int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)
+        ]
+    else:
+        codes = list(raw)
+    return "".join(cmap.get(c, "") for c in codes)
+
+
+def _cmap_extract(data: bytes) -> str | None:
+    """CMap tier: decode page 0 through its fonts' /ToUnicode maps.
+    Returns None when the PDF has no usable ToUnicode fonts (caller
+    falls through to the raw tier)."""
+    objs = {int(n): b for n, b in _OBJ_RE.findall(data)}
+    page = next(
+        (b for b in objs.values() if re.search(rb"/Type\s*/Page[^s]", b)), None
+    )
+    if page is None:
+        return None
+    res = _resolve(objs, page, b"/Resources")
+    if res is None:
+        return None
+    fontdict = _resolve(objs, res, b"/Font")
+    if fontdict is None:
+        return None
+    fonts: dict[bytes, tuple[dict[int, str], int]] = {}
+    for name, ref in _FONT_REF_RE.findall(fontdict):
+        fobj = objs.get(int(ref))
+        if fobj is None:
+            continue
+        tou = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
+        if tou is None:
+            continue
+        cmap_stream = _stream_of(objs.get(int(tou.group(1)), b""))
+        if cmap_stream:
+            fonts[name] = _parse_tounicode(cmap_stream)
+    if not fonts:
+        return None
+    # page /Contents: single ref or array of refs, replayed in order
+    refs = re.search(rb"/Contents\s+((?:\[[^\]]*\])|(?:\d+\s+0\s+R))", page)
+    if refs is None:
+        return None
+    content = b"".join(
+        _stream_of(objs.get(int(r), b"")) or b""
+        for r in re.findall(rb"(\d+)\s+0\s+R", refs.group(1))
+    )
+    pieces: list[str] = []
+    current: tuple[dict[int, str], int] | None = None
+    for m in _CS_OP_RE.finditer(content):
+        if m.group(1) is not None:
+            current = fonts.get(m.group(1))
+        elif m.group(2) is not None and current is not None:
+            pieces.append(_decode_with_cmap(_unescape(m.group(2)), *current))
+        elif m.group(3) is not None and current is not None:
+            for s in _STR_RE.finditer(m.group(3)):
+                pieces.append(_decode_with_cmap(_unescape(s.group(1)), *current))
+    # PyPDF2-0.x extract_text semantics: show-strings concatenate with no
+    # injected separator — spaces come from the space glyphs themselves
+    return "".join(pieces)
+
+
+def _fallback_extract(data: bytes) -> str:
+    text = _cmap_extract(data)
+    return text if text is not None else _raw_extract(data)
 
 
 def extract_pdf_text_bytes(data: bytes) -> str:
