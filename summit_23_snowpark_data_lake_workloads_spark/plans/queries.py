@@ -1726,6 +1726,72 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spend_distribution_bucketed",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total
+        FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+        SELECT quantile_cont(total, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM spend
+    ),
+    bucketed AS (
+        SELECT 1 + len(list_filter(b.bs, x -> s.total > x)) AS decile, s.total
+        FROM spend s CROSS JOIN bounds b
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           round(min(total), 2) AS spend_min,
+           round(max(total), 2) AS spend_max,
+           round(sum(total), 2) AS spend_sum
+    FROM bucketed GROUP BY decile
+    """,
+)
+def spend_distribution_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile view of customer spend — the scale-shaped twin of
+    ``customer_spend_distribution``. Instead of ranking every customer
+    through one global ORDER BY window (a single-task sort at 100 TB),
+    compute the 9 exact decile boundaries with one tiny ``percentile``
+    aggregation (9 doubles), broadcast them back over the spend table,
+    and assign each row its decile with an array filter — then roll up
+    per decile. Two shuffles total (custkey agg, decile agg), no Window,
+    no single-partition sort; the boundary join is a broadcast of one
+    row.
+
+    Both engines interpolate boundaries the same way (``(n-1)*p`` linear
+    interpolation: Spark exact ``percentile`` == DuckDB
+    ``quantile_cont``), and bucket assignment uses strict ``>`` against
+    the shared boundaries, so the gate is exact, not tolerance-based."""
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total")
+        )
+        .persist()
+    )
+    bounds = spend.agg(
+        F.expr(
+            "percentile(total, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    bucketed = spend.crossJoin(F.broadcast(bounds)).select(
+        (1 + F.size(F.filter("bs", lambda x: F.col("total") > x))).alias("decile"),
+        "total",
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("total"), 2).alias("spend_min"),
+        F.round(F.max("total"), 2).alias("spend_max"),
+        F.round(F.sum("total"), 2).alias("spend_sum"),
+    )
+
+
+@query(
     "events_dau_wau",
     oracle="""
     WITH du AS (

@@ -388,3 +388,16 @@ def test_variant_agg_pushes_type_filter_and_prunes(spark, sf_dir):
     assert "In(event_type" in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "user_id" not in read
+
+
+def test_spend_distribution_bucketed_no_window_no_global_sort(spark, sf_dir):
+    """The bucketed decile view must avoid the single-task global sort
+    its windowed twin (customer_spend_distribution) declares as a scale
+    caveat: no Window exec, no SinglePartition exchange feeding a sort,
+    and the one-row boundary table joined via broadcast."""
+    plan = plan_of(QUERIES["spend_distribution_bucketed"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan  # no global ORDER BY
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds side, broadcast
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
