@@ -12,10 +12,15 @@ Layout::
       _manifests/v0000000001.json    one manifest per committed version
 
 A manifest lists the exact data files of one table version. Commits are
-atomic via exclusive-create (``open(..., "x")``) of the next manifest:
-two writers racing on the same version — one wins, the loser retries on
-the next number (optimistic concurrency, the Delta protocol's commit
-rule). Readers never lock: a manifest, once written, is immutable.
+atomic via a pluggable :class:`CommitProtocol` (default: POSIX
+exclusive-create of the next manifest): two writers racing on the same
+version — one wins, the loser retries on the next number (optimistic
+concurrency, the Delta protocol's commit rule). Object stores need a
+different protocol for the same one-winner property — S3 conditional
+PUT, or a DynamoDB-style lock (:class:`LockedCommit`); bare PUT/rename
+is last-writer-wins and loses updates (demonstrated in
+``tests/test_lakehouse.py``). Readers never lock: a manifest, once
+written, is immutable.
 
 Scale posture: every metadata operation is O(#files) driver-side JSON —
 the identical cost model Delta/Iceberg accept (at 100 TB with 128 MB
@@ -46,6 +51,80 @@ class ConcurrentWriteError(RuntimeError):
     the operation does not commute (Delta's conflict rule: appends
     rebase, everything else aborts for the caller to retry on fresh
     state)."""
+
+
+class CommitProtocol:
+    """The atomic-visibility seam: how the next manifest becomes the one
+    winner for its version number.
+
+    The whole optimistic-concurrency design rests on a single property:
+    **at most one writer's** ``publish(path, body)`` **returns True per
+    path**. What supplies that property differs by storage backend:
+
+    - **POSIX / HDFS** — ``O_EXCL`` exclusive create
+      (:class:`PosixCommit`, the default here).
+    - **S3 (conditional writes) / GCS / Azure** — conditional PUT
+      (``If-None-Match: *`` / ``x-goog-if-generation-match: 0``): the
+      same one-winner contract, expressed as a precondition header.
+      Subclass with the object-store client of your deployment.
+    - **S3 without conditional writes** — plain PUT is last-writer-wins
+      and cannot provide the property by itself; an external lock
+      service (the DynamoDB row Delta-on-S3 uses) must serialize
+      publication: :class:`LockedCommit` wraps any non-atomic store
+      with such a mutex.
+
+    :class:`OverwritingCommit` (models bare PUT / non-atomic rename)
+    exists ONLY to demonstrate in tests the lost-update anomaly the
+    seam prevents — never ship it unwrapped.
+    """
+
+    def publish(self, path: str, body: str) -> bool:
+        """Atomically make ``body`` the content of ``path`` iff nothing
+        has been published there; True = this writer won."""
+        raise NotImplementedError
+
+
+class PosixCommit(CommitProtocol):
+    """Exclusive create — atomic on POSIX filesystems and HDFS."""
+
+    def publish(self, path: str, body: str) -> bool:
+        try:
+            with open(path, "x") as fh:
+                fh.write(body)
+            return True
+        except FileExistsError:
+            return False
+
+
+class OverwritingCommit(CommitProtocol):
+    """Write-to-temp + rename, as a bare object-store PUT behaves:
+    last-writer-wins, every caller told it succeeded. Deliberately
+    UNSAFE — the test double that shows why the seam exists."""
+
+    def publish(self, path: str, body: str) -> bool:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(body)
+        os.replace(tmp, path)  # clobbers an existing winner silently
+        return True
+
+
+class LockedCommit(CommitProtocol):
+    """Check-then-put under an external mutex — the shape of the
+    DynamoDB-lock commit service for S3 deployments without conditional
+    PUT. ``lock`` is any context manager giving mutual exclusion across
+    writers (a lock table row in production; ``threading.Lock`` in
+    tests)."""
+
+    def __init__(self, lock, inner: CommitProtocol):
+        self.lock = lock
+        self.inner = inner
+
+    def publish(self, path: str, body: str) -> bool:
+        with self.lock:
+            if os.path.exists(path):
+                return False
+            return self.inner.publish(path, body)
 
 
 @dataclass(frozen=True)
@@ -180,6 +259,7 @@ class SnapshotTable:
         spark: SparkSession,
         path: str,
         bloom_cols: list[str] | None = None,
+        commit_protocol: CommitProtocol | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -187,6 +267,10 @@ class SnapshotTable:
         #: (an index policy, not table state: existing files keep
         #: whatever index they were written with)
         self.bloom_cols = list(bloom_cols or [])
+        #: how manifests become visible — see :class:`CommitProtocol`
+        #: for the per-backend story (POSIX O_EXCL here; S3 conditional
+        #: PUT or a DynamoDB-style lock at the 100 TB deployment)
+        self.commit_protocol = commit_protocol or PosixCommit()
 
     # ---------------------------------------------------------------- io
 
@@ -301,12 +385,9 @@ class SnapshotTable:
                     **({"txn": snap.txn} if snap.txn else {}),
                 }
             )
-            try:
-                with open(self._manifest_path(next_v), "x") as fh:
-                    fh.write(body)
+            if self.commit_protocol.publish(self._manifest_path(next_v), body):
                 return snap
-            except FileExistsError:
-                continue  # lost the race; retry against the new latest
+            continue  # lost the race; retry against the new latest
 
     def _write_batch(self, df: DataFrame) -> list[str]:
         """Write ``df`` as a new immutable batch dir; return the parquet
