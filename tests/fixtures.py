@@ -281,3 +281,58 @@ def make_pdf(text: str, compress: bool = False) -> bytes:
         + b"\n%%EOF"
     )
     return b"\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# Minimal valid image containers (stdlib-built) for the multimodal header
+# probe: real magic bytes + real dimension fields, tiny payloads.
+# --------------------------------------------------------------------------
+
+
+def make_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """A minimal spec-valid PNG: signature, IHDR, one IDAT of zlib-packed
+    zero scanlines, IEND. color_type 2 = RGB (3 channels)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * (width * channels)) * height  # filter-0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(width: int, height: int, channels: int = 3) -> bytes:
+    """A structurally valid JPEG prefix: SOI, APP0/JFIF, then a SOF0 frame
+    header carrying the dimensions (what a header probe reads), truncated
+    before entropy data — enough for any marker-walking parser."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0_body = struct.pack(">BHHB", 8, height, width, channels) + bytes(
+        b for c in range(channels) for b in (c + 1, 0x11, 0)
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_body)) + sof0_body
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF89a logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"

@@ -45,3 +45,60 @@ def test_strict_decoder_raises(media):
 def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_n=10).collect()
     assert {(r.media_id, r.frame_idx) for r in frames} == {(3, 0), (3, 10), (3, 20)}
+
+
+# ---------------------------------------------------------------------------
+# Header-probe tier (VERDICT r2 #10): real stdlib decode of PNG/JPEG/GIF
+# container metadata — the one decode step that needs no codec library.
+# ---------------------------------------------------------------------------
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.multimodal import (  # noqa: E402
+    parse_image_header,
+    probe_media_headers,
+)
+
+from . import fixtures as FX  # noqa: E402
+
+
+def test_parse_image_header_pure():
+    assert parse_image_header(FX.make_png(64, 48, color_type=2)) == ("png", 64, 48, 3)
+    assert parse_image_header(FX.make_png(7, 9, color_type=6)) == ("png", 7, 9, 4)
+    assert parse_image_header(FX.make_jpeg(320, 200, channels=3)) == (
+        "jpeg", 320, 200, 3,
+    )
+    assert parse_image_header(FX.make_jpeg(16, 16, channels=1)) == ("jpeg", 16, 16, 1)
+    assert parse_image_header(FX.make_gif(12, 34)) == ("gif", 12, 34, 3)
+    # malformed inputs classify as None, never raise
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXX") is None
+    assert parse_image_header(b"\xff\xd8\x00garbage") is None
+    assert parse_image_header(FX.make_jpeg(320, 200)[:6]) is None
+    assert parse_image_header(b"RIFF not an image") is None
+
+
+def test_probe_media_headers_spark(spark):
+    rows = [
+        (0, "image", FX.make_png(64, 48), {}),
+        (1, "image", FX.make_jpeg(320, 200), {}),
+        (2, "image", FX.make_gif(12, 34), {}),
+        (3, "image", b"corrupt not an image", {}),
+        (4, "audio", b"RIFF fake wav", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in probe_media_headers(media).collect()}
+    assert len(out) == 5
+    assert (out[0].format, out[0].width, out[0].height, out[0].channels) == (
+        "png", 64, 48, 3,
+    )
+    assert (out[1].format, out[1].width, out[1].height) == ("jpeg", 320, 200)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 12, 34)
+    # unrecognized payloads are kept with NULL classification
+    assert out[3].format is None and out[3].width is None
+    assert out[4].format is None
+    assert all(r.n_bytes > 0 for r in out.values())
+
+
+def test_headers_decoder_routes_from_feature_entrypoint(spark):
+    media = spark.createDataFrame([(0, "image", FX.make_png(5, 5), {})], MEDIA_SCHEMA)
+    out = extract_media_features(media, decoder="headers").collect()
+    assert out[0].format == "png" and out[0].width == 5
