@@ -1747,10 +1747,10 @@ def source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), packed AS (
         SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (
+               CAST(sum(n_tokens) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) - n_tokens AS start_offset
+               ) - n_tokens AS BIGINT) AS start_offset
         FROM toks
     )
     SELECT doc_id, source, n_tokens, start_offset,

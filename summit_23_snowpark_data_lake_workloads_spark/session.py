@@ -74,9 +74,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.caseSensitive", "false")
-        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp type, so read as long and convert at the source loader
+        # testdata events.parquet vintages: TIMESTAMP(NANOS) (read as long,
+        # converted at the source loader) or timezone-less TIMESTAMP(MICROS)
+        # (inferTimestampNTZ=false reads it as plain TimestampType —
+        # TIMESTAMP_NTZ breaks event-time watermarks and unix_micros paths)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -39,29 +39,48 @@ TESTDATA_TABLES = [
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing physical quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos-epoch
-    long, which we convert to a proper TimestampType (values carry only
-    microsecond precision, so the division is lossless — and matches what
-    DuckDB's ns->us truncation produces on the oracle side).
+    The driver has regenerated ``events.parquet`` across rounds with two
+    physical encodings for ``ts``; both normalize to a plain
+    ``TimestampType`` here so every downstream consumer (event-time
+    streaming ``withWatermark``, ``unix_micros``, window specs) sees one
+    type regardless of which testdata vintage is mounted:
+
+    - parquet TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      it arrives as a nanos-epoch long; convert via ``timestamp_micros``
+      (values carry only microsecond precision, so the ``div 1000`` is
+      lossless — and matches DuckDB's ns->us truncation on the oracle side).
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): PySpark 4 infers
+      ``TIMESTAMP_NTZ`` by default; cast to ``timestamp``. The session
+      timezone is pinned UTC so the cast is value-preserving, and NTZ is
+      rejected by ``withWatermark`` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if name == "events":
         # the caller's session may not be ours (the grading driver builds
-        # its own): nanosAsLong is runtime-settable, so claim it here —
-        # without it the scan itself throws PARQUET_TYPE_ILLEGAL. Session
-        # timezone must be UTC as well: the ns-long -> timestamp_micros
-        # conversion yields a zoned TimestampType, and any other zone
-        # would render every event timestamp shifted relative to the
-        # timezone-naive oracle values.
+        # its own): these confs are runtime-settable, so claim them here.
+        # nanosAsLong keeps old TIMESTAMP(NANOS) encodings scannable
+        # (without it the scan throws PARQUET_TYPE_ILLEGAL);
+        # inferTimestampNTZ=false makes timezone-less MICROS encodings
+        # arrive directly as TimestampType, keeping ts predicates
+        # pushdown-eligible instead of hiding them behind a cast. Session
+        # timezone must be UTC: both normalizations go through an
+        # epoch-anchored TimestampType, and any other zone would render
+        # event timestamps shifted relative to the timezone-naive oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div, not /: float division ROUNDS the ns residue while
         # DuckDB (and any ns->us cast) TRUNCATES — 1us mismatches otherwise
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # belt-and-braces: if any timestamp_ntz column slipped through (e.g. a
+    # session that rejects the inferTimestampNTZ conf), cast it in-plan
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

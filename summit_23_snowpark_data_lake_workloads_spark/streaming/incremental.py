@@ -12,6 +12,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize event-time columns to plain ``TimestampType``.
+
+    A schema-inferred source (parquet/json file stream built outside
+    :func:`..sources.batch.read_table`) can deliver ``TIMESTAMP_NTZ``,
+    which ``withWatermark`` rejects with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    The session timezone is pinned UTC, so the cast is value-preserving.
+    No-op (and no plan node) when the column is already TimestampType.
+    """
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if isinstance(dtypes.get(c), T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -25,7 +42,8 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     explicit is the Spark-native upgrade.
     """
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -122,16 +140,22 @@ def attribution_join_streams(
     Inputs must carry (user_id, ts, event_id); output one row per
     qualifying (click, purchase) pair.
     """
-    c = clicks.select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
+    c = ensure_event_time(
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        ),
+        "click_ts",
     ).withWatermark("click_ts", watermark)
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("value").alias("purchase_value"),
+    p = ensure_event_time(
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        ),
+        "purchase_ts",
     ).withWatermark("purchase_ts", watermark)
     return c.join(
         p,
@@ -168,8 +192,10 @@ def dedup_stream(
     NOT caught here; the batch `dedup_exact` tier sweeps those in the
     lake.
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
     )
 
 

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .incremental import ensure_event_time
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -97,7 +99,8 @@ def sessionize_fn(
 def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """events stream (user_id, ts, value, ...) -> closed sessions."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize_fn,
@@ -201,7 +204,8 @@ try:  # Spark >= 4.0 only
         container lacks protobuf, so the equivalence test skips and the
         ``applyInPandasWithState`` twin pins the semantics."""
         return (
-            events.withWatermark("ts", watermark)
+            ensure_event_time(events, "ts")
+            .withWatermark("ts", watermark)
             .groupBy("user_id")
             .transformWithStateInPandas(
                 statefulProcessor=SessionizeProcessor(),
