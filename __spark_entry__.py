@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import json
 import pathlib
+import re
 
 from summit_23_snowpark_data_lake_workloads_spark.plans.queries import ORACLES, QUERIES
 
@@ -24,22 +25,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _gate_priority_order() -> list[str]:
-    """Order queries so the driver's 50-row correctness gate rotates.
+    """Order queries so the driver's 50-row correctness gate rotates
+    stalest-green-first.
 
     The driver records the first N queries in ``queries()`` order each
-    round. Queries never yet covered by a ``CORRECTNESS_r*.json`` row go
-    first (newest code = least-verified = highest gate priority); the
-    already-green remainder keeps its registration order after them.
+    round. Green rows rot when the environment shifts (round 3: a
+    testdata regeneration silently broke two queries hiding behind
+    r1/r2 greens), so every query must re-prove on the CURRENT
+    environment within ~2 rounds. Priority tiers:
+
+    1. never gated, or last gate row was red/error (least-verified);
+    2. green rows, oldest green round first.
+
+    Registration order breaks ties inside each tier.
     """
-    seen: set[str] = set()
+    last_green: dict[str, int] = {}
+    last_any: dict[str, int] = {}
     here = pathlib.Path(__file__).resolve().parent
     for f in sorted(here.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
         try:
-            seen.update(json.loads(f.read_text()))
+            rows = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            last_any[name] = max(last_any.get(name, 0), rnd)
+            green = isinstance(row, dict) and all(
+                row.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            # weaker rows-only checks (no oracle) record rows_match only
+            if isinstance(row, dict) and row.get("hash_match") is None:
+                green = row.get("rows_match") is True
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
     names = list(QUERIES)
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+
+    def key(n: str) -> tuple[int, int]:
+        if n not in last_any or last_any[n] > last_green.get(n, -1):
+            return (0, names.index(n))  # never gated or last row not green
+        return (1, last_green[n] * 10_000 + names.index(n))
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
