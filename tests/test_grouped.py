@@ -47,3 +47,40 @@ def test_weighted_mean_udaf(spark):
     }
     assert out["a"] == (1 * 1 + 3 * 3) / 4.0
     assert out["b"] == 10.0
+
+
+def test_events_type_trend_closed_form(spark, tmp_path):
+    """Pin events_type_trend's OLS semantics against hand-computed
+    values on exact lines, so a future ts-typing/encoding change cannot
+    silently flip the regression family's input scaling (the x axis is
+    fractional epoch seconds centered on 2024-01-01T00:00:00Z).
+    """
+    from datetime import datetime, timezone
+
+    from summit_23_snowpark_data_lake_workloads_spark.plans.queries import QUERIES
+
+    t0 = 1704067200  # the query's centering epoch
+    rows = []
+    # type 'lin': v = 1.0 + 0.1 * x  -> slope .1, intercept 1, r2 1
+    for i, (dt, v) in enumerate([(0, 1.0), (10, 2.0), (20, 3.0)]):
+        rows.append((i, datetime.fromtimestamp(t0 + dt, tz=timezone.utc), 1, "lin", v, "{}"))
+    # type 'flat': symmetric tent -> slope 0, intercept mean 10/3, r2 0
+    for i, (dt, v) in enumerate([(0, 0.0), (10, 10.0), (20, 0.0)]):
+        rows.append((10 + i, datetime.fromtimestamp(t0 + dt, tz=timezone.utc), 1, "flat", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_type_trend"](spark, str(tmp_path)).collect()
+    }
+    lin = got["lin"]
+    assert (lin.slope_per_sec, lin.intercept, lin.r2, lin.n) == (0.1, 1.0, 1.0, 3)
+    flat = got["flat"]
+    assert (flat.slope_per_sec, flat.intercept, flat.r2, flat.n) == (
+        0.0,
+        round(10.0 / 3.0, 6),
+        0.0,
+        3,
+    )

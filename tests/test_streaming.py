@@ -272,3 +272,74 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "dedup_out"))
     assert got.count() == 150, "150 distinct events, re-deliveries dropped"
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_rollup_streams_real_testdata_encoding(spark, sf_dir, tmp_path):
+    """Stream DIRECTLY from the driver-generated events.parquet — not a
+    fixture rewrite — so the streaming tier exercises the testdata's
+    real physical ``ts`` encoding every round. The encoding has shifted
+    across driver regenerations (TIMESTAMP(NANOS) -> timezone-less
+    TIMESTAMP(MICROS)); a future shift that the normalization seams
+    don't cover must fail HERE, in-round, not in the driver gate.
+    """
+    import pyspark.sql.types as T
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType), (
+        "read_table must normalize the current physical encoding to "
+        f"TimestampType, got {ev.schema['ts'].dataType}"
+    )
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    q = run_available_now(
+        hourly_rollup_stream(stream, watermark="1 hour"),
+        str(tmp_path / "real_rollup"),
+        str(tmp_path / "ckpt_real_rollup"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "real_rollup"))
+    want = hourly_rollup_batch(ev)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    closed = want.filter(F.col("bucket") < (F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")))
+    assert closed.exceptAll(got).count() == 0, "every closed window must be emitted"
+    assert got.exceptAll(want).count() == 0, "no emitted row may differ from batch"
+
+
+def test_rollup_stream_accepts_ntz_event_time(spark, sf_dir, tmp_path):
+    """A schema-inferred source can deliver TIMESTAMP_NTZ event time
+    (PySpark 4 default for timezone-less parquet); the watermark seams
+    must normalize it instead of throwing
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE."""
+    import pyspark.sql.types as T
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    src = tmp_path / "ntz_src"
+    ntz.write.parquet(str(src))
+
+    ntz_schema = T.StructType(
+        [
+            T.StructField(f.name, T.TimestampNTZType() if f.name == "ts" else f.dataType)
+            for f in ev.schema.fields
+        ]
+    )
+    stream = spark.readStream.schema(ntz_schema).parquet(str(src))
+    q = run_available_now(
+        hourly_rollup_stream(stream, watermark="1 hour"),
+        str(tmp_path / "ntz_rollup"),
+        str(tmp_path / "ckpt_ntz_rollup"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "ntz_rollup"))
+    want = hourly_rollup_batch(ev)
+    assert got.exceptAll(want).count() == 0, (
+        "NTZ input must normalize to the same UTC buckets as the batch twin"
+    )
