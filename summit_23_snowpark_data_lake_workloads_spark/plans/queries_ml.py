@@ -1551,11 +1551,17 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("keep_exact"),
     )
 
-    # ONE tokenize + lead-window pass (persisted) feeds every text-derived
+    # ONE tokenize + lead-window plan shape feeds every text-derived
     # branch: word stats, 3-gram dup fraction, 3-gram Jaccard dedup, and
-    # the 5-gram decontamination shingles — previously each branch re-ran
-    # the tokenize + window shuffle from the parquet scan.
-    base = token_ngram_base(docs, "doc_id", "text", max_n=5).persist()
+    # the 5-gram decontamination shingles. Only the DISTINCT 3-gram
+    # table is persisted — it is read three times by the Jaccard verify
+    # and is ~|distinct shingles| small; the wide per-token base
+    # (~5x the corpus token count with its lead columns) is deliberately
+    # left lazy. Persisting it was measured cold-slower even at sf0.1,
+    # and at 100 TB it would materialize a table larger than the corpus
+    # itself; recomputing its narrow scan+explode+window per consumer is
+    # the cheaper side of the trade at every scale.
+    base = token_ngram_base(docs, "doc_id", "text", max_n=5)
     sh3_all = ngrams_from_base(base, 3)
     sh3 = sh3_all.distinct().persist()
 
