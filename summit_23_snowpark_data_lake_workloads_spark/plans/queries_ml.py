@@ -1880,3 +1880,170 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+@query(
+    "dedup_incremental_newbatch",
+    oracle="""
+    WITH batch AS (SELECT * FROM documents WHERE source = 'src19'),
+    corpus AS (SELECT * FROM documents WHERE source <> 'src19'),
+    corpus_hash AS (
+        SELECT md5(text) AS h, min(doc_id) AS exact_dup_of
+        FROM corpus GROUP BY md5(text)
+    ),
+    shb AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch)
+    ),
+    shc AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    ),
+    szb AS (SELECT id, count(*) AS sz FROM shb GROUP BY id),
+    szc AS (SELECT id, count(*) AS sz FROM shc GROUP BY id),
+    cross_pairs AS (
+        SELECT b.id AS id_b, c.id AS id_c, count(*) AS inter
+        FROM shb b JOIN shc c ON b.shingle = c.shingle
+        GROUP BY b.id, c.id
+    ),
+    near_corpus AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM cross_pairs
+        JOIN szb ON szb.id = id_b
+        JOIN szc ON szc.id = id_c
+        WHERE round(inter / (szb.sz + szc.sz - inter), 6) >= 0.5
+    ),
+    batch_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    near_batch AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM batch_pairs
+        JOIN szb sa ON sa.id = id_a
+        JOIN szb sb ON sb.id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    )
+    SELECT b.doc_id,
+           ch.exact_dup_of,
+           CASE WHEN nc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup_corpus,
+           CASE WHEN nb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup_batch,
+           CASE WHEN ch.exact_dup_of IS NULL AND nc.doc_id IS NULL
+                 AND nb.doc_id IS NULL THEN 1 ELSE 0 END AS accept
+    FROM batch b
+    LEFT JOIN corpus_hash ch ON md5(b.text) = ch.h
+    LEFT JOIN near_corpus nc ON nc.doc_id = b.doc_id
+    LEFT JOIN near_batch nb ON nb.doc_id = b.doc_id
+    """,
+)
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an arriving batch (source='src19' stands in for
+    "today's crawl") deduplicates against the standing corpus WITHOUT
+    any corpus-side all-pairs work — the shape a 100 TB ingestion
+    pipeline actually runs nightly, where re-clustering the whole lake
+    per increment is impossible.
+
+    Per new document: the corpus doc it exactly duplicates (md5 match),
+    whether any corpus doc is a 3-gram-Jaccard >= 0.5 near-dup, whether
+    an EARLIER batch doc is (survivor-first within the batch), and the
+    final accept verdict.
+
+    Scale: the corpus never self-joins. Its shingle table — a
+    pre-materialized index in production — is pruned to shingles the
+    small batch actually contains via a broadcast semi-join BEFORE the
+    candidate equi-join, so corpus-side work is proportional to the
+    batch, not the lake. Exact dedup is one broadcast hash lookup.
+    """
+    from ..operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src19")
+    corpus = docs.filter(F.col("source") != "src19")
+
+    corpus_hash = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("exact_dup_of")
+    )
+    ex = batch.select("doc_id", F.md5("text").alias("h")).join(
+        F.broadcast(corpus_hash), "h", "left"
+    )
+
+    shb = shingle_table(batch, "doc_id", "text", n=3).persist()
+    szb = shb.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
+    # prune the corpus index to the batch's shingle vocabulary before the
+    # candidate join: corpus rows not sharing a batch shingle never move
+    shc = shingle_table(corpus, "doc_id", "text", n=3).join(
+        F.broadcast(shb.select("shingle").distinct()), "shingle"
+    )
+    # corpus-side sizes must count ALL of a candidate doc's shingles, not
+    # just the pruned ones — compute from the unpruned table, but only
+    # for candidate ids (join after the aggregate keeps it proportional)
+    szc = (
+        shingle_table(corpus, "doc_id", "text", n=3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz_c"))
+    )
+    near_corpus = (
+        shb.withColumnRenamed("id", "id_b")
+        .join(shc.withColumnRenamed("id", "id_c"), "shingle")
+        .groupBy("id_b", "id_c")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(szb.withColumnRenamed("id", "id_b"), "id_b")
+        .join(szc.withColumnRenamed("id", "id_c"), "id_c")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_b") + F.col("sz_c") - F.col("inter")), 6
+            )
+            >= 0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup_corpus", F.lit(1))
+    )
+
+    a = shb.alias("a")
+    b = shb.alias("b")
+    near_batch = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(szb.select(F.col("id").alias("id_a"), F.col("sz_b").alias("sz_a")), "id_a")
+        .join(szb.select(F.col("id").alias("id_b"), F.col("sz_b").alias("sz_bb")), "id_b")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_bb") - F.col("inter")), 6
+            )
+            >= 0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup_batch", F.lit(1))
+    )
+
+    return (
+        ex.select("doc_id", "exact_dup_of")
+        .join(near_corpus, "doc_id", "left")
+        .join(near_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce("near_dup_corpus", F.lit(0)).alias("near_dup_corpus"),
+            F.coalesce("near_dup_batch", F.lit(0)).alias("near_dup_batch"),
+            F.when(
+                F.col("exact_dup_of").isNull()
+                & (F.coalesce("near_dup_corpus", F.lit(0)) == 0)
+                & (F.coalesce("near_dup_batch", F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("accept"),
+        )
+    )
