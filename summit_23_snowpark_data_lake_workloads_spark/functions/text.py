@@ -45,19 +45,20 @@ def token_count_bpe(c: Column | str) -> Column:
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings: ``transform(sequence(...))`` over the
-    token array — stays in codegen; the standard unit for MinHash/Jaccard
-    near-dup detection."""
+    """Word n-gram shingles as strings: ``arrays_zip`` over
+    slice-shifted copies of the token array (zip/slice are native
+    codegen expressions — no interpreted lambda in the per-token path),
+    then one ``transform`` to join each n-tuple. Documents shorter than
+    n tokens yield zero shingles (every slice is empty). The standard
+    unit for MinHash/Jaccard near-dup detection."""
     t = tokens(c)
-    count = F.array_size(t) - (n - 1)
-    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being
-    # empty — documents shorter than n tokens must yield zero shingles
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
+    sz = F.size(t)
+    # greatest(0, …): slice raises on negative length for sub-n-token docs
+    zipped = F.arrays_zip(
+        *[F.slice(t, j + 1, F.greatest(F.lit(0), sz - (n - 1))) for j in range(n)]
     )
     return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        zipped, lambda g: F.concat_ws(" ", *[g[str(j)] for j in range(n)])
     )
 
 

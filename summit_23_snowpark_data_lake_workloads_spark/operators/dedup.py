@@ -21,7 +21,6 @@ would otherwise create join skew at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import portable_hash64
@@ -51,11 +50,13 @@ def shingle_table(
 ) -> DataFrame:
     """Exploded distinct word-n-gram shingles: (id, shingle).
 
-    Built relationally — posexplode tokens once, then ``lead()`` windows
-    stitch n-grams — NOT via array higher-order functions: HOF lambdas
-    evaluate interpreted (outside whole-stage codegen, no common-subexpr
-    elimination), which re-runs the tokenizing split per shingle and costs
-    ~10x at scale (measured: 12s -> <2s for 5k docs).
+    Built from the shuffle-free :func:`token_ngram_base` (arrays_zip
+    over slice-shifted token arrays — native codegen expressions). NOT
+    via ``transform``-style lambda HOFs: those evaluate interpreted
+    (outside whole-stage codegen, no common-subexpr elimination), which
+    re-runs the tokenizing split per shingle and costs ~10x at scale
+    (measured: 12s -> <2s for 5k docs). The only shuffle left in this
+    plan is the ``distinct`` itself.
 
     ``max_df`` drops shingles occurring in more than that many documents
     (stop-shingles): they contribute little discrimination but dominate
@@ -73,18 +74,31 @@ def shingle_table(
 def token_ngram_base(
     df: DataFrame, id_col: str, text_col: str, max_n: int
 ) -> DataFrame:
-    """One tokenize + ONE lead-window pass producing
-    (id, token, t1..t{max_n-1}) — the shared base from which every n-gram
-    width up to ``max_n`` stitches for free. Pipelines needing several
-    widths (3-gram dedup + 5-gram decontamination) persist this once
-    instead of paying the partitionBy(id) window shuffle per width."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    """SHUFFLE-FREE tokenize producing (id, token, t1..t{max_n-1}) — the
+    shared base from which every n-gram width up to ``max_n`` stitches
+    for free.
+
+    Formulation: ``arrays_zip`` over ``slice``-shifted copies of the
+    token array, then one explode. ``arrays_zip`` null-pads shorter
+    arrays, reproducing exactly what ``lead()`` windows emit at the
+    document tail — but with NO ``partitionBy(id)`` shuffle: the whole
+    construction is per-row codegen (zip/slice are native expressions,
+    not interpreted lambda HOFs), so at 100 TB the tokenized corpus
+    never moves across the network just to be shingled. (The previous
+    window formulation shuffled the full exploded token table by id —
+    the single largest intermediate in every text pipeline.)"""
+    w = tokens(text_col)
+    sz = F.size(w)
+    # greatest(0, …): slice raises on negative length, and a document
+    # shorter than max_n tokens must still emit its (null-padded) rows
+    zipped = F.arrays_zip(
+        *[F.slice(w, j + 1, F.greatest(F.lit(0), sz - j)) for j in range(max_n)]
     )
-    w = W.partitionBy("id").orderBy("pos")
-    leads = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, max_n)]
-    return tok.select("id", "token", *leads)
+    return df.select(F.col(id_col).alias("id"), F.explode(zipped).alias("g")).select(
+        "id",
+        F.col("g.0").alias("token"),
+        *[F.col(f"g.{j}").alias(f"t{j}") for j in range(1, max_n)],
+    )
 
 
 def ngrams_from_base(base: DataFrame, n: int) -> DataFrame:

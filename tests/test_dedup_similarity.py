@@ -295,3 +295,34 @@ def test_kmeans_ivf_improves_cohesion_and_keeps_recall(spark, sf_dir):
     # points at fixed n_probe (the classic IVF cells-vs-probes trade);
     # pin a floor rather than dominance, plus the cohesion win above
     assert r_km >= 0.7, f"k-means recall {r_km} below floor (seed {r_seed})"
+
+
+def test_token_ngram_base_short_docs(spark):
+    """Documents shorter than max_n tokens must not crash the zip-based
+    base (slice raises on negative length if unguarded) and must emit
+    exactly one null-padded row per token, like lead() windows did."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        ngrams_from_base,
+        token_ngram_base,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    base = token_ngram_base(df, "doc_id", "text", max_n=5)
+    rows = base.collect()
+    assert len(rows) == 2 + 1 + 6, "one row per token, short docs included"
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert all(r.t3 is None and r.t4 is None for r in by_id[1]), "null-padded tails"
+    assert by_id[2][0].t1 is None
+    tri = ngrams_from_base(base, 3)
+    assert sorted(r.shingle for r in tri.filter(F.col("id") == 3).collect()) == [
+        "alpha beta gamma",
+        "beta gamma delta",
+        "delta epsilon zeta",
+        "gamma delta epsilon",
+    ]
+    assert tri.filter(F.col("id") != 3).count() == 0, "sub-3-token docs: no 3-grams"
