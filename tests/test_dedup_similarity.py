@@ -326,3 +326,27 @@ def test_token_ngram_base_short_docs(spark):
         "gamma delta epsilon",
     ]
     assert tri.filter(F.col("id") != 3).count() == 0, "sub-3-token docs: no 3-grams"
+
+
+def test_connected_components_tiers_agree(spark):
+    """The driver union-find tier and the distributed min-label
+    fixpoint must produce identical (id, cluster_id) labelings —
+    including chain-shaped components (where diameter > 1 exercises
+    multiple propagation rounds) and singletons."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # components: chain 1-2-3-4, pair 10-11, triangle 20-21-22, singletons 30, 31
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 30, 31]], "id long"
+    )
+    fast = connected_components(pairs, nodes).collect()
+    slow = connected_components(pairs, nodes, driver_max_edges=0).collect()
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 31}
+    assert {r.id: r.cluster_id for r in fast} == want
+    assert {r.id: r.cluster_id for r in slow} == want
