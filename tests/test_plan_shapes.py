@@ -401,3 +401,27 @@ def test_spend_distribution_bucketed_no_window_no_global_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds side, broadcast
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_incremental_dedup_no_cartesian_corpus_broadcast_pruned(spark, sf_dir):
+    """The incremental-dedup contract: corpus-side work must stay
+    proportional to the batch — the exact-hash lookup and the batch
+    shingle-vocabulary prune are broadcast joins, and nothing in the
+    plan is a cartesian/nested-loop product."""
+    plan = plan_of(QUERIES["dedup_incremental_newbatch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "corpus hash lookup and shingle-vocabulary prune must broadcast"
+    )
+    # the corpus scan must push the source<>'src19' partition predicate
+    assert "Not(EqualTo(source,src19))" in plan or "NOT (source = src19)" in plan
+
+
+def test_shingle_plans_have_no_window_exchange(spark, sf_dir):
+    """Shingling is shuffle-free by design (arrays_zip over slice-shifted
+    token arrays): the Jaccard plan's only exchanges are for distinct /
+    join / aggregate — a Window node before the first aggregate means
+    the per-token window shuffle crept back in."""
+    plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "Window" not in plan, "shingle construction must not use window functions"
