@@ -2047,3 +2047,82 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("accept"),
         )
     )
+
+
+@query(
+    "containment_near_subset",
+    oracle="""
+    WITH """
+    + _SH_CTE.strip().rstrip()
+    + """
+    SELECT s.id_small AS contained_id,
+           s.id_large AS container_id,
+           round(s.inter / sza.sz, 6) AS containment,
+           sza.sz AS sz_contained,
+           szb.sz AS sz_container
+    FROM (
+        SELECT CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS id_small,
+               CASE WHEN sa.sz <= sb.sz THEN id_b ELSE id_a END AS id_large,
+               inter
+        FROM inter
+        JOIN sz sa ON sa.id = id_a
+        JOIN sz sb ON sb.id = id_b
+    ) s
+    JOIN sz sza ON sza.id = s.id_small
+    JOIN sz szb ON szb.id = s.id_large
+    WHERE round(s.inter / sza.sz, 6) >= 0.8
+    """,
+)
+def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection via asymmetric shingle containment:
+    C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| for the smaller-vocabulary doc
+    of each candidate pair. Jaccard misses these — a document pasted
+    inside a much larger one scores low symmetric similarity but ~1.0
+    containment — and they matter for training data: boilerplate
+    wrappers around duplicated cores survive Jaccard-threshold dedup.
+
+    Scale: identical join geometry to the Jaccard tier — distinct
+    shingles, candidates-only equi-join on shingle, intersection
+    counts — so the same max_df/LSH scale guards apply; only the final
+    scoring expression differs (divide by the smaller size instead of
+    the union).
+    """
+    from ..operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sized = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            F.least("sz_a", "sz_b").alias("sz_contained"),
+            F.greatest("sz_a", "sz_b").alias("sz_container"),
+            "inter",
+        )
+    )
+    return sized.filter(
+        F.round(F.col("inter") / F.col("sz_contained"), 6) >= 0.8
+    ).select(
+        "contained_id",
+        "container_id",
+        F.round(F.col("inter") / F.col("sz_contained"), 6).alias("containment"),
+        "sz_contained",
+        "sz_container",
+    )
