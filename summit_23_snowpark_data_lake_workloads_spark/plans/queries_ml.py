@@ -2126,3 +2126,71 @@ def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sz_contained",
         "sz_container",
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    e0 AS (SELECT id_a AS s, id_b AS t FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.t = r.id
+    ),
+    clus AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    quality AS (
+        SELECT doc_id,
+               round(0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0
+                                 WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN n_chars / len(string_split(text, ' ')) >= 3
+                                  AND n_chars / len(string_split(text, ' ')) <= 12
+                                 THEN 1.0 ELSE 0.3 END)
+                   + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                            / n_chars),
+                 6) AS quality
+        FROM (SELECT doc_id, text, length(text) AS n_chars FROM documents)
+    )
+    SELECT c.cluster_id,
+           min(q.doc_id ORDER BY q.quality DESC, q.doc_id ASC) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(q.quality) AS best_quality
+    FROM clus c JOIN quality q USING (doc_id)
+    GROUP BY c.cluster_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster keep the
+    HIGHEST-quality member (ties -> min doc_id), not the min-id one —
+    the policy real pipelines want, since the arbitrary-id survivor of
+    a boilerplate cluster is often its worst-formatted copy.
+
+    Scale: clusters come from the shared CC operator (union-find /
+    propagation tiers); quality is pure codegen per row; the argmax is
+    one ``max_by`` aggregate over (cluster_id) — a single shuffle keyed
+    by cluster, no window, no sort.
+    """
+    from ..functions.text import quality_score
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs, docs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    return (
+        cc.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            # max_by with a composite (quality DESC, doc_id ASC) key:
+            # negate doc_id so higher struct compare = better quality,
+            # then smaller id
+            F.max_by(
+                "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg"))
+            ).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("quality").alias("best_quality"),
+        )
+    )
