@@ -506,7 +506,11 @@ def tfidf_cosine_topk(
     join — essential at scale: it bounds the pair stream to
     |queries| x docs-per-token instead of the full n² blowup.
     """
-    wts = tfidf_weights(docs, id_col, text_col)
+    # the weight table feeds four plan branches (both self-join sides +
+    # both norm lookups); uncached, Spark re-runs the tokenize+tf+df
+    # aggregation chain per branch — four scans of the corpus at 100 TB.
+    # Persist once; production pipelines materialize this table anyway.
+    wts = tfidf_weights(docs, id_col, text_col).persist()
     norms = wts.groupBy("id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
     )
