@@ -39,10 +39,15 @@ def _gate_priority_order() -> list[str]:
 
     Registration order breaks ties inside each tier.
     """
+    return _gate_order_from(pathlib.Path(__file__).resolve().parent, list(QUERIES))
+
+
+def _gate_order_from(history_dir: "pathlib.Path", names: list[str]) -> list[str]:
+    """Testable core of :func:`_gate_priority_order`: order ``names`` by
+    the CORRECTNESS_r*.json history found in ``history_dir``."""
     last_green: dict[str, int] = {}
     last_any: dict[str, int] = {}
-    here = pathlib.Path(__file__).resolve().parent
-    for f in sorted(here.glob("CORRECTNESS_r*.json")):
+    for f in sorted(history_dir.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -60,7 +65,6 @@ def _gate_priority_order() -> list[str]:
                 green = row.get("rows_match") is True
             if green:
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    names = list(QUERIES)
 
     def key(n: str) -> tuple[int, int]:
         if n not in last_any or last_any[n] > last_green.get(n, -1):

@@ -71,3 +71,48 @@ def test_between_labels_property(spark, payload):
     parts = after.split(" ")
     want = parts[1] if len(parts) >= 2 else ""
     assert got == want
+
+
+def test_union_find_matches_bfs_reference():
+    """The driver union-find tier (new hand-written code) must agree
+    with a brute-force BFS labeling on random graphs: same components,
+    min-id labels. Pure Python — no Spark in the loop, so hypothesis
+    can hammer it."""
+    import random
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        _union_find_labels,
+    )
+
+    class _FakeSpark:
+        def createDataFrame(self, rows, schema):
+            return rows  # the labels list is all the test needs
+
+    rng = random.Random(42)
+    for trial in range(200):
+        n = rng.randint(0, 40)
+        m = rng.randint(0, 60)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
+        ]
+        got = dict(_union_find_labels(edges, _FakeSpark()))
+        # BFS reference
+        adj = {}
+        for s, t in edges:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, queue = {start}, [start]
+            while queue:
+                x = queue.pop()
+                for y in adj[x]:
+                    if y not in comp:
+                        comp.add(y)
+                        queue.append(y)
+            lab = min(comp)
+            for x in comp:
+                want[x] = lab
+        assert got == want, f"trial {trial}: {edges}"

@@ -79,3 +79,29 @@ def test_collect_list_struct_idiom(spark, sf_dir):
     ).first()
     assert len(row.rows) == 5
     assert {r.r_regionkey for r in row.rows} == {0, 1, 2, 3, 4}
+
+
+def test_gate_order_stalest_green_first(tmp_path):
+    """The correctness-gate rotation contract: never-gated and
+    last-row-red queries lead; green queries follow oldest-green-first;
+    registration order breaks ties."""
+    import json
+    import pathlib
+
+    from __spark_entry__ import _gate_order_from
+
+    names = ["a", "b", "c", "d", "e", "f"]
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    rows_only = {"rows_match": True, "schema_match": None, "hash_match": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": g, "b": g, "c": g})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": g, "d": red, "e": rows_only})
+    )
+    # f never gated; d last-red -> tier 0 in registration order: d, f
+    # greens oldest-round-first: a, c (r1) then b, e (r2), registration
+    # order breaking ties inside each round
+    order = _gate_order_from(pathlib.Path(tmp_path), names)
+    assert order == ["d", "f", "a", "c", "b", "e"]
