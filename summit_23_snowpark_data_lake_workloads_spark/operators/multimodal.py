@@ -11,11 +11,12 @@ contract):
   batch shape — is real and testable end-to-end.
 
 The METADATA tier is NOT stubbed: :func:`probe_media_headers`
-(``decoder="headers"``) parses PNG / JPEG / GIF containers with the
-stdlib alone — width, height, channels straight from the magic bytes
-(PNG IHDR chunk; JPEG SOFn segment; GIF logical screen descriptor) —
-the ffprobe-style probe pass a training pipeline runs over every object
-before deciding what to decode for real.
+(``decoder="headers"``) parses PNG / JPEG / GIF / WAV / MP4 containers
+with the stdlib alone — width, height, channels, sample rate straight
+from the magic bytes (PNG IHDR chunk; JPEG SOFn segment; GIF logical
+screen descriptor; RIFF ``fmt `` chunk; ISO-BMFF ``moov/trak/tkhd``
+walk) — the ffprobe-style probe pass a training pipeline runs over
+every object before deciding what to decode for real.
 
 Scale notes: ``mapInPandas`` streams Arrow batches through the Python
 worker — memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -104,10 +105,11 @@ HEADERS_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("format", T.StringType()),  # png|jpeg|gif|NULL
+        T.StructField("format", T.StringType()),  # png|jpeg|gif|wav|mp4|NULL
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio only
     ]
 )
 
@@ -168,6 +170,67 @@ def parse_image_header(data: bytes) -> tuple[str, int, int, int] | None:
     return None
 
 
+def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
+    """(format, channels, sample_rate) for RIFF/WAVE payloads, or None.
+    Walks RIFF chunks to ``fmt `` (WAV spec: channels @ offset 2,
+    sample rate @ offset 4 of the chunk body). Stdlib byte slicing only;
+    never raises on malformed input."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(data):
+        chunk_id = data[i : i + 4]
+        chunk_len = int.from_bytes(data[i + 4 : i + 8], "little")
+        if chunk_id == b"fmt " and i + 8 + 8 <= len(data):
+            body = data[i + 8 : i + 8 + chunk_len]
+            if len(body) < 8:
+                return None
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            if channels and sample_rate:
+                return ("wav", channels, sample_rate)
+            return None
+        # chunks are word-aligned: odd lengths carry one pad byte
+        i += 8 + chunk_len + (chunk_len % 2)
+    return None
+
+
+def parse_video_header(data: bytes) -> tuple[str, int | None, int | None] | None:
+    """(format, width, height) for ISO-BMFF (MP4) payloads, or None.
+    The ``ftyp`` box at offset 0 identifies the container; a bounded
+    box walk into ``moov``/``trak``/``tkhd`` recovers the track's
+    presentation size (16.16 fixed point, last 8 bytes of tkhd).
+    Dimensions are None when no tkhd is found — format identification
+    alone is still useful to the probe pass."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, path: tuple) -> tuple | None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(data[i : i + 4], "big")
+            btype = data[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return None
+            if path and btype == path[0]:
+                if len(path) == 1:  # tkhd reached
+                    body = data[i + 8 : i + size]
+                    if len(body) >= 8:
+                        w = int.from_bytes(body[-8:-4], "big") >> 16
+                        h = int.from_bytes(body[-4:], "big") >> 16
+                        if w and h:
+                            return (w, h)
+                    return None
+                found = walk(i + 8, i + size, path[1:])
+                if found:
+                    return found
+            i += size
+        return None
+
+    dims = walk(0, len(data), (b"moov", b"trak", b"tkhd"))
+    return ("mp4", dims[0] if dims else None, dims[1] if dims else None)
+
+
 def probe_media_headers(
     media: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
@@ -178,24 +241,33 @@ def probe_media_headers(
     query). Same bounded-memory ``mapInPandas`` shape as the feature
     path."""
 
+    def _probe_one(c: bytes) -> tuple:
+        """(format, width, height, channels, sample_rate) across the
+        image/audio/video parsers; all-None when unrecognized."""
+        img = parse_image_header(c)
+        if img:
+            return (img[0], img[1], img[2], img[3], None)
+        aud = parse_audio_header(c)
+        if aud:
+            return (aud[0], None, None, aud[1], aud[2])
+        vid = parse_video_header(c)
+        if vid:
+            return (vid[0], vid[1], vid[2], None, None)
+        return (None, None, None, None, None)
+
     def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_image_header(c) for c in pdf["content"]]
+            parsed = [_probe_one(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "format": [p[0] if p else None for p in parsed],
-                    "width": pd.array(
-                        [p[1] if p else None for p in parsed], dtype="Int32"
-                    ),
-                    "height": pd.array(
-                        [p[2] if p else None for p in parsed], dtype="Int32"
-                    ),
-                    "channels": pd.array(
-                        [p[3] if p else None for p in parsed], dtype="Int32"
-                    ),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "channels": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[4] for p in parsed], dtype="Int32"),
                 }
             )
 

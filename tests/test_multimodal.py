@@ -102,3 +102,67 @@ def test_headers_decoder_routes_from_feature_entrypoint(spark):
     media = spark.createDataFrame([(0, "image", FX.make_png(5, 5), {})], MEDIA_SCHEMA)
     out = extract_media_features(media, decoder="headers").collect()
     assert out[0].format == "png" and out[0].width == 5
+
+
+def _wav_bytes(channels=2, rate=16000) -> bytes:
+    """Author a REAL (tiny) WAV via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * 4)
+    return buf.getvalue()
+
+
+def _mp4_bytes(width=640, height=360) -> bytes:
+    """Hand-assembled minimal ISO-BMFF: ftyp + moov>trak>tkhd with
+    16.16 fixed-point presentation size in the tkhd tail."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    tkhd_body = b"\x00" * 76 + (width << 16).to_bytes(4, "big") + (
+        height << 16
+    ).to_bytes(4, "big")
+    moov = box(b"moov", box(b"trak", box(b"tkhd", tkhd_body)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_parse_audio_and_video_headers():
+    from summit_23_snowpark_data_lake_workloads_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_video_header,
+    )
+
+    assert parse_audio_header(_wav_bytes(2, 16000)) == ("wav", 2, 16000)
+    assert parse_audio_header(_wav_bytes(1, 44100)) == ("wav", 1, 44100)
+    assert parse_audio_header(b"RIFFxxxxNOPE") is None
+    assert parse_audio_header(b"") is None
+
+    assert parse_video_header(_mp4_bytes(640, 360)) == ("mp4", 640, 360)
+    # ftyp with no moov: format identified, dims unknown
+    assert parse_video_header(_mp4_bytes()[:24]) == ("mp4", None, None)
+    assert parse_video_header(b"\x00\x00\x00\x08free") is None
+
+
+def test_probe_routes_audio_video(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        probe_media_headers,
+    )
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(2, 22050)), {}),
+        (2, "video", bytearray(_mp4_bytes(320, 240)), {}),
+        (3, "audio", bytearray(b"not a riff"), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in probe_media_headers(media).collect()}
+    assert (out[1].format, out[1].channels, out[1].sample_rate) == ("wav", 2, 22050)
+    assert (out[2].format, out[2].width, out[2].height) == ("mp4", 320, 240)
+    assert out[2].sample_rate is None
+    assert out[3].format is None
