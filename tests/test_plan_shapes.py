@@ -425,3 +425,21 @@ def test_shingle_plans_have_no_window_exchange(spark, sf_dir):
     the per-token window shuffle crept back in."""
     plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
     assert "Window" not in plan, "shingle construction must not use window functions"
+
+
+def test_containment_same_geometry_as_jaccard(spark, sf_dir):
+    """Containment must keep the candidates-only join geometry: no
+    cartesian/nested-loop pair enumeration, no window."""
+    plan = plan_of(QUERIES["containment_near_subset"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_cluster_canonical_argmax_is_aggregate_not_window(spark, sf_dir):
+    """Survivor selection is one max_by aggregate keyed by cluster —
+    a window+rank formulation would add a sort per cluster."""
+    plan = plan_of(QUERIES["dedup_cluster_canonical"](spark, sf_dir))
+    assert "Window" not in plan, "argmax must be max_by, not row_number"
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
