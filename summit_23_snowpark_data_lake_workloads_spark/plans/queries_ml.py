@@ -2194,3 +2194,146 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("best_quality"),
         )
     )
+
+
+@query(
+    "contamination_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, len(w) - 3)])) AS g
+        FROM (SELECT doc_id, string_split(ntext, ' ') AS w FROM norm)
+    ),
+    bench AS (
+        SELECT sh.id, sh.g FROM sh JOIN norm d ON sh.id = d.doc_id
+        WHERE d.source = 'src0'
+    ),
+    corpus AS (
+        SELECT sh.id, sh.g FROM sh JOIN norm d ON sh.id = d.doc_id
+        WHERE d.source <> 'src0'
+    )
+    SELECT c.id AS corpus_doc, b.id AS bench_doc,
+           count(*) AS n_shared_5grams
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.id, b.id
+    HAVING count(*) >= 3
+    """,
+)
+def contamination_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with canonical text normalization (the form real
+    audits run): lowercase, strip punctuation to spaces, collapse
+    whitespace, THEN distinct-5-gram overlap >= 3 vs the benchmark
+    split. Raw-cased matching (``contamination_ngram_overlap``) misses
+    contamination that was trivially reformatted — quote styles,
+    capitalization, punctuation — which is exactly how benchmark text
+    usually reappears in crawled corpora.
+
+    Scale: normalization is three codegen regexp/lower expressions
+    fused into the scan projection; everything downstream is the same
+    candidates-only 5-gram equi-join as the raw variant.
+    """
+    from ..operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "source",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ).alias("ntext"),
+    )
+    sh = shingle_table(norm, "doc_id", "ntext", 5).join(
+        norm.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("id").alias("bench_doc"), "shingle"
+    )
+    corpus = sh.filter(F.col("source") != "src0").select(
+        F.col("id").alias("corpus_doc"), "shingle"
+    )
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
+        .filter(F.col("n_shared_5grams") >= 3)
+    )
+
+
+@query(
+    "epoch_mix_plan",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    fr AS (
+        SELECT source, n_tokens,
+               sqrt(n_tokens / (sum(n_tokens) OVER ())) AS sqrt_frac
+        FROM per_src
+    ),
+    p AS (
+        SELECT source, n_tokens,
+               sqrt_frac / (sum(sqrt_frac) OVER ()) AS mix_weight
+        FROM fr
+    )
+    SELECT source, n_tokens,
+           round(mix_weight, 6) AS mix_weight,
+           CAST(floor(mix_weight * 1000000) AS BIGINT) AS target_tokens,
+           round(least(1.0, mix_weight * 1000000 / n_tokens), 6)
+               AS sample_rate,
+           CAST(floor(mix_weight * 1000000 / n_tokens) AS BIGINT)
+               AS n_epochs_full,
+           CASE WHEN mix_weight * 1000000 > n_tokens THEN 1 ELSE 0 END
+               AS upsampled
+    FROM p
+    """,
+)
+def epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization plan a data-mixing job computes before
+    building an epoch: per source, the alpha=0.5 temperature-scaled mix
+    weight, its token allocation out of a 1M-token epoch budget, the
+    per-epoch sampling rate (capped at 1 — you cannot sample more than
+    once per pass), how many FULL passes over the source the allocation
+    implies, and whether the source is up-sampled (allocation exceeds
+    its corpus size — repeated data, the signal to watch for
+    memorization).
+
+    Scale: one groupBy on source; every window runs over the
+    domain-cardinality table (tiny), never the fact table. The fact
+    pass counts tokens with size(split()) JVM-side — no explode.
+    """
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = 1_000_000
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    tot = W.partitionBy()
+    p = per_src.withColumn(
+        "frac", F.col("n_tokens") / F.sum("n_tokens").over(tot)
+    ).withColumn(
+        "mix_weight", F.sqrt("frac") / F.sum(F.sqrt("frac")).over(tot)
+    )
+    alloc = F.col("mix_weight") * budget
+    return p.select(
+        "source",
+        "n_tokens",
+        F.round("mix_weight", 6).alias("mix_weight"),
+        F.floor(alloc).cast("bigint").alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6).alias("sample_rate"),
+        F.floor(alloc / F.col("n_tokens")).cast("bigint").alias("n_epochs_full"),
+        F.when(alloc > F.col("n_tokens"), 1).otherwise(0).alias("upsampled"),
+    )
