@@ -92,3 +92,81 @@ def merge_stream_into_snapshot_table(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_ingest_stream(
+    stream_df: DataFrame,
+    table: SnapshotTable,
+    app_id: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    processing_time: str | None = None,
+):
+    """The production corpus-ingestion loop: each micro-batch of
+    documents exact-dedups against the standing corpus BEFORE landing —
+    the streaming twin of the batch ``dedup_incremental_newbatch``
+    shape, fused with the exactly-once lakehouse append.
+
+    Per micro-batch:
+    1. within-batch dedup — one survivor (min id) per content md5;
+    2. batch-vs-corpus anti-join on content md5, double-broadcast
+       form: broadcast the BATCH's hash set against the corpus
+       projection to extract the (tiny) colliding-hash set, then
+       broadcast-anti-join the batch against that. The corpus is never
+       shuffled and never builds a join hash table — its side is one
+       scan pruned by a broadcast semi-join, so ingest cost stays
+       proportional to the batch at any corpus size. (At 100 TB the
+       corpus projection reads a maintained hash-index table instead
+       of the full corpus; the join geometry is identical.)
+    3. txn-stamped append (same replay-idempotency as the plain sink).
+
+    Duplicates separated by more than a restart are still caught —
+    unlike watermark-bounded ``dropDuplicatesWithinWatermark``, the
+    corpus itself is the state store here.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen = (
+            table.last_committed_batch(app_id) if table._versions() else None
+        )
+        if seen is not None and batch_id <= seen:
+            return
+        h = F.md5(F.col(text_col))
+        w = W.partitionBy(h).orderBy(id_col)
+        fresh = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+            .withColumn("_h", h)
+        )
+        if table._versions():
+            corpus_hashes = table.read().select(
+                F.md5(F.col(text_col)).alias("_h")
+            )
+            collisions = corpus_hashes.join(
+                F.broadcast(fresh.select("_h").distinct()), "_h"
+            ).distinct()
+            fresh = fresh.join(F.broadcast(collisions), "_h", "left_anti")
+        fresh = fresh.drop("_h")
+        txn = {"app_id": app_id, "batch_id": batch_id}
+        if not table._versions():
+            files = table._write_batch(fresh)
+            table._commit("create", 0, files, replace_all=True, txn=txn)
+        elif fresh.isEmpty():
+            pass  # nothing new: no empty commit, replay detection keeps batch order
+        else:
+            table.append(fresh, txn=txn)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -390,3 +390,50 @@ def test_kafka_roundtrip_when_broker_available(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 50
     assert got.filter(F.col("TXN_DATE").isNull()).count() == 0
+
+
+def test_dedup_ingest_stream_corpus_is_the_state(spark, tmp_path):
+    """Streaming corpus ingestion dedups each micro-batch against the
+    lakehouse corpus itself — duplicates arriving ANY number of batches
+    later are dropped (no watermark bound), within-batch re-deliveries
+    collapse to the min-id survivor, and fresh docs land append-only."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        dedup_ingest_stream,
+    )
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+
+    def jl(rows):
+        return "\n".join(
+            f'{{"doc_id": {i}, "text": "{t}"}}' for i, t in rows
+        )
+
+    # batch 0: two copies of A (within-batch dup) + B
+    (src / "b0.jsonl").write_text(jl([(1, "doc A"), (2, "doc A"), (3, "doc B")]))
+    # batch 1: A again (corpus dup, one batch later) + fresh C
+    (src / "b1.jsonl").write_text(jl([(4, "doc A"), (5, "doc C")]))
+    # batch 2: B and C again (corpus dups) only -> lands nothing
+    (src / "b2.jsonl").write_text(jl([(6, "doc B"), (7, "doc C")]))
+
+    table = SnapshotTable(spark, str(tmp_path / "corpus_tbl"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = dedup_ingest_stream(
+        stream, table, "ingest-test", str(tmp_path / "ckpt_dedup_ingest")
+    )
+    q.awaitTermination(120)
+
+    got = {r.text: r.doc_id for r in table.read().collect()}
+    assert got == {"doc A": 1, "doc B": 3, "doc C": 5}, (
+        "min-id survivor per content; later re-deliveries dropped"
+    )
+    # batch 2 landed nothing: no version was committed for it
+    ops = [s.operation for s in table.history()]
+    assert ops == ["create", "append"], f"no empty commits: {ops}"
