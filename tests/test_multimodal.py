@@ -166,3 +166,44 @@ def test_probe_routes_audio_video(spark):
     assert (out[2].format, out[2].width, out[2].height) == ("mp4", 320, 240)
     assert out[2].sample_rate is None
     assert out[3].format is None
+
+
+def test_header_parsers_never_raise_on_fuzz():
+    """The probe tier consumes UNTRUSTED bytes; every parser must
+    classify-or-None, never raise — including on truncations of valid
+    payloads (the classic crash vector) and random garbage seeded with
+    real magic bytes."""
+    import random
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_image_header,
+        parse_video_header,
+    )
+
+    rng = random.Random(7)
+    valid = [
+        _wav_bytes(2, 16000),
+        _mp4_bytes(640, 360),
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + b"\x00" * 17,
+        b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 32,
+        b"GIF89a\x10\x00\x20\x00" + b"\x00" * 8,
+    ]
+    magics = [b"RIFF", b"WAVE", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a",
+              b"\x00\x00\x00\x18ftyp", b"moov", b"tkhd"]
+    cases = []
+    for v in valid:
+        for cut in range(0, len(v), max(1, len(v) // 17)):
+            cases.append(v[:cut])  # truncations
+        mutated = bytearray(v)
+        for _ in range(8):  # bit flips
+            mutated[rng.randrange(len(mutated))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(mutated))
+    for _ in range(300):  # magic-seeded garbage
+        cases.append(
+            rng.choice(magics) + bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+        )
+    for c in cases:
+        for parser in (parse_image_header, parse_audio_header, parse_video_header):
+            out = parser(c)  # must not raise
+            assert out is None or isinstance(out, tuple)
