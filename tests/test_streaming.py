@@ -437,3 +437,44 @@ def test_dedup_ingest_stream_corpus_is_the_state(spark, tmp_path):
     # batch 2 landed nothing: no version was committed for it
     ops = [s.operation for s in table.history()]
     assert ops == ["create", "append"], f"no empty commits: {ops}"
+
+
+def test_dedup_ingest_stream_restart_and_late_arrivals(spark, tmp_path):
+    """Restart semantics for the dedup-ingest sink: re-running from the
+    same checkpoint adds nothing (exactly-once), and NEW files after the
+    restart still dedup against everything previously landed."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        dedup_ingest_stream,
+    )
+
+    src = tmp_path / "doc_stream2"
+    src.mkdir()
+    (src / "b0.jsonl").write_text('{"doc_id": 1, "text": "alpha"}\n{"doc_id": 2, "text": "beta"}')
+
+    table = SnapshotTable(spark, str(tmp_path / "corpus2"))
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = dedup_ingest_stream(stream, table, "ingest-rt", ckpt)
+        q.awaitTermination(120)
+
+    run()
+    assert table.read().count() == 2
+    v1 = table.snapshot().version
+
+    run()  # restart, no new input: nothing may land
+    assert table.snapshot().version == v1, "restart with no input must not commit"
+
+    # late arrival after restart: dup of 'alpha' + one fresh doc
+    (src / "b1.jsonl").write_text('{"doc_id": 9, "text": "alpha"}\n{"doc_id": 10, "text": "gamma"}')
+    run()
+    got = {r.text: r.doc_id for r in table.read().collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 10}
