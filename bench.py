@@ -17,6 +17,7 @@ import os
 import re
 import time
 
+from summit_23_snowpark_data_lake_workloads_spark.cache import release_caches
 from summit_23_snowpark_data_lake_workloads_spark.plans.queries import HEADLINE, QUERIES
 from summit_23_snowpark_data_lake_workloads_spark.session import get_spark
 
@@ -56,6 +57,7 @@ def main() -> None:
             # query reading 12s inside a dirty-cache suite). gc.collect()
             # drops the Python-side refs so the ContextCleaner can also
             # free localCheckpoint RDDs, which clearCache alone leaves.
+            release_caches()  # engine-registered persists (cache.py contract)
             spark.catalog.clearCache()
             gc.collect()
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import registered_persist
 from ..functions.scalar import portable_hash64
 from ..functions.text import tokens
 
@@ -255,7 +256,7 @@ def minhash_lsh_pairs(
     # otherwise recompute the scan+explode+window chain per branch
     # (measured 6.2s -> ~3s at sf0.1). At 100 TB, write the shingle table
     # to storage once instead of relying on executor cache.
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = registered_persist(shingle_table(df, id_col, text_col, n))
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=sh)
     band_sig = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -302,40 +303,60 @@ def minhash_lsh_pairs(
     return _jaccard_for_pairs(candidates, sh, threshold)
 
 
-#: edge-count ceiling for the driver union-find tier. 5M undirected
-#: edges collect as ~80 MB of int64 pairs — trivial for any driver —
-#: and near-dup edge sets are dup-density-proportional, so even a
-#: 100 TB corpus rarely approaches this; the distributed fixpoint is
-#: the fallback, not the common path.
+#: UNDIRECTED-edge ceiling for the driver union-find tier (the
+#: direction-doubled table the tiers branch on holds 2x this). At the
+#: ceiling the Arrow collect moves ~80 MB (5M x two int64 columns) and
+#: the numpy working set (compacted endpoints + parent array) peaks
+#: around ~0.4 GB — fine for any driver. Near-dup edge sets are
+#: dup-density-proportional, so even a 100 TB corpus rarely approaches
+#: this; the distributed fixpoint is the fallback, not the common path.
 CC_DRIVER_MAX_EDGES = 5_000_000
 
 
-def _union_find_labels(edge_rows: list, spark) -> DataFrame:
-    """Driver-side union-find with min-root tracking: O(E α(E)), one
-    pass, exact same output contract as the distributed fixpoint."""
-    parent: dict = {}
+def _union_find_labels(edges_pdf, spark) -> DataFrame:
+    """Driver-side union-find over Arrow-collected edges: O(E α(E)).
+    Same output contract as the distributed fixpoint: (id, lab) with
+    lab = min id of the component.
 
-    def find(x):
+    ``edges_pdf`` is a pandas frame with int64 columns ``s``/``t``, one
+    row per undirected edge. Node ids are compacted to [0, n) with
+    ``np.unique`` (ascending, so smaller compact index == smaller id and
+    a min-index root IS the min-id root); parents live in one int64
+    array, not a Python dict — the driver cost at the ceiling is two
+    numpy arrays, not millions of boxed tuples."""
+    import numpy as np
+    import pandas as pd
+
+    s = edges_pdf["s"].to_numpy(dtype="int64", copy=False)
+    t = edges_pdf["t"].to_numpy(dtype="int64", copy=False)
+    nodes, idx = np.unique(np.concatenate([s, t]), return_inverse=True)
+    si, ti = idx[: len(s)], idx[len(s) :]
+    parent = np.arange(len(nodes), dtype="int64")
+
+    def find(x: int) -> int:
         root = x
-        while parent.get(root, root) != root:
+        while parent[root] != root:
             root = parent[root]
         while x != root:  # path compression
-            parent[x], x = root, parent.get(x, x)
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
         return root
 
-    for s, t in edge_rows:
-        rs, rt = find(s), find(t)
-        if rs != rt:
-            # min id becomes the root so cluster_id = min(component)
-            lo, hi = (rs, rt) if rs < rt else (rt, rs)
+    for a, b in zip(si.tolist(), ti.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min index becomes the root so cluster_id = min(component)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    members = set()
-    for s, t in edge_rows:
-        members.add(s)
-        members.add(t)
-    return spark.createDataFrame(
-        [(m, find(m)) for m in sorted(members)], "id long, lab long"
-    )
+    # vectorized final resolution: pointer-double to the fixpoint
+    while True:
+        hop = parent[parent]
+        if np.array_equal(hop, parent):
+            break
+        parent = hop
+    out = pd.DataFrame({"id": nodes, "lab": nodes[parent]})
+    return spark.createDataFrame(out)
 
 
 def connected_components(
@@ -352,14 +373,16 @@ def connected_components(
 
     Two tiers, chosen by measured edge count:
 
-    - **Driver union-find** (edge count <= ``driver_max_edges``): the
-      verified near-dup edge set is dup-density-proportional — tiny
+    - **Driver union-find** (UNDIRECTED edge count <=
+      ``driver_max_edges``; the doubled table is compared against 2x):
+      the verified near-dup edge set is dup-density-proportional — tiny
       relative to the corpus even at 100 TB — and a distributed
       fixpoint pays multi-second job-scheduling overhead per round for
-      a graph that fits in one list (measured: 256 edges at sf0.1 cost
-      5.5s distributed, <0.1s on the driver). The collect is BOUNDED:
-      the edge count is checked first, and only (id, id) int64 pairs
-      move (~80 MB at the 5M-edge ceiling). Documents never collect.
+      a graph that fits in two numpy arrays (measured: 256 edges at
+      sf0.1 cost 5.5s distributed, <0.1s on the driver). The collect is
+      BOUNDED: the edge count is checked first, and only the ``s < t``
+      half moves via Arrow (two int64 columns, ~80 MB at the 5M-edge
+      ceiling; numpy working set ~0.4 GB). Documents never collect.
     - **Distributed min-label propagation** (above the ceiling): each
       node takes the min of its label and its neighbors' labels per
       round; converges in <= component-diameter iterations. The loop is
@@ -382,9 +405,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     spark = nodes.sparkSession
-    if edges.count() <= driver_max_edges:
+    # the checkpointed table is direction-DOUBLED: compare its count
+    # against 2x the (undirected) ceiling, and collect only the s < t
+    # half — one Arrow row per undirected edge, both endpoints covered
+    if edges.count() <= 2 * driver_max_edges:
         labels = _union_find_labels(
-            [(r.s, r.t) for r in edges.collect()], spark
+            edges.filter(F.col("s") < F.col("t")).toPandas(), spark
         )
         return (
             nodes.select(F.col(id_col).alias("id"))

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import registered_persist
+
 
 def heavy_hitters(df: DataFrame, key, theta: float = 0.01) -> DataFrame:
     """Keys whose frequency exceeds ``theta`` of ``df``'s rows, with
@@ -65,7 +67,9 @@ def heavy_hitters(df: DataFrame, key, theta: float = 0.01) -> DataFrame:
     # pass-1 output is tiny (candidates + one sentinel per partition);
     # persist it so reading the total and the candidate join don't each
     # re-scan the fact table through mapInPandas
-    pass1 = keyed.mapInPandas(local_candidates, "k long, rows long").persist()
+    pass1 = registered_persist(
+        keyed.mapInPandas(local_candidates, "k long, rows long")
+    )
     total = pass1.agg(F.sum("rows")).first()[0] or 0
     candidates = pass1.filter(F.col("k").isNotNull()).select("k").distinct()
     return (

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import registered_persist
 from ..functions.vector import cosine
 
 
@@ -510,7 +511,7 @@ def tfidf_cosine_topk(
     # both norm lookups); uncached, Spark re-runs the tokenize+tf+df
     # aggregation chain per branch — four scans of the corpus at 100 TB.
     # Persist once; production pipelines materialize this table anyway.
-    wts = tfidf_weights(docs, id_col, text_col).persist()
+    wts = registered_persist(tfidf_weights(docs, id_col, text_col))
     norms = wts.groupBy("id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
     )

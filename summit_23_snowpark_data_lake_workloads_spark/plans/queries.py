@@ -1301,28 +1301,58 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_stats")  # no oracle: sketches are engine-specific
+@query(
+    "events_approx_stats",
+    oracle="""
+    SELECT DISTINCT event_type,
+           1 AS hll_ok, 1 AS p50_ok, 1 AS p95_ok
+    FROM events
+    """,
+)
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the sketch tier every 100 TB engine
     needs (exact distinct counts / percentiles shuffle every value;
     sketches shuffle kilobytes): HyperLogLog++ distinct users and
     Greenwald-Khanna value percentiles per event_type.
 
-    Declared WITHOUT oracle SQL: sketch outputs are algorithm- and
-    merge-order-specific, not portable across engines — the driver
-    records the weaker rows-only check by design;
-    ``test_approx_stats_tolerance`` pins accuracy against exact values
-    (HLL++ rsd 1%, percentile accuracy 10k).
+    Raw sketch outputs are algorithm- and merge-order-specific — not
+    portable across engines — so the cross-engine invariant the oracle
+    pins is the ACCURACY CONTRACT instead: per event_type, a 1/0 flag
+    that each sketch lands within its declared tolerance of the exact
+    aggregate, computed entirely in-Spark (HLL++ rsd=1% checked at 5
+    sigma; GK percentile accuracy=10k checked against the exact
+    quantile envelope +/-0.05 — both orders of magnitude wider than the
+    guarantee, so a correct sketch can never flake the gate). The
+    oracle is the all-ok constant table; a broken sketch (or a broken
+    exact aggregate) flips a flag and hash-mismatches.
     """
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.round(
-            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4
-        ).alias("p50_value"),
-        F.round(
-            F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 4
-        ).alias("p95_value"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        # exact quantile envelope [q-0.05, q+0.05] for each target q;
+        # GK with accuracy=10000 guarantees rank error <= n/10000,
+        # ~500x tighter than this check
+        F.expr("percentile(value, array(0.45, 0.55, 0.90, 0.99))").alias("pb"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50a"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95a"),
+    )
+
+    def ok(cond) -> F.Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+    return agg.select(
+        "event_type",
+        ok(
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("hll_ok"),
+        ok(
+            (F.col("p50a") >= F.col("pb")[0]) & (F.col("p50a") <= F.col("pb")[1])
+        ).alias("p50_ok"),
+        ok(
+            (F.col("p95a") >= F.col("pb")[2]) & (F.col("p95a") <= F.col("pb")[3])
+        ).alias("p95_ok"),
     )
 
 
@@ -1764,15 +1794,15 @@ def spend_distribution_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation: Spark exact ``percentile`` == DuckDB
     ``quantile_cont``), and bucket assignment uses strict ``>`` against
     the shared boundaries, so the gate is exact, not tolerance-based."""
+    from ..cache import registered_persist
+
     o = _t(spark, sf_dir, "orders")
-    spend = (
-        o.groupBy("o_custkey")
-        .agg(
+    spend = registered_persist(
+        o.groupBy("o_custkey").agg(
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total")
         )
-        .persist()
     )
     bounds = spend.agg(
         F.expr(

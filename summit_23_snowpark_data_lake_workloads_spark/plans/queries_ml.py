@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import registered_persist
 from ..functions.scalar import portable_hash64
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import (
@@ -1563,7 +1564,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cheaper side of the trade at every scale.
     base = token_ngram_base(docs, "doc_id", "text", max_n=5)
     sh3_all = ngrams_from_base(base, 3)
-    sh3 = sh3_all.distinct().persist()
+    sh3 = registered_persist(sh3_all.distinct())
 
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, shingles=sh3
@@ -1940,6 +1941,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN near_corpus nc ON nc.doc_id = b.doc_id
     LEFT JOIN near_batch nb ON nb.doc_id = b.doc_id
     """,
+    headline=True,
 )
 def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: an arriving batch (source='src19' stands in for
@@ -1972,18 +1974,26 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(corpus_hash), "h", "left"
     )
 
-    shb = shingle_table(batch, "doc_id", "text", n=3).persist()
+    shb = registered_persist(shingle_table(batch, "doc_id", "text", n=3))
     szb = shb.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
     # prune the corpus index to the batch's shingle vocabulary before the
     # candidate join: corpus rows not sharing a batch shingle never move
-    shc = shingle_table(corpus, "doc_id", "text", n=3).join(
-        F.broadcast(shb.select("shingle").distinct()), "shingle"
+    shc = registered_persist(
+        shingle_table(corpus, "doc_id", "text", n=3).join(
+            F.broadcast(shb.select("shingle").distinct()), "shingle"
+        )
     )
     # corpus-side sizes must count ALL of a candidate doc's shingles, not
-    # just the pruned ones — compute from the unpruned table, but only
-    # for candidate ids (join after the aggregate keeps it proportional)
+    # just the vocabulary-pruned ones — but only CANDIDATE docs (those
+    # sharing >= 1 batch shingle, i.e. the distinct ids of the pruned
+    # table) ever need a size. Broadcast-semi-join the id set BEFORE the
+    # aggregate so the size pass scans the corpus but shuffles only
+    # candidate rows — no corpus-wide shuffle anywhere in the
+    # incremental path (at 100 TB both passes read the pre-materialized
+    # shingle index, pruned by shingle resp. id).
     szc = (
         shingle_table(corpus, "doc_id", "text", n=3)
+        .join(F.broadcast(shc.select("id").distinct()), "id", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("sz_c"))
     )
@@ -2072,6 +2082,7 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz szb ON szb.id = s.id_large
     WHERE round(s.inter / sza.sz, 6) >= 0.8
     """,
+    headline=True,
 )
 def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-subset detection via asymmetric shingle containment:
@@ -2090,7 +2101,7 @@ def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_table
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    sh = registered_persist(shingle_table(docs, "doc_id", "text", n=3))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -2152,12 +2163,17 @@ def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS quality
         FROM (SELECT doc_id, text, length(text) AS n_chars FROM documents)
     )
-    SELECT c.cluster_id,
-           min(q.doc_id ORDER BY q.quality DESC, q.doc_id ASC) AS canonical_doc_id,
-           CAST(count(*) AS BIGINT) AS n_members,
-           max(q.quality) AS best_quality
-    FROM clus c JOIN quality q USING (doc_id)
-    GROUP BY c.cluster_id
+    SELECT cluster_id, canonical_doc_id, n_members, best_quality
+    FROM (
+        SELECT c.cluster_id,
+               q.doc_id AS canonical_doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
+               CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                   AS n_members,
+               max(q.quality) OVER (PARTITION BY c.cluster_id) AS best_quality
+        FROM clus c JOIN quality q USING (doc_id)
+    ) WHERE rn = 1
     """,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

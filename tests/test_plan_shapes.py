@@ -411,8 +411,16 @@ def test_incremental_dedup_no_cartesian_corpus_broadcast_pruned(spark, sf_dir):
     plan = plan_of(QUERIES["dedup_incremental_newbatch"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2, (
-        "corpus hash lookup and shingle-vocabulary prune must broadcast"
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "corpus hash lookup, shingle-vocabulary prune and candidate-id "
+        "size prune must all broadcast"
+    )
+    # the corpus-side SIZE aggregate must be candidate-pruned BEFORE
+    # aggregating (broadcast LEFT SEMI on the candidate id set) — an
+    # unpruned groupBy here is a full-corpus shuffle per increment
+    assert "LeftSemi" in plan, (
+        "corpus size aggregate must semi-join the candidate id set "
+        "before groupBy"
     )
     # the corpus scan must push the source<>'src19' partition predicate
     assert "Not(EqualTo(source,src19))" in plan or "NOT (source = src19)" in plan
