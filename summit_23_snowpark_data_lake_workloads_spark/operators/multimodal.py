@@ -201,7 +201,14 @@ def parse_video_header(data: bytes) -> tuple[str, int | None, int | None] | None
     box walk into ``moov``/``trak``/``tkhd`` recovers the track's
     presentation size (16.16 fixed point, last 8 bytes of tkhd).
     Dimensions are None when no tkhd is found — format identification
-    alone is still useful to the probe pass."""
+    alone is still useful to the probe pass.
+
+    Handles the spec's full size encodings (ISO 14496-12 §4.2):
+    ``size==1`` reads the 64-bit largesize that follows the type, and
+    ``size==0`` means the box extends to the end of its enclosing
+    bound. A corrupt size stops the scan of THAT level only (the next
+    offset is unknowable), and a tkhd without usable dimensions lets
+    the walk continue to later sibling tracks instead of aborting."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         return None
 
@@ -210,25 +217,124 @@ def parse_video_header(data: bytes) -> tuple[str, int | None, int | None] | None
         while i + 8 <= hi:
             size = int.from_bytes(data[i : i + 4], "big")
             btype = data[i + 4 : i + 8]
-            if size < 8 or i + size > hi:
-                return None
+            body_off = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    break
+                size = int.from_bytes(data[i + 8 : i + 16], "big")
+                body_off = i + 16
+                if size < 16:
+                    break
+            elif size == 0:  # box extends to the end of the bound
+                size = hi - i
+            elif size < 8:
+                break  # corrupt: next offset unknowable — stop this level
+            if i + size > hi:
+                break
             if path and btype == path[0]:
                 if len(path) == 1:  # tkhd reached
-                    body = data[i + 8 : i + size]
+                    body = data[body_off : i + size]
                     if len(body) >= 8:
                         w = int.from_bytes(body[-8:-4], "big") >> 16
                         h = int.from_bytes(body[-4:], "big") >> 16
                         if w and h:
                             return (w, h)
-                    return None
-                found = walk(i + 8, i + size, path[1:])
-                if found:
-                    return found
+                    # dimension-less track (e.g. audio): keep scanning
+                else:
+                    found = walk(body_off, i + size, path[1:])
+                    if found:
+                        return found
             i += size
         return None
 
     dims = walk(0, len(data), (b"moov", b"trak", b"tkhd"))
     return ("mp4", dims[0] if dims else None, dims[1] if dims else None)
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _box_largesize(btype: bytes, body: bytes) -> bytes:
+    """ISO-BMFF box using the ``size==1`` + 64-bit largesize encoding."""
+    return (
+        (1).to_bytes(4, "big")
+        + btype
+        + (16 + len(body)).to_bytes(8, "big")
+        + body
+    )
+
+
+def _tkhd(width: int, height: int) -> bytes:
+    return _box(
+        b"tkhd",
+        b"\x00" * 76
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+
+
+def demo_media_payloads() -> list[tuple[int, str, bytes]]:
+    """Deterministic in-plan media fixtures, one per container format
+    the probe tier parses (plus a largesize MP4 and a garbage payload).
+    Byte-level constants so the driver's differential gate can oracle
+    :func:`probe_media_headers` against spec-derived expected values
+    (`media_probe_headers` in plans/queries_ml.py) — no binary testdata
+    column required."""
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + (17).to_bytes(4, "big")  # width
+        + (23).to_bytes(4, "big")  # height
+        + bytes([8, 6, 0, 0, 0])  # bit depth 8, color type 6 (RGBA)
+        + b"\x00\x00\x00\x00"  # placeholder crc (not parsed)
+    )
+    jpeg = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xc0"  # SOF0
+        + (17).to_bytes(2, "big")  # segment length
+        + b"\x08"  # precision
+        + (480).to_bytes(2, "big")  # height
+        + (640).to_bytes(2, "big")  # width
+        + b"\x03"  # 3 components
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    gif = (
+        b"GIF89a"
+        + (320).to_bytes(2, "little")
+        + (200).to_bytes(2, "little")
+        + b"\xf7\x00\x00"
+    )
+    fmt_body = (
+        (1).to_bytes(2, "little")  # PCM
+        + (2).to_bytes(2, "little")  # channels
+        + (44100).to_bytes(4, "little")  # sample rate
+        + (176400).to_bytes(4, "little")  # byte rate
+        + (4).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    wav_chunks = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+    wav = b"RIFF" + len(wav_chunks).to_bytes(4, "little") + wav_chunks
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mp4 = ftyp + _box(b"moov", _box(b"trak", _tkhd(640, 360)))
+    # same container, moov carried in the 64-bit largesize encoding,
+    # behind a dimension-less (audio) first track — exercises the
+    # size==1 path and the keep-scanning-siblings path
+    mp4_large = ftyp + _box_largesize(
+        b"moov",
+        _box(b"trak", _box(b"tkhd", b"\x00" * 84)) + _box(b"trak", _tkhd(1920, 1080)),
+    )
+    garbage = bytes(range(32))
+    return [
+        (1, "image", png),
+        (2, "image", jpeg),
+        (3, "image", gif),
+        (4, "audio", wav),
+        (5, "video", mp4),
+        (6, "video", mp4_large),
+        (7, "image", garbage),
+    ]
 
 
 def probe_media_headers(

@@ -2353,3 +2353,77 @@ def epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(alloc / F.col("n_tokens")).cast("bigint").alias("n_epochs_full"),
         F.when(alloc > F.col("n_tokens"), 1).otherwise(0).alias("upsampled"),
     )
+
+
+def _media_probe_oracle() -> str:
+    """Constant-table oracle for ``media_probe_headers``: per fixture
+    payload, the SPEC-derived header fields (hand-written from the
+    PNG/JPEG/GIF/WAV/ISO-BMFF byte layouts, independent of the Spark
+    parser) — a true differential for the probe tier."""
+    from ..operators.multimodal import demo_media_payloads
+
+    expected = {
+        1: ("png", 17, 23, 4, None),
+        2: ("jpeg", 640, 480, 3, None),
+        3: ("gif", 320, 200, 3, None),
+        4: ("wav", None, None, 2, 44100),
+        5: ("mp4", 640, 360, None, None),
+        6: ("mp4", 1920, 1080, None, None),
+        7: (None, None, None, None, None),
+    }
+
+    def lit(v, typ: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return f"CAST({v} AS {typ})"
+
+    rows = []
+    for mid, mtype, payload in demo_media_payloads():
+        fmt, w, h, ch, sr = expected[mid]
+        rows.append(
+            "({}, {}, {}, {}, {}, {}, {}, {})".format(
+                lit(mid, "BIGINT"),
+                lit(mtype, "VARCHAR"),
+                lit(len(payload), "BIGINT"),
+                lit(fmt, "VARCHAR"),
+                lit(w, "INTEGER"),
+                lit(h, "INTEGER"),
+                lit(ch, "INTEGER"),
+                lit(sr, "INTEGER"),
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(media_id, media_type, n_bytes, "format", width, height,'
+        " channels, sample_rate)"
+    )
+
+
+@query("media_probe_headers", oracle=_media_probe_oracle())
+def media_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal probe tier under the driver gate: deterministic
+    in-plan binary payloads (one per container format the probe parses:
+    PNG IHDR, JPEG SOF walk, GIF descriptor, RIFF/WAVE fmt chunk,
+    ISO-BMFF tkhd walk in both the 32-bit and size==1/largesize
+    encodings, plus a garbage payload that must classify NULL) pushed
+    through :func:`probe_media_headers`'s Arrow ``mapInPandas`` pass
+    and differentialed against a spec-derived constant oracle.
+
+    The testdata has no binary column, so the payloads are built
+    in-plan from byte constants (``demo_media_payloads``) — the gate
+    still exercises the REAL distributed path: BinaryType rows through
+    the Python worker, header parsers per Arrow batch, typed nullable
+    metadata out. ``sf_dir`` is unused by design.
+
+    Scale: same bounded-memory ``mapInPandas`` shape as the production
+    probe pass — constant memory per Arrow batch at any table size.
+    """
+    from ..operators.multimodal import demo_media_payloads, probe_media_headers
+
+    media = spark.createDataFrame(
+        demo_media_payloads(), "media_id long, media_type string, content binary"
+    )
+    return probe_media_headers(media)

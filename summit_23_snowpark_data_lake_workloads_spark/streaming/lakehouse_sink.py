@@ -94,6 +94,74 @@ def merge_stream_into_snapshot_table(
     return writer.start()
 
 
+def _rows_in_files(table: SnapshotTable, files: list[str]) -> int:
+    """Total row count of already-written parquet files, from footers
+    only (driver-local metadata read, no Spark job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(table.path, f)).metadata.num_rows
+        for f in files
+    )
+
+
+def _dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: SnapshotTable,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the dedup-ingest loop (module-level so tests
+    can drive and instrument it directly).
+
+    The dedup plan (within-batch survivors + corpus anti-join) is
+    executed EXACTLY ONCE per batch: the survivors are written straight
+    to a batch dir, then the commit is decided from the written files'
+    parquet footers (a driver-local metadata read) — no ``isEmpty``
+    pre-probe, which would run the whole corpus-projection plan a
+    second time. An all-duplicate batch commits nothing; its empty
+    orphan dir is unreferenced by any manifest and ``vacuum`` collects
+    it, same as a late-detected replay's files.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    seen = table.last_committed_batch(app_id) if table._versions() else None
+    if seen is not None and batch_id <= seen:
+        return
+    h = F.md5(F.col(text_col))
+    w = W.partitionBy(h).orderBy(id_col)
+    fresh = (
+        batch_df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("_h", h)
+    )
+    if table._versions():
+        corpus_hashes = table.read().select(
+            F.md5(F.col(text_col)).alias("_h")
+        )
+        collisions = corpus_hashes.join(
+            F.broadcast(fresh.select("_h").distinct()), "_h"
+        ).distinct()
+        fresh = fresh.join(F.broadcast(collisions), "_h", "left_anti")
+    fresh = fresh.drop("_h")
+    txn = {"app_id": app_id, "batch_id": batch_id}
+    if not table._versions():
+        files = table._write_batch(fresh)
+        table._commit("create", 0, files, replace_all=True, txn=txn)
+        return
+    prev = table.snapshot()
+    files = table._write_batch(fresh)  # the ONE execution of the plan
+    if _rows_in_files(table, files) == 0:
+        return  # nothing new: no empty commit; orphan dir left to vacuum
+    table._commit("append", prev.version, files, txn=txn)
+
+
 def dedup_ingest_stream(
     stream_df: DataFrame,
     table: SnapshotTable,
@@ -108,7 +176,7 @@ def dedup_ingest_stream(
     the streaming twin of the batch ``dedup_incremental_newbatch``
     shape, fused with the exactly-once lakehouse append.
 
-    Per micro-batch:
+    Per micro-batch (see :func:`_dedup_ingest_batch`):
     1. within-batch dedup — one survivor (min id) per content md5;
     2. batch-vs-corpus anti-join on content md5, double-broadcast
        form: broadcast the BATCH's hash set against the corpus
@@ -119,46 +187,19 @@ def dedup_ingest_stream(
        proportional to the batch at any corpus size. (At 100 TB the
        corpus projection reads a maintained hash-index table instead
        of the full corpus; the join geometry is identical.)
-    3. txn-stamped append (same replay-idempotency as the plain sink).
+    3. single-execution write + footer-decided txn-stamped commit
+       (same replay-idempotency as the plain sink; one corpus scan
+       per batch, not two).
 
     Duplicates separated by more than a restart are still caught —
     unlike watermark-bounded ``dropDuplicatesWithinWatermark``, the
     corpus itself is the state store here.
     """
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        seen = (
-            table.last_committed_batch(app_id) if table._versions() else None
+        _dedup_ingest_batch(
+            batch_df, batch_id, table, app_id, id_col, text_col
         )
-        if seen is not None and batch_id <= seen:
-            return
-        h = F.md5(F.col(text_col))
-        w = W.partitionBy(h).orderBy(id_col)
-        fresh = (
-            batch_df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-            .withColumn("_h", h)
-        )
-        if table._versions():
-            corpus_hashes = table.read().select(
-                F.md5(F.col(text_col)).alias("_h")
-            )
-            collisions = corpus_hashes.join(
-                F.broadcast(fresh.select("_h").distinct()), "_h"
-            ).distinct()
-            fresh = fresh.join(F.broadcast(collisions), "_h", "left_anti")
-        fresh = fresh.drop("_h")
-        txn = {"app_id": app_id, "batch_id": batch_id}
-        if not table._versions():
-            files = table._write_batch(fresh)
-            table._commit("create", 0, files, replace_all=True, txn=txn)
-        elif fresh.isEmpty():
-            pass  # nothing new: no empty commit, replay detection keeps batch order
-        else:
-            table.append(fresh, txn=txn)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)

@@ -207,3 +207,37 @@ def test_header_parsers_never_raise_on_fuzz():
         for parser in (parse_image_header, parse_audio_header, parse_video_header):
             out = parser(c)  # must not raise
             assert out is None or isinstance(out, tuple)
+
+
+def test_mp4_largesize_and_size0_boxes():
+    """ISO-BMFF's other legal size encodings (ISO 14496-12 section 4.2):
+    size==1 reads the 64-bit largesize; size==0 extends the box to the
+    end of its bound; a dimension-less first track must not abort the
+    walk before a later sibling with real dimensions."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.multimodal import (
+        _box,
+        _box_largesize,
+        _tkhd,
+        demo_media_payloads,
+        parse_video_header,
+    )
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+
+    # largesize moov behind an audio (no-dims) first track
+    large = dict((m, c) for m, _, c in [(m, t, c) for m, t, c in demo_media_payloads()])[6]
+    assert parse_video_header(large) == ("mp4", 1920, 1080)
+
+    # size==0: moov extends to end-of-file
+    moov_body = _box(b"trak", _tkhd(128, 96))
+    size0 = ftyp + (0).to_bytes(4, "big") + b"moov" + moov_body
+    assert parse_video_header(size0) == ("mp4", 128, 96)
+
+    # corrupt sibling before moov: that level stops (offset unknowable),
+    # but the payload still classifies as mp4
+    corrupt = ftyp + (3).to_bytes(4, "big") + b"free" + ftyp
+    assert parse_video_header(corrupt) == ("mp4", None, None)
+
+    # largesize with truncated 64-bit field: classified, no dims, no raise
+    trunc = ftyp + (1).to_bytes(4, "big") + b"moov" + b"\x00\x00"
+    assert parse_video_header(trunc) == ("mp4", None, None)

@@ -478,3 +478,61 @@ def test_dedup_ingest_stream_restart_and_late_arrivals(spark, tmp_path):
     run()
     got = {r.text: r.doc_id for r in table.read().collect()}
     assert got == {"alpha": 1, "beta": 2, "gamma": 10}
+
+
+def test_dedup_ingest_batch_single_plan_execution(spark, tmp_path, monkeypatch):
+    """The dedup-ingest micro-batch must execute its dedup plan exactly
+    ONCE: the survivors are written, then the commit decision reads the
+    written files' parquet footers. Pinned three ways: the corpus
+    projection is built once per batch, the batch is written once, and
+    no ``isEmpty`` pre-probe (a second full plan execution) ever runs."""
+    from pyspark.sql import DataFrame
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        _dedup_ingest_batch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "corpus_single"))
+    calls = {"read": 0, "write_batch": 0}
+    real_read, real_wb = SnapshotTable.read, SnapshotTable._write_batch
+
+    def spy_read(self, *a, **k):
+        calls["read"] += 1
+        return real_read(self, *a, **k)
+
+    def spy_wb(self, df):
+        calls["write_batch"] += 1
+        return real_wb(self, df)
+
+    def no_isempty(self):
+        raise AssertionError("isEmpty pre-probe executes the plan twice")
+
+    monkeypatch.setattr(SnapshotTable, "read", spy_read)
+    monkeypatch.setattr(SnapshotTable, "_write_batch", spy_wb)
+    monkeypatch.setattr(DataFrame, "isEmpty", no_isempty)
+
+    b0 = spark.createDataFrame([(1, "doc A"), (2, "doc B")], "doc_id long, text string")
+    _dedup_ingest_batch(b0, 0, table, "single-exec")
+    assert calls == {"read": 0, "write_batch": 1}  # create: no corpus yet
+
+    b1 = spark.createDataFrame([(3, "doc A"), (4, "doc C")], "doc_id long, text string")
+    _dedup_ingest_batch(b1, 1, table, "single-exec")
+    assert calls == {"read": 1, "write_batch": 2}, (
+        "append batch: one corpus projection, one write"
+    )
+
+    # all-duplicate batch: still exactly one projection + one write,
+    # and NO commit (version unchanged, no empty files referenced)
+    monkeypatch.setattr(SnapshotTable, "read", real_read)  # for the assert read
+    v = table.snapshot().version
+    monkeypatch.setattr(SnapshotTable, "read", spy_read)
+    b2 = spark.createDataFrame([(5, "doc A"), (6, "doc C")], "doc_id long, text string")
+    _dedup_ingest_batch(b2, 2, table, "single-exec")
+    assert calls == {"read": 2, "write_batch": 3}
+    assert table.snapshot().version == v, "all-dup batch must not commit"
+    monkeypatch.setattr(SnapshotTable, "read", real_read)
+    got = {r.text: r.doc_id for r in table.read().collect()}
+    assert got == {"doc A": 1, "doc B": 2, "doc C": 4}
