@@ -80,13 +80,15 @@ def test_union_find_matches_bfs_reference():
     can hammer it."""
     import random
 
+    import pandas as pd
+
     from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
         _union_find_labels,
     )
 
     class _FakeSpark:
-        def createDataFrame(self, rows, schema):
-            return rows  # the labels list is all the test needs
+        def createDataFrame(self, pdf):
+            return pdf  # the labels frame is all the test needs
 
     rng = random.Random(42)
     for trial in range(200):
@@ -95,7 +97,14 @@ def test_union_find_matches_bfs_reference():
         edges = [
             (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
         ]
-        got = dict(_union_find_labels(edges, _FakeSpark()))
+        edges_pdf = pd.DataFrame(
+            {
+                "s": pd.Series([s for s, _ in edges], dtype="int64"),
+                "t": pd.Series([t for _, t in edges], dtype="int64"),
+            }
+        )
+        out = _union_find_labels(edges_pdf, _FakeSpark())
+        got = dict(zip(out["id"].tolist(), out["lab"].tolist()))
         # BFS reference
         adj = {}
         for s, t in edges:
