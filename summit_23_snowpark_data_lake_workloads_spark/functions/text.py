@@ -202,6 +202,31 @@ def pii_counts(c: Column | str) -> dict[str, Column]:
     }
 
 
+def normalize_chars(c: Column | str) -> Column:
+    """Canonical character stream for character-level language models:
+    lowercase, every non-[a-z ] run collapsed to one space, runs of
+    spaces collapsed, trimmed. Engine-portable (same regex subset as the
+    PII patterns) and pure codegen."""
+    col = F.col(c) if isinstance(c, str) else c
+    s0 = F.trim(F.regexp_replace(F.lower(col), "[^a-z ]+", " "))
+    return F.regexp_replace(s0, " +", " ")
+
+
+def char_bigrams(c: Column | str) -> Column:
+    """All overlapping character bigrams of a string (array<string>,
+    one element per position — occurrences preserved, NOT distinct,
+    because LM counts weight by frequency). Strings shorter than 2
+    chars yield an empty array. Native ``sequence`` + ``substr``
+    expressions — no Python workers in the per-character path."""
+    col = F.col(c) if isinstance(c, str) else c
+    # sequence(1, 0) would DESCEND, so short strings need an explicit
+    # empty-array branch rather than an empty sequence
+    positions = F.when(
+        F.length(col) >= 2, F.sequence(F.lit(1), F.length(col) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(positions, lambda i: col.substr(i, F.lit(2)))
+
+
 def doc_fingerprint(c: Column | str, n: int = 3) -> Column:
     """Document fingerprint: min of the hashed n-gram shingles (a 1-hash
     MinHash / winnowing-style signature). Equal fingerprints are strong

@@ -2427,3 +2427,169 @@ def media_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         demo_media_payloads(), "media_id long, media_type string, content binary"
     )
     return probe_media_headers(media)
+
+
+@query(
+    "charlm_doc_quality",
+    oracle="""
+    WITH normed AS (
+        SELECT doc_id,
+               regexp_replace(trim(regexp_replace(lower(text), '[^a-z ]+', ' ', 'g')),
+                              ' +', ' ', 'g') AS s
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest([substr(s, i, 2) for i in range(1, length(s))]) AS b
+        FROM normed WHERE length(s) >= 2
+    ),
+    dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    model AS (SELECT b, sum(c) AS cb FROM dc GROUP BY b),
+    c1 AS (SELECT substr(b, 1, 1) AS ch, sum(cb) AS cc FROM model GROUP BY ch),
+    v AS (SELECT count(DISTINCT substr(b, 2, 1)) AS vocab FROM model)
+    SELECT dc.doc_id,
+           sum(dc.c)::BIGINT AS n_bigrams,
+           round(sum(dc.c * ln((m.cb + 1.0) / (c1.cc + v.vocab))) / sum(dc.c), 3)
+               AS avg_logprob
+    FROM dc
+    JOIN model m ON dc.b = m.b
+    JOIN c1 ON substr(dc.b, 1, 1) = c1.ch
+    CROSS JOIN v
+    GROUP BY dc.doc_id
+    """,
+    headline=True,
+)
+def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring via a corpus-trained character
+    bigram LM — the relational analog of CCNet's KenLM filter (score
+    every document by how "language-like" its character stream is under
+    a model fit on the corpus itself; gibberish / boilerplate scores
+    far below prose). Add-one-smoothed conditional model
+    ``p(c2|c1) = (count(c1c2)+1) / (count(c1·)+V)``; a document's score
+    is the frequency-weighted mean log-probability of its bigrams.
+
+    Scale: the per-document bigram COUNT table is built once (one
+    shuffle keyed (doc_id, bigram)) and persisted — both the global
+    model aggregation and the scoring join read it, so the corpus text
+    is exploded exactly once. The model (≤ ~27² rows after
+    normalization) and first-char marginals broadcast; the final
+    per-document aggregate shuffles on doc_id. No Python workers
+    anywhere — the whole pass is codegen.
+    """
+    from ..functions.text import char_bigrams, normalize_chars
+
+    docs = _t(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", normalize_chars(F.col("text")).alias("s")
+    ).filter(F.length("s") >= 2)
+    dc = registered_persist(
+        normed.select("doc_id", F.explode(char_bigrams(F.col("s"))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = dc.groupBy("b").agg(F.sum("c").alias("cb"))
+    c1 = model.groupBy(F.substring("b", 1, 1).alias("ch")).agg(
+        F.sum("cb").alias("cc")
+    )
+    vocab = model.select(
+        F.count_distinct(F.substring("b", 2, 1)).alias("vocab")
+    )
+    return (
+        dc.join(F.broadcast(model), "b")
+        .join(F.broadcast(c1), F.substring(dc["b"], 1, 1) == F.col("ch"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * F.log((F.col("cb") + 1.0) / (F.col("cc") + F.col("vocab")))
+                )
+                / F.sum("c"),
+                3,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               len(string_split_regex(text, '\\s+')) AS n_tokens,
+               CASE WHEN {_DUCK_HASH.format(x="source")} % 100 < 80 THEN 'train'
+                    WHEN {_DUCK_HASH.format(x="source")} % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    leaky AS (
+        SELECT count(*) AS leaky_sources FROM (
+            SELECT source FROM assigned GROUP BY source
+            HAVING count(DISTINCT split) > 1
+        )
+    ),
+    total AS (SELECT count(*) AS n_total FROM assigned)
+    SELECT split,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           round(count(*) / n_total::DOUBLE, 3) AS doc_share,
+           leaky_sources::BIGINT AS leaky_sources
+    FROM assigned CROSS JOIN leaky CROSS JOIN total
+    GROUP BY split, leaky_sources, n_total
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split that can never leak near-duplicates across
+    splits: assignment hashes the GROUP key (``source`` — at web scale,
+    the canonical domain), not the document, so every document from one
+    source lands in the same split (near-dups overwhelmingly share a
+    source). 80/10/10 by ``portable_hash64(source) % 100`` — stable
+    under corpus growth: adding documents never moves an existing
+    source's split. Emits per-split volume stats plus ``leaky_sources``
+    (sources straddling splits — structurally zero; the column keeps
+    the invariant under the differential gate).
+
+    Scale: one aggregate keyed (split, source-distinct) over a
+    hash-assigned column — no shuffle of the text, no join; the leaky
+    check reuses the same aggregate's shape and broadcasts a scalar.
+    """
+    from ..functions.scalar import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash64(F.col("source")), F.lit(100))
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        F.array_size(F.split("text", r"\s+")).alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaky = (
+        assigned.groupBy("source")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select(F.count(F.lit(1)).alias("leaky_sources"))
+    )
+    total = assigned.select(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(leaky))
+        .select(
+            "split",
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("n_total"), 3).alias("doc_share"),
+            "leaky_sources",
+        )
+    )
