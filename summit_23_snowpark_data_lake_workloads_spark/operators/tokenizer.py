@@ -1,0 +1,130 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge
+learning) — the "train a tokenizer on the corpus" step of an LLM data
+pipeline, expressed Spark-first.
+
+Classic BPE (Sennrich et al. 2016, public algorithm) trains on the
+WORD-FREQUENCY table, not the raw corpus — the right scale split: the
+corpus-sized work (one tokenize + groupBy word) happens exactly once,
+and every merge iteration then runs over the vocabulary table, which is
+orders of magnitude smaller than the corpus at any scale (Heaps' law).
+
+Per iteration the engine:
+
+1. counts adjacent symbol pairs weighted by word frequency — the
+   shuffle-free ``arrays_zip`` over slice-shifted arrays (same trick as
+   the shingle base in :mod:`.dedup`), one small groupBy on the pair;
+2. takes the deterministic argmax (frequency desc, pair string asc —
+   ASCII-only symbols, so Spark and any SQL oracle order identically);
+3. applies the merge to every word via one literal ``replace`` on a
+   canonical DOUBLE-SPACED symbol string. The double-space form makes
+   ``' a  b '`` match exactly token-boundary-aligned occurrences, and
+   left-to-right non-overlapping ``replace`` (identical semantics in
+   Spark and DuckDB) IS the greedy BPE merge scan; a renormalization
+   re-split restores the canonical form for the next round.
+
+The driver holds one argmax row per iteration (the learned merge —
+that's the model, k rows total); the vocabulary never leaves the
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: end-of-word marker symbol (standard BPE formulation)
+EOW = "</w>"
+
+
+def _canonical(sym_array) -> F.Column:
+    """Symbols array -> canonical string: single space at both ends,
+    double spaces between symbols (`` a  b  </w> ``)."""
+    return F.concat(F.lit(" "), F.array_join(sym_array, "  "), F.lit(" "))
+
+
+def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, s): corpus word frequencies with each word exploded
+    into its character symbols + ``</w>``, rendered canonically. The one
+    corpus-sized pass of BPE training."""
+    from ..functions.text import normalize_chars
+
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_chars(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # split between characters (zero-width boundary), then append EOW
+    chars = F.split(F.col("word"), "(?!^)")
+    return words.select(
+        "word",
+        "freq",
+        _canonical(F.concat(chars, F.array(F.lit(EOW)))).alias("s"),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, f): adjacent-symbol pair frequencies over the vocabulary,
+    weighted by word frequency. Shuffle-free pair construction
+    (arrays_zip over slice-shifted token arrays); the only shuffle is
+    the small groupBy on the pair itself."""
+    t = F.split(F.trim(F.col("s")), " +")
+    sz = F.size(t)
+    n_pairs = F.greatest(F.lit(0), sz - 1)
+    zipped = F.arrays_zip(F.slice(t, 1, n_pairs), F.slice(t, 2, n_pairs))
+    pairs = F.transform(zipped, lambda g: F.concat_ws(" ", g["0"], g["1"]))
+    return (
+        words.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("f"))
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession, docs: DataFrame, k: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Learn the top-``k`` BPE merges; returns the merge table
+    (merge_rank, left_sym, right_sym, merged, pair_freq) — k rows, the
+    trained tokenizer model.
+
+    Iterative by nature (each merge changes the pair statistics), so the
+    driver loop collects ONE row per iteration — the argmax pair — and
+    the vocabulary table stays distributed throughout. Each iteration's
+    vocabulary is persisted and the previous one released once the next
+    materializes, keeping lineage flat across rounds.
+    """
+    words = word_symbol_table(docs, text_col).persist()
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, k + 1):
+            best = (
+                _pair_counts(words)
+                .orderBy(F.desc("f"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, freq = best[0]["pair"], int(best[0]["f"])
+            a, b = pair.split(" ")
+            merges.append((rank, a, b, a + b, freq))
+            replaced = F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} ")
+            )
+            nxt = words.select(
+                "word",
+                "freq",
+                _canonical(F.split(F.trim(replaced), " +")).alias("s"),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_freq bigint",
+    )

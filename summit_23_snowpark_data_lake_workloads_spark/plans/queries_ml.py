@@ -2593,3 +2593,69 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leaky_sources",
         )
     )
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-stage DuckDB mirror of BPE merge learning: each stage
+    picks the argmax adjacent pair and applies it to the vocabulary via
+    the same double-spaced literal replace the Spark operator uses —
+    identical greedy left-to-right merge semantics, so the learned
+    merge table matches row-for-row."""
+    stages = ["""
+w0 AS (
+    SELECT word, count(*) AS freq,
+           ' ' || array_to_string(
+               list_append([substr(word, i, 1) for i in range(1, length(word)+1)],
+                           '</w>'), '  ') || ' ' AS s
+    FROM (
+        SELECT unnest(string_split(
+            regexp_replace(trim(regexp_replace(lower(text), '[^a-z ]+', ' ', 'g')),
+                           ' +', ' ', 'g'), ' ')) AS word
+        FROM documents
+    )
+    WHERE length(word) > 0
+    GROUP BY word
+)"""]
+    finals = []
+    for i in range(1, k + 1):
+        stages.append(f"""
+p{i} AS (
+    SELECT pair, sum(freq) AS f
+    FROM (
+        SELECT freq, unnest([t[j] || ' ' || t[j+1] for j in range(1, len(t))]) AS pair
+        FROM (SELECT freq, string_split_regex(trim(s), ' +') AS t FROM w{i-1})
+    )
+    GROUP BY pair
+),
+m{i} AS (SELECT pair, f FROM p{i} ORDER BY f DESC, pair LIMIT 1),
+w{i} AS (
+    SELECT w.word, w.freq,
+           ' ' || array_to_string(string_split_regex(trim(
+               replace(w.s,
+                       ' ' || split_part(m.pair, ' ', 1) || '  '
+                           || split_part(m.pair, ' ', 2) || ' ',
+                       ' ' || replace(m.pair, ' ', '') || ' ')), ' +'), '  ')
+               || ' ' AS s
+    FROM w{i-1} w CROSS JOIN m{i} m
+)""")
+        finals.append(
+            f"SELECT {i} AS merge_rank, split_part(pair, ' ', 1) AS left_sym,"
+            f" split_part(pair, ' ', 2) AS right_sym,"
+            f" replace(pair, ' ', '') AS merged, f::BIGINT AS pair_freq FROM m{i}"
+        )
+    return "WITH " + ",".join(stages) + "\n" + " UNION ALL ".join(finals)
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle(6))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (top-6 merges) over the
+    document corpus — see :mod:`..operators.tokenizer` for the scale
+    argument (corpus-sized work happens once; each merge iteration runs
+    over the word-frequency table only, with a single argmax row ever
+    reaching the driver). The learned merge table IS the result — the
+    one genuinely iterative algorithm in the suite, still differentially
+    gated because the oracle unrolls the same six stages in SQL.
+    """
+    from ..operators.tokenizer import learn_bpe_merges
+
+    return learn_bpe_merges(spark, _t(spark, sf_dir, "documents"), k=6)

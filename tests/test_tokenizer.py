@@ -1,0 +1,76 @@
+"""BPE merge learning vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+import collections
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.tokenizer import (
+    EOW,
+    learn_bpe_merges,
+)
+
+
+def _python_bpe(texts: list[str], k: int) -> list[tuple]:
+    """Classic BPE on the word-frequency dict (Sennrich et al.):
+    greedy left-to-right non-overlapping merge application."""
+    words = collections.Counter(
+        w for t in texts for w in t.split(" ") if w
+    )
+    vocab = {tuple(list(w) + [EOW]): f for w, f in words.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = collections.Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((rank, a, b, a + b, f))
+        nxt: dict[tuple, int] = {}
+        for sym, fr in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + fr
+        vocab = nxt
+    return merges
+
+
+def _check(spark, texts: list[str], k: int) -> None:
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in learn_bpe_merges(spark, docs, k=k)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _python_bpe(texts, k), f"texts={texts!r}"
+
+
+def test_bpe_simple_corpus(spark):
+    _check(spark, ["low low low lower lowest", "new newer newest low"], 5)
+
+
+def test_bpe_overlapping_pairs(spark):
+    # 'aaaa' exercises greedy non-overlapping scan: (a,a) merges to
+    # [aa, aa], never [aa, a, a] or overlapping triples
+    _check(spark, ["aaaa aaa aa baab", "aab aaaa"], 4)
+
+
+def test_bpe_merged_symbol_chains(spark):
+    # a learned merge must participate in later pair counts (er + </w>)
+    _check(spark, ["river rider racer", "racer racer river"], 6)
+
+
+def test_bpe_exhausts_pairs(spark):
+    # k larger than available pairs: stops early, returns what exists
+    docs_texts = ["ab ab"]
+    got_k = len(_python_bpe(docs_texts, 10))
+    _check(spark, docs_texts, 10)
+    assert got_k < 10
