@@ -2659,3 +2659,58 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tokenizer import learn_bpe_merges
 
     return learn_bpe_merges(spark, _t(spark, sf_dir, "documents"), k=6)
+
+
+@query(
+    "embedding_pca_audit",
+    oracle="""
+    WITH x AS (
+        SELECT unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    ),
+    pervar AS (SELECT i, var_pop(v) AS vp FROM x GROUP BY i)
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+           (SELECT max(len(embedding)) FROM embeddings)::BIGINT AS dim,
+           (SELECT round(sum(vp), 3) FROM pervar) AS trace,
+           true AS eig_sum_ok,
+           true AS eigs_nonneg_ok,
+           true AS eigs_sorted_ok
+    """,
+)
+def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA audit of the embedding table under the differential gate.
+    The eigendecomposition itself is not SQL-expressible, so the gated
+    row carries what an independent engine CAN verify — vector count,
+    dimensionality, covariance trace (= total variance, which DuckDB
+    recomputes as the sum of per-dimension population variances) — plus
+    in-Spark invariant flags tying the spectrum to that trace: the
+    eigenvalues must sum to the trace (1e-9 relative), be non-negative
+    (1e-9 absolute slack for symmetric-eig roundoff), and come out
+    sorted descending. A broken Gram accumulation, a partials-combine
+    bug, or a wrong covariance normalization flips a flag or moves the
+    trace, and the gate hash-mismatches. Raw eigenvalues are pinned
+    against numpy in pytest (tests/test_linalg.py).
+
+    Scale: one full-scan ``mapInPandas`` moment pass, zero shuffles,
+    partition-count-sized driver reduce (operators/linalg.py).
+    """
+    from ..operators.linalg import pca_spectrum
+
+    from ..sources.batch import read_table
+
+    spec = pca_spectrum(read_table(spark, sf_dir, "embeddings"), "embedding")
+    eig, trace = spec["eigvals"], spec["trace"]
+    row = (
+        spec["n"],
+        spec["dim"],
+        round(trace, 3),
+        bool(abs(float(eig.sum()) - trace) <= 1e-9 * max(abs(trace), 1.0)),
+        bool((eig >= -1e-9).all()),
+        bool((eig[:-1] >= eig[1:]).all()),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vecs bigint, dim bigint, trace double, eig_sum_ok boolean, "
+        "eigs_nonneg_ok boolean, eigs_sorted_ok boolean",
+    )
