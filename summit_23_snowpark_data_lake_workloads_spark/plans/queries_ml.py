@@ -2714,3 +2714,79 @@ def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs bigint, dim bigint, trace double, eig_sum_ok boolean, "
         "eigs_nonneg_ok boolean, eigs_sorted_ok boolean",
     )
+
+
+def _jl_oracle(k: int = 16, d: int = 64, n_probe: int = 24) -> str:
+    """Oracle for the JL projection audit: embeds the SAME deterministic
+    sign matrix as SQL literals (one unrolled projection expression per
+    output dimension) and recomputes both distances in double."""
+    from ..functions.vector import sign_matrix
+
+    r = sign_matrix(k, d)
+    proj_exprs = ", ".join(
+        "list_sum([embedding[i] * ("
+        + "[" + ",".join(f"{v:.1f}" for v in row) + "]"
+        + f")[i] FOR i IN range(1, {d + 1})]) / sqrt({k}.0)"
+        for row in r
+    )
+    return f"""
+    WITH probes AS (
+        SELECT vec_id, embedding, [{proj_exprs}] AS proj
+        FROM embeddings WHERE vec_id < {n_probe}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt(list_sum([(a.embedding[i] - b.embedding[i])
+                                * (a.embedding[i] - b.embedding[i])
+                                FOR i IN range(1, {d + 1})])), 3) AS d_orig,
+           round(sqrt(list_sum([(a.proj[j] - b.proj[j]) * (a.proj[j] - b.proj[j])
+                                FOR j IN range(1, {k + 1})])), 3) AS d_proj,
+           round(sqrt(list_sum([(a.proj[j] - b.proj[j]) * (a.proj[j] - b.proj[j])
+                                FOR j IN range(1, {k + 1})]))
+                 / sqrt(list_sum([(a.embedding[i] - b.embedding[i])
+                                  * (a.embedding[i] - b.embedding[i])
+                                  FOR i IN range(1, {d + 1})])), 3) AS ratio
+    FROM probes a JOIN probes b ON a.vec_id < b.vec_id
+    """
+
+
+@query("embedding_random_projection", oracle=_jl_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction audit: project the
+    64-dim embeddings to 16 dims with a deterministic Rademacher sign
+    matrix (literal arrays in the plan — the projection is pure codegen
+    arithmetic, a shuffle-free map at any corpus size) and report
+    pairwise-distance preservation over a bounded probe set (24
+    vectors, 276 pairs). The ratio column IS the JL guarantee made
+    observable; the oracle recomputes everything from the same literal
+    matrix, so a projection bug, an indexing slip, or a wrong scale
+    factor hash-mismatches.
+
+    Scale: the audited operator (``random_projection``) maps 100 TB of
+    vectors without moving them; only the fixed-size probe pair grid
+    (a bounded self-join) exists for the audit.
+    """
+    from ..functions.vector import l2_dist, random_projection
+    from ..sources.batch import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < 24)
+        .select(
+            "vec_id",
+            "embedding",
+            random_projection("embedding", k=16, d=64).alias("proj"),
+        )
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    d_orig = l2_dist(F.col("a.embedding"), F.col("b.embedding"))
+    d_proj = l2_dist(F.col("a.proj"), F.col("b.proj"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(d_orig, 3).alias("d_orig"),
+            F.round(d_proj, 3).alias("d_proj"),
+            F.round(d_proj / d_orig, 3).alias("ratio"),
+        )
+    )
