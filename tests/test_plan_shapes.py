@@ -451,3 +451,62 @@ def test_cluster_canonical_argmax_is_aggregate_not_window(spark, sf_dir):
     assert "Window" not in plan, "argmax must be max_by, not row_number"
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_charlm_single_explode_broadcast_model(spark, sf_dir):
+    """charlm_doc_quality: the corpus text is exploded ONCE (the
+    persisted per-doc count table feeds both the model aggregation and
+    the scoring join), and the model/marginal/vocab joins all
+    broadcast — no shuffle keyed on the bigram for the scoring side."""
+    df = QUERIES["charlm_doc_quality"](spark, sf_dir)
+    df.collect()  # AQE finalizes; also materializes the persisted table
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") <= 1, (
+        "text must be exploded at most once in the final plan "
+        "(the persisted count table covers the second consumer)"
+    )
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, "model joins must broadcast"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_leakage_split_no_join_on_docs(spark, sf_dir):
+    """leakage_safe_split: assignment is a pure map — documents are
+    never joined or re-shuffled on a data key; the two scalar sides
+    (total, leaky count) broadcast."""
+    plan = plan_of(QUERIES["leakage_safe_split"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_projection_probe_side_broadcast(spark, sf_dir):
+    """embedding_random_projection: the non-equi probe self-join is a
+    BroadcastNestedLoopJoin over the BOUNDED 24-row probe set — never a
+    cartesian over the full table — and the projection itself is pure
+    codegen (no Python workers)."""
+    plan = plan_of(QUERIES["embedding_random_projection"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,24)" in plan, (
+        "the probe bound must reach the parquet scan"
+    )
+
+
+def test_bpe_pair_counts_no_window_no_udf(spark, sf_dir):
+    """BPE pair counting (the per-iteration hot path): shuffle-free pair
+    construction — no window, no Python workers; the only exchange is
+    the small groupBy on the pair."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.tokenizer import (
+        _pair_counts,
+        word_symbol_table,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    words = word_symbol_table(read_table(spark, sf_dir, "documents"))
+    plan = simple_plan_of(_pair_counts(words))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(pair") == 1
