@@ -2790,3 +2790,44 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(d_proj / d_orig, 3).alias("ratio"),
         )
     )
+
+
+@query(
+    "salted_join_segments",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*)::BIGINT AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-surgery operator under the driver gate: enrich the event
+    stream with a per-user dimension through ``salted_join`` (hot keys
+    split across 8 per-row salts, dimension replicated per salt) and
+    aggregate per segment. The oracle is the PLAIN join — by contract
+    the salt changes only the shuffle distribution, never the result,
+    and the gate hash-proves it on real data.
+
+    Scale: for a pathological user holding >10% of a 100 TB event
+    table, AQE's skew split still funnels one reducer chain per key;
+    the salt pre-splits at shuffle time. Cost: dimension x n_salts —
+    broadcast-sized here, bounded in general.
+    """
+    from ..operators.joins import salted_join
+
+    events = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        salted_join(events, dim, on="user_id", n_salts=8)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
