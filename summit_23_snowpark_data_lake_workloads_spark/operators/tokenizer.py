@@ -82,6 +82,61 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def apply_merges(s, merges: list[tuple[str, str]]) -> F.Column:
+    """Apply learned merges IN RANK ORDER to a canonical symbol string —
+    each one literal replace + renormalization, all codegen. BPE
+    inference applies merges by learned priority, which sequential
+    application reproduces exactly."""
+    col = F.col(s) if isinstance(s, str) else s
+    for a, b in merges:
+        replaced = F.replace(col, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+        col = _canonical(F.split(F.trim(replaced), " +"))
+    return col
+
+
+def trained_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens): per-document token counts under a TRAINED
+    BPE (the learned merge list), token = post-merge symbol incl. the
+    ``</w>`` marker when unmerged.
+
+    Scale shape: encode each DISTINCT word exactly once (the vocabulary
+    is Heaps'-law small), broadcast the (word -> tokens-per-word) map
+    back, and the per-document count is one weighted sum — the corpus
+    text is tokenized once and never re-scanned per merge.
+    """
+    from ..functions.text import normalize_chars
+
+    docw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_chars(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    chars = F.split(F.col("word"), "(?!^)")
+    vocab = (
+        docw.select("word")
+        .distinct()
+        .select(
+            "word",
+            _canonical(F.concat(chars, F.array(F.lit(EOW)))).alias("s"),
+        )
+        .select(
+            "word",
+            F.size(F.split(F.trim(apply_merges("s", merges)), " +")).alias("n_sym"),
+        )
+    )
+    return (
+        docw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("n_sym")).alias("n_tokens"))
+    )
+
+
 def learn_bpe_merges(
     spark: SparkSession, docs: DataFrame, k: int = 6, text_col: str = "text"
 ) -> DataFrame:

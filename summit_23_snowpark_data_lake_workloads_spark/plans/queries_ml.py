@@ -2595,12 +2595,13 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_stages(k: int) -> tuple[list, list]:
     """Unrolled k-stage DuckDB mirror of BPE merge learning: each stage
     picks the argmax adjacent pair and applies it to the vocabulary via
     the same double-spaced literal replace the Spark operator uses —
-    identical greedy left-to-right merge semantics, so the learned
-    merge table matches row-for-row."""
+    identical greedy left-to-right merge semantics. Returns (stage
+    CTEs, per-merge final SELECTs) for reuse by the learn and encode
+    oracles."""
     stages = ["""
 w0 AS (
     SELECT word, count(*) AS freq,
@@ -2643,6 +2644,11 @@ w{i} AS (
             f" split_part(pair, ' ', 2) AS right_sym,"
             f" replace(pair, ' ', '') AS merged, f::BIGINT AS pair_freq FROM m{i}"
         )
+    return stages, finals
+
+
+def _bpe_oracle(k: int) -> str:
+    stages, finals = _bpe_stages(k)
     return "WITH " + ",".join(stages) + "\n" + " UNION ALL ".join(finals)
 
 
@@ -2831,3 +2837,60 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Encode oracle: learn the k merges (same unrolled stages), then
+    count post-merge symbols per word and weight by per-doc word
+    counts — the exact mirror of ``trained_token_counts``."""
+    stages, _ = _bpe_stages(k)
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f""",
+    vocab AS (
+        SELECT word, len(string_split_regex(trim(s), ' +')) AS n_sym FROM w{k}
+    ),
+    docw AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (
+            SELECT doc_id, unnest(string_split(
+                regexp_replace(trim(regexp_replace(lower(text), '[^a-z ]+', ' ', 'g')),
+                               ' +', ' ', 'g'), ' ')) AS word
+            FROM documents
+        )
+        WHERE length(word) > 0
+        GROUP BY doc_id, word
+    )
+    SELECT doc_id, sum(c * n_sym)::BIGINT AS n_tokens
+    FROM docw JOIN vocab USING (word)
+    GROUP BY doc_id
+    """
+    )
+
+
+@query("token_counts_bpe_trained", oracle=_bpe_encode_oracle(6))
+def token_counts_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained-tokenizer token counting: learn the top-6 BPE
+    merges on the corpus (``bpe_learn_merges``), then ENCODE every
+    document with them and count real post-merge tokens — the
+    "how many tokens will this corpus cost" number a training pipeline
+    actually budgets with, as opposed to the pre-tokenizer upper bound
+    of ``token_counts_bpe``.
+
+    Scale: training touches the corpus once (word-freq table) and each
+    DISTINCT word is encoded exactly once; the (word -> tokens) map
+    broadcasts back onto the per-doc word counts. The oracle re-learns
+    the merges in the same unrolled SQL and re-encodes — the whole
+    train-then-apply pipeline is differentially gated.
+    """
+    from ..operators.tokenizer import learn_bpe_merges, trained_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(spark, docs, k=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return trained_token_counts(docs, merges)

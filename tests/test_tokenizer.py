@@ -74,3 +74,39 @@ def test_bpe_exhausts_pairs(spark):
     got_k = len(_python_bpe(docs_texts, 10))
     _check(spark, docs_texts, 10)
     assert got_k < 10
+
+
+def test_trained_token_counts_matches_python(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.tokenizer import (
+        trained_token_counts,
+    )
+
+    texts = ["low lower lowest low", "new newer lowest", "aaaa aab low"]
+    k = 4
+    merges = [(m[1], m[2]) for m in _python_bpe(texts, k)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in trained_token_counts(docs, merges).collect()
+    }
+
+    def encode(word: str) -> int:
+        sym = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    want = {
+        i: sum(encode(w) for w in t.split(" ") if w) for i, t in enumerate(texts)
+    }
+    assert got == want
