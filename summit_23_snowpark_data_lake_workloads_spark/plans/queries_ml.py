@@ -2894,3 +2894,65 @@ def token_counts_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return trained_token_counts(docs, merges)
+
+
+@query(
+    "curriculum_quality_buckets",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(0.4 * (CASE WHEN length(text) >= 100 AND length(text) <= 20000
+                                 THEN 1.0 WHEN length(text) >= 30 THEN 0.5
+                                 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN length(text) / len(string_split(text, ' ')) >= 3
+                                  AND length(text) / len(string_split(text, ' ')) <= 12
+                                 THEN 1.0 ELSE 0.3 END)
+                   + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                            / length(text)), 6) AS quality
+        FROM documents
+    ),
+    binned AS (
+        SELECT *, ntile(10) OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS bucket
+        FROM scored
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           round(1.0 - (bucket - 1) * 0.05, 2) AS epoch_weight
+    FROM binned
+    GROUP BY bucket
+    """,
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning bucket plan: decile every document by quality
+    WITHIN its source (ntile over a source-partitioned window — the
+    scale-correct formulation: no global sort, one shuffle keyed on
+    source, and within-domain difficulty ordering is what curriculum
+    schedules actually consume), then emit per-decile volumes and a
+    linearly-decaying epoch weight (highest-quality decile sampled at
+    1.0, lowest at 0.55 — the "quality-first, never-zero" default).
+
+    Complements ``epoch_mix_plan`` (mixing across sources) and
+    ``leakage_safe_split`` (split hygiene): this is the ordering axis.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.text import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    binned = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    ).withColumn("bucket", F.ntile(10).over(w))
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(1.0 - (F.col("bucket") - 1) * 0.05, 2).alias("epoch_weight"),
+    )
