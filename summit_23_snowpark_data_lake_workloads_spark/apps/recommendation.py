@@ -65,12 +65,20 @@ def recommendations_frame(
     """Chart-ready per-customer top-n recommendations for the sampled
     cohort — the app's end-to-end path, distributed until the final
     fetch."""
+    from ..cache import release_caches
+
     cohort = cohort_sales(product_sales, min_purchases)
     sampled = sample_customers(cohort, n_customers)
     purchases = cohort.join(F.broadcast(sampled), "CUSTOMER_ID").select(
         "CUSTOMER_ID", "PRODUCT_ID"
     )
-    return recommend(purchases, prod_feed, top_n=top_n).toPandas()
+    try:
+        return recommend(purchases, prod_feed, top_n=top_n).toPandas()
+    finally:
+        # terminal consumer: the pandas frame is fully materialized, so
+        # engine intermediates (the TF-IDF weight table) are released
+        # here per the cache.py contract
+        release_caches()
 
 
 def render_page(spark, product_sales: DataFrame, prod_feed: DataFrame):

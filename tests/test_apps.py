@@ -21,6 +21,16 @@ from summit_23_snowpark_data_lake_workloads_spark.apps.unpaid_invoices import (
 from . import fixtures as FX
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_engine_caches(spark):
+    """App flows register engine caches (TF-IDF weights); make sure this
+    module never leaks them into later tests' cache-contract checks."""
+    from summit_23_snowpark_data_lake_workloads_spark.cache import release_caches
+
+    yield
+    release_caches()
+
+
 @pytest.fixture(scope="module")
 def invoice_frames(spark):
     custs = FX.gen_customers(30)
