@@ -359,12 +359,85 @@ def _union_find_labels(edges_pdf, spark) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def _large_small_star_labels(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star contractions (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): (id, lab) with lab = component min,
+    for every node present in ``edges`` (direction-doubled table).
+
+    Each round contracts the graph toward per-component stars centered
+    at local minima:
+
+    - **large-star(u)**: connect every neighbor v > u to
+      m = min(N(u) ∪ {u});
+    - **small-star(u)**: connect every neighbor v < u (and u itself) to
+      the min such neighbor.
+
+    Convergence is O(log² n) ROUNDS — the property that matters at
+    100 TB, where the min-label-propagation alternative pays one full
+    join per unit of component DIAMETER (a 10⁶-long chain of near-dup
+    shards = 10⁶ rounds vs ~40). Per round: two groupBy(min) + join
+    passes over the current edge set, which only shrinks; convergence
+    is detected with a 1-row checksum aggregate (count + hash-sum, no
+    second shuffle), and each round's edge set is localCheckpointed so
+    lineage stays flat. At the fixpoint every component is a star, so
+    labels fall out of one final groupBy(min).
+    """
+
+    def bidir(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        ).distinct()
+
+    def checksum(e: DataFrame):
+        # bit_xor is order-independent and cannot overflow under ANSI
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(s, t))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: m(u) = min(N(u) ∪ {u}); larger neighbors -> m
+        m = edges.groupBy("s").agg(
+            F.least(F.min("t"), F.first("s")).alias("m")
+        )
+        large = (
+            edges.filter(F.col("t") > F.col("s"))
+            .join(m, "s")
+            .filter(F.col("t") != F.col("m"))
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+        )
+        edges = bidir(large).localCheckpoint(eager=True)
+        # small-star: strictly-smaller neighbors (and the center) -> min
+        sm = edges.filter(F.col("t") < F.col("s"))
+        mn = sm.groupBy("s").agg(F.min("t").alias("m"))
+        small = (
+            sm.join(mn, "s")
+            .filter(F.col("t") != F.col("m"))
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+            .unionByName(mn.select("s", F.col("m").alias("t")))
+        )
+        edges = bidir(small).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges are stars: every node's label is its min neighbor
+    # (or itself, for the component-min center)
+    return edges.groupBy("s").agg(
+        F.least(F.min("t"), F.first("s")).alias("lab")
+    ).select(F.col("s").alias("id"), "lab")
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "id",
     max_iter: int = 25,
     driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+    distributed_algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over near-dup pairs — the cluster step that
     turns pairwise dedup output into "keep one document per cluster":
@@ -383,17 +456,18 @@ def connected_components(
       BOUNDED: the edge count is checked first, and only the ``s < t``
       half moves via Arrow (two int64 columns, ~80 MB at the 5M-edge
       ceiling; numpy working set ~0.4 GB). Documents never collect.
-    - **Distributed min-label propagation** (above the ceiling): each
-      node takes the min of its label and its neighbors' labels per
-      round; converges in <= component-diameter iterations. The loop is
-      driver-side CONTROL only; localCheckpoint per iteration truncates
-      the exponentially-growing lineage. Edges are checkpointed ONCE
-      before the loop (the pair source is typically an LSH/Jaccard
-      verify plan — without the pin every iteration re-executes that
-      whole upstream), and only edge-touched nodes enter the loop
-      (singleton labels can never change; they join back at the end).
-      For web-scale graphs swap in large-star/small-star (Kiveris et
-      al.) — same join primitives, fewer iterations.
+    - **Distributed large-star/small-star** (above the ceiling;
+      :func:`_large_small_star_labels`): the Kiveris et al. alternating
+      contraction, O(log² n) rounds regardless of component DIAMETER —
+      the web-scale algorithm. The loop is driver-side CONTROL only;
+      localCheckpoint per round truncates lineage, and edges are
+      checkpointed ONCE up front (the pair source is typically an
+      LSH/Jaccard verify plan — without the pin every round would
+      re-execute that whole upstream). Only edge-touched nodes enter
+      the loop (singleton labels can never change; they join back at
+      the end). ``distributed_algorithm="propagation"`` selects the
+      simpler min-label fixpoint (diameter-bound rounds), kept for
+      differential testing.
 
     Both tiers end the same way: left-join the edge-node labels back to
     the full node set, ``coalesce(lab, id)`` labeling singletons.
@@ -417,6 +491,14 @@ def connected_components(
             .join(F.broadcast(labels), "id", "left")
             .select("id", F.coalesce("lab", "id").alias("cluster_id"))
         )
+    if distributed_algorithm == "star":
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(_large_small_star_labels(edges, max_iter), "id", "left")
+            .select("id", F.coalesce("lab", "id").alias("cluster_id"))
+        )
+    # min-label propagation fallback (diameter-bound rounds) — kept for
+    # differential testing against the star tier
     # both edge directions are present, so "s" alone covers every endpoint
     labels = (
         edges.select(F.col("s").alias("id"))

@@ -346,7 +346,56 @@ def test_connected_components_tiers_agree(spark):
         [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 30, 31]], "id long"
     )
     fast = connected_components(pairs, nodes).collect()
-    slow = connected_components(pairs, nodes, driver_max_edges=0).collect()
+    star = connected_components(pairs, nodes, driver_max_edges=0).collect()
+    prop = connected_components(
+        pairs, nodes, driver_max_edges=0, distributed_algorithm="propagation"
+    ).collect()
     want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 31}
     assert {r.id: r.cluster_id for r in fast} == want
-    assert {r.id: r.cluster_id for r in slow} == want
+    assert {r.id: r.cluster_id for r in star} == want
+    assert {r.id: r.cluster_id for r in prop} == want
+
+
+def test_connected_components_star_random_graphs(spark):
+    """The large-star/small-star distributed tier must agree with the
+    driver union-find on seeded random graphs across densities —
+    including long paths (diameter >> log n, the regime the star
+    algorithm exists for) and a graph whose component min has only
+    larger neighbors (the case where large-star alone cannot make
+    progress and the small-star half is load-bearing)."""
+    import random
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cases = []
+    rng = random.Random(7)
+    for density in (0.02, 0.08):
+        n = 30
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < density
+        ]
+        cases.append((n, edges))
+    cases.append((14, [(i, i + 1) for i in range(13)]))  # long path
+    cases.append((4, [(3, 1), (3, 2), (2, 0)]))  # min reached via max hub
+
+    for n, edges in cases:
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        fast = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, nodes).collect()
+        }
+        star = {
+            r.id: r.cluster_id
+            for r in connected_components(
+                pairs, nodes, driver_max_edges=0
+            ).collect()
+        }
+        assert star == fast, f"star != union-find on n={n}, edges={edges}"
