@@ -2956,3 +2956,321 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.round(1.0 - (F.col("bucket") - 1) * 0.05, 2).alias("epoch_weight"),
     )
+
+
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM base),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS token FROM base)
+        GROUP BY doc_id, token
+    ),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, token
+        FROM (SELECT doc_id, unnest(w) AS token FROM base WHERE doc_id < 5)
+    ),
+    df AS (
+        SELECT token, count(*) AS df FROM tf
+        WHERE token IN (SELECT token FROM qt) GROUP BY token
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               round(sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                         * t.tf * (1.2 + 1)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))),
+                     4) AS bm25
+        FROM qt q
+        JOIN tf t ON t.token = q.token AND t.doc_id <> q.query_id
+        JOIN df f ON f.token = q.token
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, bm25, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY bm25 DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+    headline=True,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 corpus matches for each seed document
+    (doc_id < 5 stands in for "benchmark prompts / topic sample") —
+    the retrieval tier used for decontamination triage and
+    similarity-based data selection.
+
+    Scale: inverted-index equi-join on token; the corpus posting-list
+    aggregate is pruned to the broadcast query vocabulary BEFORE its
+    shuffle, df/idf tables are |query vocab| rows broadcast, document
+    lengths come from ``array_size`` in the scan projection (no
+    explode), and the top-k window partitions by query_id. See
+    :mod:`operators.retrieval`.
+    """
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, query_pred=F.col("doc_id") < 5, k=10)
+
+
+@query(
+    "semdedup_embeddings",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id,
+               row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+               ) AS cell_rank
+        FROM cent_dots
+        JOIN norms nv ON nv.vec_id = id
+        JOIN norms nc ON nc.vec_id = cent_id
+    ),
+    home AS (SELECT id, cent_id AS cell FROM assign WHERE cell_rank = 1),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.cell
+        FROM home a JOIN home b ON a.cell = b.cell AND a.id < b.id
+    ),
+    dots AS (
+        SELECT id_a, id_b, cell, sum(x.val * y.val) AS dot
+        FROM pairs
+        JOIN e x ON x.vec_id = id_a
+        JOIN e y ON y.vec_id = id_b AND x.pos = y.pos
+        GROUP BY id_a, id_b, cell
+    ),
+    sims AS (
+        SELECT id_a, id_b, cell,
+               round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+    )
+    SELECT id_b AS vec_id, cell, id_a AS dup_of, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY id_b
+                                       ORDER BY cos_sim DESC, id_a) AS rk
+          FROM sims WHERE cos_sim >= 0.4)
+    WHERE rk = 1
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space with
+    k-means, then mark as semantic duplicates only vectors whose cosine
+    to a LOWER-id member of the SAME cluster exceeds eps — the
+    published recipe that makes web-scale semantic dedup tractable by
+    confining the quadratic comparison to within-cluster blocks.
+    Emits one row per removed vector with its chosen survivor
+    (argmax cosine, tie -> min id).
+
+    Scale: assignment is linear (|vectors| x n_cells broadcast
+    compare); the pairwise stage is sum_c |c|^2 instead of n^2, the
+    SemDeDup cost model; cells here are the deterministic seed
+    centroids so DuckDB replays the exact partitioning (swap in
+    ``kmeans_centroids(train_iters>0)`` for balanced production cells
+    — every downstream plan is unchanged).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine
+    from ..operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    home = (
+        ivf_assign(emb, n_cells=16)
+        .filter(F.col("cell_rank") == 1)
+        .select("id", F.col("cent_id").alias("cell"))
+    )
+    members = home.join(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        "id",
+    )
+    a = members.select(
+        F.col("id").alias("id_a"), F.col("cell"), F.col("v").alias("va")
+    )
+    b_ = members.select(
+        F.col("id").alias("id_b"), F.col("cell"), F.col("v").alias("vb")
+    )
+    sims = (
+        a.join(b_, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(cosine("va", "vb"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+    w = W.partitionBy("id_b").orderBy(F.desc("cos_sim"), "id_a")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cell",
+            F.col("id_a").alias("dup_of"),
+            "cos_sim",
+        )
+    )
+
+
+@query(
+    "temperature_mix_weights",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(string_split_regex(text, '\\s+'))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    z AS (SELECT sum(power(n_tokens, 0.3)) AS z FROM per)
+    SELECT source,
+           n_docs::BIGINT AS n_docs,
+           n_tokens::BIGINT AS n_tokens,
+           round(n_tokens / tot.t, 6) AS p_raw,
+           round(power(n_tokens, 0.3) / z.z, 6) AS p_temp,
+           round((power(n_tokens, 0.3) / z.z) / (n_tokens / tot.t), 4)
+               AS boost
+    FROM per CROSS JOIN tot CROSS JOIN z
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual-training
+    standard, alpha = 0.3): sampling probability proportional to
+    ``n_tokens^alpha``, flattening the head so low-resource sources are
+    up-sampled without ever dominating. ``boost`` is the effective
+    over/under-sampling factor vs proportional sampling — the number a
+    mixing loader consumes directly.
+
+    Scale: one aggregate keyed on source; the two normalizers are
+    1-row broadcasts. Complements ``epoch_mix_plan`` (cap-and-floor
+    epoch planning) and ``domain_mix_weights``.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.array_size(F.split("text", r"\s+"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    z = per.agg(F.sum(F.pow("n_tokens", F.lit(0.3))).alias("z"))
+    pw = F.pow("n_tokens", F.lit(0.3))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("p_raw"),
+            F.round(pw / F.col("z"), 6).alias("p_temp"),
+            F.round((pw / F.col("z")) / (F.col("n_tokens") / F.col("t")), 4).alias(
+                "boost"
+            ),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH normed AS (
+        SELECT doc_id, source,
+               regexp_replace(trim(regexp_replace(lower(text), '[^a-z ]+', ' ',
+                                                  'g')),
+                              ' +', ' ', 'g') AS s
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest([substr(s, i, 2) for i in range(1, length(s))]) AS b
+        FROM normed WHERE length(s) >= 2
+    ),
+    dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    raw AS (SELECT b, sum(c) AS cr FROM dc GROUP BY b),
+    tgt AS (
+        SELECT dc.b, sum(dc.c) AS ct FROM dc
+        JOIN normed n ON n.doc_id = dc.doc_id AND n.source = 'src0'
+        GROUP BY dc.b
+    ),
+    consts AS (
+        SELECT (SELECT sum(cr) FROM raw) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt,
+               (SELECT count(*) FROM raw) AS v
+    )
+    SELECT dc.doc_id,
+           sum(dc.c)::BIGINT AS n_bigrams,
+           round(sum(dc.c * (ln((coalesce(t.ct, 0) + 1.0) / (k.tt + k.v))
+                             - ln((r.cr + 1.0) / (k.tr + k.v))))
+                 / sum(dc.c), 3) AS avg_logratio
+    FROM dc
+    JOIN raw r ON dc.b = r.b
+    LEFT JOIN tgt t ON dc.b = t.b
+    CROSS JOIN consts k
+    GROUP BY dc.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., 2023): importance weight
+    per document = mean log-likelihood ratio of its character bigrams
+    under a TARGET-domain model (here source 'src0' stands in for the
+    high-quality target set) vs the RAW-corpus model, both add-one
+    smoothed joint bigram LMs. Documents with ``avg_logratio`` near or
+    above zero "look like" the target domain — the resampling weight
+    DSIR feeds its importance sampler.
+
+    Scale: the per-document bigram count table is built and persisted
+    ONCE (text exploded exactly once, same contract as
+    ``charlm_doc_quality``); both models aggregate from it and are
+    <= |charset|^2 rows, broadcast back with the scalar normalizers;
+    the final aggregate shuffles on doc_id. All codegen, no UDFs.
+    """
+    from ..functions.text import char_bigrams, normalize_chars
+
+    docs = _t(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", "source", normalize_chars(F.col("text")).alias("s")
+    ).filter(F.length("s") >= 2)
+    dc = registered_persist(
+        normed.select("doc_id", F.explode(char_bigrams(F.col("s"))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = dc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        dc.join(
+            normed.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
+        )
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    consts = (
+        raw.agg(
+            F.sum("cr").alias("tr"), F.count(F.lit(1)).alias("v")
+        )
+        .crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")))
+    )
+    ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + F.col("v"))
+    ) - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
+    return (
+        dc.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * ratio) / F.sum("c"), 3).alias(
+                "avg_logratio"
+            ),
+        )
+    )

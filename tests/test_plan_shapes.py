@@ -510,3 +510,65 @@ def test_bpe_pair_counts_no_window_no_udf(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(pair") == 1
+
+
+def test_bm25_postings_pruned_and_broadcast(spark, sf_dir):
+    """bm25_topk: the corpus posting-list build joins the exploded token
+    stream against the BROADCAST query vocabulary before aggregating
+    (no corpus-vocabulary shuffle), the df/idf and query-term joins all
+    broadcast, and nothing runs in Python workers."""
+    from summit_23_snowpark_data_lake_workloads_spark import cache
+
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    try:
+        df.collect()  # AQE finalizes; materializes the persisted postings
+        plan = plan_of(df)
+    finally:
+        cache.release_caches()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, "every retrieval join must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert final.count("BroadcastHashJoin") >= 3, (
+        "vocab prune + query-term + df joins must all be broadcast"
+    )
+
+
+def test_semdedup_pairs_confined_to_cells(spark, sf_dir):
+    """semdedup_embeddings: the quadratic stage is an equi-join on the
+    cell id (never a cartesian over the corpus), and every emitted
+    duplicate shares its survivor's cell by construction."""
+    plan = plan_of(QUERIES["semdedup_embeddings"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_single_explode_broadcast_models(spark, sf_dir):
+    """dsir_importance_weights: same contract as charlm — text exploded
+    once (persisted per-doc count table feeds both models and the
+    scoring join), model tables broadcast, no Python workers."""
+    from summit_23_snowpark_data_lake_workloads_spark import cache
+
+    df = QUERIES["dsir_importance_weights"](spark, sf_dir)
+    try:
+        df.collect()
+        plan = plan_of(df)
+    finally:
+        cache.release_caches()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") <= 1, (
+        "text must be exploded at most once in the final plan"
+    )
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, "model joins must broadcast"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_no_data_joins(spark, sf_dir):
+    """temperature_mix_weights: one aggregate keyed on source; the two
+    normalizers broadcast as 1-row sides — no sort-merge join, no
+    cartesian over data, no Python workers."""
+    plan = plan_of(QUERIES["temperature_mix_weights"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
