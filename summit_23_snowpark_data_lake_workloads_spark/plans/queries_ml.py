@@ -3274,3 +3274,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _dup_profile_oracle(lengths=(8, 16, 32, 64)) -> str:
+    parts = []
+    for L in lengths:
+        parts.append(f"""
+    SELECT {L} AS win_len,
+           sum(np)::BIGINT AS n_windows,
+           sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_spans,
+           sum(CASE WHEN nd >= 2 THEN np ELSE 0 END)::BIGINT
+               AS n_dup_positions,
+           round(sum(CASE WHEN nd >= 2 THEN np ELSE 0 END) / sum(np), 6)
+               AS dup_fraction
+    FROM (
+        SELECT span, count(*) AS np, count(DISTINCT id) AS nd
+        FROM (
+            SELECT doc_id AS id,
+                   unnest([array_to_string(w[i:i+{L - 1}], ' ')
+                           for i in range(1, len(w) - {L - 2})]) AS span
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ) GROUP BY span
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dup_span_length_profile", oracle=_dup_profile_oracle())
+def dup_span_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-length spectrum (the corpus-level Lee et al. 2022
+    analysis): for each window length L in {8, 16, 32, 64} tokens, how
+    many sliding windows exist, how many distinct spans are shared by
+    >= 2 documents, and what fraction of all window positions that
+    duplicated mass covers. The spectrum tells a curation team WHERE to
+    set the substring-dedup cut (long-L mass = verbatim boilerplate;
+    short-L-only mass = phrase-level noise not worth cutting).
+
+    Scale: one explode + ONE shuffle (groupBy span) per length — the
+    shared-span decision and both aggregates come out of the same
+    per-span count pass, unlike the per-doc report
+    (``dup_substring_spans``) which needs the span->doc join back. At
+    100 TB, hash spans to 8 bytes pre-shuffle and cap L at the profile
+    knee. Lengths are independent passes — they parallelize across the
+    cluster and short-circuit nothing.
+    """
+    from functools import reduce
+
+    from ..operators.dedup import _all_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for L in (8, 16, 32, 64):
+        sp = _all_shingles(docs, "doc_id", "text", L).select(
+            "id", F.col("shingle").alias("span")
+        )
+        per = sp.groupBy("span").agg(
+            F.count(F.lit(1)).alias("np"), F.countDistinct("id").alias("nd")
+        )
+        dup_np = F.sum(F.when(F.col("nd") >= 2, F.col("np")).otherwise(0))
+        agg = per.agg(
+            F.sum("np").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_shared_spans"
+            ),
+            dup_np.alias("n_dup_positions"),
+            F.round(dup_np / F.sum("np"), 6).alias("dup_fraction"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(L).alias("win_len"),
+                "n_windows",
+                "n_shared_spans",
+                "n_dup_positions",
+                "dup_fraction",
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), parts)
