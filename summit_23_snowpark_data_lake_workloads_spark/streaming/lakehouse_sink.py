@@ -211,3 +211,156 @@ def dedup_ingest_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _files_added_by_batch(
+    table: SnapshotTable, app_id: str, batch_id: int
+) -> list[str] | None:
+    """Data files a specific txn-stamped commit added (None if that
+    batch never committed) — the replay-repair source: a crash between
+    the docs-table commit and the index commit is healed by re-reading
+    exactly the rows that batch landed, from manifests alone."""
+    versions = table._versions()
+    for i, v in enumerate(versions):
+        s = table._load(v)
+        if s.txn and s.txn.get("app_id") == app_id and s.txn.get("batch_id") == batch_id:
+            prev = set(table._load(versions[i - 1]).files) if i else set()
+            return [f for f in s.files if f not in prev]
+    return None
+
+
+def _near_dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: SnapshotTable,
+    index: SnapshotTable,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> None:
+    """One micro-batch of the NEAR-dup ingest loop: exact within-batch
+    dedup, then a :mod:`..operators.minhash_index` probe drops batch
+    documents whose estimated Jaccard against the indexed corpus is
+    >= ``min_est_jaccard`` (exact corpus dups fall out too — identical
+    text gives estimate 1.0), then the survivors land in ``table`` and
+    their signatures extend ``index`` — both commits stamped with the
+    same txn, each idempotent on its own table.
+
+    Two-table consistency: a crash between the docs commit and the
+    index commit leaves the index one batch behind; on checkpoint
+    replay the docs side short-circuits (already durable) and the index
+    side repairs itself from the committed batch's own files
+    (:func:`_files_added_by_batch`) — never by re-running the dedup
+    plan against the now-already-ingested corpus, which would find
+    everything duplicated and repair nothing.
+
+    Granularity note: near-dups WITHIN one micro-batch both land (the
+    probe sees only the standing index); the exact tier still collapses
+    within-batch identical text. Shrink the trigger interval if
+    intra-batch near-dups matter.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_signatures
+    from ..operators.minhash_index import probe_minhash_index
+
+    seen_docs = table.last_committed_batch(app_id) if table._versions() else None
+    docs_done = seen_docs is not None and batch_id <= seen_docs
+    seen_idx = index.last_committed_batch(app_id) if index._versions() else None
+    idx_done = seen_idx is not None and batch_id <= seen_idx
+    if docs_done and idx_done:
+        return
+    spark = batch_df.sparkSession
+    txn = {"app_id": app_id, "batch_id": batch_id}
+
+    if docs_done:
+        files = _files_added_by_batch(table, app_id, batch_id)
+        if not files:
+            return  # the batch committed nothing: index has nothing to learn
+        survivors = spark.read.parquet(
+            *[os.path.join(table.path, f) for f in files]
+        )
+    else:
+        h = F.md5(F.col(text_col))
+        w = W.partitionBy(h).orderBy(id_col)
+        fresh = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        if index._versions():
+            hits = probe_minhash_index(
+                index, fresh, id_col, text_col, num_hashes, bands, n,
+                min_est_jaccard,
+            )
+            fresh = fresh.join(
+                F.broadcast(
+                    hits.select(F.col("batch_id").alias(id_col)).distinct()
+                ),
+                id_col,
+                "left_anti",
+            )
+        if not table._versions():
+            files = table._write_batch(fresh)
+            table._commit("create", 0, files, replace_all=True, txn=txn)
+        else:
+            prev = table.snapshot()
+            files = table._write_batch(fresh)  # ONE execution of the plan
+            if _rows_in_files(table, files) == 0:
+                return  # all near-dups: no doc commit, no index growth
+            table._commit("append", prev.version, files, txn=txn)
+        survivors = spark.read.parquet(
+            *[os.path.join(table.path, f) for f in files]
+        )
+
+    sig = minhash_signatures(survivors, id_col, text_col, num_hashes, n)
+    if not index._versions():
+        index._commit("create", 0, index._write_batch(sig), replace_all=True, txn=txn)
+    else:
+        index.append(sig, txn=txn)
+
+
+def near_dedup_ingest_stream(
+    stream_df: DataFrame,
+    table: SnapshotTable,
+    index: SnapshotTable,
+    app_id: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    processing_time: str | None = None,
+):
+    """Streaming NEAR-dup corpus ingestion: the exact-dedup sink's
+    shape (:func:`dedup_ingest_stream`), with the persisted MinHash
+    index as the dedup state — each micro-batch is probed against the
+    index (batch-sized work: the corpus text is never re-read, the
+    index scan is narrow ints), survivors land in the corpus table, and
+    the index is extended in the same step. Restart-safe on both
+    tables; the index heals from the docs table's own manifests if a
+    crash splits the two commits.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _near_dedup_ingest_batch(
+            batch_df, batch_id, table, index, app_id, id_col, text_col,
+            min_est_jaccard,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -536,3 +536,91 @@ def test_dedup_ingest_batch_single_plan_execution(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(SnapshotTable, "read", real_read)
     got = {r.text: r.doc_id for r in table.read().collect()}
     assert got == {"doc A": 1, "doc B": 2, "doc C": 4}
+
+
+def test_near_dedup_ingest_stream(spark, tmp_path):
+    """Near-dup streaming ingest: micro-batches probe the persisted
+    MinHash index (not corpus text) — a later batch's near-copy of an
+    already-landed doc is dropped, exact corpus dups drop too (estimate
+    1.0), fresh docs land AND become probe-visible to the next batch."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        near_dedup_ingest_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    other = "one two three four five six seven eight nine ten " \
+            "eleven twelve thirteen fourteen fifteen sixteen"
+    src = tmp_path / "near_stream"
+    src.mkdir()
+
+    def jl(rows):
+        return "\n".join(f'{{"doc_id": {i}, "text": "{t}"}}' for i, t in rows)
+
+    (src / "b0.jsonl").write_text(jl([(1, base), (2, other)]))
+    # near-copy of base (one appended token) + exact copy of other + fresh
+    (src / "b1.jsonl").write_text(
+        jl([(10, base + " chi"), (11, other), (12, "cold wind north mountain river stone forest valley snow peak blue")])
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "near_corpus"))
+    index = SnapshotTable(spark, str(tmp_path / "near_index"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = near_dedup_ingest_stream(
+        stream, table, index, "near-test", str(tmp_path / "ckpt_near")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.doc_id for r in table.read().collect())
+    assert got == [1, 2, 12], f"near/exact dups must drop: {got}"
+    # the index covers exactly the landed docs
+    idx_ids = {r.id for r in index.read().select("id").distinct().collect()}
+    assert idx_ids == {1, 2, 12}
+    # both tables recorded the same last batch
+    assert table.last_committed_batch("near-test") == 1
+    assert index.last_committed_batch("near-test") == 1
+
+
+def test_near_dedup_ingest_index_heals_after_split_commit(spark, tmp_path):
+    """Crash-between-commits repair: if the docs table committed a batch
+    but the index did not (simulated with a fresh empty index), the
+    replay rebuilds the index FROM THE COMMITTED FILES of that batch —
+    never by re-running dedup against the already-ingested corpus."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        _near_dedup_ingest_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    table = SnapshotTable(spark, str(tmp_path / "heal_corpus"))
+    index = SnapshotTable(spark, str(tmp_path / "heal_index"))
+    _near_dedup_ingest_batch(docs, 0, table, index, "heal")
+    assert table.read().count() == 1 and index.read().count() == 12
+
+    # simulate the crash: docs table has batch 1, index never saw it
+    more = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    _near_dedup_ingest_batch(more, 1, table, index, "heal")
+    lagging = SnapshotTable(spark, str(tmp_path / "heal_index2"))
+    _near_dedup_ingest_batch(more, 1, table, lagging, "heal")  # replay
+    assert table.last_committed_batch("heal") == 1, "docs side idempotent"
+    ids = {r.id for r in lagging.read().select("id").distinct().collect()}
+    assert ids == {2}, "index heals with exactly the batch's committed rows"
+    # replaying again is a no-op on both tables
+    v_t, v_i = table.snapshot().version, lagging.snapshot().version
+    _near_dedup_ingest_batch(more, 1, table, lagging, "heal")
+    assert (table.snapshot().version, lagging.snapshot().version) == (v_t, v_i)
