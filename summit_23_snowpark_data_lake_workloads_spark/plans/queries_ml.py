@@ -3349,3 +3349,94 @@ def dup_span_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+_PQ_CTE = """
+sub_d AS (
+    SELECT v.vec_id, (v.pos - 1) // 16 AS sub, c.vec_id AS code_id,
+           sum(((v.val - c.val) * (v.val - c.val))
+               ::DECIMAL(28,9))::DOUBLE AS d2
+    FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+    GROUP BY v.vec_id, sub, c.vec_id
+),
+codes AS (
+    SELECT vec_id, sub, code_id, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, code_id) AS rk
+        FROM sub_d) WHERE rk = 1
+)
+"""
+
+
+@query(
+    "pq_quantization_audit",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    {_PQ_CTE},
+    n2 AS (SELECT vec_id, sum((val * val)::DECIMAL(28,9))::DOUBLE
+                          AS nrm2 FROM e GROUP BY vec_id)
+    SELECT c.vec_id,
+           max(CASE WHEN sub = 0 THEN code_id END)::BIGINT AS c0,
+           max(CASE WHEN sub = 1 THEN code_id END)::BIGINT AS c1,
+           max(CASE WHEN sub = 2 THEN code_id END)::BIGINT AS c2,
+           max(CASE WHEN sub = 3 THEN code_id END)::BIGINT AS c3,
+           round(sum(d2::DECIMAL(28,9))::DOUBLE
+                 / any_value(n2.nrm2), 6) AS rel_err
+    FROM codes c JOIN n2 ON n2.vec_id = c.vec_id
+    GROUP BY c.vec_id
+    """,
+)
+def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + reconstruction audit: every vector
+    split into 4 subspaces of 16 dims, each subvector replaced by its
+    nearest of 16 deterministic seed codewords; per vector the 4 code
+    ids and the relative reconstruction error — the audit that decides
+    whether a codebook is searchable. Complements
+    ``embedding_quantize_error`` (scalar int8) with the vector-index
+    compression model (FAISS PQ).
+
+    Scale: one posexplode + a broadcast join against the KB-sized
+    codeword table + two aggregates; the argmin is a (vec, sub)-keyed
+    window over k rows each. See :mod:`operators.pq`.
+    """
+    from ..operators.pq import pq_audit
+
+    return pq_audit(_t(spark, sf_dir, "embeddings")).withColumns(
+        {f"c{s}": F.col(f"c{s}").cast("bigint") for s in range(4)}
+    )
+
+
+@query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    {_PQ_CTE},
+    adc AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+               round(sum(q.d2::DECIMAL(28,9))::DOUBLE, 4) AS adc_d2
+        FROM codes t
+        JOIN sub_d q ON q.sub = t.sub AND q.code_id = t.code_id
+        WHERE q.vec_id < 20 AND q.vec_id <> t.vec_id
+        GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc) WHERE rk <= 5
+    """,
+)
+def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: candidates ranked by the sum of
+    the query's precomputed codeword distances at each candidate's
+    codes — m additions per candidate instead of a 64-dim dot product,
+    the search model of every PQ-compressed vector index. Approximate
+    by construction; production recall comes from trained codebooks +
+    exact shortlist re-rank, neither changing this plan. Both engines
+    replay codes and rankings exactly (seed codewords, rounded
+    distances, min-id tie-breaks).
+    """
+    from ..operators.pq import knn_pq_adc
+
+    return knn_pq_adc(
+        _t(spark, sf_dir, "embeddings"), query_pred=F.col("query_id") < 20
+    )
