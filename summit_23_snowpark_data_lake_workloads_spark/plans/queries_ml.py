@@ -3440,3 +3440,67 @@ def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(
         _t(spark, sf_dir, "embeddings"), query_pred=F.col("query_id") < 20
     )
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        parts.append(f"""
+    SELECT '{key}' AS join_key,
+           count(*)::BIGINT AS n_keys,
+           sum(cnt)::BIGINT AS total_rows,
+           max(cnt)::BIGINT AS max_rows,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_rows,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_rows,
+           round(max(cnt) / (sum(cnt) / count(*)), 4) AS skew_ratio,
+           CASE WHEN max(cnt) / (sum(cnt) / count(*)) > 4 THEN 1 ELSE 0 END
+               AS salt_recommended
+    FROM (SELECT {key}, count(*) AS cnt FROM lineitem GROUP BY {key})""")
+    return " UNION ALL ".join(parts)
+
+
+@query("join_key_skew_profile", oracle=_skew_oracle())
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: for each candidate fact-table join key,
+    the per-key row-count distribution (distinct keys, max/p50/p99
+    rows, skew ratio = hottest key vs mean) and a salt_recommended flag
+    — the diagnostic a pipeline runs BEFORE choosing between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (``salted_join_segments``). A hot key at 100 TB is the difference
+    between a straggler-free join and one task holding the cluster.
+
+    Scale: one count-aggregate per key (map-side partial combine makes
+    the shuffle |distinct keys|); the profile aggregate over per-key
+    counts is exact here (bounded key counts) — at extreme cardinality
+    swap the exact percentiles for ``percentile_approx`` sketches.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cnt").alias("total_rows"),
+                F.max("cnt").alias("max_rows"),
+                F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_rows"),
+                F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_rows"),
+                (F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1)))).alias(
+                    "raw_skew"
+                ),
+            ).select(
+                F.lit(key).alias("join_key"),
+                "n_keys",
+                "total_rows",
+                "max_rows",
+                "p50_rows",
+                "p99_rows",
+                F.round("raw_skew", 4).alias("skew_ratio"),
+                F.when(F.col("raw_skew") > 4, 1).otherwise(0).alias(
+                    "salt_recommended"
+                ),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), parts)
