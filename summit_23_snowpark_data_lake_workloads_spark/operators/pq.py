@@ -37,6 +37,20 @@ def _flat(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
 
 
+def seed_codebook(
+    emb: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed codebook: (code_id, pos, cval) = the ``k``
+    lowest-id vectors' coordinates (each subspace's slice of codeword j
+    is vector j's slice)."""
+    return _flat(emb, id_col, vec_col).filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("code_id"), "pos", F.col("val").alias("cval")
+    )
+
+
 def pq_subspace_distances(
     emb: DataFrame,
     m: int = 4,
@@ -44,19 +58,16 @@ def pq_subspace_distances(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Squared L2 distance of every vector's subvectors to every
-    codeword: (vec_id, sub, code_id, d2). The codeword side is the
-    ``k`` lowest-id vectors' sub-slices, broadcast (m*k*dim/m rows of
-    doubles — KBs)."""
+    codeword: (vec_id, sub, code_id, d2). The codeword side —
+    ``codebook`` (code_id, pos, cval), default the deterministic seed —
+    is broadcast (m*k*dim/m rows of doubles, KBs)."""
     sub = (F.col("pos") / (dim // m)).cast("int")
     flat = _flat(emb, id_col, vec_col).withColumn("sub", sub)
     cb = F.broadcast(
-        flat.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("code_id"),
-            "pos",
-            F.col("val").alias("cval"),
-        )
+        codebook if codebook is not None else seed_codebook(emb, k, id_col, vec_col)
     )
     # decimal-exact summation (the _money_sum trick): each squared diff
     # (an IEEE-deterministic double, identical in both engines) is CAST
@@ -85,6 +96,55 @@ def pq_codes(dists: DataFrame) -> DataFrame:
     )
 
 
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd-trained codebooks (the production PQ path):
+    start from the deterministic seed codebook, then alternate
+    assignment (the same broadcast-join argmin as encoding) and update
+    (mean of assigned subvectors per codeword coordinate). The update
+    aggregate's state is m*k*(dim/m) doubles — collected to the driver
+    only at that KB size to rebuild the broadcast codeword table, the
+    identical pattern to ``kmeans_centroids``. Codewords that attract
+    no vectors keep their previous coordinates.
+
+    Deterministic end-to-end (fixed seed, fixed iteration count,
+    bit-identical distance sums, min-id tie-breaks) — a trained index
+    is reproducible run-to-run; the oracle-gated queries keep the seed
+    codebook so DuckDB can replay encoding without k-means.
+    """
+    spark = emb.sparkSession
+    sub = (F.col("pos") / (dim // m)).cast("int")
+    flat = _flat(emb, id_col, vec_col).withColumn("sub", sub)
+    cb = seed_codebook(emb, k, id_col, vec_col)
+    for _ in range(iters):
+        codes = pq_codes(
+            pq_subspace_distances(emb, m, k, dim, id_col, vec_col, codebook=cb)
+        ).select("vec_id", "sub", "code_id")
+        means = (
+            flat.join(codes, ["vec_id", "sub"])
+            .groupBy("code_id", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .collect()
+        )
+        got = {(r.code_id, r.pos): r.cval for r in means}
+        prev = {(r.code_id, r.pos): r.cval for r in cb.collect()}
+        rows = [
+            (cid, pos, got.get((cid, pos), prev[(cid, pos)]))
+            for (cid, pos) in prev
+        ]
+        cb = spark.createDataFrame(
+            rows, "code_id long, pos int, cval double"
+        )
+    return cb
+
+
 def pq_audit(
     emb: DataFrame,
     m: int = 4,
@@ -92,12 +152,15 @@ def pq_audit(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vector PQ encoding + reconstruction-error audit:
     (vec_id, c0..c{m-1}, rel_err) with rel_err = sum of subspace
     quantization errors over ||v||² — the number that decides whether a
     codebook is good enough to search with."""
-    codes = pq_codes(pq_subspace_distances(emb, m, k, dim, id_col, vec_col))
+    codes = pq_codes(
+        pq_subspace_distances(emb, m, k, dim, id_col, vec_col, codebook)
+    )
     nrm2 = _flat(emb, id_col, vec_col).groupBy("vec_id").agg(
         F.sum((F.col("val") * F.col("val")).cast("decimal(28,9)"))
         .cast("double")
@@ -129,6 +192,7 @@ def knn_pq_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_d2, rk). Candidates are
     ranked by the sum of the query's precomputed codeword distances at
@@ -144,7 +208,7 @@ def knn_pq_adc(
     at index time they would be read from the stored code table
     instead.
     """
-    dists = pq_subspace_distances(emb, m, k, dim, id_col, vec_col)
+    dists = pq_subspace_distances(emb, m, k, dim, id_col, vec_col, codebook)
     codes = pq_codes(dists).select("vec_id", "sub", "code_id")
     qd = dists.withColumnsRenamed({"vec_id": "query_id"})
     if query_pred is not None:
