@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import registered_persist
+
 
 def _flat(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, pos, val) long form, ``val`` widened to DOUBLE so all
@@ -85,14 +87,23 @@ def pq_subspace_distances(
 def pq_codes(dists: DataFrame) -> DataFrame:
     """Argmin codeword per (vector, subspace): (vec_id, sub, code_id,
     d2) with the min-code-id tie-break; both engines order the same
-    bit-identical distances."""
-    # d2 is bit-identical across engines (decimal-exact construction),
-    # so ordering on the raw value needs no rounding guard
-    w = W.partitionBy("vec_id", "sub").orderBy("d2", "code_id")
+    bit-identical distances.
+
+    One aggregate, no window: ``min(struct(d2, code_id))`` is the
+    lexicographic argmin (distance, then code id) with map-side partial
+    combine — k rows per group never sort or shuffle beyond the single
+    (vec, sub)-keyed exchange (same lesson as the cluster-canonical
+    max_by rewrite)."""
+    m = F.min(F.struct("d2", "code_id")).alias("m")
     return (
-        dists.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        dists.groupBy("vec_id", "sub")
+        .agg(m)
+        .select(
+            "vec_id",
+            "sub",
+            F.col("m.code_id").alias("code_id"),
+            F.col("m.d2").alias("d2"),
+        )
     )
 
 
@@ -208,7 +219,11 @@ def knn_pq_adc(
     at index time they would be read from the stored code table
     instead.
     """
-    dists = pq_subspace_distances(emb, m, k, dim, id_col, vec_col, codebook)
+    # the distance table feeds BOTH the candidate-code branch and the
+    # query side; persist it or the explode+join+agg subtree runs twice
+    dists = registered_persist(
+        pq_subspace_distances(emb, m, k, dim, id_col, vec_col, codebook)
+    )
     codes = pq_codes(dists).select("vec_id", "sub", "code_id")
     qd = dists.withColumnsRenamed({"vec_id": "query_id"})
     if query_pred is not None:

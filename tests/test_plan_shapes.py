@@ -572,3 +572,14 @@ def test_temperature_mix_no_data_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_audit_argmin_is_aggregate_not_window(spark, sf_dir):
+    """pq_quantization_audit: the per-(vector, subspace) codeword argmin
+    is a min(struct) aggregate with map-side partial combine — no
+    window sort — and the codeword side broadcasts; no Python workers."""
+    plan = plan_of(QUERIES["pq_quantization_audit"](spark, sf_dir))
+    assert "Window" not in plan, "argmin must be an aggregate, not a window"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
