@@ -540,3 +540,110 @@ def tfidf_cosine_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup removal list (Abbas et al., 2023): k-means-cell-confined
+    pairwise cosine; one row per REMOVED vector with its chosen
+    survivor — (vec_id, cell, dup_of, cos_sim), survivor = the lower-id
+    member with max cosine (tie -> min id).
+
+    Plan shape, both stages window-free and Python-row-free:
+
+    - **assignment** — |vectors| x n_cells broadcast compare; the rank-1
+      cell is a ``max(struct(cos, -cent_id))`` aggregate (no window);
+      cells are the deterministic seed centroids so the DuckDB oracle
+      replays the partitioning (``kmeans_centroids`` drops in for
+      balanced production cells);
+    - **pairwise** — the same per-group Arrow matmul as
+      :func:`allpairs_cosine_lsh`, grouped by cell instead of
+      hyperplane bucket: sum_c |c|² pairs, each cell one vectorized
+      numpy block, nothing collected to the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "v",
+            "cent_id",
+            F.round(cosine("v", "centv"), 4).alias("cent_cos"),
+        )
+    )
+    # argmax cosine, tie -> min cent_id: lexicographic max of
+    # (cent_cos, -cent_id), same order the windowed ivf_assign ranks by
+    home = (
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("cent_cos"), (-F.col("cent_id")).alias("neg"))
+            ).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("id", (-F.col("m.neg")).alias("cell"), "v")
+    )
+
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        cell = int(pdf["cell"].iloc[0])
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cell": [], "cos_sim": []}
+            ).astype(
+                {
+                    "id_a": np.int64,
+                    "id_b": np.int64,
+                    "cell": np.int64,
+                    "cos_sim": np.float64,
+                }
+            )
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ mn.T, 4)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai[keep]],
+                "id_b": ids[bi[keep]],
+                "cell": cell,
+                "cos_sim": sims[ai[keep], bi[keep]],
+            }
+        )
+
+    sims = home.groupBy("cell").applyInPandas(
+        verify, "id_a long, id_b long, cell long, cos_sim double"
+    )
+    # survivor per removed id_b: max cosine, tie -> min id_a — again an
+    # aggregate argmax, no window
+    return (
+        sims.groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim"),
+                    (-F.col("id_a")).alias("nega"),
+                    F.col("cell"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cell").alias("cell"),
+            (-F.col("m.nega")).alias("dup_of"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )

@@ -3071,55 +3071,21 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits one row per removed vector with its chosen survivor
     (argmax cosine, tie -> min id).
 
-    Scale: assignment is linear (|vectors| x n_cells broadcast
-    compare); the pairwise stage is sum_c |c|^2 instead of n^2, the
-    SemDeDup cost model; cells here are the deterministic seed
-    centroids so DuckDB replays the exact partitioning (swap in
-    ``kmeans_centroids(train_iters>0)`` for balanced production cells
-    — every downstream plan is unchanged).
+    Scale: assignment is linear (|vectors| x n_cells broadcast compare,
+    rank-1 cell via a max_by-style aggregate — no window); the pairwise
+    stage is sum_c |c|^2 instead of n^2 — the SemDeDup cost model —
+    executed as ONE vectorized Arrow matmul per cell
+    (:func:`operators.similarity.semdedup_pairs`, the same per-group
+    verify as the LSH embedding dedup). Cells here are the
+    deterministic seed centroids so DuckDB replays the exact
+    partitioning (swap in ``kmeans_centroids(train_iters>0)`` for
+    balanced production cells — every downstream plan is unchanged).
     """
-    from pyspark.sql import Window as W
-
-    from ..functions.vector import cosine
-    from ..operators.similarity import ivf_assign
+    from ..operators.similarity import semdedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    home = (
-        ivf_assign(emb, n_cells=16)
-        .filter(F.col("cell_rank") == 1)
-        .select("id", F.col("cent_id").alias("cell"))
-    )
-    members = home.join(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
-        "id",
-    )
-    a = members.select(
-        F.col("id").alias("id_a"), F.col("cell"), F.col("v").alias("va")
-    )
-    b_ = members.select(
-        F.col("id").alias("id_b"), F.col("cell"), F.col("v").alias("vb")
-    )
-    sims = (
-        a.join(b_, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "cell",
-            F.round(cosine("va", "vb"), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-    )
-    w = W.partitionBy("id_b").orderBy(F.desc("cos_sim"), "id_a")
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("id_b").alias("vec_id"),
-            "cell",
-            F.col("id_a").alias("dup_of"),
-            "cos_sim",
-        )
+    return semdedup_pairs(emb, n_cells=16, threshold=0.4).select(
+        "vec_id", "cell", "dup_of", "cos_sim"
     )
 
 
