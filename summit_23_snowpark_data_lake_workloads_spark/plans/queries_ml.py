@@ -3470,3 +3470,84 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+@query(
+    "sequence_bin_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(text, '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    ),
+    binned AS (
+        SELECT source, n_tokens, ((cum - n_tokens) // 512) AS bin_id
+        FROM placed
+    ),
+    bins AS (
+        SELECT source, bin_id, sum(n_tokens) AS fill, count(*) AS n_docs
+        FROM binned GROUP BY source, bin_id
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_bins,
+           ceil(sum(fill) / 512.0)::BIGINT AS ideal_bins,
+           round(count(*) / ceil(sum(fill) / 512.0), 4) AS bin_overhead,
+           round(avg(fill), 2) AS avg_fill,
+           round(avg(n_docs), 2) AS avg_docs_per_bin,
+           max(fill)::BIGINT AS max_fill
+    FROM bins GROUP BY source
+    """,
+)
+def sequence_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing plan (the SFT counterpart to
+    ``sequence_packing``'s concatenate-and-cut): documents are packed
+    whole into 512-token bins by the relational next-fit-decreasing
+    approximation — order by length descending within each source,
+    running token cumsum, bin = floor((cum - len) / budget) — and the
+    report grades the plan: bins used vs the ideal ceil(total/budget),
+    average fill, docs per bin. ``bin_overhead`` near 1.0 means the
+    greedy plan wastes almost nothing.
+
+    Scale: one source-partitioned window (sort by length inside each
+    source — never a global sort) + two aggregates; assignment is a
+    pure expression over the cumsum. True first-fit-decreasing is
+    inherently sequential; this one-pass approximation is the standard
+    distributed form and its quality is exactly what the report
+    measures.
+    """
+    from pyspark.sql import Window as W
+
+    B = 512
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / B)
+    )
+    bins = binned.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    ideal = F.ceil(F.sum("fill") / float(B))
+    return bins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        ideal.alias("ideal_bins"),
+        F.round(F.count(F.lit(1)) / ideal, 4).alias("bin_overhead"),
+        F.round(F.avg("fill"), 2).alias("avg_fill"),
+        F.round(F.avg("n_docs"), 2).alias("avg_docs_per_bin"),
+        F.max("fill").alias("max_fill"),
+    )

@@ -57,3 +57,21 @@ def test_release_is_idempotent_and_recompute_safe(spark, sf_dir):
     assert cache.release_caches() >= 1
     assert cache.release_caches() == 0
     assert df.count() == n1
+
+
+@pytest.mark.parametrize(
+    "name", ["dsir_importance_weights", "knn_pq_adc", "semdedup_embeddings"]
+)
+def test_non_headline_persisting_queries_release(spark, sf_dir, name):
+    """Non-headline queries that persist intermediates (DSIR's count
+    table, ADC's distance table) must honor the same release contract
+    as the headline set."""
+    baseline = _persistent_ids(spark)
+    assert cache.registered_count() == 0
+    try:
+        QUERIES[name](spark, sf_dir).count()
+    finally:
+        cache.release_caches()
+    assert cache.registered_count() == 0
+    leaked = _persistent_ids(spark) - baseline
+    assert not leaked, f"{name} left {len(leaked)} persisted RDDs"
