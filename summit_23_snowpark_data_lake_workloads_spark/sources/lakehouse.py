@@ -11,24 +11,32 @@ Layout::
       data/b-<uuid>/part-*.parquet   immutable data files (never edited)
       _manifests/v0000000001.json    one manifest per committed version
 
-A manifest lists the exact data files of one table version. Commits are
-atomic via a pluggable :class:`CommitProtocol` (default: POSIX
-exclusive-create of the next manifest): two writers racing on the same
-version — one wins, the loser retries on the next number (optimistic
-concurrency, the Delta protocol's commit rule). Object stores need a
-different protocol for the same one-winner property — S3 conditional
-PUT, or a DynamoDB-style lock (:class:`LockedCommit`); bare PUT/rename
-is last-writer-wins and loses updates (demonstrated in
+A manifest is either FULL (the exact file set of that version) or a
+DELTA (``base_version`` + ``add``/``remove``) — incremental commits
+write deltas, so commit metadata is proportional to the COMMIT, and a
+full manifest is checkpointed every ``_CHECKPOINT_EVERY`` versions to
+bound the reader's fold chain (the Delta-log checkpoint design).
+Commits are atomic via a pluggable :class:`CommitProtocol` (default:
+POSIX exclusive-create of the next manifest): two writers racing on the
+same version — one wins, the loser retries on the next number
+(optimistic concurrency, the Delta protocol's commit rule). Object
+stores need a different protocol for the same one-winner property — S3
+conditional PUT, or a DynamoDB-style lock (:class:`LockedCommit`); bare
+PUT/rename is last-writer-wins and loses updates (demonstrated in
 ``tests/test_lakehouse.py``). Readers never lock: a manifest, once
-written, is immutable.
+written, is logically immutable (``vacuum`` may rewrite the oldest
+retained delta as its equivalent full form before dropping its base —
+same resolved snapshot, byte layout only).
 
-Scale posture: every metadata operation is O(#files) driver-side JSON —
-the identical cost model Delta/Iceberg accept (at 100 TB with 128 MB
-files that is ~10^6 manifest entries; shard manifests per partition
-before that point). DELETE/MERGE rewrite ONLY files that contain
-affected rows (located via ``_metadata.file_path`` pushdown, a
-file-count-bounded collect), so an upsert touching one day of a
-year-partitioned fact rewrites that day's files, not the table.
+Scale posture: a snapshot READ is O(#files) driver-side JSON — the
+identical cost model Delta/Iceberg accept (at 100 TB with 128 MB files
+that is ~10^6 manifest entries; shard manifests per partition before
+that point) — but a COMMIT writes only its add/remove delta, so the
+nightly-append metadata cost no longer grows with table size.
+DELETE/MERGE rewrite ONLY files that contain affected rows (located via
+``_metadata.file_path`` pushdown, a file-count-bounded collect), so an
+upsert touching one day of a year-partitioned fact rewrites that day's
+files, not the table.
 """
 
 from __future__ import annotations
@@ -44,6 +52,12 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+#: a FULL manifest (complete file list) is checkpointed at every
+#: multiple of this version number; commits in between write DELTA
+#: manifests (add/remove only), so commit metadata stays proportional
+#: to the commit and a reader's fold chain is bounded by this interval
+#: (the Delta-log checkpoint design)
+_CHECKPOINT_EVERY = 8
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -308,12 +322,43 @@ class SnapshotTable:
             raise LookupError(f"version {version} not in {versions}")
         return self._load(version)
 
-    def _load(self, version: int) -> Snapshot:
+    def _raw(self, version: int) -> dict:
+        """The manifest JSON as written — either a FULL manifest (has
+        ``files``: the complete file set) or a DELTA manifest (has
+        ``base_version``/``add``/``remove``): metadata proportional to
+        the COMMIT, not the table. Cheap consumers that only need
+        commit-local fields (txn stamps, the files a batch added) read
+        this and never pay the fold."""
         with open(self._manifest_path(version)) as fh:
-            m = json.load(fh)
+            return json.load(fh)
+
+    def _load(self, version: int) -> Snapshot:
+        """Fully-resolved snapshot. Delta manifests fold onto their base
+        (chain length is bounded by the checkpoint interval, so a fold
+        is <= ``_CHECKPOINT_EVERY`` JSON reads)."""
+        m = self._raw(version)
+        if "files" in m:
+            return Snapshot(
+                m["version"], m["timestamp_ms"], m["operation"], m["files"],
+                m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
+            )
+        base = self._load(m["base_version"])
+        removed = set(m.get("remove", []))
+        files = sorted(
+            [f for f in base.files if f not in removed] + m.get("add", [])
+        )
+        live = set(files)
+        stats = {
+            f: s for f, s in (base.stats or {}).items() if f in live
+        }
+        stats.update(m.get("add_stats", {}))
+        blooms = {
+            f: b for f, b in (base.blooms or {}).items() if f in live
+        }
+        blooms.update(m.get("add_blooms", {}))
         return Snapshot(
-            m["version"], m["timestamp_ms"], m["operation"], m["files"],
-            m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
+            m["version"], m["timestamp_ms"], m["operation"], files,
+            stats, m.get("txn"), blooms,
         )
 
     def _commit(
@@ -374,17 +419,38 @@ class SnapshotTable:
                 next_v, int(time.time() * 1000), operation, sorted(files),
                 stats, txn, blooms,
             )
-            body = json.dumps(
-                {
+            # DELTA manifest for incremental commits: metadata written is
+            # proportional to the commit (add/remove lists + their stats),
+            # not the table — the piece that keeps a 10^6-file table's
+            # commit cost flat. A FULL manifest (complete file set) is
+            # checkpointed every _CHECKPOINT_EVERY versions to bound the
+            # reader's fold chain, and always for replace_all/first
+            # commits (their delta IS the table).
+            add_stats = {f: stats[f] for f in add if f in stats}
+            add_blooms = {f: blooms[f] for f in add if f in blooms}
+            if replace_all or not latest or next_v % _CHECKPOINT_EVERY == 0:
+                body_d = {
                     "version": snap.version,
                     "timestamp_ms": snap.timestamp_ms,
                     "operation": snap.operation,
                     "files": snap.files,
                     "stats": snap.stats,
                     **({"blooms": snap.blooms} if snap.blooms else {}),
-                    **({"txn": snap.txn} if snap.txn else {}),
                 }
-            )
+            else:
+                body_d = {
+                    "version": snap.version,
+                    "timestamp_ms": snap.timestamp_ms,
+                    "operation": snap.operation,
+                    "base_version": latest,
+                    "add": sorted(add),
+                    "remove": sorted(remove),
+                    "add_stats": add_stats,
+                    **({"add_blooms": add_blooms} if add_blooms else {}),
+                }
+            if txn is not None:
+                body_d["txn"] = txn
+            body = json.dumps(body_d)
             if self.commit_protocol.publish(self._manifest_path(next_v), body):
                 return snap
             continue  # lost the race; retry against the new latest
@@ -460,7 +526,8 @@ class SnapshotTable:
         O(#versions) driver-side JSON; vacuum bounds it."""
         best = None
         for v in self._versions():
-            t = self._load(v).txn
+            # txn is commit-local: read the raw manifest, never fold
+            t = self._raw(v).get("txn")
             if t and t.get("app_id") == app_id:
                 best = t["batch_id"] if best is None else max(best, t["batch_id"])
         return best
@@ -623,6 +690,30 @@ class SnapshotTable:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         keep_v = versions[-retain_last:]
+        # the oldest retained manifest may be a DELTA whose base is about
+        # to expire: materialize it as a FULL manifest first so retained
+        # history never folds past the retention boundary. Content is
+        # logically identical (same resolved snapshot), so the
+        # immutability contract readers rely on is preserved.
+        if keep_v and "files" not in self._raw(keep_v[0]):
+            snap = self._load(keep_v[0])
+            tmp = self._manifest_path(keep_v[0]) + ".ckpt"
+            raw = self._raw(keep_v[0])
+            with open(tmp, "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "version": snap.version,
+                            "timestamp_ms": snap.timestamp_ms,
+                            "operation": snap.operation,
+                            "files": snap.files,
+                            "stats": snap.stats,
+                            **({"blooms": snap.blooms} if snap.blooms else {}),
+                            **({"txn": raw["txn"]} if raw.get("txn") else {}),
+                        }
+                    )
+                )
+            os.replace(tmp, self._manifest_path(keep_v[0]))
         live = {f for v in keep_v for f in self._load(v).files}
         removed = []
         ddir = os.path.join(self.path, _DATA_DIR)

@@ -222,10 +222,13 @@ def _files_added_by_batch(
     exactly the rows that batch landed, from manifests alone."""
     versions = table._versions()
     for i, v in enumerate(versions):
-        s = table._load(v)
-        if s.txn and s.txn.get("app_id") == app_id and s.txn.get("batch_id") == batch_id:
+        raw = table._raw(v)
+        txn = raw.get("txn")
+        if txn and txn.get("app_id") == app_id and txn.get("batch_id") == batch_id:
+            if "add" in raw:  # delta manifest records its adds directly
+                return raw["add"]
             prev = set(table._load(versions[i - 1]).files) if i else set()
-            return [f for f in s.files if f not in prev]
+            return [f for f in raw["files"] if f not in prev]
     return None
 
 

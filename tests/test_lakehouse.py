@@ -531,3 +531,70 @@ def test_unsafe_protocol_loses_a_table_version(spark, tmp_path):
     rows = {r.id for r in t.read().collect()}
     assert {200, 201, 202, 203, 204} <= rows
     assert not ({100, 101, 102, 103, 104} & rows), "first append silently lost"
+
+
+def test_delta_manifests_checkpoint_and_fold(spark, tmp_path):
+    """Incremental commits write DELTA manifests (add/remove only — no
+    full file list), full manifests are checkpointed on the interval,
+    and every historical version folds to the correct row set."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources import lakehouse
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "delta_tbl"))
+    t.create(spark.range(0, 10).withColumnRenamed("id", "k"))
+    for i in range(1, 10):
+        t.append(spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k"))
+
+    kinds = {v: ("full" if "files" in t._raw(v) else "delta")
+             for v in t._versions()}
+    assert kinds[1] == "full", "create writes the full manifest"
+    ck = lakehouse._CHECKPOINT_EVERY
+    assert kinds[ck] == "full", "checkpoint version must be full"
+    assert any(k == "delta" for k in kinds.values()), "appends write deltas"
+    for v, kind in kinds.items():
+        if kind == "delta":
+            raw = t._raw(v)
+            assert "files" not in raw and raw["base_version"] == v - 1
+            assert len(raw["add"]) < len(t._load(v).files), (
+                "delta metadata must be commit-sized, not table-sized"
+            )
+    # every version folds to exactly its rows (time travel intact)
+    for v in t._versions():
+        assert t.read(version=v).count() == v * 10
+    # stats folded through deltas still power data skipping
+    snap = t._load(t.snapshot().version)
+    assert snap.stats and all(f in snap.stats for f in snap.files)
+
+
+def test_delta_manifest_delete_and_vacuum_boundary(spark, tmp_path):
+    """Row-level DELETE writes a delta with a remove list; vacuum
+    past a delta's base materializes the oldest retained manifest as
+    full so retained time travel never folds past the boundary."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "delta_vac"))
+    t.create(spark.range(0, 20).withColumnRenamed("id", "k"))
+    for i in range(1, 4):
+        t.append(
+            spark.range(20 + i * 10, 30 + i * 10).withColumnRenamed("id", "k")
+        )
+    t.delete(F.col("k") < 5)
+    v_del = t.snapshot().version
+    raw = t._raw(v_del)
+    assert "files" not in raw and raw["remove"], "delete commits a delta"
+    assert t.read().filter("k < 5").count() == 0
+
+    t.vacuum(retain_last=2)
+    kept = t._versions()
+    assert len(kept) == 2
+    assert "files" in t._raw(kept[0]), (
+        "oldest retained manifest must be materialized full by vacuum"
+    )
+    # both retained versions still read correctly
+    assert t.read(version=kept[0]).count() > 0
+    assert t.read(version=kept[1]).filter("k < 5").count() == 0
