@@ -125,3 +125,70 @@ def test_union_find_matches_bfs_reference():
             for x in comp:
                 want[x] = lab
         assert got == want, f"trial {trial}: {edges}"
+
+
+def _bm25_reference(docs, queries, k1=1.2, b=0.75):
+    """Pure-Python BM25 (Lucene idf) over token lists; returns
+    {(qid, did): score} for every query-doc pair sharing a token."""
+    import math
+
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {}
+    for w in docs.values():
+        for t in set(w):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qw in queries.items():
+        for did, w in docs.items():
+            if did == qid:
+                continue
+            tf = {}
+            for t in w:
+                tf[t] = tf.get(t, 0) + 1
+            s = 0.0
+            for t in set(qw):
+                if t not in tf:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf[t] * (k1 + 1) / (
+                    tf[t] + k1 * (1 - b + b * len(w) / avgdl)
+                )
+            if s > 0:
+                out[(qid, did)] = round(s, 4)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("red blue green spark quartz delta nine".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_bm25_matches_reference(spark, token_lists):
+    """Distributed BM25 == the textbook formula on arbitrary tiny
+    corpora (every doc scored against query doc 0)."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark import cache
+
+    docs = {i: w for i, w in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    try:
+        got = {
+            (r.query_id, r.doc_id): r.bm25
+            for r in bm25_topk(df, F.col("doc_id") == 0, k=100).collect()
+        }
+    finally:
+        cache.release_caches()
+    want = _bm25_reference(docs, {0: docs[0]})
+    assert got == want, (got, want)
