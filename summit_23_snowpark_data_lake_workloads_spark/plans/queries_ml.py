@@ -3551,3 +3551,117 @@ def sequence_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_docs"), 2).alias("avg_docs_per_bin"),
         F.max("fill").alias("max_fill"),
     )
+
+
+@query(
+    "knn_ivf_recall_audit",
+    oracle=f"""
+    WITH {_EMB_POS_CTE},
+    bfd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.val * c.val) AS dot
+        FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(dot / (nq.nrm * nn.nrm), 4) DESC,
+                                neighbor_id) AS rk
+            FROM bfd
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nn ON nn.vec_id = neighbor_id
+        ) WHERE rk <= 5
+    ),
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id,
+               row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+               ) AS cell_rank
+        FROM cent_dots
+        JOIN norms nv ON nv.vec_id = id
+        JOIN norms nc ON nc.vec_id = cent_id
+    ),
+    home AS (SELECT id AS neighbor_id, cent_id AS cell FROM assign
+             WHERE cell_rank = 1),
+    probes AS (SELECT id AS query_id, cent_id AS cell FROM assign
+               WHERE cell_rank <= 2),
+    cand AS (
+        SELECT DISTINCT p.query_id, h.neighbor_id
+        FROM probes p JOIN home h ON p.cell = h.cell
+        WHERE p.query_id < 20 AND p.query_id <> h.neighbor_id
+    ),
+    idots AS (
+        SELECT query_id, neighbor_id, sum(q.val * c.val) AS dot
+        FROM cand
+        JOIN e q ON q.vec_id = query_id
+        JOIN e c ON c.vec_id = neighbor_id AND q.pos = c.pos
+        GROUP BY query_id, neighbor_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(dot / (nq.nrm * nn.nrm), 4) DESC,
+                                neighbor_id) AS rk
+            FROM idots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nn ON nn.vec_id = neighbor_id
+        ) WHERE rk <= 5
+    )
+    SELECT b.query_id,
+           count(i.neighbor_id)::BIGINT AS n_hits,
+           round(count(i.neighbor_id) / 5.0, 2) AS recall_at_5
+    FROM bf b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement ("measure, don't guess"): per-query
+    recall@5 of the IVF index (16 seed cells, 2 probes) against the
+    exact brute-force top-5 — the audit a team runs before trusting an
+    approximate index, and the dial-turning feedback loop for
+    n_probe/n_cells. Both pipelines are deterministic in both engines,
+    so even the recall FRACTIONS are exact gate material, not a
+    tolerance check.
+
+    Scale: the exact side is the bounded-query-set baseline
+    (|queries| x n, the irreducible ground-truth cost of any recall
+    audit — run on a sampled query set, exactly as here); the IVF side
+    is the production plan being audited. The final comparison joins
+    two 5-rows-per-query tables.
+    """
+    from ..operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.col("query_id") < 20
+    bf = knn_bruteforce(emb, k=5, query_pred=pred).select(
+        "query_id", "neighbor_id"
+    )
+    iv = (
+        knn_ivf(emb, k=5, n_cells=16, n_probe=2, query_pred=pred)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )
