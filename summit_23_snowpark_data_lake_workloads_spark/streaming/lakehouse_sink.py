@@ -232,6 +232,40 @@ def _files_added_by_batch(
     return None
 
 
+def _record_ingest_metrics(
+    metrics: SnapshotTable | None,
+    spark,
+    txn: dict,
+    n_arrived: int | None,
+    n_quality_ok: int | None,
+    n_landed: int,
+) -> None:
+    """Append one observability row per micro-batch (idempotent: the
+    metrics commit carries the same txn stamp, so a replay that
+    re-derives the numbers cannot double-record them)."""
+    if metrics is None or n_arrived is None:
+        return
+    row = spark.createDataFrame(
+        [
+            (
+                txn["batch_id"],
+                n_arrived,
+                n_arrived - n_quality_ok,
+                n_quality_ok - n_landed,
+                n_landed,
+            )
+        ],
+        "batch_id long, n_arrived long, n_quality_rejected long, "
+        "n_dedup_dropped long, n_landed long",
+    )
+    if not metrics._versions():
+        metrics._commit(
+            "create", 0, metrics._write_batch(row), replace_all=True, txn=txn
+        )
+    else:
+        metrics.append(row, txn=txn)
+
+
 def _near_dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -244,14 +278,23 @@ def _near_dedup_ingest_batch(
     num_hashes: int = 12,
     bands: int = 4,
     n: int = 3,
+    quality_pred=None,
+    metrics: SnapshotTable | None = None,
 ) -> None:
-    """One micro-batch of the NEAR-dup ingest loop: exact within-batch
-    dedup, then a :mod:`..operators.minhash_index` probe drops batch
-    documents whose estimated Jaccard against the indexed corpus is
-    >= ``min_est_jaccard`` (exact corpus dups fall out too — identical
-    text gives estimate 1.0), then the survivors land in ``table`` and
-    their signatures extend ``index`` — both commits stamped with the
-    same txn, each idempotent on its own table.
+    """One micro-batch of the NEAR-dup ingest loop: an optional quality
+    gate (``quality_pred`` — rows failing it never enter dedup), exact
+    within-batch dedup, then a :mod:`..operators.minhash_index` probe
+    drops batch documents whose estimated Jaccard against the indexed
+    corpus is >= ``min_est_jaccard`` (exact corpus dups fall out too —
+    identical text gives estimate 1.0), then the survivors land in
+    ``table`` and their signatures extend ``index`` — both commits
+    stamped with the same txn, each idempotent on its own table.
+
+    ``metrics`` (optional): per-batch observability rows
+    (batch_id, n_arrived, n_quality_rejected, n_dedup_dropped,
+    n_landed) appended to their own SnapshotTable under the same txn
+    stamp — idempotent across replays; costs two extra batch-sized
+    counts per micro-batch, never a corpus pass.
 
     Two-table consistency: a crash between the docs commit and the
     index commit leaves the index one batch behind; on checkpoint
@@ -291,6 +334,10 @@ def _near_dedup_ingest_batch(
             *[os.path.join(table.path, f) for f in files]
         )
     else:
+        n_arrived = batch_df.count() if metrics is not None else None
+        if quality_pred is not None:
+            batch_df = batch_df.filter(quality_pred)
+        n_quality_ok = batch_df.count() if metrics is not None else None
         h = F.md5(F.col(text_col))
         w = W.partitionBy(h).orderBy(id_col)
         fresh = (
@@ -317,8 +364,15 @@ def _near_dedup_ingest_batch(
             prev = table.snapshot()
             files = table._write_batch(fresh)  # ONE execution of the plan
             if _rows_in_files(table, files) == 0:
+                _record_ingest_metrics(
+                    metrics, spark, txn, n_arrived, n_quality_ok, 0
+                )
                 return  # all near-dups: no doc commit, no index growth
             table._commit("append", prev.version, files, txn=txn)
+        _record_ingest_metrics(
+            metrics, spark, txn, n_arrived, n_quality_ok,
+            _rows_in_files(table, files),
+        )
         survivors = spark.read.parquet(
             *[os.path.join(table.path, f) for f in files]
         )
@@ -340,6 +394,8 @@ def near_dedup_ingest_stream(
     text_col: str = "text",
     min_est_jaccard: float = 0.5,
     processing_time: str | None = None,
+    quality_pred=None,
+    metrics: SnapshotTable | None = None,
 ):
     """Streaming NEAR-dup corpus ingestion: the exact-dedup sink's
     shape (:func:`dedup_ingest_stream`), with the persisted MinHash
@@ -349,12 +405,17 @@ def near_dedup_ingest_stream(
     the index is extended in the same step. Restart-safe on both
     tables; the index heals from the docs table's own manifests if a
     crash splits the two commits.
+
+    ``quality_pred`` gates rows BEFORE dedup (curation-on-ingest: a
+    low-quality near-copy never pollutes the index); ``metrics``
+    appends per-batch arrival/rejection/landing counts to its own
+    txn-stamped table for pipeline observability.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         _near_dedup_ingest_batch(
             batch_df, batch_id, table, index, app_id, id_col, text_col,
-            min_est_jaccard,
+            min_est_jaccard, quality_pred=quality_pred, metrics=metrics,
         )
 
     writer = (

@@ -624,3 +624,65 @@ def test_near_dedup_ingest_index_heals_after_split_commit(spark, tmp_path):
     v_t, v_i = table.snapshot().version, lagging.snapshot().version
     _near_dedup_ingest_batch(more, 1, table, lagging, "heal")
     assert (table.snapshot().version, lagging.snapshot().version) == (v_t, v_i)
+
+
+def test_near_dedup_ingest_quality_gate_and_metrics(spark, tmp_path):
+    """Curation-on-ingest: rows failing the quality gate never land and
+    never enter the index; the metrics table records per-batch
+    arrival/rejection/landing counts idempotently across replays."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        near_dedup_ingest_stream,
+    )
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "qm_stream"
+    src.mkdir()
+
+    def jl(rows):
+        return "\n".join(f'{{"doc_id": {i}, "text": "{t}"}}' for i, t in rows)
+
+    # batch 0: one good doc, one too-short doc (fails gate), one exact dup
+    (src / "b0.jsonl").write_text(
+        jl([(1, good), (2, "tiny"), (3, good)])
+    )
+    # batch 1: near-copy of the good doc + a fresh good one
+    (src / "b1.jsonl").write_text(
+        jl([(10, good + " chi"),
+            (11, "one two three four five six seven eight nine ten")])
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "qm_corpus"))
+    index = SnapshotTable(spark, str(tmp_path / "qm_index"))
+    metrics = SnapshotTable(spark, str(tmp_path / "qm_metrics"))
+    ckpt = str(tmp_path / "qm_ckpt")
+    gate = F.array_size(F.split("text", r"\s+")) >= 5
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = near_dedup_ingest_stream(
+            stream, table, index, "qm", ckpt,
+            quality_pred=gate, metrics=metrics,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r.doc_id for r in table.read().collect()) == [1, 11]
+    assert {r.id for r in index.read().select("id").distinct().collect()} == {1, 11}
+    got = {
+        r.batch_id: (r.n_arrived, r.n_quality_rejected, r.n_dedup_dropped, r.n_landed)
+        for r in metrics.read().collect()
+    }
+    assert got == {0: (3, 1, 1, 1), 1: (2, 0, 1, 1)}, got
+
+    run()  # replay from the same checkpoint: nothing doubles
+    assert metrics.read().count() == 2
+    assert table.read().count() == 2
