@@ -30,7 +30,7 @@ from ..operators.similarity import (
     knn_lsh,
     tfidf_cosine_topk,
 )
-from .queries import _t, query
+from .queries import QUERIES, _t, query
 
 _DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
@@ -1437,11 +1437,8 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "training_corpus_pipeline",
-    headline=True,
-    oracle=f"""
-    WITH RECURSIVE {_SH_CTE},
+# the v1 corpus-pipeline CTE chain (shared by the v2 composition below)
+_PIPELINE_V1_CTE = f"""{_SH_CTE},
     e0 AS (SELECT id_a AS s, id_b AS t FROM jac WHERE jaccard >= 0.5),
     edges AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
     reach(id, lab) AS (
@@ -1493,22 +1490,35 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE d.source = 'src0') b
           ON c.g = b.g
         GROUP BY c.id, b.id HAVING count(*) >= 3
-    )
-    SELECT d.doc_id,
-           ex.keep_exact,
-           CASE WHEN d.doc_id = clus.cluster_id THEN 1 ELSE 0 END AS keep_cluster,
-           q.quality_pass,
-           CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM cont)
-                THEN 1 ELSE 0 END AS contaminated,
-           CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS is_benchmark,
-           CASE WHEN d.source <> 'src0' AND ex.keep_exact = 1
-                 AND d.doc_id = clus.cluster_id AND q.quality_pass = 1
-                 AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM cont)
-                THEN 1 ELSE 0 END AS final_keep
-    FROM documents d
-    JOIN ex   USING (doc_id)
-    JOIN clus USING (doc_id)
-    JOIN qual q USING (doc_id)
+    ),
+    verdicts AS (
+        SELECT d.doc_id,
+               ex.keep_exact,
+               CASE WHEN d.doc_id = clus.cluster_id THEN 1 ELSE 0 END
+                   AS keep_cluster,
+               q.quality_pass,
+               CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM cont)
+                    THEN 1 ELSE 0 END AS contaminated,
+               CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS is_benchmark,
+               CASE WHEN d.source <> 'src0' AND ex.keep_exact = 1
+                     AND d.doc_id = clus.cluster_id AND q.quality_pass = 1
+                     AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM cont)
+                    THEN 1 ELSE 0 END AS final_keep
+        FROM documents d
+        JOIN ex   USING (doc_id)
+        JOIN clus USING (doc_id)
+        JOIN qual q USING (doc_id)
+    )"""
+
+
+@query(
+    "training_corpus_pipeline",
+    headline=True,
+    oracle=f"""
+    WITH RECURSIVE {_PIPELINE_V1_CTE}
+    SELECT doc_id, keep_exact, keep_cluster, quality_pass, contaminated,
+           is_benchmark, final_keep
+    FROM verdicts
     """,
 )
 def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3663,5 +3673,131 @@ def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce("hit", F.lit(0))) / 5.0, 2).alias(
                 "recall_at_5"
             ),
+        )
+    )
+
+
+@query(
+    "training_corpus_pipeline_v2",
+    headline=True,
+    oracle=f"""
+    WITH RECURSIVE {_PIPELINE_V1_CTE},
+    cnormed AS (
+        SELECT doc_id,
+               regexp_replace(trim(regexp_replace(lower(text), '[^a-z ]+', ' ',
+                                                  'g')),
+                              ' +', ' ', 'g') AS s
+        FROM documents
+    ),
+    cbg AS (
+        SELECT doc_id, unnest([substr(s, i, 2) for i in range(1, length(s))])
+               AS b
+        FROM cnormed WHERE length(s) >= 2
+    ),
+    cdc AS (SELECT doc_id, b, count(*) AS c FROM cbg GROUP BY doc_id, b),
+    cmodel AS (SELECT b, sum(c) AS cb FROM cdc GROUP BY b),
+    cc1 AS (SELECT substr(b, 1, 1) AS ch, sum(cb) AS cc FROM cmodel GROUP BY ch),
+    cv AS (SELECT count(DISTINCT substr(b, 2, 1)) AS vocab FROM cmodel),
+    chs AS (
+        SELECT cdc.doc_id,
+               round(sum(cdc.c * ln((m.cb + 1.0) / (cc1.cc + cv.vocab)))
+                     / sum(cdc.c), 3) AS avg_logprob
+        FROM cdc
+        JOIN cmodel m ON cdc.b = m.b
+        JOIN cc1 ON substr(cdc.b, 1, 1) = cc1.ch
+        CROSS JOIN cv
+        GROUP BY cdc.doc_id
+    ),
+    {_EMB_POS_CTE},
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id,
+               row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+               ) AS cell_rank
+        FROM cent_dots
+        JOIN norms nv ON nv.vec_id = id
+        JOIN norms nc ON nc.vec_id = cent_id
+    ),
+    home AS (SELECT id, cent_id AS cell FROM assign WHERE cell_rank = 1),
+    spairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM home a JOIN home b ON a.cell = b.cell AND a.id < b.id
+    ),
+    sdots AS (
+        SELECT id_a, id_b, sum(x.val * y.val) AS dot
+        FROM spairs
+        JOIN e x ON x.vec_id = id_a
+        JOIN e y ON y.vec_id = id_b AND x.pos = y.pos
+        GROUP BY id_a, id_b
+    ),
+    semrm AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM sdots
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+        WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.4
+    )
+    SELECT w.doc_id,
+           w.final_keep,
+           CASE WHEN chs.avg_logprob >= -1.75 THEN 1 ELSE 0 END AS charlm_ok,
+           CASE WHEN semrm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS sem_dup,
+           CASE WHEN w.final_keep = 1 AND chs.avg_logprob >= -1.75
+                 AND semrm.doc_id IS NULL
+                THEN 1 ELSE 0 END AS final_keep_v2
+    FROM verdicts w
+    LEFT JOIN chs USING (doc_id)
+    LEFT JOIN semrm USING (doc_id)
+    """,
+)
+def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation pipeline in ONE declarative plan: everything
+    v1 does (exact dedup -> near-dup clusters -> Gopher gate ->
+    decontamination) PLUS the round-5 stages — char-LM perplexity-proxy
+    quality (reject the worst ~10%, ``avg_logprob < -1.75``) and
+    SemDeDup semantic dedup over the document embeddings (vec_id ==
+    doc_id in this corpus) — composed by CALLING the already-gated
+    queries, so every stage keeps its own oracle and this query pins
+    the COMPOSITION. ``final_keep_v2`` = v1 verdict AND charlm_ok AND
+    not a semantic duplicate.
+
+    Scale: no new join shape — three doc_id-keyed aggregates joined on
+    doc_id (co-partitioned); each stage's internal shape is unchanged
+    from its standalone query.
+    """
+    v1 = QUERIES["training_corpus_pipeline"](spark, sf_dir).select(
+        "doc_id", "final_keep"
+    )
+    ch = QUERIES["charlm_doc_quality"](spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    sem = (
+        QUERIES["semdedup_embeddings"](spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("semhit", F.lit(1))
+    )
+    charlm_ok = F.when(F.col("avg_logprob") >= -1.75, 1).otherwise(0)
+    sem_dup = F.when(F.col("semhit").isNotNull(), 1).otherwise(0)
+    return (
+        v1.join(ch, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "final_keep",
+            charlm_ok.alias("charlm_ok"),
+            sem_dup.alias("sem_dup"),
+            (
+                (F.col("final_keep") == 1)
+                & (charlm_ok == 1)
+                & (sem_dup == 0)
+            )
+            .cast("int")
+            .alias("final_keep_v2"),
         )
     )
