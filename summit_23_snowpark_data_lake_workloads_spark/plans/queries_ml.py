@@ -3801,3 +3801,74 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("final_keep_v2"),
         )
     )
+
+
+@query(
+    "bpe_compression_audit",
+    oracle=f"""
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(s.n_words)::BIGINT AS n_words,
+           sum(s.n_chars)::BIGINT AS n_chars,
+           sum(b.n_tokens)::BIGINT AS n_tokens,
+           round(sum(s.n_chars) / sum(b.n_tokens), 4) AS chars_per_token,
+           round(sum(b.n_tokens) / sum(s.n_words), 4) AS fertility
+    FROM ({_bpe_encode_oracle(6)}) b
+    JOIN documents d USING (doc_id)
+    JOIN (
+        SELECT doc_id,
+               len(string_split_regex(trim(n), ' +')) AS n_words,
+               length(replace(n, ' ', '')) AS n_chars
+        FROM (
+            SELECT doc_id,
+                   regexp_replace(trim(regexp_replace(lower(text),
+                                                      '[^a-z ]+', ' ', 'g')),
+                                  ' +', ' ', 'g') AS n
+            FROM documents
+        )
+    ) s USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def bpe_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics per source: characters-per-token
+    (compression — higher is cheaper) and tokens-per-word (fertility —
+    lower is better) under the corpus-trained 6-merge BPE. The report a
+    team reads before committing a tokenizer: a source with outlier
+    fertility is about to cost disproportionate training compute.
+
+    Scale: reuses the trained-encode query (distinct-word encode +
+    broadcast map — corpus touched once); the normalization stats are
+    scan-projection expressions; the rollup is one source-keyed
+    aggregate.
+    """
+    from ..functions.text import normalize_chars
+
+    tok = QUERIES["token_counts_bpe_trained"](spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        normalize_chars(F.col("text")).alias("nm"),
+    ).select(
+        "doc_id",
+        "source",
+        F.array_size(F.split(F.trim("nm"), " +")).alias("n_words"),
+        F.length(F.regexp_replace("nm", " ", "")).alias("n_chars"),
+    )
+    return (
+        tok.join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 4).alias(
+                "fertility"
+            ),
+        )
+    )
