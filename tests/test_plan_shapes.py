@@ -583,3 +583,25 @@ def test_pq_audit_argmin_is_aggregate_not_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r5_report_queries_stay_jvm_side(spark, sf_dir):
+    """The round-5 report queries (dup-span spectrum, bin packing,
+    recall audit, skew profile) are pure relational plans: no Python
+    workers, no cartesian products; the packing window is partitioned
+    by source (never a global sort)."""
+    for name in (
+        "dup_span_length_profile",
+        "sequence_bin_packing",
+        "knn_ivf_recall_audit",
+        "join_key_skew_profile",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+    pack = simple_plan_of(QUERIES["sequence_bin_packing"](spark, sf_dir))
+    assert "Exchange hashpartitioning(source" in pack, (
+        "packing window must shuffle on source, not sort globally"
+    )
