@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 #: DataFrames persisted by engine code and not yet released.
 _REGISTRY: list[DataFrame] = []
 
+#: Keyed persisted intermediates shared ACROSS query functions in one
+#: session (e.g. the per-document bigram count table read by both the
+#: char-LM scorer and the DSIR weigher). Entries live until
+#: :func:`release_caches`.
+_KEYED: dict[object, DataFrame] = {}
+
 
 def registered_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` + enrollment in the session registry so
@@ -35,9 +41,27 @@ def registered_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def keyed_persist(key: object, builder) -> DataFrame:
+    """Memoized :func:`registered_persist`: the first call under ``key``
+    builds and persists; later calls (until :func:`release_caches`)
+    return the SAME cached DataFrame, so query functions that compose —
+    ``charlm_doc_quality`` + ``dsir_importance_weights`` inside
+    ``training_corpus_pipeline_v2`` — share one materialization of a
+    corpus-sized intermediate instead of exploding the text twice.
+
+    ``key`` must capture everything the built plan depends on (session
+    application id, table directory, parameters)."""
+    df = _KEYED.get(key)
+    if df is None:
+        df = registered_persist(builder())
+        _KEYED[key] = df
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every registered DataFrame; returns how many were
     released. Blocking=False: block cleanup proceeds asynchronously."""
+    _KEYED.clear()
     n = 0
     while _REGISTRY:
         df = _REGISTRY.pop()

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import registered_persist
+from ..cache import keyed_persist, registered_persist
 from ..functions.scalar import portable_hash64
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import (
@@ -2439,6 +2439,35 @@ def media_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_media_headers(media)
 
 
+def _doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-bigram count table
+    ``(doc_id, b, c)`` over the normalized text, built ONCE per
+    (session, sf_dir) through the keyed cache registry.
+
+    ``charlm_doc_quality``, ``dsir_importance_weights``, and their
+    composition ``training_corpus_pipeline_v2`` all read this table, so
+    ``documents.text`` is exploded and shuffled exactly once per session
+    even when the stages run together — at 100 TB the explode IS the
+    dominant pass, and building it twice doubles the job."""
+    from ..functions.text import char_bigrams, normalize_chars
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        normed = docs.select(
+            "doc_id", normalize_chars(F.col("text")).alias("s")
+        ).filter(F.length("s") >= 2)
+        return (
+            normed.select(
+                "doc_id", F.explode(char_bigrams(F.col("s"))).alias("b")
+            )
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    key = ("doc_bigram_counts", spark.sparkContext.applicationId, sf_dir)
+    return keyed_persist(key, build)
+
+
 @query(
     "charlm_doc_quality",
     oracle="""
@@ -2477,25 +2506,16 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p(c2|c1) = (count(c1c2)+1) / (count(c1·)+V)``; a document's score
     is the frequency-weighted mean log-probability of its bigrams.
 
-    Scale: the per-document bigram COUNT table is built once (one
-    shuffle keyed (doc_id, bigram)) and persisted — both the global
-    model aggregation and the scoring join read it, so the corpus text
-    is exploded exactly once. The model (≤ ~27² rows after
+    Scale: the per-document bigram COUNT table is built once per
+    session via :func:`_doc_bigram_counts` (one shuffle keyed
+    (doc_id, bigram), persisted, SHARED with the DSIR weigher) — both
+    the global model aggregation and the scoring join read it, so the
+    corpus text is exploded exactly once. The model (≤ ~27² rows after
     normalization) and first-char marginals broadcast; the final
     per-document aggregate shuffles on doc_id. No Python workers
     anywhere — the whole pass is codegen.
     """
-    from ..functions.text import char_bigrams, normalize_chars
-
-    docs = _t(spark, sf_dir, "documents")
-    normed = docs.select(
-        "doc_id", normalize_chars(F.col("text")).alias("s")
-    ).filter(F.length("s") >= 2)
-    dc = registered_persist(
-        normed.select("doc_id", F.explode(char_bigrams(F.col("s"))).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    dc = _doc_bigram_counts(spark, sf_dir)
     model = dc.groupBy("b").agg(F.sum("c").alias("cb"))
     c1 = model.groupBy(F.substring("b", 1, 1).alias("ch")).agg(
         F.sum("cb").alias("cc")
@@ -3185,9 +3205,10 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dc.doc_id,
            sum(dc.c)::BIGINT AS n_bigrams,
-           round(sum(dc.c * (ln((coalesce(t.ct, 0) + 1.0) / (k.tt + k.v))
-                             - ln((r.cr + 1.0) / (k.tr + k.v))))
-                 / sum(dc.c), 3) AS avg_logratio
+           round(sum((dc.c * (ln((coalesce(t.ct, 0) + 1.0) / (k.tt + k.v))
+                              - ln((r.cr + 1.0) / (k.tr + k.v))))
+                     ::DECIMAL(28,9))::DOUBLE
+                 / sum(dc.c), 3) + 0.0 AS avg_logratio
     FROM dc
     JOIN raw r ON dc.b = r.b
     LEFT JOIN tgt t ON dc.b = t.b
@@ -3204,27 +3225,29 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     above zero "look like" the target domain — the resampling weight
     DSIR feeds its importance sampler.
 
-    Scale: the per-document bigram count table is built and persisted
-    ONCE (text exploded exactly once, same contract as
-    ``charlm_doc_quality``); both models aggregate from it and are
-    <= |charset|^2 rows, broadcast back with the scalar normalizers;
-    the final aggregate shuffles on doc_id. All codegen, no UDFs.
-    """
-    from ..functions.text import char_bigrams, normalize_chars
+    Scale: the per-document bigram count table comes from
+    :func:`_doc_bigram_counts` — built and persisted ONCE per session
+    (text exploded exactly once, SHARED with ``charlm_doc_quality``);
+    both models aggregate from it and are <= |charset|^2 rows,
+    broadcast back with the scalar normalizers; the final aggregate
+    shuffles on doc_id. All codegen, no UDFs.
 
+    Hash determinism: the per-document weighted sum casts each
+    ``c * log_ratio`` term to ``decimal(28,9)`` BEFORE summing (the
+    ``operators/pq.py`` pattern) — decimal addition is
+    summation-order-invariant, so Spark's shuffle-arrival order and
+    DuckDB's scan order produce bit-identical aggregates — and the
+    final ``+ 0.0`` normalizes IEEE signed zero: DuckDB's ``round``
+    preserves ``-0.0`` for tiny negative means where Spark's
+    BigDecimal path emits ``0.0`` (the actual CORRECTNESS_r05
+    hash-red cause: 6 rows differed only in zero sign).
+    """
     docs = _t(spark, sf_dir, "documents")
-    normed = docs.select(
-        "doc_id", "source", normalize_chars(F.col("text")).alias("s")
-    ).filter(F.length("s") >= 2)
-    dc = registered_persist(
-        normed.select("doc_id", F.explode(char_bigrams(F.col("s"))).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    dc = _doc_bigram_counts(spark, sf_dir)
     raw = dc.groupBy("b").agg(F.sum("c").alias("cr"))
     tgt = (
         dc.join(
-            normed.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
+            docs.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
         )
         .groupBy("b")
         .agg(F.sum("c").alias("ct"))
@@ -3245,9 +3268,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * ratio) / F.sum("c"), 3).alias(
-                "avg_logratio"
-            ),
+            (
+                F.round(
+                    F.sum((F.col("c") * ratio).cast("decimal(28,9)")).cast(
+                        "double"
+                    )
+                    / F.sum("c"),
+                    3,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logratio"),
         )
     )
 

@@ -59,6 +59,30 @@ def test_release_is_idempotent_and_recompute_safe(spark, sf_dir):
     assert df.count() == n1
 
 
+def test_keyed_persist_shares_one_materialization(spark, sf_dir):
+    """charlm + DSIR (and their composition, pipeline v2) must read the
+    SAME persisted bigram count table in one session: the second builder
+    never runs, and release clears the memo so a fresh build follows."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans.queries_ml import (
+        _doc_bigram_counts,
+    )
+
+    try:
+        a = _doc_bigram_counts(spark, sf_dir)
+        b = _doc_bigram_counts(spark, sf_dir)
+        assert a is b, "keyed_persist rebuilt a shared intermediate"
+        assert cache.registered_count() == 1
+        calls = []
+        cache.keyed_persist(("k", 1), lambda: calls.append(1) or a)
+        cache.keyed_persist(("k", 1), lambda: calls.append(1) or a)
+        assert calls == [1], "memoized builder ran twice"
+    finally:
+        cache.release_caches()
+    c = _doc_bigram_counts(spark, sf_dir)
+    assert c is not a, "release_caches did not clear the keyed memo"
+    cache.release_caches()
+
+
 @pytest.mark.parametrize(
     "name", ["dsir_importance_weights", "knn_pq_adc", "semdedup_embeddings"]
 )
