@@ -24,6 +24,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
+#: Queries whose PLAN changed materially since their last green gate
+#: row (shared-cache reroutes, determinism ports, oracle rewrites) —
+#: promoted to the front of the gate window regardless of green
+#: history, because the recorded green no longer covers the code that
+#: will run. Round 7: charlm avg_logprob moved to the decimal-exact
+#: order-invariant sum (both engines), which pipeline_v2 composes.
+FORCE_REGATE: set[str] = {
+    "charlm_doc_quality",
+    "training_corpus_pipeline_v2",
+}
+
+
 def _gate_priority_order() -> list[str]:
     """Order queries so the driver's 50-row correctness gate rotates
     stalest-green-first.
@@ -34,7 +46,8 @@ def _gate_priority_order() -> list[str]:
     r1/r2 greens), so every query must re-prove on the CURRENT
     environment within ~2 rounds. Priority tiers:
 
-    1. never gated, or last gate row was red/error (least-verified);
+    1. never gated, last gate row was red/error (least-verified), or
+       force-regated because this round's diff changed the plan;
     2. green rows, oldest green round first.
 
     Registration order breaks ties inside each tier.
@@ -67,8 +80,9 @@ def _gate_order_from(history_dir: "pathlib.Path", names: list[str]) -> list[str]
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     def key(n: str) -> tuple[int, int]:
-        if n not in last_any or last_any[n] > last_green.get(n, -1):
-            return (0, names.index(n))  # never gated or last row not green
+        if n in FORCE_REGATE or n not in last_any or last_any[n] > last_green.get(n, -1):
+            # never gated, last row not green, or plan changed this round
+            return (0, names.index(n))
         return (1, last_green[n] * 10_000 + names.index(n))
 
     return sorted(names, key=key)

@@ -21,6 +21,8 @@ The contract here:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 #: DataFrames persisted by engine code and not yet released.
@@ -31,6 +33,17 @@ _REGISTRY: list[DataFrame] = []
 #: char-LM scorer and the DSIR weigher). Entries live until
 #: :func:`release_caches`.
 _KEYED: dict[object, DataFrame] = {}
+
+#: Keyed driver-side values (e.g. a trained BPE merge list) memoized for
+#: the session — same lifecycle as :data:`_KEYED`.
+_KEYED_VALUES: dict[object, object] = {}
+
+#: Guards the get-then-set on both keyed registries: in a concurrent
+#: long-lived service two callers could otherwise race, double-build a
+#: corpus-sized intermediate, and pin two copies in executor storage.
+#: The build itself runs under the lock — double-building costs far
+#: more than briefly serializing cache misses.
+_LOCK = threading.Lock()
 
 
 def registered_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -51,17 +64,31 @@ def keyed_persist(key: object, builder) -> DataFrame:
 
     ``key`` must capture everything the built plan depends on (session
     application id, table directory, parameters)."""
-    df = _KEYED.get(key)
-    if df is None:
-        df = registered_persist(builder())
-        _KEYED[key] = df
-    return df
+    with _LOCK:
+        df = _KEYED.get(key)
+        if df is None:
+            df = registered_persist(builder())
+            _KEYED[key] = df
+        return df
+
+
+def keyed_value(key: object, builder):
+    """Driver-side analog of :func:`keyed_persist` for plain Python
+    values — e.g. the trained BPE merge list, which several consuming
+    queries would otherwise re-learn with a full corpus pass each.
+    Cleared by :func:`release_caches` alongside the DataFrame caches."""
+    with _LOCK:
+        if key not in _KEYED_VALUES:
+            _KEYED_VALUES[key] = builder()
+        return _KEYED_VALUES[key]
 
 
 def release_caches() -> int:
     """Unpersist every registered DataFrame; returns how many were
     released. Blocking=False: block cleanup proceeds asynchronously."""
-    _KEYED.clear()
+    with _LOCK:
+        _KEYED.clear()
+        _KEYED_VALUES.clear()
     n = 0
     while _REGISTRY:
         df = _REGISTRY.pop()

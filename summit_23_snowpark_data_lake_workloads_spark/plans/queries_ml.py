@@ -2487,7 +2487,8 @@ def _doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT count(DISTINCT substr(b, 2, 1)) AS vocab FROM model)
     SELECT dc.doc_id,
            sum(dc.c)::BIGINT AS n_bigrams,
-           round(sum(dc.c * ln((m.cb + 1.0) / (c1.cc + v.vocab))) / sum(dc.c), 3)
+           round(sum((dc.c * ln((m.cb + 1.0) / (c1.cc + v.vocab)))
+                     ::DECIMAL(28,9))::DOUBLE / sum(dc.c), 3) + 0.0
                AS avg_logprob
     FROM dc
     JOIN model m ON dc.b = m.b
@@ -2514,6 +2515,13 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization) and first-char marginals broadcast; the final
     per-document aggregate shuffles on doc_id. No Python workers
     anywhere — the whole pass is codegen.
+
+    Hash determinism: the per-document weighted log-prob sum casts each
+    term to ``decimal(28,9)`` before summing and normalizes IEEE signed
+    zero with ``+ 0.0`` — the same order-invariance fix as
+    ``dsir_importance_weights`` (a double ``F.sum`` is
+    shuffle-arrival-order dependent and went hash-red there in r5);
+    mirrored in the oracle.
     """
     dc = _doc_bigram_counts(spark, sf_dir)
     model = dc.groupBy("b").agg(F.sum("c").alias("cb"))
@@ -2530,13 +2538,21 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.round(
-                F.sum(
-                    F.col("c")
-                    * F.log((F.col("cb") + 1.0) / (F.col("cc") + F.col("vocab")))
+            (
+                F.round(
+                    F.sum(
+                        (
+                            F.col("c")
+                            * F.log(
+                                (F.col("cb") + 1.0)
+                                / (F.col("cc") + F.col("vocab"))
+                            )
+                        ).cast("decimal(28,9)")
+                    ).cast("double")
+                    / F.sum("c"),
+                    3,
                 )
-                / F.sum("c"),
-                3,
+                + F.lit(0.0)
             ).alias("avg_logprob"),
         )
     )
@@ -3730,8 +3746,9 @@ def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv AS (SELECT count(DISTINCT substr(b, 2, 1)) AS vocab FROM cmodel),
     chs AS (
         SELECT cdc.doc_id,
-               round(sum(cdc.c * ln((m.cb + 1.0) / (cc1.cc + cv.vocab)))
-                     / sum(cdc.c), 3) AS avg_logprob
+               round(sum((cdc.c * ln((m.cb + 1.0) / (cc1.cc + cv.vocab)))
+                         ::DECIMAL(28,9))::DOUBLE / sum(cdc.c), 3) + 0.0
+                   AS avg_logprob
         FROM cdc
         JOIN cmodel m ON cdc.b = m.b
         JOIN cc1 ON substr(cdc.b, 1, 1) = cc1.ch

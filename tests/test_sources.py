@@ -105,3 +105,15 @@ def test_gate_order_stalest_green_first(tmp_path):
     # order breaking ties inside each round
     order = _gate_order_from(pathlib.Path(tmp_path), names)
     assert order == ["d", "f", "a", "c", "b", "e"]
+
+    # force-regate promotes a green-history query whose plan changed
+    # this round into tier 0 (after the never-gated/red tier ordering
+    # by registration position)
+    import __spark_entry__ as entry
+
+    try:
+        entry.FORCE_REGATE.add("c")
+        order = _gate_order_from(pathlib.Path(tmp_path), names)
+        assert order == ["c", "d", "f", "a", "b", "e"]
+    finally:
+        entry.FORCE_REGATE.discard("c")
