@@ -30,6 +30,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     spark = get_spark("summit23_bench")
 
     # warm-up: JVM + parquet footer caches, not counted
@@ -69,6 +70,15 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+    # contention annotation: 1-min load average BEFORE our own Spark
+    # session spun up, and again at suite end. BENCH_r06 recorded a 45.7s
+    # suite that an idle-box rerun measured at 30.6s — a contended sample
+    # recorded as the official floor poisons every later round's deltas.
+    # load_avg_start >> SPARK_GRAFT_CPUS means the sample is suspect and
+    # floor logic should discount it.
+    if load_start is not None:
+        payload["load_avg_start"] = round(load_start, 2)
+        payload["load_avg_end"] = round(os.getloadavg()[0], 2)
     if errors:
         payload["errors"] = errors
 
