@@ -1567,6 +1567,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration side-effect: the ML/training-data extension queries
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401
+from . import queries_index  # noqa: E402,F401  (stateful-surface audits)
 
 
 @query(

@@ -1,0 +1,333 @@
+"""Driver-gated audits for the STATEFUL surfaces — persisted MinHash
+index, persisted PQ index, and the lakehouse table format itself.
+
+These components (operators/minhash_index.py, operators/pq_index.py,
+sources/lakehouse.py) were previously pytest/e2e-only: their behavior
+spans build -> commit -> append -> time-travel read, which a single
+SQL-shaped query can't express... unless the query RUNS the lifecycle
+itself and emits relational facts an independent engine can recompute.
+That is the pattern here (the ``media_probe_headers`` trick generalized
+from constant payloads to real testdata):
+
+- each query builds a fresh index/table under a throwaway temp
+  directory from a DETERMINISTIC modular split of the testdata,
+  exercises the real commit/append/probe/time-travel code paths, and
+  returns the probe results for EVERY version;
+- the DuckDB oracle recomputes what each version's probe must equal
+  directly from the parquet tables (the portable-hash MinHash mirror,
+  the decimal-exact PQ mirror, plain filtered aggregates for the
+  lakehouse) — a true differential: a bug in commit atomicity, manifest
+  folding, version resolution, frozen-codebook encoding, or banded
+  probe generation breaks the hash.
+
+The result DataFrame is ``localCheckpoint(eager=True)``-ed so the temp
+directory can be deleted before returning — the caller gets a bounded
+materialized result (hundreds of rows) with no lineage into files that
+no longer exist. Reference analog: versioned permanent vs transient
+table tiers in the reference's medallion layout
+(``3B2_load_pdf_to_text.sql:1``, ``1_env_setup.sql:7-14``).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+from .queries_ml import _DUCK_HASH
+
+#: DuckDB mirror of ``operators.dedup.minhash_signatures`` over the
+#: documents table (12 seeds, 3-gram shingles), shared by the
+#: index-probe oracle. Signatures are per-document, so computing them
+#: over the full table and filtering by id afterwards is identical to
+#: signing each corpus subset separately.
+_SIG_CTE = f"""
+sh AS (
+    SELECT doc_id AS id,
+           unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+sig AS (
+    SELECT id, seed,
+           min(((seed * 2 + 3) * ({_DUCK_HASH.format(x="shingle")} % 2147483648)
+                + seed * 12582917) % 2305843009213693951) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+    GROUP BY id, seed
+),
+band AS (
+    SELECT id, seed // 3 AS band,
+           string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS bsig
+    FROM sig GROUP BY id, seed // 3
+)
+"""
+
+
+def _minhash_probe_oracle() -> str:
+    """Per index version (v1 = base corpus doc_id%4 IN (0,1); v2 = base
+    + appended doc_id%4 = 2), the banded-LSH candidates of the probe
+    batch (doc_id%4 = 3) with signature-agreement Jaccard estimates —
+    exactly what ``probe_minhash_index`` must return."""
+    parts = []
+    for version, corpus in ((1, "(0, 1)"), (2, "(0, 1, 2)")):
+        parts.append(f"""
+    SELECT {version} AS idx_version, batch_id, corpus_id,
+           n_match::BIGINT AS n_match,
+           round(n_match / 12.0, 6) AS est_jaccard
+    FROM (
+        SELECT cp.batch_id, cp.corpus_id,
+               sum(CASE WHEN sb.minhash = sc.minhash THEN 1 ELSE 0 END)
+                   AS n_match
+        FROM (
+            SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+            FROM band b JOIN band c
+              ON b.band = c.band AND b.bsig = c.bsig
+            WHERE b.id % 4 = 3 AND c.id % 4 IN {corpus}
+        ) cp
+        JOIN sig sb ON sb.id = cp.batch_id
+        JOIN sig sc ON sc.id = cp.corpus_id AND sc.seed = sb.seed
+        GROUP BY cp.batch_id, cp.corpus_id
+    )
+    WHERE round(n_match / 12.0, 6) >= 0.5""")
+    return f"WITH {_SIG_CTE} " + " UNION ALL ".join(parts)
+
+
+@query("minhash_index_probe_audit", oracle=_minhash_probe_oracle())
+def minhash_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-MinHash-index lifecycle under the driver gate:
+    build the signature index from the base corpus (doc_id%4 in (0,1)),
+    APPEND a second batch (doc_id%4 = 2) under an exactly-once txn
+    stamp, then probe the held-out batch (doc_id%4 = 3) against BOTH
+    index versions — version 1 is a time-travel read of the pre-append
+    index. One hash row gates build/commit/append/version-resolution/
+    banded-probe together: the oracle recomputes every candidate and
+    estimate straight from the parquet (no index), so a manifest-folding
+    or band-construction bug diverges the row set.
+
+    Scale: probe cost is batch-sized (banded batch signatures broadcast
+    into the index scan — the corpus side never shuffles, never re-reads
+    text); the audit's only extra cost over production is the index
+    build, which is the one corpus pass a build always is.
+    """
+    from ..operators.minhash_index import (
+        build_minhash_index,
+        extend_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 < 2)
+    second = docs.filter(F.col("doc_id") % 4 == 2)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    tmp = tempfile.mkdtemp(prefix="mh_index_audit_")
+    try:
+        table = build_minhash_index(spark, base, tmp)
+        extend_minhash_index(
+            table, second, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        out = None
+        for v in (1, 2):
+            r = probe_minhash_index(table, batch, version=v).select(
+                F.lit(v).alias("idx_version"),
+                "batch_id",
+                "corpus_id",
+                "n_match",
+                "est_jaccard",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pq_probe_oracle() -> str:
+    """ADC probe mirror against both code-table versions. The stored
+    codebook is the FROZEN base-corpus seed (vec_id < 16 AND
+    vec_id%4 IN (0,1) — ``seed_codebook`` over the base subset), so
+    the appended batch's codes must be encoded against it, not against
+    a fresh codebook — exactly what the frozen-codebook contract
+    requires and what this oracle recomputes."""
+    parts = []
+    for version, corpus in ((1, "(0, 1)"), (2, "(0, 1, 2)")):
+        parts.append(f"""
+    SELECT {version} AS idx_version, query_id, neighbor_id, adc_d2, rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   round(sum(q.d2::DECIMAL(28,9))::DOUBLE, 4) AS adc_d2
+            FROM codes t
+            JOIN sub_d q ON q.sub = t.sub AND q.code_id = t.code_id
+            WHERE q.vec_id % 4 = 3 AND q.vec_id < 80
+              AND t.vec_id % 4 IN {corpus}
+            GROUP BY query_id, neighbor_id
+        )
+    ) WHERE rk <= 5""")
+    return (
+        """
+    WITH e AS (
+        SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    sub_d AS (
+        SELECT v.vec_id, (v.pos - 1) // 16 AS sub, c.vec_id AS code_id,
+               sum(((v.val - c.val) * (v.val - c.val))
+                   ::DECIMAL(28,9))::DOUBLE AS d2
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+                         AND c.vec_id % 4 IN (0, 1)
+        GROUP BY v.vec_id, sub, c.vec_id
+    ),
+    codes AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code_id) AS rk
+            FROM sub_d) WHERE rk = 1
+    )
+    """
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("pq_index_probe_audit", oracle=_pq_probe_oracle())
+def pq_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-PQ-index lifecycle under the driver gate: build
+    codebook + code tables from the base corpus (vec_id%4 in (0,1)),
+    APPEND a second batch's codes (vec_id%4 = 2) encoded against the
+    FROZEN stored codebook, then ADC-probe 20 held-out queries
+    (vec_id%4 = 3, vec_id < 80) against both code-table versions —
+    version 1 is a time-travel read of the pre-append index. The oracle
+    re-derives codebook, codes, and ADC rankings from the raw
+    embeddings with the same decimal-exact distance sums, so a frozen-
+    codebook violation (re-seeding on append shifts every appended
+    code) or a version-resolution bug hash-mismatches.
+
+    Scale: probes touch raw vectors only on the query side; the corpus
+    side is the 3-int-column codes scan — the PQ memory model. The
+    audit adds only the build pass production pays once.
+    """
+    from ..operators.pq_index import (
+        build_pq_index,
+        extend_pq_index,
+        probe_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    second = emb.filter(F.col("vec_id") % 4 == 2)
+    queries_df = emb.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") < 80)
+    )
+    tmp = tempfile.mkdtemp(prefix="pq_index_audit_")
+    try:
+        idx = build_pq_index(spark, base, tmp, train_iters=0)
+        extend_pq_index(
+            idx, second, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        out = None
+        for v in (1, 2):
+            r = probe_pq_index(idx, queries_df, topk=5, version=v).select(
+                F.lit(v).alias("idx_version"),
+                "query_id",
+                "neighbor_id",
+                "adc_d2",
+                "rk",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _lakehouse_audit_oracle() -> str:
+    """Filtered aggregates of ``documents`` equal to each lakehouse
+    version's content after create/append/delete/merge."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, "
+        "count(DISTINCT source)::BIGINT AS n_sources, "
+        "sum(doc_id)::BIGINT AS sum_doc_id, "
+        "sum(n_chars)::BIGINT AS sum_n_chars"
+    )
+    v123 = [
+        (1, "create", "doc_id % 3 = 0"),
+        (2, "append", "doc_id % 3 IN (0, 1)"),
+        (3, "delete", "doc_id % 3 IN (0, 1) AND doc_id % 7 <> 0"),
+    ]
+    parts = [
+        f"""
+    SELECT {v} AS version, '{op}' AS operation, {stats}
+    FROM documents WHERE {pred}"""
+        for v, op, pred in v123
+    ]
+    parts.append(f"""
+    SELECT 4 AS version, 'merge' AS operation, {stats}
+    FROM (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 0 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id, 'merged' AS source, n_chars FROM documents
+        WHERE doc_id % 5 = 0
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@query("lakehouse_time_travel_audit", oracle=_lakehouse_audit_oracle())
+def lakehouse_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse table format under the driver gate: CREATE a table
+    from documents with doc_id%3 = 0, APPEND doc_id%3 = 1 (txn-stamped),
+    row-level DELETE doc_id%7 = 0 (copy-on-write file rewrite), then
+    MERGE an upsert batch (every doc_id%5 = 0 document with
+    source = 'merged' — matched rows replaced, unmatched inserted).
+    The result is one row PER VERSION, each aggregated from a
+    time-travel ``read(version=v)``, with the operation name taken from
+    the manifest history. The oracle recomputes all four states as
+    filtered aggregates of the raw table — snapshot isolation, COW
+    delete semantics, merge key matching, and history metadata all gate
+    on exact integers.
+
+    Scale: delete/merge rewrite only files containing touched rows
+    (file-granular COW, the Delta strategy); time-travel reads are
+    manifest-pruned scans. The audit table is documents-sized.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="lakehouse_audit_")
+    try:
+        table = SnapshotTable(spark, tmp)
+        table.create(docs.filter(F.col("doc_id") % 3 == 0))
+        table.append(
+            docs.filter(F.col("doc_id") % 3 == 1),
+            txn={"app_id": "gate_audit", "batch_id": 1},
+        )
+        table.delete(F.col("doc_id") % 7 == 0)
+        table.merge(
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "source", F.lit("merged")
+            ),
+            key_cols=["doc_id"],
+            txn={"app_id": "gate_audit", "batch_id": 2},
+        )
+        ops = {s.version: s.operation for s in table.history()}
+        out = None
+        for v in sorted(ops):
+            r = table.read(version=v).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("source").alias("n_sources"),
+                F.sum("doc_id").alias("sum_doc_id"),
+                F.sum("n_chars").alias("sum_n_chars"),
+            ).select(
+                F.lit(v).alias("version"),
+                F.lit(ops[v]).alias("operation"),
+                "n_rows",
+                "n_sources",
+                "sum_doc_id",
+                "sum_n_chars",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
