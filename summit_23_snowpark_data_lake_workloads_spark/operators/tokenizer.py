@@ -183,3 +183,50 @@ def learn_bpe_merges(
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_freq bigint",
     )
+
+
+def store_bpe_model(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    k: int = 6,
+    text_col: str = "text",
+    merges: DataFrame | None = None,
+):
+    """Train the BPE model ONCE and commit the merge table as a
+    lakehouse artifact (the frozen-codebook pattern of
+    ``pq_index.build_pq_index``): the corpus-sized word-frequency pass
+    runs at TRAIN time only, and every consumer — token counting,
+    compression audits, nightly batch encodes — loads the k-row merge
+    table from the committed snapshot instead of re-learning it. At
+    100 TB, re-learning per consuming query is the difference between
+    one corpus pass per model version and one per report.
+
+    Retrain = a new ``create`` at a new path (or ``overwrite``): the
+    merge list is order-sensitive in rank, so partial updates are
+    meaningless — the artifact is immutable, exactly like a PQ
+    codebook. ``merges`` lets a caller commit an already-trained merge
+    table (e.g. a session-memoized one) instead of training here.
+    Returns the committed :class:`SnapshotTable`.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    table = SnapshotTable(spark, path)
+    table.create(
+        merges if merges is not None else learn_bpe_merges(spark, docs, k, text_col)
+    )
+    return table
+
+
+def load_bpe_merges(table, version: int | None = None) -> list[tuple[str, str]]:
+    """Read the stored merge table back as the rank-ordered
+    ``[(left_sym, right_sym), ...]`` list :func:`apply_merges` and
+    :func:`trained_token_counts` consume. k rows — a driver-side
+    collect at model size, never corpus size. ``version`` time-travels
+    to a historical model."""
+    return [
+        (r["left_sym"], r["right_sym"])
+        for r in table.read(version=version)
+        .orderBy("merge_rank")
+        .collect()
+    ]

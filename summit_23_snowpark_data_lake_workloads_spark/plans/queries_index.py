@@ -242,6 +242,57 @@ def pq_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bpe_artifact_oracle() -> str:
+    from .queries_ml import _bpe_encode_oracle
+
+    return _bpe_encode_oracle(6, doc_pred="doc_id % 4 = 3")
+
+
+@query("bpe_artifact_encode_audit", oracle=_bpe_artifact_oracle())
+def bpe_artifact_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-tokenizer lifecycle under the driver gate: train
+    the 6-merge BPE on the FULL corpus, commit the merge table as a
+    lakehouse artifact (``store_bpe_model``), then encode an arriving
+    batch (doc_id%4 = 3) against the merges LOADED BACK from the stored
+    snapshot — the nightly-batch shape where the model trains once and
+    every later encode is model-load + batch-sized work. The oracle
+    re-learns the merges in unrolled SQL and re-encodes the same batch,
+    so a storage round-trip that loses merge ORDER (BPE applies merges
+    by learned priority — a rank permutation changes token counts) or
+    corrupts a symbol hash-mismatches.
+
+    Scale: training is the one corpus pass per model version; the
+    stored model is k rows; batch encode touches only the batch and its
+    Heaps'-law-small distinct vocabulary.
+    """
+    from ..operators.tokenizer import (
+        load_bpe_merges,
+        store_bpe_model,
+        trained_token_counts,
+    )
+    from .queries_ml import _BPE_MERGE_SCHEMA, _bpe_merge_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    tmp = tempfile.mkdtemp(prefix="bpe_artifact_audit_")
+    try:
+        # training goes through the session memo (shared with the other
+        # BPE queries — one corpus pass per session), committed as the
+        # artifact the one-shot trainer would produce
+        table = store_bpe_model(
+            spark,
+            docs,
+            tmp,
+            merges=spark.createDataFrame(
+                _bpe_merge_rows(spark, sf_dir, k=6), _BPE_MERGE_SCHEMA
+            ),
+        )
+        merges = load_bpe_merges(table)
+        return trained_token_counts(batch, merges).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _lakehouse_audit_oracle() -> str:
     """Filtered aggregates of ``documents`` equal to each lakehouse
     version's content after create/append/delete/merge."""

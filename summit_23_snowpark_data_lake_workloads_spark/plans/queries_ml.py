@@ -2698,6 +2698,39 @@ def _bpe_oracle(k: int) -> str:
     return "WITH " + ",".join(stages) + "\n" + " UNION ALL ".join(finals)
 
 
+_BPE_MERGE_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, "
+    "merged string, pair_freq bigint"
+)
+
+
+def _bpe_merge_rows(spark: SparkSession, sf_dir: str, k: int = 6) -> list[tuple]:
+    """The trained merge table as driver-side rows, learned ONCE per
+    (session, sf_dir, k) through the keyed value cache. Three queries
+    consume the model (``bpe_learn_merges``, ``token_counts_bpe_trained``,
+    ``bpe_compression_audit``); without the memo each re-ran the full
+    corpus-sized word-frequency pass plus k merge iterations — at
+    100 TB, one training pass per REPORT instead of per model. The
+    model is k rows, exactly the bounded-driver-state contract of
+    ``learn_bpe_merges``. Cross-session persistence is the lakehouse
+    artifact (``operators.tokenizer.store_bpe_model``), gated by
+    ``bpe_artifact_encode_audit``."""
+    from ..operators.tokenizer import learn_bpe_merges
+
+    def build() -> list[tuple]:
+        return [
+            tuple(r)
+            for r in learn_bpe_merges(spark, _t(spark, sf_dir, "documents"), k=k)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    key = ("bpe_merges", spark.sparkContext.applicationId, sf_dir, k)
+    from ..cache import keyed_value
+
+    return keyed_value(key, build)
+
+
 @query("bpe_learn_merges", oracle=_bpe_oracle(6))
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (top-6 merges) over the
@@ -2706,11 +2739,13 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the word-frequency table only, with a single argmax row ever
     reaching the driver). The learned merge table IS the result — the
     one genuinely iterative algorithm in the suite, still differentially
-    gated because the oracle unrolls the same six stages in SQL.
+    gated because the oracle unrolls the same six stages in SQL. The
+    model is trained once per session (:func:`_bpe_merge_rows`) and
+    shared with every consuming query.
     """
-    from ..operators.tokenizer import learn_bpe_merges
-
-    return learn_bpe_merges(spark, _t(spark, sf_dir, "documents"), k=6)
+    return spark.createDataFrame(
+        _bpe_merge_rows(spark, sf_dir, k=6), _BPE_MERGE_SCHEMA
+    )
 
 
 @query(
@@ -2885,11 +2920,14 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(k: int) -> str:
+def _bpe_encode_oracle(k: int, doc_pred: str | None = None) -> str:
     """Encode oracle: learn the k merges (same unrolled stages), then
     count post-merge symbols per word and weight by per-doc word
-    counts — the exact mirror of ``trained_token_counts``."""
+    counts — the exact mirror of ``trained_token_counts``. ``doc_pred``
+    restricts the ENCODED documents (training always sees the full
+    corpus) — the batch-encode shape of the artifact audit."""
     stages, _ = _bpe_stages(k)
+    where = f"WHERE {doc_pred}" if doc_pred else ""
     return (
         "WITH "
         + ",".join(stages)
@@ -2903,7 +2941,7 @@ def _bpe_encode_oracle(k: int) -> str:
             SELECT doc_id, unnest(string_split(
                 regexp_replace(trim(regexp_replace(lower(text), '[^a-z ]+', ' ', 'g')),
                                ' +', ' ', 'g'), ' ')) AS word
-            FROM documents
+            FROM (SELECT doc_id, text FROM documents {where})
         )
         WHERE length(word) > 0
         GROUP BY doc_id, word
@@ -2924,20 +2962,19 @@ def token_counts_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually budgets with, as opposed to the pre-tokenizer upper bound
     of ``token_counts_bpe``.
 
-    Scale: training touches the corpus once (word-freq table) and each
+    Scale: training touches the corpus once PER SESSION (word-freq
+    table via the :func:`_bpe_merge_rows` memo, shared with
+    ``bpe_learn_merges`` and ``bpe_compression_audit``) and each
     DISTINCT word is encoded exactly once; the (word -> tokens) map
     broadcasts back onto the per-doc word counts. The oracle re-learns
     the merges in the same unrolled SQL and re-encodes — the whole
     train-then-apply pipeline is differentially gated.
     """
-    from ..operators.tokenizer import learn_bpe_merges, trained_token_counts
+    from ..operators.tokenizer import trained_token_counts
 
     docs = _t(spark, sf_dir, "documents")
     merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in learn_bpe_merges(spark, docs, k=6)
-        .orderBy("merge_rank")
-        .collect()
+        (a, b) for (_rank, a, b, _m, _f) in _bpe_merge_rows(spark, sf_dir, k=6)
     ]
     return trained_token_counts(docs, merges)
 
