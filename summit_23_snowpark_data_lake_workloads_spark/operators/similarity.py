@@ -542,32 +542,39 @@ def tfidf_cosine_topk(
     )
 
 
-def semdedup_pairs(
+def semdedup_cells(
     emb: DataFrame,
     n_cells: int = 16,
-    threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = 4096,
 ) -> DataFrame:
-    """SemDeDup removal list (Abbas et al., 2023): k-means-cell-confined
-    pairwise cosine; one row per REMOVED vector with its chosen
-    survivor — (vec_id, cell, dup_of, cos_sim), survivor = the lower-id
-    member with max cosine (tie -> min id).
+    """SemDeDup cell assignment with the giant-cell guard:
+    (id, cell, subcell, v) — rank-1 seed-centroid cell per vector, plus
+    a secondary-hash ``subcell`` that splits any cell larger than
+    ``max_cell`` into ``ceil(|cell| / max_cell)`` shards.
 
-    Plan shape, both stages window-free and Python-row-free:
-
-    - **assignment** — |vectors| x n_cells broadcast compare; the rank-1
-      cell is a ``max(struct(cos, -cent_id))`` aggregate (no window);
-      cells are the deterministic seed centroids so the DuckDB oracle
-      replays the partitioning (``kmeans_centroids`` drops in for
-      balanced production cells);
-    - **pairwise** — the same per-group Arrow matmul as
-      :func:`allpairs_cosine_lsh`, grouped by cell instead of
-      hyperplane bucket: sum_c |c|² pairs, each cell one vectorized
-      numpy block, nothing collected to the driver.
+    The guard is the 100 TB safety bound: the pairwise stage is
+    sum_c |c|² and k-means offers no worst-case promise — one
+    degenerate cell (a boilerplate cluster, a near-constant embedding
+    slice) re-creates the full O(n²) blowup inside a single Arrow
+    group. Capping by secondary hash bounds every group at
+    ``max_cell`` rows (bounded executor memory, bounded quadratic
+    work) at a documented recall cost: pairs straddling two shards of
+    a SPLIT cell are not compared — the standard shard-the-cluster
+    trade every production SemDeDup makes. The split is HASH-based
+    (never a per-cell row_number window, which would funnel the giant
+    cell through one sorting task — the exact straggler being
+    avoided), so the bound is probabilistic: shards target a 0.8 load
+    factor (expected 0.8 * max_cell rows), leaving Chernoff headroom
+    that makes an overshoot past ``max_cell`` vanishingly rare at
+    production shard sizes. Cells at or under the cap are untouched
+    (``n_sub = 1``), so results are bit-identical to the unguarded
+    operator until the guard actually fires — the gated oracle query
+    stays exact while the bound holds by pinned invariant
+    (tests/test_dedup_similarity.py).
     """
-    import numpy as np
-    import pandas as pd
+    from ..functions.scalar import portable_hash64
 
     cents = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
@@ -594,6 +601,74 @@ def semdedup_pairs(
         )
         .select("id", (-F.col("m.neg")).alias("cell"), "v")
     )
+    if max_cell is None:
+        return home.withColumn("subcell", F.lit(0))
+    # per-cell pre-flight (the join_key_skew_profile shape applied to
+    # the cell-id key): n_cells rows, broadcast back onto the fact side
+    sizes = home.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    n_sub = F.when(F.col("cell_n") <= max_cell, F.lit(1)).otherwise(
+        F.ceil(F.col("cell_n") / (0.8 * max_cell)).cast("int")
+    )
+    return (
+        home.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "subcell",
+            F.pmod(portable_hash64(F.col("id").cast("string")), n_sub).cast("int"),
+        )
+        .select("id", "cell", "subcell", "v")
+    )
+
+
+def cell_skew_profile(cells: DataFrame, key: str = "cell") -> DataFrame:
+    """Skew pre-flight over a cell/bucket assignment — the
+    ``join_key_skew_profile`` diagnostic applied to a clustering key:
+    (n_cells, total_rows, max_cell_rows, skew_ratio, split_recommended).
+    ``split_recommended`` uses the same hottest-vs-mean > 4 rule the
+    join profiler uses for ``salt_recommended``."""
+    per = cells.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    raw = F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1)))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cell_rows"),
+        F.round(raw, 4).alias("skew_ratio"),
+        F.when(raw > 4, 1).otherwise(0).alias("split_recommended"),
+    )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup removal list (Abbas et al., 2023): k-means-cell-confined
+    pairwise cosine; one row per REMOVED vector with its chosen
+    survivor — (vec_id, cell, dup_of, cos_sim), survivor = the lower-id
+    member with max cosine (tie -> min id).
+
+    Plan shape, both stages window-free and Python-row-free:
+
+    - **assignment** — |vectors| x n_cells broadcast compare; the rank-1
+      cell is a ``max(struct(cos, -cent_id))`` aggregate (no window);
+      cells are the deterministic seed centroids so the DuckDB oracle
+      replays the partitioning (``kmeans_centroids`` drops in for
+      balanced production cells); oversized cells are secondary-hash
+      split to at most ``max_cell`` rows (:func:`semdedup_cells` — the
+      giant-cell guard that keeps the next stage's quadratic work
+      bounded no matter how degenerate the clustering);
+    - **pairwise** — the same per-group Arrow matmul as
+      :func:`allpairs_cosine_lsh`, grouped by (cell, subcell) instead
+      of hyperplane bucket: sum_c |c|² with |c| <= max_cell, each
+      group one vectorized numpy block, nothing collected to the
+      driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    home = semdedup_cells(emb, n_cells, id_col, vec_col, max_cell)
 
     def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("id")
@@ -624,7 +699,7 @@ def semdedup_pairs(
             }
         )
 
-    sims = home.groupBy("cell").applyInPandas(
+    sims = home.groupBy("cell", "subcell").applyInPandas(
         verify, "id_a long, id_b long, cell long, cos_sim double"
     )
     # survivor per removed id_b: max cosine, tie -> min id_a — again an

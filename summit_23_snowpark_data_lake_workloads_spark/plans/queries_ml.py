@@ -3163,13 +3163,20 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic seed centroids so DuckDB replays the exact
     partitioning (swap in ``kmeans_centroids(train_iters>0)`` for
     balanced production cells — every downstream plan is unchanged).
+
+    Giant-cell guard: cells larger than ``max_cell`` are secondary-hash
+    split before the quadratic stage (``semdedup_cells``), bounding
+    per-group work at any skew. At gate scale every cell is far under
+    the cap (pinned invariant in tests/test_dedup_similarity.py), so
+    the guard is inert here and the oracle stays exact; at 100 TB it is
+    what stops one degenerate cluster from re-creating O(n²).
     """
     from ..operators.similarity import semdedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semdedup_pairs(emb, n_cells=16, threshold=0.4).select(
-        "vec_id", "cell", "dup_of", "cos_sim"
-    )
+    return semdedup_pairs(
+        emb, n_cells=16, threshold=0.4, max_cell=4096
+    ).select("vec_id", "cell", "dup_of", "cos_sim")
 
 
 @query(

@@ -399,3 +399,91 @@ def test_connected_components_star_random_graphs(spark):
             ).collect()
         }
         assert star == fast, f"star != union-find on n={n}, edges={edges}"
+
+
+class TestSemdedupGiantCellGuard:
+    """The r5-advice-#5 scale debt pinned shut: one degenerate k-means
+    cell must never re-create the O(n²) pairwise stage."""
+
+    def _skewed_emb(self, spark, n=120, dim=4):
+        # seed centroids are vec_id < n_cells; every later vector sits
+        # almost on centroid 0's axis -> one giant cell by construction
+        rows = []
+        for i in range(n):
+            if i == 1:
+                v = [0.0, 1.0, 0.0, 0.0]
+            else:
+                v = [1.0, 0.001 * (i % 7), 0.0005 * (i % 11), 0.0]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_subcell_split_bounds_group_size(self, spark):
+        from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+            cell_skew_profile,
+            semdedup_cells,
+        )
+
+        emb = self._skewed_emb(spark)
+        cells = semdedup_cells(emb, n_cells=2, max_cell=40)
+        sizes = {
+            (r["cell"], r["subcell"]): r["n"]
+            for r in cells.groupBy("cell", "subcell")
+            .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+            .collect()
+        }
+        assert max(sizes.values()) <= 40, sizes
+        # the skewed cell actually split into multiple shards
+        assert len({sc for (c, sc) in sizes if c == 0}) >= 3
+
+        # the pre-flight profiler flags a hot cell (hottest vs mean > 4,
+        # the join_key_skew_profile rule applied to the cell key)
+        skewed = spark.createDataFrame(
+            [(i, 0 if i < 200 else i % 10) for i in range(250)],
+            "row_id long, cell long",
+        )
+        prof = cell_skew_profile(skewed.select("cell")).collect()[0]
+        assert prof["split_recommended"] == 1
+        assert prof["max_cell_rows"] == 205  # 200 + the 5 tail rows with i%10==0
+        balanced = spark.createDataFrame(
+            [(i, i % 10) for i in range(250)], "row_id long, cell long"
+        )
+        assert (
+            cell_skew_profile(balanced.select("cell")).collect()[0][
+                "split_recommended"
+            ]
+            == 0
+        )
+
+    def test_split_preserves_membership_and_subsets_pairs(self, spark):
+        from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+            semdedup_cells,
+            semdedup_pairs,
+        )
+
+        emb = self._skewed_emb(spark)
+        unguarded = {
+            (r["id"], r["cell"])
+            for r in semdedup_cells(emb, n_cells=2, max_cell=None).collect()
+        }
+        guarded = {
+            (r["id"], r["cell"])
+            for r in semdedup_cells(emb, n_cells=2, max_cell=40).collect()
+        }
+        assert unguarded == guarded  # split never moves a vector's cell
+
+        # guarded removals subset the unguarded ones (missing pairs are
+        # exactly the cross-shard ones -- the documented recall trade)
+        full = {r["vec_id"] for r in semdedup_pairs(emb, n_cells=2, max_cell=None).collect()}
+        capped = {r["vec_id"] for r in semdedup_pairs(emb, n_cells=2, max_cell=40).collect()}
+        assert capped <= full
+        assert capped  # the guard still finds within-shard duplicates
+
+    def test_guard_inert_below_cap(self, spark):
+        from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+            semdedup_pairs,
+        )
+
+        emb = self._skewed_emb(spark, n=60)
+        a = sorted(map(tuple, semdedup_pairs(emb, n_cells=2, max_cell=4096).collect()))
+        b = sorted(map(tuple, semdedup_pairs(emb, n_cells=2, max_cell=None).collect()))
+        assert a == b
