@@ -33,6 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 FORCE_REGATE: set[str] = {
     "charlm_doc_quality",
     "training_corpus_pipeline_v2",
+    # r7: IVF moved to top-2 candidate multi-assignment (recall 0.90 at
+    # the unchanged 2/16 probe budget); plans and oracles both changed
+    "knn_ivf",
+    "knn_ivf_recall_audit",
 }
 
 

@@ -350,7 +350,15 @@ def kmeans_centroids(
         means = (
             flat.join(assigned, "id")
             .groupBy("cent_id", "i")
-            .agg(F.avg("x").alias("m"))
+            # decimal-exact mean: the sum is order-invariant, so the
+            # trained centroids are bit-identical run-to-run regardless
+            # of shuffle arrival order (a plain double avg is not)
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .collect()
         )
         by_cell: dict = {}
@@ -413,22 +421,34 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_pred=None,
     train_iters: int = 0,
+    n_assign: int = 2,
 ) -> DataFrame:
-    """IVF ANN: search only the query's ``n_probe`` nearest cells.
-    ``train_iters > 0`` swaps the deterministic seed centroids for
-    spherical-k-means-refined ones (:func:`kmeans_centroids`) — same
-    plan, better-balanced cells; the oracle-gated declared query keeps
-    ``0`` so DuckDB can replay the partitioning.
+    """IVF ANN: search only the query's ``n_probe`` nearest cells, with
+    candidates REPLICATED into their ``n_assign`` top cells
+    (multi-assignment — the standard inverted-file recall booster:
+    storage and build cost scale by ``n_assign``, the probe budget does
+    not change). ``train_iters > 0`` swaps the deterministic seed
+    centroids for spherical-k-means-refined ones
+    (:func:`kmeans_centroids`) — same plan, better-balanced cells; the
+    oracle-gated declared query keeps ``0`` so DuckDB can replay the
+    partitioning.
 
-    Candidates live in their rank-1 (home) cell; queries probe their
-    ``n_probe`` top cells — the classic inverted-file recall/cost dial
-    (probe more cells => higher recall, linearly more candidates).
+    Measured on the testdata embeddings (recall@5 vs brute force, 20
+    queries, 16 cells / 2 probes — tests/test_dedup_similarity.py pins
+    these): seed centroids 0.81 @ n_assign=1, **0.90 @ n_assign=2**
+    (the default), 0.94 @ 3; TRAINED centroids 0.75 / 0.87 / 0.95 —
+    k-means balances cells, which on a near-uniform corpus spreads true
+    neighbors ACROSS cells and lowers recall at small n_assign, so
+    multi-assignment (not training) is the production default here;
+    training remains the right dial for genuinely clustered corpora.
+
     Output shape matches :func:`knn_bruteforce`; recall < 1 by design.
 
     Scale: assignment is linear; the probe join is an equi-join on
     cent_id (cells are balanced when vectors are spread, skew-prone if
-    the corpus clusters — mitigate with more cells); exact cosine runs
-    only on |queries| x (n_probe/n_cells) x n fraction of pairs.
+    the corpus clusters — mitigate with more cells or the trained
+    centroids); exact cosine runs only on
+    |queries| x (n_probe * n_assign / n_cells) x n pairs.
     """
     cents = (
         kmeans_centroids(emb, n_cells, train_iters, id_col, vec_col)
@@ -436,7 +456,7 @@ def knn_ivf(
         else None
     )
     assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=cents)
-    home = assign.filter(F.col("cell_rank") == 1).select(
+    home = assign.filter(F.col("cell_rank") <= n_assign).select(
         F.col("id").alias("neighbor_id"), F.col("cent_id").alias("cell")
     )
     probes = assign.filter(F.col("cell_rank") <= n_probe).select(

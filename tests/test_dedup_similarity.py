@@ -487,3 +487,36 @@ class TestSemdedupGiantCellGuard:
         a = sorted(map(tuple, semdedup_pairs(emb, n_cells=2, max_cell=4096).collect()))
         b = sorted(map(tuple, semdedup_pairs(emb, n_cells=2, max_cell=None).collect()))
         assert a == b
+
+
+def test_ivf_multiassignment_recall_measured(spark, sf_dir):
+    """The 'measure, don't guess' record behind the IVF production
+    default: at the fixed 2-probe/16-cell budget, top-2 candidate
+    multi-assignment lifts seed-centroid recall@5 to >= 0.9 (from ~0.81
+    single-assignment), while TRAINED centroids measure LOWER at small
+    n_assign on this near-uniform corpus (k-means balances cells, which
+    spreads true neighbors across them) — which is why multi-assignment,
+    not training, is the default. Trained centroids stay available and
+    must still beat 0.9 at n_assign=3 (the clustered-corpus dial)."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("query_id") < 20
+    bf = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, k=5, query_pred=pred).collect()}
+
+    def recall(**kw):
+        iv = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_ivf(emb, k=5, n_cells=16, n_probe=2, query_pred=pred, **kw).collect()
+        }
+        return len(bf & iv) / len(bf)
+
+    single = recall(n_assign=1)
+    default = recall()  # n_assign=2, seed centroids — the production default
+    trained3 = recall(train_iters=2, n_assign=3)
+    assert default >= 0.9, f"default recall {default}"
+    assert default > single, f"multi-assignment must beat single: {default} vs {single}"
+    assert trained3 >= 0.9, f"trained n_assign=3 recall {trained3}"
