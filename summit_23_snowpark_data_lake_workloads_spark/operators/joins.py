@@ -44,6 +44,77 @@ def salted_join(
     return out.drop("_salt")
 
 
+def key_skew_profile(df: DataFrame, key: str, salt_threshold: float = 4.0) -> DataFrame:
+    """One-row skew profile of a join key: (join_key, n_keys,
+    total_rows, max_rows, p50_rows, p99_rows, skew_ratio,
+    salt_recommended) — skew_ratio = hottest key's rows over the mean,
+    flagged when it exceeds ``salt_threshold``. This is the per-key
+    core of the ``join_key_skew_profile`` declared query, exposed as an
+    operator so pipelines can run the pre-flight and ROUTE on it
+    (:func:`skew_aware_join`).
+
+    Scale: one count-aggregate (map-side partial combine shrinks the
+    shuffle to |distinct keys|) + a bounded profile aggregate; swap the
+    exact percentiles for ``percentile_approx`` at extreme key
+    cardinality.
+    """
+    per = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    raw = F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1)))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_rows"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_rows"),
+        raw.alias("raw_skew"),
+    ).select(
+        F.lit(key).alias("join_key"),
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        "p50_rows",
+        "p99_rows",
+        F.round("raw_skew", 4).alias("skew_ratio"),
+        F.when(F.col("raw_skew") > salt_threshold, 1)
+        .otherwise(0)
+        .alias("salt_recommended"),
+    )
+
+
+def skew_aware_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_threshold: float = 4.0,
+    profile=None,
+) -> DataFrame:
+    """The closed pre-flight loop: profile the large side's join key
+    (:func:`key_skew_profile`), then route — ``salt_recommended`` sends
+    the join through :func:`salted_join`, otherwise it plans as a plain
+    equi-join and AQE handles moderate skew. ``profile`` accepts an
+    already-collected profile Row (pipelines that materialize the
+    pre-flight once and reuse it across joins on the same key) to skip
+    re-profiling.
+
+    By :func:`salted_join`'s contract the routing changes only the
+    shuffle distribution, never the result — pinned by
+    tests/test_join_strategies.py, which routes a profiled hot key and
+    asserts plan shape + equivalence.
+
+    Scale: the profile pass is one aggregate over the fact table —
+    worth one extra scan exactly when the join is big enough for a
+    straggler to dominate; recurring pipelines cache the profile row.
+    """
+    row = profile if profile is not None else key_skew_profile(
+        large, on, salt_threshold
+    ).collect()[0]
+    if row["salt_recommended"]:
+        return salted_join(large, small, on, n_salts, how)
+    return large.join(small, on, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

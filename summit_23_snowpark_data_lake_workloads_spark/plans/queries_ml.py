@@ -3541,37 +3541,23 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle |distinct keys|); the profile aggregate over per-key
     counts is exact here (bounded key counts) — at extreme cardinality
     swap the exact percentiles for ``percentile_approx`` sketches.
+    The per-key core is :func:`operators.joins.key_skew_profile`, whose
+    ``salt_recommended`` flag :func:`operators.joins.skew_aware_join`
+    consumes to route hot keys through the salted join — the closed
+    diagnose-then-route loop (tests/test_join_strategies.py).
     """
-    li = _t(spark, sf_dir, "lineitem")
-    parts = []
-    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
-        per = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
-        parts.append(
-            per.agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("cnt").alias("total_rows"),
-                F.max("cnt").alias("max_rows"),
-                F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_rows"),
-                F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_rows"),
-                (F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1)))).alias(
-                    "raw_skew"
-                ),
-            ).select(
-                F.lit(key).alias("join_key"),
-                "n_keys",
-                "total_rows",
-                "max_rows",
-                "p50_rows",
-                "p99_rows",
-                F.round("raw_skew", 4).alias("skew_ratio"),
-                F.when(F.col("raw_skew") > 4, 1).otherwise(0).alias(
-                    "salt_recommended"
-                ),
-            )
-        )
     from functools import reduce
 
-    return reduce(lambda x, y: x.unionByName(y), parts)
+    from ..operators.joins import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            key_skew_profile(li, key)
+            for key in ("l_orderkey", "l_partkey", "l_suppkey")
+        ],
+    )
 
 
 @query(

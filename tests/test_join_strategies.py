@@ -158,3 +158,49 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_dir):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skew_aware_join_routes_on_profile(spark):
+    """The closed pre-flight loop (r5 advice #9): key_skew_profile's
+    salt_recommended flag gets a consumer. A profiled hot key routes
+    through the salted join (plan shows the n_salts dim replication and
+    the composite (key, _salt) shuffle); a balanced key plans as a
+    plain equi-join; both routes return exactly the plain join's rows."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.joins import (
+        key_skew_profile,
+        skew_aware_join,
+    )
+
+    # hot: key 7 holds ~50% of the fact side
+    hot = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    balanced = spark.range(20_000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("payload")
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("seg"), F.col("id") % 5).alias("seg")
+    )
+
+    hot_prof = key_skew_profile(hot, "k").collect()[0]
+    bal_prof = key_skew_profile(balanced, "k").collect()[0]
+    assert hot_prof["salt_recommended"] == 1
+    assert bal_prof["salt_recommended"] == 0
+
+    routed_hot = skew_aware_join(hot, dim, "k", n_salts=8, profile=hot_prof)
+    routed_bal = skew_aware_join(balanced, dim, "k", profile=bal_prof)
+    hot_plan = routed_hot._jdf.queryExecution().executedPlan().toString()
+    bal_plan = routed_bal._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in hot_plan, "hot key must route through the salted join"
+    assert "_salt" not in bal_plan, "balanced key must stay a plain join"
+
+    plain = {tuple(r) for r in hot.join(dim, "k").collect()}
+    assert {tuple(r) for r in routed_hot.collect()} == plain
+    plain_bal = {tuple(r) for r in balanced.join(dim, "k").collect()}
+    assert {tuple(r) for r in routed_bal.collect()} == plain_bal
+
+    # no pre-collected profile: the router profiles internally
+    assert skew_aware_join(hot, dim, "k").count() == len(plain)
