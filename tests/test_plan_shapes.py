@@ -605,3 +605,77 @@ def test_r5_report_queries_stay_jvm_side(spark, sf_dir):
     assert "Exchange hashpartitioning(source" in pack, (
         "packing window must shuffle on source, not sort globally"
     )
+
+
+def test_index_probe_plans_broadcast_batch_side(spark, sf_dir, tmp_path):
+    """The persisted-index probe contract at 100 TB: the corpus-sized
+    side (index scan) must never shuffle against the batch — the batch's
+    derived tables broadcast into equi-joins. Pins BroadcastHashJoin
+    presence and the absence of cartesian products / row-at-a-time
+    Python on the REAL probe plans (the gated audit queries return
+    localCheckpoint scans, so the pins target the operators directly)."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.minhash_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.operators.pq_index import (
+        build_pq_index,
+        probe_pq_index,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    mh = build_minhash_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "mh")
+    )
+    mh_plan = plan_of(
+        probe_minhash_index(mh, docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    assert "BroadcastHashJoin" in mh_plan
+    assert "CartesianProduct" not in mh_plan
+    assert "BatchEvalPython" not in mh_plan
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pq = build_pq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), str(tmp_path / "pq")
+    )
+    pq_plan = plan_of(
+        probe_pq_index(pq, emb.filter(F.col("vec_id") % 2 == 1), topk=3)
+    )
+    assert "BroadcastHashJoin" in pq_plan
+    assert "CartesianProduct" not in pq_plan
+    assert "BatchEvalPython" not in pq_plan
+
+
+def test_bpe_encode_from_stored_model_has_no_learning_stage(spark, sf_dir, tmp_path):
+    """The artifact contract (r5 advice #4): encoding against a STORED
+    merge table must be a pure encode plan — one tokenize + distinct-word
+    broadcast join — with NO merge-learning stages (learning is a
+    driver-side argmax loop; its signature in any plan would be the
+    pair-frequency aggregate). Also pins that the encode runs zero extra
+    Spark jobs for training: learn_bpe_merges is never called."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators import tokenizer
+    from summit_23_snowpark_data_lake_workloads_spark.operators.tokenizer import (
+        load_bpe_merges,
+        store_bpe_model,
+        trained_token_counts,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    table = store_bpe_model(spark, docs, str(tmp_path / "bpe"), k=4)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        tokenizer, "learn_bpe_merges", side_effect=AssertionError("re-trained!")
+    ):
+        merges = load_bpe_merges(table)
+        encode = trained_token_counts(docs, merges)
+        plan = plan_of(encode)
+        assert encode.count() > 0
+    assert "pair" not in plan, "encode plan must contain no pair-learning stage"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
