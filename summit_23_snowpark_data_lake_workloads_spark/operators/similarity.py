@@ -315,10 +315,20 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Spherical k-means centroids for IVF, trained with ``n_iters``
-    Lloyd rounds — deterministic end to end (seed centroids = the
-    ``n_cells`` lowest-id vectors; fixed iteration count; ties broken by
-    cent_id), so a trained index is still reproducible run-to-run.
+    """K-means centroids for IVF under the cosine objective, trained
+    with ``n_iters`` Lloyd rounds — deterministic end to end (seed
+    centroids = the ``n_cells`` lowest-id vectors; fixed iteration
+    count; decimal-exact order-invariant mean sums; assignment ties
+    broken at the same rounded-cosine granularity as ``ivf_assign``),
+    so a trained index is reproducible run-to-run AND replayable by a
+    SQL oracle (``knn_ivf_trained``'s DuckDB mirror unrolls these exact
+    iterations).
+
+    Centroids are the UNNORMALIZED per-dimension means: cosine is
+    scale-invariant, so renormalizing changes nothing semantically —
+    but a driver-side float normalization would re-introduce
+    engine-specific summation into otherwise bit-exact centroid
+    coordinates, so it is deliberately omitted.
 
     Each round is two distributed passes, both scale-shaped:
     assignment = |vectors| x n_cells broadcast-compare (argmax cosine);
@@ -340,7 +350,7 @@ def kmeans_centroids(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ).crossJoin(F.broadcast(cents))
         w_ = W.partitionBy("id").orderBy(
-            F.desc(F.round(cosine("v", "centv"), 9)), "cent_id"
+            F.desc(F.round(cosine("v", "centv"), 4)), "cent_id"
         )
         assigned = (
             pairs.withColumn("rk", F.row_number().over(w_))
@@ -364,11 +374,10 @@ def kmeans_centroids(
         by_cell: dict = {}
         for r in means:
             by_cell.setdefault(r.cent_id, {})[r.i] = r.m
-        rows = []
-        for cid, dims in sorted(by_cell.items()):
-            vec = [dims[i] for i in range(len(dims))]
-            norm = sum(v * v for v in vec) ** 0.5 or 1.0
-            rows.append((cid, [v / norm for v in vec]))
+        rows = [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_cell.items())
+        ]
         cents = spark.createDataFrame(
             rows, "cent_id long, centv array<double>"
         )

@@ -450,6 +450,141 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 
+def _kmeans_cte(n_iters: int = 2, n_cells: int = 16) -> tuple[str, str]:
+    """Unrolled Lloyd iterations in SQL, mirroring
+    ``operators.similarity.kmeans_centroids`` exactly: seed = the
+    ``n_cells`` lowest-id vectors; per round, every vector joins its
+    rank-1 centroid by round(cosine, 4) (tie -> min cent_id) and the
+    next centroid table is the DECIMAL-EXACT per-dimension mean
+    (``sum(val::DECIMAL(28,9))::DOUBLE / count(*)`` — order-invariant,
+    so Spark's collected means and DuckDB's aggregates are
+    bit-identical doubles). Returns (cte_sql, final_table_name).
+    Requires ``e`` / ``norms`` from ``_EMB_POS_CTE`` in scope."""
+    parts = [f"""
+    kc0 AS (
+        SELECT vec_id AS cent_id, pos, val AS cval
+        FROM e WHERE vec_id < {n_cells}
+    )"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""
+    kn{t - 1} AS (
+        SELECT cent_id, sqrt(sum(cval * cval)) AS cnrm
+        FROM kc{t - 1} GROUP BY cent_id
+    ),
+    kd{t} AS (
+        SELECT e.vec_id AS id, c.cent_id, sum(e.val * c.cval) AS dot
+        FROM e JOIN kc{t - 1} c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cent_id
+    ),
+    ka{t} AS (
+        SELECT id, cent_id FROM (
+            SELECT id, kd{t}.cent_id,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY round(dot / (nv.nrm * kn.cnrm), 4) DESC,
+                                kd{t}.cent_id
+                   ) AS rk
+            FROM kd{t}
+            JOIN norms nv ON nv.vec_id = id
+            JOIN kn{t - 1} kn ON kn.cent_id = kd{t}.cent_id
+        ) WHERE rk = 1
+    ),
+    kc{t} AS (
+        SELECT a.cent_id, e.pos,
+               sum(e.val::DECIMAL(28,9))::DOUBLE / count(*) AS cval
+        FROM e JOIN ka{t} a ON e.vec_id = a.id
+        GROUP BY a.cent_id, e.pos
+    )""")
+    return ",".join(parts), f"kc{n_iters}"
+
+
+def _knn_ivf_trained_oracle(n_iters: int = 2, n_cells: int = 16) -> str:
+    km, kcT = _kmeans_cte(n_iters, n_cells)
+    return f"""
+    WITH {_EMB_POS_CTE},
+    {km},
+    fkn AS (
+        SELECT cent_id, sqrt(sum(cval * cval)) AS cnrm
+        FROM {kcT} GROUP BY cent_id
+    ),
+    fd AS (
+        SELECT e.vec_id AS id, c.cent_id, sum(e.val * c.cval) AS dot
+        FROM e JOIN {kcT} c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cent_id
+    ),
+    fassign AS (
+        SELECT id, fd.cent_id,
+               row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY round(dot / (nv.nrm * fkn.cnrm), 4) DESC,
+                            fd.cent_id
+               ) AS cell_rank
+        FROM fd
+        JOIN norms nv ON nv.vec_id = id
+        JOIN fkn ON fkn.cent_id = fd.cent_id
+    ),
+    home AS (SELECT id AS neighbor_id, cent_id AS cell FROM fassign
+             WHERE cell_rank <= 2),
+    probes AS (SELECT id AS query_id, cent_id AS cell FROM fassign
+               WHERE cell_rank <= 2),
+    cand AS (
+        SELECT DISTINCT p.query_id, h.neighbor_id
+        FROM probes p JOIN home h ON p.cell = h.cell
+        WHERE p.query_id < 20 AND p.query_id <> h.neighbor_id
+    ),
+    dots AS (
+        SELECT query_id, neighbor_id, sum(q.val * c.val) AS dot
+        FROM cand
+        JOIN e q ON q.vec_id = query_id
+        JOIN e c ON c.vec_id = neighbor_id AND q.pos = c.pos
+        GROUP BY query_id, neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """
+
+
+@query("knn_ivf_trained", oracle=_knn_ivf_trained_oracle())
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF under the FULL hash gate: two Lloyd rounds
+    of cosine k-means (decimal-exact order-invariant mean updates —
+    :func:`operators.similarity.kmeans_centroids`), then the same
+    top-2-probe / top-2-multi-assignment search as ``knn_ivf``. The
+    oracle unrolls both k-means iterations in SQL (``_kmeans_cte``), so
+    centroid training itself — assignment ranking, tie-breaks, mean
+    aggregation, empty-cell dropout — is differentially verified, not
+    just the search that consumes it. This is the clustered-corpus
+    production path; the seed-centroid ``knn_ivf`` remains the default
+    on near-uniform data (measured recall comparison pinned in
+    tests/test_dedup_similarity.py).
+
+    Scale: per round, assignment is a linear broadcast-compare and the
+    mean update collects only n_cells x dim doubles to the driver; the
+    search adds nothing beyond ``knn_ivf``'s plan.
+    """
+    from ..operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        emb,
+        k=5,
+        n_cells=16,
+        n_probe=2,
+        query_pred=F.col("query_id") < 20,
+        train_iters=2,
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
+
+
 @query(
     "tfidf_topk",
     headline=True,
