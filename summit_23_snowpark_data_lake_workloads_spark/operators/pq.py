@@ -141,7 +141,15 @@ def pq_train_codebooks(
         means = (
             flat.join(codes, ["vec_id", "sub"])
             .groupBy("code_id", "pos")
-            .agg(F.avg("val").alias("cval"))
+            # decimal-exact mean (kmeans_centroids pattern): the trained
+            # codebook is bit-identical run-to-run regardless of shuffle
+            # arrival order — a frozen artifact must not depend on it
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
             .collect()
         )
         got = {(r.code_id, r.pos): r.cval for r in means}

@@ -3057,6 +3057,50 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_aware_join_segments",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*)::BIGINT AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_aware_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew ROUTER under the driver gate (complement of
+    ``salted_join_segments``, which pins the salted path): enrich the
+    event stream through ``skew_aware_join`` — pre-flight profile of
+    the fact key, then route to salted or plain by ``salt_recommended``.
+    The oracle is the plain join: by contract the routing changes only
+    the shuffle distribution, never the result, so the gate hash-proves
+    the router on real data whichever way the profile decides (on this
+    near-uniform testdata it takes the plain-join branch; the salted
+    branch is hash-proven by ``salted_join_segments`` and
+    plan+equivalence-pinned in tests/test_join_strategies.py).
+
+    Scale: the profile pass is one count-aggregate over the fact table
+    — the price of never discovering a straggler key in production at
+    hour three of the join.
+    """
+    from ..operators.joins import skew_aware_join
+
+    events = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        skew_aware_join(events, dim, on="user_id", n_salts=8)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def _bpe_encode_oracle(k: int, doc_pred: str | None = None) -> str:
     """Encode oracle: learn the k merges (same unrolled stages), then
     count post-merge symbols per word and weight by per-doc word
