@@ -25,18 +25,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Queries whose PLAN changed materially since their last green gate
-#: row (shared-cache reroutes, determinism ports, oracle rewrites) —
-#: promoted to the front of the gate window regardless of green
-#: history, because the recorded green no longer covers the code that
-#: will run. Round 7: charlm avg_logprob moved to the decimal-exact
-#: order-invariant sum (both engines), which pipeline_v2 composes.
-FORCE_REGATE: set[str] = {
-    "charlm_doc_quality",
-    "training_corpus_pipeline_v2",
-    # r7: IVF moved to top-2 candidate multi-assignment (recall 0.90 at
-    # the unchanged 2/16 probe budget); plans and oracles both changed
-    "knn_ivf",
-    "knn_ivf_recall_audit",
+#: row (shared-cache reroutes, determinism ports, oracle rewrites),
+#: mapped to the round the change landed in. Each is promoted to the
+#: front of the gate window until a green row from that round or later
+#: exists — then the entry expires AUTOMATICALLY (no manual cleanup;
+#: a stale force would otherwise pin window slots forever).
+#: Round 7: charlm avg_logprob moved to the decimal-exact
+#: order-invariant sum (pipeline_v2 composes it); IVF moved to top-2
+#: candidate multi-assignment (plans and oracles both changed).
+FORCE_REGATE: dict[str, int] = {
+    "charlm_doc_quality": 7,
+    "training_corpus_pipeline_v2": 7,
+    "knn_ivf": 7,
+    "knn_ivf_recall_audit": 7,
 }
 
 
@@ -84,8 +85,10 @@ def _gate_order_from(history_dir: "pathlib.Path", names: list[str]) -> list[str]
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     def key(n: str) -> tuple[int, int]:
-        if n in FORCE_REGATE or n not in last_any or last_any[n] > last_green.get(n, -1):
-            # never gated, last row not green, or plan changed this round
+        forced = last_green.get(n, -1) < FORCE_REGATE.get(n, -1)
+        if forced or n not in last_any or last_any[n] > last_green.get(n, -1):
+            # never gated, last row not green, or plan changed and no
+            # green row from the changed code exists yet
             return (0, names.index(n))
         return (1, last_green[n] * 10_000 + names.index(n))
 

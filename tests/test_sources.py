@@ -107,13 +107,17 @@ def test_gate_order_stalest_green_first(tmp_path):
     assert order == ["d", "f", "a", "c", "b", "e"]
 
     # force-regate promotes a green-history query whose plan changed
-    # this round into tier 0 (after the never-gated/red tier ordering
-    # by registration position)
+    # in round N into tier 0 — until a green row from round >= N lands,
+    # at which point the force expires automatically
     import __spark_entry__ as entry
 
     try:
-        entry.FORCE_REGATE.add("c")
+        entry.FORCE_REGATE["c"] = 2  # plan changed in r2; green only in r1
+        order = _gate_order_from(pathlib.Path(tmp_path), names)
+        assert order == ["c", "d", "f", "a", "b", "e"]
+        entry.FORCE_REGATE["b"] = 2  # b IS green in r2 -> force expired
         order = _gate_order_from(pathlib.Path(tmp_path), names)
         assert order == ["c", "d", "f", "a", "b", "e"]
     finally:
-        entry.FORCE_REGATE.discard("c")
+        entry.FORCE_REGATE.pop("c", None)
+        entry.FORCE_REGATE.pop("b", None)
