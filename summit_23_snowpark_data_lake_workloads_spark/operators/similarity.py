@@ -488,6 +488,42 @@ def knn_ivf(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def hashed_features(
+    tok: DataFrame,
+    id_cols: list[str],
+    token_col: str = "w",
+    dim: int = 256,
+) -> DataFrame:
+    """Signed feature hashing (Weinberger et al., 2009): map every
+    token occurrence to one of ``dim`` buckets with a ±1 sign from a
+    second hash, sum per (entity, bucket) — a deterministic,
+    model-free, fixed-dimensional "embedding" whose dot products
+    approximate vocabulary-space dot products (unbiased, variance
+    ~1/dim). The scale trick: per-entity state is bounded at ``dim``
+    buckets no matter how large the corpus vocabulary grows (TF-IDF's
+    long form is vocabulary-sized), which is what makes
+    embedding-style retrieval possible with NO trained model and NO
+    stored embedding column.
+
+    Long-form sparse output ``(*id_cols, bucket, val)``; buckets whose
+    signs cancel to zero are dropped (integer arithmetic — exactly
+    reproducible in any engine). One groupBy, pure codegen.
+    """
+    from ..functions.scalar import portable_hash64
+
+    sgn = F.lit(1) - F.lit(2) * F.pmod(
+        portable_hash64(F.concat(F.lit("s#"), F.col(token_col))), F.lit(2)
+    )
+    return (
+        tok.withColumn(
+            "bucket", F.pmod(portable_hash64(F.col(token_col)), F.lit(dim))
+        )
+        .groupBy(*id_cols, "bucket")
+        .agg(F.sum(sgn).alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
 def tfidf_weights(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

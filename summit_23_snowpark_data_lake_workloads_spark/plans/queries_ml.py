@@ -450,6 +450,127 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 
+@query(
+    "chunk_hash_embed_topk",
+    oracle=f"""
+    WITH tokpos AS (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'w': w[i]}} for i in range(1, len(w) + 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    feat AS (
+        SELECT doc_id, CAST(floor((s.pos - 1) / 64) AS BIGINT) AS chunk_id,
+               {_DUCK_HASH.format(x="s.w")} % 256 AS bucket,
+               sum(1 - 2 * ({_DUCK_HASH.format(x="'s#' || s.w")} % 2)) AS val
+        FROM tokpos
+        GROUP BY doc_id, chunk_id, bucket
+        HAVING sum(1 - 2 * ({_DUCK_HASH.format(x="'s#' || s.w")} % 2)) <> 0
+    ),
+    nrm AS (
+        SELECT doc_id, chunk_id, sqrt(sum(val * val)) AS nrm
+        FROM feat GROUP BY doc_id, chunk_id
+    ),
+    dots AS (
+        SELECT q.doc_id AS query_doc, q.chunk_id AS query_chunk,
+               c.doc_id AS neighbor_doc, c.chunk_id AS neighbor_chunk,
+               sum(q.val * c.val) AS dot
+        FROM feat q JOIN feat c ON q.bucket = c.bucket
+        WHERE q.doc_id < 3
+          AND NOT (q.doc_id = c.doc_id AND q.chunk_id = c.chunk_id)
+        GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+        SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk,
+               round(dot / (nq.nrm * nc.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN nrm nq ON nq.doc_id = query_doc AND nq.chunk_id = query_chunk
+        JOIN nrm nc ON nc.doc_id = neighbor_doc AND nc.chunk_id = neighbor_chunk
+    )
+    SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_doc, query_chunk
+              ORDER BY cos_sim DESC, neighbor_doc, neighbor_chunk) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def chunk_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free chunk retrieval: 64-token chunks -> signed
+    feature-hash vectors (256 buckets, Weinberger et al. 2009 —
+    :func:`operators.similarity.hashed_features`) -> sparse cosine
+    top-5 per query chunk. This is the retrieval story when there IS no
+    embedding column and no model: a deterministic fixed-dimensional
+    surrogate whose integer dot products both engines reproduce
+    bit-exactly. Finds near-identical chunks ACROSS documents (and
+    repeated chunks within one) — the chunk-level complement of the
+    document-level TF-IDF / MinHash tiers.
+
+    Scale: per-chunk state is bounded at 256 buckets regardless of
+    corpus vocabulary (TF-IDF's long form grows with the vocabulary);
+    the dot product is an equi-join on a 256-ary key after the query
+    side is pre-filtered — |query chunks| x dim join input, never a
+    chunk-pair blowup. All integer arithmetic until the final norm
+    division; one explode, two groupBys, one window.
+    """
+    from ..operators.similarity import hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    ).withColumn("chunk_id", F.floor(F.col("pos") / 64))
+    feat = registered_persist(
+        hashed_features(tok, ["doc_id", "chunk_id"], "w", dim=256)
+    )
+    nrm = feat.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    q = feat.filter(F.col("doc_id") < 3).withColumnsRenamed(
+        {"doc_id": "query_doc", "chunk_id": "query_chunk", "val": "qval"}
+    )
+    c = feat.withColumnsRenamed(
+        {"doc_id": "neighbor_doc", "chunk_id": "neighbor_chunk", "val": "cval"}
+    )
+    dots = (
+        q.join(c, "bucket")
+        .filter(
+            ~(
+                (F.col("query_doc") == F.col("neighbor_doc"))
+                & (F.col("query_chunk") == F.col("neighbor_chunk"))
+            )
+        )
+        .groupBy("query_doc", "query_chunk", "neighbor_doc", "neighbor_chunk")
+        .agg(F.sum(F.col("qval") * F.col("cval")).alias("dot"))
+    )
+    nq = nrm.withColumnsRenamed(
+        {"doc_id": "query_doc", "chunk_id": "query_chunk", "nrm": "nrm_q"}
+    )
+    nc = nrm.withColumnsRenamed(
+        {"doc_id": "neighbor_doc", "chunk_id": "neighbor_chunk", "nrm": "nrm_c"}
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_doc", "query_chunk").orderBy(
+        F.desc("cos_sim"), "neighbor_doc", "neighbor_chunk"
+    )
+    return (
+        dots.join(nq, ["query_doc", "query_chunk"])
+        .join(nc, ["neighbor_doc", "neighbor_chunk"])
+        .withColumn(
+            "cos_sim", F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 4)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_doc",
+            "query_chunk",
+            "neighbor_doc",
+            "neighbor_chunk",
+            "cos_sim",
+            "rk",
+        )
+    )
+
+
 def _kmeans_cte(n_iters: int = 2, n_cells: int = 16) -> tuple[str, str]:
     """Unrolled Lloyd iterations in SQL, mirroring
     ``operators.similarity.kmeans_centroids`` exactly: seed = the

@@ -520,3 +520,51 @@ def test_ivf_multiassignment_recall_measured(spark, sf_dir):
     assert default >= 0.9, f"default recall {default}"
     assert default > single, f"multi-assignment must beat single: {default} vs {single}"
     assert trained3 >= 0.9, f"trained n_assign=3 recall {trained3}"
+
+
+def test_hashed_features_find_planted_duplicate_chunk(spark):
+    """Signed feature hashing: an identical token multiset maps to the
+    identical sparse vector, so a chunk duplicated across documents
+    must surface as its copy's top-1 neighbor at cosine 1.0; unrelated
+    chunks score below it. Also pins the sign-cancellation sparsity
+    contract (val=0 buckets dropped)."""
+    from pyspark.sql import Window as W
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+        hashed_features,
+    )
+
+    shared = " ".join(f"tok{i % 17}x{i % 5}" for i in range(64))
+    other = " ".join(f"zzz{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(0, shared + " " + other), (1, other + " " + shared), (2, other)],
+        "doc_id long, text string",
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).withColumn("chunk_id", F.floor(F.col("pos") / 64))
+    feat = hashed_features(tok, ["doc_id", "chunk_id"], "w", dim=64)
+    assert feat.filter(F.col("val") == 0).count() == 0
+
+    nrm = feat.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    q = feat.filter((F.col("doc_id") == 0) & (F.col("chunk_id") == 0)).withColumnsRenamed(
+        {"doc_id": "qd", "chunk_id": "qc", "val": "qv"}
+    )
+    c = feat.withColumnsRenamed({"doc_id": "nd", "chunk_id": "nc", "val": "cv"})
+    dots = (
+        q.join(c, "bucket")
+        .filter(~((F.col("qd") == F.col("nd")) & (F.col("qc") == F.col("nc"))))
+        .groupBy("qd", "qc", "nd", "nc")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+        .join(nrm.withColumnsRenamed({"doc_id": "nd", "chunk_id": "nc", "nrm": "n2"}), ["nd", "nc"])
+        .join(nrm.withColumnsRenamed({"doc_id": "qd", "chunk_id": "qc", "nrm": "n1"}), ["qd", "qc"])
+        .withColumn("cos", F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 4))
+    )
+    top = dots.withColumn(
+        "rk", F.row_number().over(W.partitionBy("qd", "qc").orderBy(F.desc("cos"), "nd", "nc"))
+    ).filter(F.col("rk") == 1).collect()[0]
+    # doc 0 chunk 0 == the shared 64 tokens == doc 1 chunk 1 exactly
+    assert (top["nd"], top["nc"]) == (1, 1), top
+    assert top["cos"] == 1.0
