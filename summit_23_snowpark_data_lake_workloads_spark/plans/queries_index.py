@@ -242,6 +242,128 @@ def pq_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivf_probe_oracle() -> str:
+    """Cell-probed ANN mirror against both inverted-file versions. The
+    stored centroids are the FROZEN base-corpus seed (vec_id < 16 AND
+    vec_id%4 IN (0,1)); every vector — base, appended batch, and the
+    probe queries — ranks against that same centroid set, exactly the
+    frozen-centroid contract the index enforces."""
+    parts = []
+    for version, corpus in ((1, "(0, 1)"), (2, "(0, 1, 2)")):
+        parts.append(f"""
+    SELECT {version} AS idx_version, query_id, neighbor_id, cos_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   round(d.dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+            FROM (
+                SELECT ca.query_id, ca.neighbor_id,
+                       sum(q.val * c.val) AS dot
+                FROM (
+                    SELECT DISTINCT p.id AS query_id, h.id AS neighbor_id
+                    FROM assign p JOIN assign h
+                      ON p.cent_id = h.cent_id
+                     AND p.cell_rank <= 2 AND h.cell_rank <= 2
+                    WHERE p.id % 4 = 3 AND p.id < 80
+                      AND h.id % 4 IN {corpus}
+                      AND p.id <> h.id
+                ) ca
+                JOIN e q ON q.vec_id = ca.query_id
+                JOIN e c ON c.vec_id = ca.neighbor_id AND q.pos = c.pos
+                GROUP BY ca.query_id, ca.neighbor_id
+            ) d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nn ON nn.vec_id = d.neighbor_id
+        )
+    ) WHERE rk <= 5""")
+    return (
+        """
+    WITH e AS (
+        SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+                         AND c.vec_id % 4 IN (0, 1)
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id, cell_rank FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+                   ) AS cell_rank
+            FROM cent_dots
+            JOIN norms nv ON nv.vec_id = id
+            JOIN norms nc ON nc.vec_id = cent_id
+        )
+    )
+    """
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("ivf_index_probe_audit", oracle=_ivf_probe_oracle())
+def ivf_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF-index lifecycle under the driver gate
+    (completing the index family: MinHash text near-dup, PQ compressed
+    distance, IVF cell-probed search): build centroid + inverted-file
+    tables from the base corpus (vec_id%4 in (0,1), top-2
+    multi-assignment), APPEND a second batch (vec_id%4 = 2) assigned
+    against the FROZEN stored centroids, then probe 20 held-out
+    queries (vec_id%4 = 3, vec_id < 80) against both versions —
+    version 1 is a time-travel read of the pre-append inverted file.
+    The oracle re-derives assignment, candidates, and exact-cosine
+    rankings from the raw embeddings, so a frozen-centroid violation
+    (re-seeding on append shifts every appended cell) or a
+    version-resolution bug hash-mismatches.
+
+    Scale: probes assign only the queries against the KB centroid
+    broadcast; the corpus side is the 3-int inverted-file scan, and
+    full candidate vectors move only AFTER cell pruning.
+    """
+    from ..operators.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    second = emb.filter(F.col("vec_id") % 4 == 2)
+    queries_df = emb.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") < 80)
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_index_audit_")
+    try:
+        idx = build_ivf_index(
+            spark, base, tmp, n_cells=16, n_assign=2, train_iters=0
+        )
+        extend_ivf_index(
+            idx, second, n_assign=2, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        out = None
+        for v in (1, 2):
+            r = probe_ivf_index(
+                idx, emb, queries_df, k=5, n_probe=2, version=v
+            ).select(
+                F.lit(v).alias("idx_version"),
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                "rk",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bpe_artifact_oracle() -> str:
     from .queries_ml import _bpe_encode_oracle
 
