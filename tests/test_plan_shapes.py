@@ -648,6 +648,21 @@ def test_index_probe_plans_broadcast_batch_side(spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in pq_plan
     assert "BatchEvalPython" not in pq_plan
 
+    from summit_23_snowpark_data_lake_workloads_spark.operators.ivf_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    ivf = build_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), str(tmp_path / "ivf")
+    )
+    ivf_plan = plan_of(
+        probe_ivf_index(ivf, emb, emb.filter(F.col("vec_id") % 2 == 1), k=3)
+    )
+    assert "BroadcastHashJoin" in ivf_plan  # centroid broadcast-compare
+    assert "CartesianProduct" not in ivf_plan
+    assert "BatchEvalPython" not in ivf_plan
+
 
 def test_bpe_encode_from_stored_model_has_no_learning_stage(spark, sf_dir, tmp_path):
     """The artifact contract (r5 advice #4): encoding against a STORED
