@@ -694,3 +694,18 @@ def test_bpe_encode_from_stored_model_has_no_learning_stage(spark, sf_dir, tmp_p
     assert "pair" not in plan, "encode plan must contain no pair-learning stage"
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r7_query_plans_stay_jvm_side(spark, sf_dir):
+    """Round-7 declared queries keep the no-cartesian / no-row-Python
+    posture (the index-audit queries return localCheckpoint scans, so
+    their operator plans are pinned separately above)."""
+    for name in (
+        "chunk_hash_embed_topk",
+        "knn_ivf_trained",
+        "skew_aware_join_segments",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -192,3 +192,34 @@ def test_bm25_matches_reference(spark, token_lists):
         cache.release_caches()
     want = _bm25_reference(docs, {0: docs[0]})
     assert got == want, (got, want)
+
+
+def test_hashed_features_additive_over_concatenation(spark):
+    """Signed feature hashing is linear in the token multiset: the
+    vector of doc A+B equals the bucket-wise sum of A's and B's
+    vectors. The property that makes hashed features mergeable across
+    partitions/chunks (map-side combinable at any scale)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.similarity import (
+        hashed_features,
+    )
+
+    a = "red blue red green blue blue"
+    b = "green green yellow red"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, a + " " + b)], "doc_id long, text string"
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    feat = {
+        (r["doc_id"], r["bucket"]): r["val"]
+        for r in hashed_features(tok, ["doc_id"], "w", dim=8).collect()
+    }
+    summed = Counter()
+    for (d, bkt), v in feat.items():
+        if d in (0, 1):
+            summed[bkt] += v
+    combined = {bkt: v for (d, bkt), v in feat.items() if d == 2}
+    assert combined == {k: v for k, v in summed.items() if v != 0}
