@@ -428,3 +428,185 @@ def near_dedup_ingest_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _semantic_dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: SnapshotTable,
+    centroids: SnapshotTable,
+    cells: SnapshotTable,
+    app_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    n_probe: int = 2,
+    quality_pred=None,
+    metrics: SnapshotTable | None = None,
+) -> None:
+    """One micro-batch of the SEMANTIC dedup ingest loop — SemDeDup
+    moved to ingest time, with the persisted IVF index as the dedup
+    state: arriving vectors are cell-probed against the standing index
+    (:func:`..operators.ivf_index.probe_ivf_index`, top-1 is enough to
+    decide), arrivals whose nearest indexed neighbor has cosine >=
+    ``min_cos`` are dropped, survivors land in the vector table and
+    their inverted-file rows extend ``cells`` — docs and index commits
+    share one txn stamp, each idempotent on its own table.
+
+    Centroids BOOTSTRAP from the first committing batch's ``n_cells``
+    lowest-id survivors and are FROZEN thereafter (production
+    pre-trains via ``build_ivf_index`` and hands the tables in; the
+    bootstrap covers cold-start). Frozen centroids are what keep
+    appended cell assignments comparable across the index's history.
+
+    Two-table consistency mirrors :func:`_near_dedup_ingest_batch`: a
+    crash between the docs commit and the cells commit heals on replay
+    from the committed batch's own files — never by re-probing against
+    the already-ingested corpus, which would find every healed row
+    "duplicated" and repair nothing.
+
+    Granularity: semantic near-dups WITHIN one micro-batch both land
+    (the probe sees only the standing index) — shrink the trigger
+    interval if intra-batch dups matter.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.ivf_index import IvfIndex, extend_ivf_index, probe_ivf_index
+
+    seen_docs = table.last_committed_batch(app_id) if table._versions() else None
+    docs_done = seen_docs is not None and batch_id <= seen_docs
+    seen_idx = cells.last_committed_batch(app_id) if cells._versions() else None
+    idx_done = seen_idx is not None and batch_id <= seen_idx
+    if docs_done and idx_done:
+        return
+    spark = batch_df.sparkSession
+    txn = {"app_id": app_id, "batch_id": batch_id}
+
+    if docs_done:
+        files = _files_added_by_batch(table, app_id, batch_id)
+        if not files:
+            return
+        survivors = spark.read.parquet(
+            *[os.path.join(table.path, f) for f in files]
+        )
+    else:
+        n_arrived = batch_df.count() if metrics is not None else None
+        if quality_pred is not None:
+            batch_df = batch_df.filter(quality_pred)
+        n_quality_ok = batch_df.count() if metrics is not None else None
+        fresh = batch_df.dropDuplicates([id_col])
+        if cells._versions():
+            idx = IvfIndex(centroids, cells)
+            hits = probe_ivf_index(
+                idx,
+                table.read(),
+                fresh,
+                k=1,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).filter(F.col("cos_sim") >= min_cos)
+            fresh = fresh.join(
+                F.broadcast(
+                    hits.select(F.col("query_id").alias(id_col)).distinct()
+                ),
+                id_col,
+                "left_anti",
+            )
+        if not table._versions():
+            files = table._write_batch(fresh)
+            table._commit("create", 0, files, replace_all=True, txn=txn)
+        else:
+            prev = table.snapshot()
+            files = table._write_batch(fresh)  # ONE execution of the plan
+            if _rows_in_files(table, files) == 0:
+                _record_ingest_metrics(
+                    metrics, spark, txn, n_arrived, n_quality_ok, 0
+                )
+                return  # all semantic dups: no doc commit, no index growth
+            table._commit("append", prev.version, files, txn=txn)
+        _record_ingest_metrics(
+            metrics, spark, txn, n_arrived, n_quality_ok,
+            _rows_in_files(table, files),
+        )
+        survivors = spark.read.parquet(
+            *[os.path.join(table.path, f) for f in files]
+        )
+
+    if not centroids._versions():
+        # cold-start: freeze the first committing batch's lowest-id
+        # survivors as the centroid set (deterministic, so a heal-path
+        # replay recreates the identical table)
+        centroids.create(
+            survivors.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+            )
+        )
+    idx = IvfIndex(centroids, cells)
+    if not cells._versions():
+        from ..operators.similarity import ivf_assign
+
+        rows = (
+            ivf_assign(survivors, 0, id_col, vec_col, centroids=centroids.read())
+            .filter(F.col("cell_rank") <= n_assign)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("cent_id").alias("cell"),
+                "cell_rank",
+            )
+        )
+        cells._commit("create", 0, cells._write_batch(rows), replace_all=True, txn=txn)
+    else:
+        extend_ivf_index(
+            idx, survivors, n_assign=n_assign, id_col=id_col,
+            vec_col=vec_col, txn=txn,
+        )
+
+
+def semantic_dedup_ingest_stream(
+    stream_df: DataFrame,
+    table: SnapshotTable,
+    centroids: SnapshotTable,
+    cells: SnapshotTable,
+    app_id: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+    processing_time: str | None = None,
+    quality_pred=None,
+    metrics: SnapshotTable | None = None,
+):
+    """Streaming SEMANTIC dedup ingestion — the embedding-space
+    counterpart of :func:`near_dedup_ingest_stream`: micro-batches of
+    (id, embedding, ...) rows probe the persisted IVF index (query-only
+    assignment against the KB centroid broadcast + the 3-int
+    inverted-file scan — the corpus's full vectors move only for
+    candidates), arrivals semantically duplicating an indexed vector
+    (top-1 cosine >= ``min_cos``) are dropped, survivors land and
+    extend the index in the same step. Restart-safe on both tables;
+    the index heals from the vector table's own manifests if a crash
+    splits the two commits.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _semantic_dedup_ingest_batch(
+            batch_df, batch_id, table, centroids, cells, app_id,
+            id_col, vec_col, min_cos,
+            quality_pred=quality_pred, metrics=metrics,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -686,3 +686,93 @@ def test_near_dedup_ingest_quality_gate_and_metrics(spark, tmp_path):
     run()  # replay from the same checkpoint: nothing doubles
     assert metrics.read().count() == 2
     assert table.read().count() == 2
+
+
+def test_semantic_dedup_ingest_stream(spark, tmp_path):
+    """Semantic dedup at ingest: micro-batches probe the persisted IVF
+    index — an arrival whose top-1 indexed neighbor has cosine >= 0.9
+    drops, fresh directions land AND become probe-visible to later
+    batches; centroids bootstrap from the first batch and stay frozen."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        semantic_dedup_ingest_stream,
+    )
+
+    src = tmp_path / "sem_stream"
+    src.mkdir()
+
+    def jl(rows):
+        return "\n".join(
+            f'{{"vec_id": {i}, "embedding": {list(v)}}}' for i, v in rows
+        )
+
+    (src / "b0.jsonl").write_text(
+        jl([(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
+    )
+    (src / "b1.jsonl").write_text(
+        jl([
+            (10, [0.99, 0.1, 0.0, 0.0]),   # ~= vec 1 -> drop
+            (11, [0.0, 0.0, 1.0, 0.0]),    # fresh direction -> lands
+            (12, [0.1, 0.9, 0.0, 0.1]),    # ~= vec 2 -> drop
+        ])
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "sem_corpus"))
+    centroids = SnapshotTable(spark, str(tmp_path / "sem_centroids"))
+    cells = SnapshotTable(spark, str(tmp_path / "sem_cells"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = semantic_dedup_ingest_stream(
+        stream, table, centroids, cells, "sem-test", str(tmp_path / "ckpt_sem")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.vec_id for r in table.read().collect())
+    assert got == [1, 2, 11], f"semantic dups must drop: {got}"
+    # the inverted file covers exactly the landed vectors
+    idx_ids = {r.vec_id for r in cells.read().select("vec_id").distinct().collect()}
+    assert idx_ids == {1, 2, 11}
+    # frozen bootstrap centroids: first batch's ids only
+    assert {r.cent_id for r in centroids.read().collect()} == {1, 2}
+    assert table.last_committed_batch("sem-test") == 1
+    assert cells.last_committed_batch("sem-test") == 1
+
+
+def test_semantic_dedup_ingest_heals_after_split_commit(spark, tmp_path):
+    """Crash-between-commits repair, semantic edition: docs committed
+    but cells not (simulated with fresh centroid/cells tables) -> the
+    replay rebuilds the index from the committed batch's OWN files,
+    never by re-probing the already-ingested corpus."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        _semantic_dedup_ingest_batch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "corpus"))
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    # docs side committed (as the original run would have)...
+    table._commit(
+        "create", 0, table._write_batch(batch), replace_all=True,
+        txn={"app_id": "heal", "batch_id": 0},
+    )
+    # ...but the index side never did: fresh tables
+    centroids = SnapshotTable(spark, str(tmp_path / "cents"))
+    cells = SnapshotTable(spark, str(tmp_path / "cells"))
+    _semantic_dedup_ingest_batch(
+        batch.limit(0), 0, table, centroids, cells, "heal"
+    )
+    assert {r.vec_id for r in cells.read().collect()} == {1, 2}
+    assert {r.cent_id for r in centroids.read().collect()} == {1, 2}
+    # both rows stayed landed exactly once
+    assert table.read().count() == 2
