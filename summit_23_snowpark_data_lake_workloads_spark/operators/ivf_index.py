@@ -110,6 +110,121 @@ def extend_ivf_index(
     return index.cells.append(rows, txn=txn)
 
 
+def build_ivfpq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    train_iters: int = 0,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """FAISS-style IVF-PQ: the inverted file prunes candidates by cell,
+    the PQ codes rank them by asymmetric distance — full vectors are
+    touched at BUILD time only. One corpus pass each for assignment and
+    encoding; four lakehouse tables under ``path``. Returns
+    ``(IvfIndex, PqIndex)``."""
+    from .pq_index import build_pq_index
+
+    ivf = build_ivf_index(
+        spark, emb, path.rstrip("/") + "/ivf", n_cells, n_assign,
+        train_iters, id_col, vec_col,
+    )
+    pq = build_pq_index(
+        spark, emb, path.rstrip("/") + "/pq", m, k, dim,
+        train_iters, id_col, vec_col,
+    )
+    return ivf, pq
+
+
+def extend_ivfpq_index(
+    ivf: IvfIndex,
+    pq,
+    new_emb: DataFrame,
+    n_assign: int = 2,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: dict | None = None,
+) -> tuple[Snapshot, Snapshot]:
+    """Append an arriving batch to BOTH sides — cells against the
+    frozen centroids, codes against the frozen codebook — under the
+    SAME txn stamp, so a replay after a crash between the two commits
+    is detectable per table (the streaming sinks' two-table pattern)."""
+    from .pq_index import extend_pq_index
+
+    s1 = extend_ivf_index(ivf, new_emb, n_assign, id_col, vec_col, txn=txn)
+    s2 = extend_pq_index(pq, new_emb, m, k, dim, id_col, vec_col, txn=txn)
+    return s1, s2
+
+
+def probe_ivfpq(
+    ivf: IvfIndex,
+    pq,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search: (query_id, neighbor_id, adc_d2, rk) — candidates
+    from the probed cells, ranked by PQ asymmetric distance. The
+    production memory model at 100 TB: the probe reads the 3-int
+    inverted file and the 3-int codes table; raw vectors appear ONLY on
+    the query side (assignment + subspace distance table, both
+    query-sized broadcasts). ``version`` time-travels BOTH tables to
+    the matching snapshot (builds and appends commit them in lockstep).
+    """
+    from .pq import pq_subspace_distances
+
+    cents = ivf.centroids.read()
+    probes = (
+        ivf_assign(queries, 0, id_col, vec_col, centroids=cents)
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    cells = ivf.cells.read(version=version).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    cb = pq.codebook.read().select("code_id", "pos", "cval")
+    qd = pq_subspace_distances(
+        queries, m, k, dim, id_col, vec_col, codebook=cb
+    ).withColumnsRenamed({"vec_id": "query_id"})
+    codes = pq.codes.read(version=version).withColumnsRenamed(
+        {"vec_id": "neighbor_id"}
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "sub", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d2").cast("decimal(28,9)")).cast("double"), 4
+            ).alias("adc_d2")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= topk
+    )
+
+
 def probe_ivf_index(
     index: IvfIndex,
     vectors: DataFrame,

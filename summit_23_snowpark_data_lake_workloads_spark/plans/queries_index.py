@@ -364,6 +364,129 @@ def ivf_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivfpq_probe_oracle() -> str:
+    """IVF-PQ mirror: candidates from the frozen-seed-centroid cell
+    assignment (top-2 cells each side), ranked by decimal-exact ADC
+    against the frozen base-corpus seed codebook."""
+    parts = []
+    for version, corpus in ((1, "(0, 1)"), (2, "(0, 1, 2)")):
+        parts.append(f"""
+    SELECT {version} AS idx_version, query_id, neighbor_id, adc_d2, rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rk
+        FROM (
+            SELECT ca.query_id, ca.neighbor_id,
+                   round(sum(q.d2::DECIMAL(28,9))::DOUBLE, 4) AS adc_d2
+            FROM (
+                SELECT DISTINCT p.id AS query_id, h.id AS neighbor_id
+                FROM assign p JOIN assign h
+                  ON p.cent_id = h.cent_id
+                 AND p.cell_rank <= 2 AND h.cell_rank <= 2
+                WHERE p.id % 4 = 3 AND p.id < 80
+                  AND h.id % 4 IN {corpus}
+                  AND p.id <> h.id
+            ) ca
+            JOIN codes t ON t.vec_id = ca.neighbor_id
+            JOIN sub_d q ON q.vec_id = ca.query_id
+                        AND q.sub = t.sub AND q.code_id = t.code_id
+            GROUP BY ca.query_id, ca.neighbor_id
+        )
+    ) WHERE rk <= 5""")
+    return (
+        """
+    WITH e AS (
+        SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+                         AND c.vec_id % 4 IN (0, 1)
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id, cell_rank FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+                   ) AS cell_rank
+            FROM cent_dots
+            JOIN norms nv ON nv.vec_id = id
+            JOIN norms nc ON nc.vec_id = cent_id
+        )
+    ),
+    sub_d AS (
+        SELECT v.vec_id, (v.pos - 1) // 16 AS sub, c.vec_id AS code_id,
+               sum(((v.val - c.val) * (v.val - c.val))
+                   ::DECIMAL(28,9))::DOUBLE AS d2
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+                         AND c.vec_id % 4 IN (0, 1)
+        GROUP BY v.vec_id, sub, c.vec_id
+    ),
+    codes AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code_id) AS rk
+            FROM sub_d) WHERE rk = 1
+    )
+    """
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("ivfpq_probe_audit", oracle=_ivfpq_probe_oracle())
+def ivfpq_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-architecture composition under the driver gate: IVF
+    cell pruning + PQ asymmetric-distance ranking from four persisted
+    lakehouse tables (centroids, inverted file, codebook, codes) —
+    built from the base corpus (vec_id%4 in (0,1)), extended with a
+    batch (vec_id%4 = 2) against BOTH frozen models under one txn
+    stamp, probed at both versions (v1 = time travel on cells AND codes
+    in lockstep). The probe's memory model is the 100 TB point: raw
+    vectors appear only on the query side; the corpus is two 3-int
+    scans. The oracle re-derives assignment, codes, and ADC rankings
+    from the raw embeddings.
+    """
+    from ..operators.ivf_index import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    second = emb.filter(F.col("vec_id") % 4 == 2)
+    queries_df = emb.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") < 80)
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfpq_audit_")
+    try:
+        ivf, pq = build_ivfpq_index(
+            spark, base, tmp, n_cells=16, n_assign=2, train_iters=0
+        )
+        extend_ivfpq_index(
+            ivf, pq, second, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        out = None
+        for v in (1, 2):
+            r = probe_ivfpq(
+                ivf, pq, queries_df, topk=5, n_probe=2, version=v
+            ).select(
+                F.lit(v).alias("idx_version"),
+                "query_id",
+                "neighbor_id",
+                "adc_d2",
+                "rk",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bpe_artifact_oracle() -> str:
     from .queries_ml import _bpe_encode_oracle
 

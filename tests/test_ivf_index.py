@@ -44,3 +44,45 @@ def test_ivf_index_probe_matches_inline_and_time_travels(spark, sf_dir, tmp_path
 
     # replay detector: the txn stamp is recorded
     assert idx.cells.last_committed_batch("t") == 1
+
+
+def test_ivfpq_probe_ranks_by_adc_and_time_travels(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: candidates must be exactly the IVF cell
+    candidates, ranked by the SAME ADC distances the plain PQ probe
+    assigns them; both tables append in lockstep under one txn and
+    version-1 probes reproduce the pre-append state."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.ivf_index import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.operators.pq_index import (
+        probe_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 1)
+    queries = emb.filter((F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 60))
+
+    ivf, pq = build_ivfpq_index(spark, base, str(tmp_path / "idx"))
+    v1 = {tuple(r) for r in probe_ivfpq(ivf, pq, queries, topk=3).collect()}
+    assert v1 and all(n % 3 == 0 for (_q, n, _d, _r) in v1)
+
+    # ADC agreement: for every (query, neighbor) the hybrid keeps, the
+    # plain PQ probe (no cell pruning, huge topk) assigns the same adc_d2
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_d2"]
+        for r in probe_pq_index(pq, queries, topk=10_000).collect()
+    }
+    for (q, n, d, _rk) in v1:
+        assert full[(q, n)] == d
+
+    extend_ivfpq_index(ivf, pq, batch, txn={"app_id": "t2", "batch_id": 5})
+    v2 = {tuple(r) for r in probe_ivfpq(ivf, pq, queries, topk=3).collect()}
+    assert any(n % 3 == 1 for (_q, n, _d, _r) in v2)
+    assert {tuple(r) for r in probe_ivfpq(ivf, pq, queries, topk=3, version=1).collect()} == v1
+    assert ivf.cells.last_committed_batch("t2") == 5
+    assert pq.codes.last_committed_batch("t2") == 5
