@@ -663,6 +663,17 @@ def test_index_probe_plans_broadcast_batch_side(spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in ivf_plan
     assert "BatchEvalPython" not in ivf_plan
 
+    from summit_23_snowpark_data_lake_workloads_spark.operators.ivf_index import (
+        probe_ivfpq,
+    )
+
+    hybrid_plan = plan_of(
+        probe_ivfpq(ivf, pq, emb.filter(F.col("vec_id") % 2 == 1), topk=3)
+    )
+    assert "BroadcastHashJoin" in hybrid_plan  # query distance table broadcast
+    assert "CartesianProduct" not in hybrid_plan
+    assert "BatchEvalPython" not in hybrid_plan
+
 
 def test_bpe_encode_from_stored_model_has_no_learning_stage(spark, sf_dir, tmp_path):
     """The artifact contract (r5 advice #4): encoding against a STORED
