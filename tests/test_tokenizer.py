@@ -170,3 +170,29 @@ def test_bpe_trains_once_per_session_across_consumers(spark, sf_dir, monkeypatch
         assert queries_ml._bpe_merge_rows(spark, sf_dir, k=6)  # memo populated
     finally:
         cache.release_caches()
+
+
+def test_char_bigrams_edge_semantics(spark):
+    """The split-once bigram construction must keep the exact bigram
+    multiset contract: len-1 overlapping bigrams per string, empty for
+    len < 2, trailing-empty split artifact filtered (a zero-width regex
+    split with limit -1 keeps one — unfiltered it fabricates a bogus
+    1-char final 'bigram')."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.functions.text import (
+        char_bigrams,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "ab"), (3, "abc"), (4, "a b")],
+        "id long, s string",
+    ).select("id", char_bigrams("s").alias("bg")).collect()
+    got = {r["id"]: r["bg"] for r in rows}
+    assert got == {
+        0: [],
+        1: [],
+        2: ["ab"],
+        3: ["ab", "bc"],
+        4: ["a ", " b"],
+    }
