@@ -568,3 +568,47 @@ def test_hashed_features_find_planted_duplicate_chunk(spark):
     # doc 0 chunk 0 == the shared 64 tokens == doc 1 chunk 1 exactly
     assert (top["nd"], top["nc"]) == (1, 1), top
     assert top["cos"] == 1.0
+
+
+def test_minhash_mega_bucket_guard_star_candidates(spark):
+    """The LSH mega-bucket guard: a dup cluster far past max_bucket
+    must produce STAR candidates (min-id hub x members, g-1 pairs) —
+    never the g(g-1)/2 all-pairs blowup — while connected components
+    still unions the whole cluster; below the cap the guard is inert."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    g = 300
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(g)] + [
+        (1000, "one two three four five six seven eight nine ten"),
+        (1001, "cold wind north mountain river stone forest valley snow peak"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=50).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, i) for i in range(1, g)}, (
+        f"expected {g - 1} star pairs to hub 0, got {len(got)}"
+    )
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+    nodes = docs.select("doc_id")
+    cc = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            spark.createDataFrame(sorted(got), "id_a long, id_b long"),
+            nodes,
+            id_col="doc_id",
+        ).collect()
+    }
+    assert {cc[i] for i in range(g)} == {0}, "star edges must union the cluster"
+    assert cc[1000] == 1000 and cc[1001] == 1001
+
+    # inert below the cap: guarded == unguarded on a small-bucket corpus
+    small = spark.createDataFrame(rows[:5] + rows[-2:], "doc_id long, text string")
+    a = sorted(map(tuple, minhash_lsh_pairs(small, "doc_id", "text", max_bucket=1024).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(small, "doc_id", "text", max_bucket=None).collect()))
+    assert a == b
