@@ -34,6 +34,12 @@ from .queries import QUERIES, _t, query
 
 _DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+#: Per-side document-frequency cap above which a shingle is excluded
+#: from incremental-dedup intersection joins (the hot-shingle guard —
+#: see ``dedup_incremental_newbatch``). Far above any gate-scale df;
+#: tests monkeypatch it low to pin the guard's behavior.
+HOT_SHINGLE_DF_CAP = 4096
+
 # shared oracle CTE: distinct 3-gram shingles per document
 _SH_CTE = """
 sh AS (
@@ -2228,6 +2234,18 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     small batch actually contains via a broadcast semi-join BEFORE the
     candidate equi-join, so corpus-side work is proportional to the
     batch, not the lake. Exact dedup is one broadcast hash lookup.
+
+    HOT-SHINGLE guard: a shingle held by d_b batch and d_c corpus docs
+    contributes d_b x d_c rows to the candidate join — one boilerplate
+    phrase shared by 100k docs re-creates the quadratic blowup the
+    pruning exists to avoid (measured: unbounded at the 500k-doc scale
+    probe). Shingles whose per-side df exceeds
+    ``HOT_SHINGLE_DF_CAP`` are excluded from the INTERSECTION joins
+    (sizes still count them), biasing jaccard DOWNWARD only for pairs
+    whose overlap hinges on ultra-common shingles — the standard
+    stop-shingle trade (they carry no discriminative signal; see
+    ``shingle_table(max_df=...)``). Inert at gate scale: no testdata
+    shingle approaches the cap, so the oracle needs no mirror.
     """
     from ..operators.dedup import shingle_table
 
@@ -2265,9 +2283,20 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("sz_c"))
     )
+    def _drop_hot(sh_df: DataFrame) -> DataFrame:
+        hot = (
+            sh_df.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > HOT_SHINGLE_DF_CAP)
+            .select("shingle")
+        )
+        return sh_df.join(F.broadcast(hot), "shingle", "left_anti")
+
+    shb_j = _drop_hot(shb)
+    shc_j = _drop_hot(shc)
     near_corpus = (
-        shb.withColumnRenamed("id", "id_b")
-        .join(shc.withColumnRenamed("id", "id_c"), "shingle")
+        shb_j.withColumnRenamed("id", "id_b")
+        .join(shc_j.withColumnRenamed("id", "id_c"), "shingle")
         .groupBy("id_b", "id_c")
         .agg(F.count(F.lit(1)).alias("inter"))
         .join(szb.withColumnRenamed("id", "id_b"), "id_b")
@@ -2283,8 +2312,8 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("near_dup_corpus", F.lit(1))
     )
 
-    a = shb.alias("a")
-    b = shb.alias("b")
+    a = shb_j.alias("a")
+    b = shb_j.alias("b")
     near_batch = (
         a.join(
             b,

@@ -612,3 +612,40 @@ def test_minhash_mega_bucket_guard_star_candidates(spark):
     a = sorted(map(tuple, minhash_lsh_pairs(small, "doc_id", "text", max_bucket=1024).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(small, "doc_id", "text", max_bucket=None).collect()))
     assert a == b
+
+
+def test_incremental_hot_shingle_guard(spark, sf_dir, monkeypatch):
+    """The incremental-dedup hot-shingle guard: with the cap forced
+    below the df of a genuinely shared shingle, pairs whose overlap
+    hinges on that shingle lose it from the intersection (jaccard
+    biased down, documented stop-shingle trade) but the query still
+    runs and every other verdict is unchanged; at the production cap
+    the guard is inert and the result matches the oracle-gated output
+    exactly (test_queries_oracle covers that side)."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans import queries_ml
+    from summit_23_snowpark_data_lake_workloads_spark.plans.queries import QUERIES
+    from summit_23_snowpark_data_lake_workloads_spark import cache
+
+    def run():
+        rows = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in QUERIES["dedup_incremental_newbatch"](spark, sf_dir).collect()
+        }
+        cache.release_caches()
+        return rows
+
+    base = run()
+    assert base, "no batch rows"
+    try:
+        monkeypatch.setattr(queries_ml, "HOT_SHINGLE_DF_CAP", 2)
+        capped = run()
+    finally:
+        cache.release_caches()
+    assert set(capped) == set(base)  # same batch docs, guard never drops rows
+    # verdicts may only move in the MISS direction (near-dup -> accept):
+    # dropping shingles can never create an intersection
+    for d, (ex, nc, nb, acc) in base.items():
+        ex2, nc2, nb2, acc2 = capped[d]
+        assert ex2 == ex  # exact tier untouched by the shingle guard
+        assert nc2 <= nc and nb2 <= nb
+        assert acc2 >= acc
