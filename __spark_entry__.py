@@ -33,11 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round 7: charlm avg_logprob moved to the decimal-exact
 #: order-invariant sum (pipeline_v2 composes it); IVF moved to top-2
 #: candidate multi-assignment (plans and oracles both changed).
+#: Round 8: the LSH mega-bucket star guard became opt-in
+#: (``max_bucket=None`` default), removing the window-sizing branch
+#: from both MinHash pair plans (results identical below the cap, but
+#: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    "charlm_doc_quality": 7,
-    "training_corpus_pipeline_v2": 7,
-    "knn_ivf": 7,
-    "knn_ivf_recall_audit": 7,
+    "dedup_minhash_lsh": 8,
+    "dedup_minhash_prefilter": 8,
 }
 
 

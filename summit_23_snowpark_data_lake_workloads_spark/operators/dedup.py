@@ -242,7 +242,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefilter_min_matches: int | None = None,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification:
     signature -> ``bands`` bands of ``num_hashes/bands`` rows -> docs
@@ -271,15 +271,21 @@ def minhash_lsh_pairs(
     quadratic join output and OOMs an executor (measured: a 50k-member
     bucket killed the 500k-doc scale probe with a 0.5 GB single-array
     allocation). Buckets LARGER than ``max_bucket`` emit STAR
-    candidates instead — (min-id hub, member) pairs, g-1 of them —
-    which preserve exactly what a dedup pipeline consumes from a
-    mega-cluster: every member still verifies against the hub, so
-    connected components still unions the whole cluster and the
-    min-id survivor rule picks the same keeper. Within-cluster
-    non-hub pair edges (redundant for clustering) are the only loss.
-    Buckets at or under the cap are untouched, so results are
-    identical to the unguarded operator until a bucket actually
-    overflows (pinned in tests/test_dedup_similarity.py).
+    candidates instead — (min-id hub, member) pairs, g-1 of them.
+    This is LOSSY beyond the redundant-edge case: a band collision is
+    only ``num_hashes/bands`` agreeing hashes, so an over-cap bucket
+    is NOT guaranteed to be one duplicate cluster — a member whose
+    exact Jaccard against the min-id hub falls below ``threshold``
+    loses ALL its edges from that bucket, so genuine near-dup pairs
+    between non-hub members can be missed and clusters can fragment
+    (they are only recovered if some under-cap bucket also catches
+    them). The guard is therefore OFF by default (``max_bucket=None``
+    — results always match the exhaustive banded operator); turn it on
+    explicitly for corpora with boilerplate mega-clusters, where an
+    executor OOM is worse than fragmenting a >``max_bucket``-member
+    near-dup cluster. Buckets at or under the cap are untouched, so an
+    enabled guard changes nothing until a bucket actually overflows
+    (pinned in tests/test_dedup_similarity.py).
     """
     rows_per_band = num_hashes // bands
     # one shingle table feeds BOTH the signature branch and the verify

@@ -314,6 +314,7 @@ def kmeans_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tie_round: int = 4,
 ) -> DataFrame:
     """K-means centroids for IVF under the cosine objective, trained
     with ``n_iters`` Lloyd rounds — deterministic end to end (seed
@@ -323,6 +324,17 @@ def kmeans_centroids(
     so a trained index is reproducible run-to-run AND replayable by a
     SQL oracle (``knn_ivf_trained``'s DuckDB mirror unrolls these exact
     iterations).
+
+    ``tie_round`` is the assignment tie-break granularity: cosines are
+    rounded to this many decimals before ranking, equal values resolve
+    by centroid id. The default 4 matches ``ivf_assign`` and the DuckDB
+    oracle (``round(x, 4)`` is reproducible across engines; 9 decimals
+    of a double is not). BEHAVIOR NOTE: rounds 1-6 used 1e-9
+    granularity — at 1e-4, cosines within 1e-4 now tie and resolve by
+    centroid id, which on high-dimensional or near-uniform corpora
+    (many near-ties) is a real clustering-quality change, accepted for
+    oracle parity. Pass ``tie_round=9`` to recover the finer
+    granularity when oracle replay is not needed.
 
     Centroids are the UNNORMALIZED per-dimension means: cosine is
     scale-invariant, so renormalizing changes nothing semantically —
@@ -350,7 +362,7 @@ def kmeans_centroids(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ).crossJoin(F.broadcast(cents))
         w_ = W.partitionBy("id").orderBy(
-            F.desc(F.round(cosine("v", "centv"), 4)), "cent_id"
+            F.desc(F.round(cosine("v", "centv"), tie_round)), "cent_id"
         )
         assigned = (
             pairs.withColumn("rk", F.row_number().over(w_))

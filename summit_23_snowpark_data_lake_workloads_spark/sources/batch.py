@@ -48,9 +48,22 @@ def fanout(df: DataFrame) -> DataFrame:
     repartition). At 100 TB input splits are abundant and the check
     is a no-op; the round-robin shuffle this inserts moves only the
     SMALL pre-explode rows, never the exploded volume.
+
+    The split estimate stays inside the DataFrame API: ``inputFiles()``
+    is a metadata peek at the analyzed plan's scans, where
+    ``df.rdd.getNumPartitions()`` would build the whole RDD translation
+    per call (a full analysis pass) and throws on streaming frames.
+    File count lower-bounds split count (a file can split further but
+    never merge below one split per file), so the check errs only
+    toward repartitioning small scans — exactly the case the shuffle
+    is cheap for. Non-file plans (in-memory relations) report no input
+    files and widen too: a local relation is single-partition, the
+    worst shape for an explode-heavy pass.
     """
+    if df.isStreaming:
+        return df  # per-microbatch frames are widened by the source
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

@@ -499,6 +499,25 @@ def _semantic_dedup_ingest_batch(
             batch_df = batch_df.filter(quality_pred)
         n_quality_ok = batch_df.count() if metrics is not None else None
         fresh = batch_df.dropDuplicates([id_col])
+        if table._versions():
+            # id-level anti-join against the standing table: an
+            # at-least-once upstream can re-deliver a row whose id is
+            # already landed, and the probe's self-exclusion
+            # (query_id != neighbor_id) would let it dodge its own
+            # match and re-append forever — duplicate ids accumulating
+            # in both the vector table and the inverted file. Same
+            # double-broadcast geometry as the exact sink: broadcast
+            # the batch's id set into the corpus scan to extract the
+            # (tiny) colliding ids, then anti-join the batch against
+            # those — the corpus side is one pruned scan, never a
+            # shuffle or a join hash table.
+            seen_ids = (
+                table.read()
+                .select(F.col(id_col))
+                .join(F.broadcast(fresh.select(id_col).distinct()), id_col)
+                .distinct()
+            )
+            fresh = fresh.join(F.broadcast(seen_ids), id_col, "left_anti")
         if cells._versions():
             idx = IvfIndex(centroids, cells)
             hits = probe_ivf_index(
@@ -538,12 +557,31 @@ def _semantic_dedup_ingest_batch(
         )
 
     if not centroids._versions():
-        # cold-start: freeze the first committing batch's lowest-id
-        # survivors as the centroid set (deterministic, so a heal-path
-        # replay recreates the identical table)
-        centroids.create(
-            survivors.filter(F.col(id_col) < n_cells).select(
+        # cold-start: freeze the first committing batch's ``n_cells``
+        # LOWEST-ID survivors as the centroid set — orderBy+limit, NOT
+        # filter(id < n_cells): streaming ids are offsets / snowflake
+        # ids / hashes that rarely start near 0, and the filter form
+        # would freeze an EMPTY centroid table, after which every probe
+        # returns nothing and semantic dedup silently no-ops forever.
+        # The bounded collect is n_cells x dim doubles (KBs) — the same
+        # driver state the centroid table itself is. Deterministic, so
+        # a heal-path replay recreates the identical table.
+        seed_rows = (
+            survivors.orderBy(F.col(id_col))
+            .limit(n_cells)
+            .select(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+            )
+            .collect()
+        )
+        if not seed_rows:
+            # empty first commit: DEFER the bootstrap (and the cells
+            # create — an inverted file without centroids is
+            # unreadable) to the first batch that actually lands rows
+            return
+        centroids.create(
+            spark.createDataFrame(
+                seed_rows, "cent_id long, centv array<double>"
             )
         )
     idx = IvfIndex(centroids, cells)
