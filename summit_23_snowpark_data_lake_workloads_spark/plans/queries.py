@@ -1568,6 +1568,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ml  # noqa: E402,F401  (import at end avoids circularity)
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_index  # noqa: E402,F401  (stateful-surface audits)
+from . import queries_stream_audit  # noqa: E402,F401  (streaming ingest audits)
 
 
 @query(
