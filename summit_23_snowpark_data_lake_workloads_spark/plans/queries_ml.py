@@ -2157,6 +2157,123 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_plan(
+    spark: SparkSession, sf_dir: str, hot_cap: int
+) -> DataFrame:
+    """Shared plan of ``dedup_incremental_newbatch`` (production cap)
+    and ``dedup_incremental_hotshingle_audit`` (cap low enough to FIRE
+    at gate scale, oracle-mirrored): see the public query's docstring
+    for the shape and scale analysis."""
+    from ..operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src19")
+    corpus = docs.filter(F.col("source") != "src19")
+
+    corpus_hash = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("exact_dup_of")
+    )
+    ex = batch.select("doc_id", F.md5("text").alias("h")).join(
+        F.broadcast(corpus_hash), "h", "left"
+    )
+
+    shb = registered_persist(shingle_table(batch, "doc_id", "text", n=3))
+    szb = shb.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
+    # prune the corpus index to the batch's shingle vocabulary before the
+    # candidate join: corpus rows not sharing a batch shingle never move
+    shc = registered_persist(
+        shingle_table(corpus, "doc_id", "text", n=3).join(
+            F.broadcast(shb.select("shingle").distinct()), "shingle"
+        )
+    )
+    # corpus-side sizes must count ALL of a candidate doc's shingles, not
+    # just the vocabulary-pruned ones — but only CANDIDATE docs (those
+    # sharing >= 1 batch shingle, i.e. the distinct ids of the pruned
+    # table) ever need a size. Broadcast-semi-join the id set BEFORE the
+    # aggregate so the size pass scans the corpus but shuffles only
+    # candidate rows — no corpus-wide shuffle anywhere in the
+    # incremental path (at 100 TB both passes read the pre-materialized
+    # shingle index, pruned by shingle resp. id).
+    szc = (
+        shingle_table(corpus, "doc_id", "text", n=3)
+        .join(F.broadcast(shc.select("id").distinct()), "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz_c"))
+    )
+
+    def _drop_hot(sh_df: DataFrame) -> DataFrame:
+        hot = (
+            sh_df.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > hot_cap)
+            .select("shingle")
+        )
+        return sh_df.join(F.broadcast(hot), "shingle", "left_anti")
+
+    shb_j = _drop_hot(shb)
+    shc_j = _drop_hot(shc)
+    near_corpus = (
+        shb_j.withColumnRenamed("id", "id_b")
+        .join(shc_j.withColumnRenamed("id", "id_c"), "shingle")
+        .groupBy("id_b", "id_c")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(szb.withColumnRenamed("id", "id_b"), "id_b")
+        .join(szc.withColumnRenamed("id", "id_c"), "id_c")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_b") + F.col("sz_c") - F.col("inter")), 6
+            )
+            >= 0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup_corpus", F.lit(1))
+    )
+
+    a = shb_j.alias("a")
+    b = shb_j.alias("b")
+    near_batch = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(szb.select(F.col("id").alias("id_a"), F.col("sz_b").alias("sz_a")), "id_a")
+        .join(szb.select(F.col("id").alias("id_b"), F.col("sz_b").alias("sz_bb")), "id_b")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_bb") - F.col("inter")), 6
+            )
+            >= 0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup_batch", F.lit(1))
+    )
+
+    return (
+        ex.select("doc_id", "exact_dup_of")
+        .join(near_corpus, "doc_id", "left")
+        .join(near_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce("near_dup_corpus", F.lit(0)).alias("near_dup_corpus"),
+            F.coalesce("near_dup_batch", F.lit(0)).alias("near_dup_batch"),
+            F.when(
+                F.col("exact_dup_of").isNull()
+                & (F.coalesce("near_dup_corpus", F.lit(0)) == 0)
+                & (F.coalesce("near_dup_batch", F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("accept"),
+        )
+    )
+
+
 @query(
     "dedup_incremental_newbatch",
     oracle="""
@@ -2245,115 +2362,118 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose overlap hinges on ultra-common shingles — the standard
     stop-shingle trade (they carry no discriminative signal; see
     ``shingle_table(max_df=...)``). Inert at gate scale: no testdata
-    shingle approaches the cap, so the oracle needs no mirror.
+    shingle approaches the cap, so this oracle needs no mirror — the
+    guard BRANCH is hash-gated by ``dedup_incremental_hotshingle_audit``
+    below, whose cap is low enough to fire at sf0.01 and whose oracle
+    mirrors the exclusion.
     """
-    from ..operators.dedup import shingle_table
+    return _incremental_dedup_plan(spark, sf_dir, HOT_SHINGLE_DF_CAP)
 
-    docs = _t(spark, sf_dir, "documents")
-    batch = docs.filter(F.col("source") == "src19")
-    corpus = docs.filter(F.col("source") != "src19")
 
-    corpus_hash = corpus.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("exact_dup_of")
-    )
-    ex = batch.select("doc_id", F.md5("text").alias("h")).join(
-        F.broadcast(corpus_hash), "h", "left"
-    )
+#: cap for the gated guard audit: sf0.01 batch shingles reach df 3 and
+#: vocabulary-pruned corpus shingles reach df 6, so a cap of 2 excludes
+#: real shingles on BOTH sides of the intersection joins — the guard
+#: branch executes against real data, not a monkeypatch.
+_HOT_AUDIT_CAP = 2
 
-    shb = registered_persist(shingle_table(batch, "doc_id", "text", n=3))
-    szb = shb.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
-    # prune the corpus index to the batch's shingle vocabulary before the
-    # candidate join: corpus rows not sharing a batch shingle never move
-    shc = registered_persist(
-        shingle_table(corpus, "doc_id", "text", n=3).join(
-            F.broadcast(shb.select("shingle").distinct()), "shingle"
-        )
-    )
-    # corpus-side sizes must count ALL of a candidate doc's shingles, not
-    # just the vocabulary-pruned ones — but only CANDIDATE docs (those
-    # sharing >= 1 batch shingle, i.e. the distinct ids of the pruned
-    # table) ever need a size. Broadcast-semi-join the id set BEFORE the
-    # aggregate so the size pass scans the corpus but shuffles only
-    # candidate rows — no corpus-wide shuffle anywhere in the
-    # incremental path (at 100 TB both passes read the pre-materialized
-    # shingle index, pruned by shingle resp. id).
-    szc = (
-        shingle_table(corpus, "doc_id", "text", n=3)
-        .join(F.broadcast(shc.select("id").distinct()), "id", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("sz_c"))
-    )
-    def _drop_hot(sh_df: DataFrame) -> DataFrame:
-        hot = (
-            sh_df.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > HOT_SHINGLE_DF_CAP)
-            .select("shingle")
-        )
-        return sh_df.join(F.broadcast(hot), "shingle", "left_anti")
 
-    shb_j = _drop_hot(shb)
-    shc_j = _drop_hot(shc)
-    near_corpus = (
-        shb_j.withColumnRenamed("id", "id_b")
-        .join(shc_j.withColumnRenamed("id", "id_c"), "shingle")
-        .groupBy("id_b", "id_c")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(szb.withColumnRenamed("id", "id_b"), "id_b")
-        .join(szc.withColumnRenamed("id", "id_c"), "id_c")
-        .filter(
-            F.round(
-                F.col("inter") / (F.col("sz_b") + F.col("sz_c") - F.col("inter")), 6
-            )
-            >= 0.5
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("near_dup_corpus", F.lit(1))
+def _incremental_hotshingle_oracle() -> str:
+    """The incremental-dedup oracle with the hot-shingle exclusion
+    MIRRORED: per-side df is computed exactly where the engine computes
+    it (full batch table; vocabulary-pruned corpus table), excluded
+    rows leave the intersection joins only — sizes still count them."""
+    return f"""
+    WITH batch AS (SELECT * FROM documents WHERE source = 'src19'),
+    corpus AS (SELECT * FROM documents WHERE source <> 'src19'),
+    corpus_hash AS (
+        SELECT md5(text) AS h, min(doc_id) AS exact_dup_of
+        FROM corpus GROUP BY md5(text)
+    ),
+    shb AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch)
+    ),
+    shc_full AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    ),
+    shc AS (  -- vocabulary-pruned corpus shingle table (the engine's shc)
+        SELECT * FROM shc_full
+        WHERE shingle IN (SELECT DISTINCT shingle FROM shb)
+    ),
+    hotb AS (
+        SELECT shingle FROM shb GROUP BY shingle
+        HAVING count(*) > {_HOT_AUDIT_CAP}
+    ),
+    hotc AS (
+        SELECT shingle FROM shc GROUP BY shingle
+        HAVING count(*) > {_HOT_AUDIT_CAP}
+    ),
+    shb_j AS (
+        SELECT * FROM shb WHERE shingle NOT IN (SELECT shingle FROM hotb)
+    ),
+    shc_j AS (
+        SELECT * FROM shc WHERE shingle NOT IN (SELECT shingle FROM hotc)
+    ),
+    szb AS (SELECT id, count(*) AS sz FROM shb GROUP BY id),
+    szc AS (SELECT id, count(*) AS sz FROM shc_full GROUP BY id),
+    cross_pairs AS (
+        SELECT b.id AS id_b, c.id AS id_c, count(*) AS inter
+        FROM shb_j b JOIN shc_j c ON b.shingle = c.shingle
+        GROUP BY b.id, c.id
+    ),
+    near_corpus AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM cross_pairs
+        JOIN szb ON szb.id = id_b
+        JOIN szc ON szc.id = id_c
+        WHERE round(inter / (szb.sz + szc.sz - inter), 6) >= 0.5
+    ),
+    batch_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM shb_j a JOIN shb_j b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    near_batch AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM batch_pairs
+        JOIN szb sa ON sa.id = id_a
+        JOIN szb sb ON sb.id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
     )
+    SELECT b.doc_id,
+           ch.exact_dup_of,
+           CASE WHEN nc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup_corpus,
+           CASE WHEN nb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup_batch,
+           CASE WHEN ch.exact_dup_of IS NULL AND nc.doc_id IS NULL
+                 AND nb.doc_id IS NULL THEN 1 ELSE 0 END AS accept
+    FROM batch b
+    LEFT JOIN corpus_hash ch ON md5(b.text) = ch.h
+    LEFT JOIN near_corpus nc ON nc.doc_id = b.doc_id
+    LEFT JOIN near_batch nb ON nb.doc_id = b.doc_id
+    """
 
-    a = shb_j.alias("a")
-    b = shb_j.alias("b")
-    near_batch = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(szb.select(F.col("id").alias("id_a"), F.col("sz_b").alias("sz_a")), "id_a")
-        .join(szb.select(F.col("id").alias("id_b"), F.col("sz_b").alias("sz_bb")), "id_b")
-        .filter(
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_bb") - F.col("inter")), 6
-            )
-            >= 0.5
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("near_dup_batch", F.lit(1))
-    )
 
-    return (
-        ex.select("doc_id", "exact_dup_of")
-        .join(near_corpus, "doc_id", "left")
-        .join(near_batch, "doc_id", "left")
-        .select(
-            "doc_id",
-            "exact_dup_of",
-            F.coalesce("near_dup_corpus", F.lit(0)).alias("near_dup_corpus"),
-            F.coalesce("near_dup_batch", F.lit(0)).alias("near_dup_batch"),
-            F.when(
-                F.col("exact_dup_of").isNull()
-                & (F.coalesce("near_dup_corpus", F.lit(0)) == 0)
-                & (F.coalesce("near_dup_batch", F.lit(0)) == 0),
-                1,
-            )
-            .otherwise(0)
-            .alias("accept"),
-        )
-    )
+@query("dedup_incremental_hotshingle_audit", oracle=_incremental_hotshingle_oracle())
+def dedup_incremental_hotshingle_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-shingle guard branch under the driver gate: the exact
+    ``dedup_incremental_newbatch`` plan with the per-side df cap set to
+    {cap} — LOW enough that real sf0.01 shingles exceed it on both the
+    batch side and the vocabulary-pruned corpus side, so the exclusion
+    anti-joins execute against real data and the DuckDB oracle mirrors
+    them CTE for CTE (df computed where the engine computes it; sizes
+    still count excluded shingles; jaccard biased downward exactly as
+    the guard trades). This is the ``salted_join`` r5 pattern: the
+    scale-guard branch that production runs at cap 4096 gets an exact
+    differential at a cap the gate data can reach.
+    """
+    return _incremental_dedup_plan(spark, sf_dir, _HOT_AUDIT_CAP)
 
 
 @query(
