@@ -26,11 +26,29 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _await_idle_box(max_load: float, max_wait_s: int = 120) -> float | None:
+    """Floor hygiene: BENCH_r06 and r07 both recorded contended samples
+    (load 6+ before our own JVM started) as official floors, poisoning
+    the next round's deltas until a judge rerun discounted them by
+    hand. Wait (bounded) for the 1-min load average to fall below
+    ``max_load`` before sampling; if it never does, the payload is
+    stamped ``"contended": true`` so floor logic can ignore it."""
+    if not hasattr(os, "getloadavg"):
+        return None
+    deadline = time.monotonic() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > max_load and time.monotonic() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    load_start = _await_idle_box(max_load)
     spark = get_spark("summit23_bench")
 
     # warm-up: JVM + parquet footer caches, not counted
@@ -79,6 +97,9 @@ def main() -> None:
     if load_start is not None:
         payload["load_avg_start"] = round(load_start, 2)
         payload["load_avg_end"] = round(os.getloadavg()[0], 2)
+        # explicit machine-readable verdict: floor logic must discount
+        # a contended sample instead of a human discounting it later
+        payload["contended"] = load_start > max_load
     if errors:
         payload["errors"] = errors
 

@@ -110,6 +110,30 @@ def extend_ivf_index(
     return index.cells.append(rows, txn=txn)
 
 
+def compact_ivf_index(index: IvfIndex, target_files: int = 8) -> Snapshot:
+    """Index maintenance: every :func:`extend_ivf_index` append adds a
+    small file to the cells table, so after N micro-batches the
+    inverted file is N-file fragmented and every probe pays N footer
+    reads + N tiny scans. Rewrite it into ``target_files`` files — a
+    pure metadata swap (same rows, new layout; probe results are
+    invariant, pinned in tests/test_ivf_index.py), time travel to
+    pre-compaction versions still works, and the txn bookkeeping is
+    untouched (``last_committed_batch`` folds the whole history).
+    Run it on the same cadence Delta OPTIMIZE runs: every ~N appends,
+    not per batch."""
+    return index.cells.compact(target_files)
+
+
+def compact_ivfpq_index(ivf: IvfIndex, pq, target_files: int = 8):
+    """Compact BOTH fragment-accumulating sides of an IVF-PQ index —
+    the cells table and the codes table (centroids and codebook are
+    single-commit KB tables; nothing to compact). Returns the two new
+    snapshots."""
+    s1 = ivf.cells.compact(target_files)
+    s2 = pq.codes.compact(target_files)
+    return s1, s2
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     emb: DataFrame,

@@ -364,6 +364,119 @@ def ivf_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivf_drift_oracle() -> str:
+    """Per-cell base vs appended membership of the extended index,
+    recomputed from raw embeddings with the same frozen-seed-centroid
+    assignment the index stores."""
+    return """
+    WITH e AS (
+        SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+    cent_dots AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < 16
+                         AND c.vec_id % 4 IN (0, 1)
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign AS (
+        SELECT id, cent_id, cell_rank FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+                   ) AS cell_rank
+            FROM cent_dots
+            JOIN norms nv ON nv.vec_id = id
+            JOIN norms nc ON nc.vec_id = cent_id
+        )
+    ),
+    rows_ AS (
+        SELECT id, cent_id AS cell FROM assign
+        WHERE cell_rank <= 2 AND id % 4 IN (0, 1, 2)
+    ),
+    per AS (
+        SELECT cell,
+               count(*) FILTER (id % 4 IN (0, 1))::BIGINT AS n_base,
+               count(*) FILTER (id % 4 = 2)::BIGINT AS n_appended,
+               count(*)::BIGINT AS n_total
+        FROM rows_ GROUP BY cell
+    )
+    SELECT cell, n_base, n_appended, n_total,
+           round(n_appended / n_total, 6) AS appended_frac,
+           round(n_total / (avg(n_total) OVER ()), 6) AS load_ratio
+    FROM per
+    """
+
+
+@query("ivf_cell_drift_profile", oracle=_ivf_drift_oracle())
+def ivf_cell_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain/drift signal a 100 TB IVF operator watches: after a
+    build (vec_id%4 in (0,1)) + frozen-centroid append (vec_id%4 = 2),
+    profile the inverted file per cell — base vs appended membership,
+    appended fraction, and load ratio vs the mean cell. Appends under
+    FROZEN centroids are what keep probes comparable across versions,
+    but they also mean drifted arrivals pile into whichever old cells
+    fit them least badly; when ``appended_frac`` is high while
+    ``load_ratio`` skews, retrain-as-rebuild is due. Base membership
+    comes from a time-travel read of version 1 vs the current inverted
+    file — one narrow-int aggregate each, no vector data touched (the
+    profile costs two scans of the 3-int cells table at any corpus
+    size). The oracle recomputes both memberships from raw embeddings.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.ivf_index import build_ivf_index, extend_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    second = emb.filter(F.col("vec_id") % 4 == 2)
+    tmp = tempfile.mkdtemp(prefix="ivf_drift_audit_")
+    try:
+        idx = build_ivf_index(
+            spark, base, tmp, n_cells=16, n_assign=2, train_iters=0
+        )
+        extend_ivf_index(
+            idx, second, n_assign=2, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        base_ct = (
+            idx.cells.read(version=1)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_base"))
+        )
+        cur_ct = (
+            idx.cells.read()
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+        )
+        out = (
+            cur_ct.join(base_ct, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                (F.col("n_total") - F.coalesce("n_base", F.lit(0))).alias(
+                    "n_appended"
+                ),
+                "n_total",
+            )
+            .withColumn(
+                "appended_frac",
+                F.round(F.col("n_appended") / F.col("n_total"), 6),
+            )
+            .withColumn(
+                "load_ratio",
+                F.round(
+                    F.col("n_total") / F.avg("n_total").over(W.partitionBy()),
+                    6,
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ivfpq_probe_oracle() -> str:
     """IVF-PQ mirror: candidates from the frozen-seed-centroid cell
     assignment (top-2 cells each side), ranked by decimal-exact ADC

@@ -430,6 +430,65 @@ def near_dedup_ingest_stream(
     return writer.start()
 
 
+def _intra_batch_semantic_dedup(
+    fresh: DataFrame,
+    centroids: SnapshotTable,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+) -> DataFrame:
+    """Within-batch SemDeDup: drop a batch row when any LOWER-id batch
+    row in its home cell has rounded cosine >= ``min_cos``. Cell
+    assignment uses the standing frozen centroids; on the cold-start
+    batch (no centroid table yet) it uses the batch's ``n_cells``
+    lowest-id rows — the same set the bootstrap freezes afterwards, so
+    the blocking scheme is consistent across the table's life. All
+    work is batch-sized: the centroid side is a KB broadcast, the
+    pairwise join is blocked per home cell."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import cosine
+    from ..operators.similarity import ivf_assign
+
+    if centroids._versions():
+        cents = centroids.read()
+    else:
+        cents = (
+            fresh.orderBy(F.col(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+            )
+        )
+    # block on the TOP-2 cells, not just the home cell: on the
+    # cold-start batch the blocking centroids are batch rows, so a
+    # near-dup PAIR of them would each rank itself first and land in
+    # disjoint home cells — the rank-2 cell reunites them (and
+    # post-bootstrap, multi-assignment blocking is the same recall
+    # dial the IVF probe itself uses)
+    home = (
+        ivf_assign(fresh, 0, id_col, vec_col, centroids=cents)
+        .filter(F.col("cell_rank") <= 2)
+        .select(F.col("id").alias(id_col), F.col("cent_id").alias("_cell"))
+    )
+    fb = fresh.join(home, id_col)
+    a = fb.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_cell"
+    )
+    b = fb.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_cell"
+    )
+    drops = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine("_va", "_vb"), 4) >= min_cos)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(F.broadcast(drops), id_col, "left_anti")
+
+
 def _semantic_dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -445,6 +504,7 @@ def _semantic_dedup_ingest_batch(
     n_probe: int = 2,
     quality_pred=None,
     metrics: SnapshotTable | None = None,
+    intra_batch: bool = False,
 ) -> None:
     """One micro-batch of the SEMANTIC dedup ingest loop — SemDeDup
     moved to ingest time, with the persisted IVF index as the dedup
@@ -467,9 +527,17 @@ def _semantic_dedup_ingest_batch(
     the already-ingested corpus, which would find every healed row
     "duplicated" and repair nothing.
 
-    Granularity: semantic near-dups WITHIN one micro-batch both land
-    (the probe sees only the standing index) — shrink the trigger
-    interval if intra-batch dups matter.
+    Granularity: by default semantic near-dups WITHIN one micro-batch
+    both land (the probe sees only the standing index). With
+    ``intra_batch=True`` a within-batch SemDeDup pass runs first:
+    arrivals are home-cell-assigned against the SAME frozen centroids
+    (first batch: against the batch's own ``n_cells`` lowest-id rows —
+    the set the bootstrap will freeze), and a row is dropped when any
+    LOWER-id same-cell batch row has cosine >= ``min_cos`` (greedy
+    min-id keeper; the pairwise join is cell-blocked and batch-sized —
+    never corpus work). Off by default: it adds one batch self-join
+    per micro-batch, and pipelines with upstream per-batch dedup
+    shouldn't pay it twice.
     """
     import os
 
@@ -518,6 +586,10 @@ def _semantic_dedup_ingest_batch(
                 .distinct()
             )
             fresh = fresh.join(F.broadcast(seen_ids), id_col, "left_anti")
+        if intra_batch:
+            fresh = _intra_batch_semantic_dedup(
+                fresh, centroids, n_cells, id_col, vec_col, min_cos
+            )
         if cells._versions():
             idx = IvfIndex(centroids, cells)
             hits = probe_ivf_index(
@@ -618,6 +690,7 @@ def semantic_dedup_ingest_stream(
     processing_time: str | None = None,
     quality_pred=None,
     metrics: SnapshotTable | None = None,
+    intra_batch: bool = False,
 ):
     """Streaming SEMANTIC dedup ingestion — the embedding-space
     counterpart of :func:`near_dedup_ingest_stream`: micro-batches of
@@ -636,6 +709,7 @@ def semantic_dedup_ingest_stream(
             batch_df, batch_id, table, centroids, cells, app_id,
             id_col, vec_col, min_cos,
             quality_pred=quality_pred, metrics=metrics,
+            intra_batch=intra_batch,
         )
 
     writer = (

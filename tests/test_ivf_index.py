@@ -86,3 +86,79 @@ def test_ivfpq_probe_ranks_by_adc_and_time_travels(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in probe_ivfpq(ivf, pq, queries, topk=3, version=1).collect()} == v1
     assert ivf.cells.last_committed_batch("t2") == 5
     assert pq.codes.last_committed_batch("t2") == 5
+
+
+def test_compaction_preserves_probe_results(spark, sf_dir, tmp_path):
+    """Index maintenance: after N appends the inverted file is N-file
+    fragmented; compact_ivf_index rewrites it into few files as a pure
+    metadata swap — probe results (current AND time-travel) must be
+    bit-identical before and after, and the txn bookkeeping survives."""
+    import os
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") % 4 == 3).filter(F.col("vec_id") < 40)
+
+    idx = build_ivf_index(spark, base, str(tmp_path / "ivf"), n_cells=16, n_assign=2)
+    for b in (1, 2, 3):
+        extend_ivf_index(
+            idx, emb.filter(F.col("vec_id") % 4 == b % 3 + 1),
+            txn={"app_id": "t", "batch_id": b},
+        )
+    before = _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2))
+    before_v2 = _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2, version=2))
+    n_files_before = len(idx.cells.snapshot().files)
+    assert n_files_before > 2, "appends should fragment the cells table"
+
+    compact_ivf_index(idx, target_files=1)
+
+    assert len(idx.cells.snapshot().files) <= 1
+    # same rows, same probes — current and historical
+    assert _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2)) == before
+    assert (
+        _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2, version=2))
+        == before_v2
+    )
+    # txn bookkeeping folds across the compact commit
+    assert idx.cells.last_committed_batch("t") == 3
+    # vacuum after compaction actually reclaims the fragment files
+    removed = idx.cells.vacuum(retain_last=1)
+    assert removed, "vacuum found nothing to collect after compaction"
+    assert _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2)) == before
+    assert all(os.path.exists(os.path.join(idx.cells.path, f))
+               for f in idx.cells.snapshot().files)
+
+
+def test_ivfpq_compaction_lockstep(spark, sf_dir, tmp_path):
+    """compact_ivfpq_index compacts cells AND codes; ADC probe results
+    are invariant and the two tables stay at the same version count so
+    lockstep time travel keeps working."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.ivf_index import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    queries = emb.filter(F.col("vec_id") % 4 == 3).filter(F.col("vec_id") < 40)
+
+    ivf, pq = build_ivfpq_index(spark, base, str(tmp_path / "ivfpq"), n_cells=16)
+    extend_ivfpq_index(ivf, pq, emb.filter(F.col("vec_id") % 4 == 2),
+                       txn={"app_id": "t", "batch_id": 1})
+    before = _rows(probe_ivfpq(ivf, pq, queries, topk=3, n_probe=2))
+    before_v1 = _rows(probe_ivfpq(ivf, pq, queries, topk=3, n_probe=2, version=1))
+
+    compact_ivfpq_index(ivf, pq, target_files=1)
+
+    assert _rows(probe_ivfpq(ivf, pq, queries, topk=3, n_probe=2)) == before
+    assert (
+        _rows(probe_ivfpq(ivf, pq, queries, topk=3, n_probe=2, version=1))
+        == before_v1
+    )
+    assert len(ivf.cells._versions()) == len(pq.codes._versions())

@@ -776,3 +776,65 @@ def test_semantic_dedup_ingest_heals_after_split_commit(spark, tmp_path):
     assert {r.cent_id for r in centroids.read().collect()} == {1, 2}
     # both rows stayed landed exactly once
     assert table.read().count() == 2
+
+
+def test_semantic_dedup_intra_batch(spark, tmp_path):
+    """intra_batch=True: two near-identical vectors arriving in ONE
+    micro-batch land exactly one (the min-id keeper) — including on the
+    cold-start batch, where the blocking cells come from the batch's
+    own lowest-id rows (the set the bootstrap then freezes); without
+    the flag both land (the documented default granularity)."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        _semantic_dedup_ingest_batch,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.999, 0.01, 0.0, 0.0]),   # ~= vec 1, same batch -> drop
+    ]
+    for flag, expect in ((False, [1, 2, 7]), (True, [1, 2])):
+        batch = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        table = SnapshotTable(spark, str(tmp_path / f"t_{flag}"))
+        centroids = SnapshotTable(spark, str(tmp_path / f"c_{flag}"))
+        cells = SnapshotTable(spark, str(tmp_path / f"x_{flag}"))
+        _semantic_dedup_ingest_batch(
+            batch, 0, table, centroids, cells, "intra", min_cos=0.9,
+            intra_batch=flag,
+        )
+        got = sorted(r.vec_id for r in table.read().collect())
+        assert got == expect, (flag, got)
+        idx_ids = {r.vec_id for r in cells.read().select("vec_id").collect()}
+        assert idx_ids == set(expect), (flag, idx_ids)
+
+    # second micro-batch: intra-batch near-dups still collapse AGAINST
+    # the standing frozen centroids, and the survivor must also clear
+    # the cross-batch index probe
+    table = SnapshotTable(spark, str(tmp_path / "t2"))
+    centroids = SnapshotTable(spark, str(tmp_path / "c2"))
+    cells = SnapshotTable(spark, str(tmp_path / "x2"))
+    b0 = spark.createDataFrame(
+        rows[:2], "vec_id long, embedding array<double>"
+    )
+    _semantic_dedup_ingest_batch(
+        b0, 0, table, centroids, cells, "intra", min_cos=0.9, intra_batch=True
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, [0.0, 0.0, 1.0, 0.0]),   # fresh -> lands
+            (11, [0.0, 0.01, 0.999, 0.0]),  # ~= 10, same batch -> drop
+            (12, [0.0, 0.998, 0.0, 0.02]),  # ~= indexed vec 2 -> drop
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    _semantic_dedup_ingest_batch(
+        b1, 1, table, centroids, cells, "intra", min_cos=0.9, intra_batch=True
+    )
+    got = sorted(r.vec_id for r in table.read().collect())
+    assert got == [1, 2, 10], got
+    assert {r.cent_id for r in centroids.read().collect()} == {1, 2}
