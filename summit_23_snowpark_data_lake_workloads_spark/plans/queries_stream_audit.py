@@ -183,6 +183,231 @@ def streaming_ingest_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: quality gate for the near-dup audit: every natural sf document is
+#: >= 47 chars, constructed junk rows and the shortest half-doc ghosts
+#: fall under — so the pre-dedup rejection path executes on real rows.
+_QUALITY_MIN_CHARS = 30
+
+
+def _neardup_audit_oracle() -> str:
+    """Full replay of the near-dup ingest lifecycle: arrivals
+    (originals by ``doc_id % 4`` with half-doc ghosts and junk rows),
+    the length quality gate, within-batch exact dedup (min-id per
+    text), the banded-MinHash probe against signatures of all EARLIER
+    landings (est jaccard >= 0.5 drops — the half-doc ghosts straddle
+    that line), cumulative per-version aggregates, and the per-batch
+    metrics rows."""
+    # queries_index._SIG_CTE signs the raw documents table; signatures
+    # here must cover CONSTRUCTED texts too, so the same portable-hash
+    # chain is rebuilt over the arrival CTE.
+    from .queries_ml import _DUCK_HASH
+
+    head = f"""
+WITH arr AS (
+    SELECT doc_id AS aid, text, n_chars,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 0
+                WHEN doc_id % 4 = 2 THEN 1 ELSE 2 END AS b
+    FROM documents
+    UNION ALL  -- half-doc ghosts of batch-0 docs, arriving in batch 1
+    SELECT doc_id + 200000, substr(text, 1, (n_chars // 2)::INT),
+           n_chars // 2, 1
+    FROM documents WHERE doc_id % 4 = 0 AND doc_id % 11 = 0
+    UNION ALL  -- junk rows failing the quality gate, batch 1
+    SELECT doc_id + 300000, 'junk ' || doc_id, 10, 1
+    FROM documents WHERE doc_id % 4 = 0 AND doc_id % 13 = 0
+    UNION ALL  -- half-doc ghosts of batch-1 docs, arriving in batch 2
+    SELECT doc_id + 400000, substr(text, 1, (n_chars // 2)::INT),
+           n_chars // 2, 2
+    FROM documents WHERE doc_id % 4 = 2 AND doc_id % 11 = 0
+),
+ok AS (SELECT * FROM arr WHERE length(text) >= {_QUALITY_MIN_CHARS}),
+fresh AS (  -- within-batch exact tier: min-id survivor per text
+    SELECT * FROM (
+        SELECT aid, text, n_chars, b,
+               row_number() OVER (PARTITION BY b, text ORDER BY aid) AS rk
+        FROM ok
+    ) WHERE rk = 1
+),
+sh AS (
+    SELECT aid, b,
+           unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)])) AS shingle
+    FROM (SELECT aid, b, string_split(text, ' ') AS w FROM fresh)
+),
+sig AS (
+    SELECT aid, b, seed,
+           min(((seed * 2 + 3) * ({_DUCK_HASH.format(x="shingle")} % 2147483648)
+                + seed * 12582917) % 2305843009213693951) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+    GROUP BY aid, b, seed
+),
+band AS (
+    SELECT aid, b, seed // 3 AS band,
+           string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS bsig
+    FROM sig GROUP BY aid, b, seed // 3
+),
+est AS (  -- signature-agreement estimate for every band-colliding pair
+    SELECT cp.qaid, cp.qb, cp.hb, cp.haid,
+           sum((sq.minhash = sh2.minhash)::INT) / 12.0 AS est_j
+    FROM (
+        SELECT DISTINCT q.aid AS qaid, q.b AS qb, h.aid AS haid, h.b AS hb
+        FROM band q JOIN band h ON q.band = h.band AND q.bsig = h.bsig
+        WHERE q.b > h.b
+    ) cp
+    JOIN sig sq ON sq.aid = cp.qaid AND sq.b = cp.qb
+    JOIN sig sh2 ON sh2.aid = cp.haid AND sh2.b = cp.hb
+                AND sh2.seed = sq.seed
+    GROUP BY cp.qaid, cp.qb, cp.haid, cp.hb
+),
+-- unrolled landing rounds: batch 0 all lands; later batches drop on a
+-- >= 0.5 estimate against any EARLIER-LANDED doc
+land0 AS (SELECT aid, b FROM fresh WHERE b = 0),
+land1 AS (
+    SELECT aid, b FROM fresh WHERE b = 1 AND aid NOT IN (
+        SELECT e1.qaid FROM est e1 JOIN land0 l ON l.aid = e1.haid AND l.b = e1.hb
+        WHERE e1.qb = 1 AND round(e1.est_j, 6) >= 0.5
+    )
+),
+lset1 AS (SELECT * FROM land0 UNION ALL SELECT * FROM land1),
+land2 AS (
+    SELECT aid, b FROM fresh WHERE b = 2 AND aid NOT IN (
+        SELECT e2.qaid FROM est e2 JOIN lset1 l ON l.aid = e2.haid AND l.b = e2.hb
+        WHERE e2.qb = 2 AND round(e2.est_j, 6) >= 0.5
+    )
+),
+landed AS (
+    SELECT f.aid, f.n_chars, l.lb
+    FROM (
+        SELECT aid, b, 0 AS lb FROM land0
+        UNION ALL SELECT aid, b, 1 FROM land1
+        UNION ALL SELECT aid, b, 2 FROM land2
+    ) l JOIN fresh f ON f.aid = l.aid AND f.b = l.b
+)"""
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(f"""
+    SELECT 'docs' AS side, {v} AS version, {v - 1} AS batch_id,
+           count(*)::BIGINT AS a, sum(aid)::BIGINT AS b,
+           sum(n_chars)::BIGINT AS c, 0::BIGINT AS d
+    FROM landed WHERE lb < {v}""")
+        parts.append(f"""
+    SELECT 'metrics' AS side, 0 AS version, {v - 1} AS batch_id,
+           (SELECT count(*) FROM arr WHERE b = {v - 1})::BIGINT AS a,
+           (SELECT count(*) FROM arr
+            WHERE b = {v - 1} AND length(text) < {_QUALITY_MIN_CHARS})::BIGINT AS b,
+           ((SELECT count(*) FROM ok WHERE b = {v - 1})
+            - (SELECT count(*) FROM landed WHERE lb = {v - 1}))::BIGINT AS c,
+           (SELECT count(*) FROM landed WHERE lb = {v - 1})::BIGINT AS d""")
+    return head + " UNION ALL ".join(parts)
+
+
+@query("streaming_ingest_neardup_audit", oracle=_neardup_audit_oracle())
+def streaming_ingest_neardup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NEAR-dup streaming ingest sink under the driver gate — the
+    third of the ingest-tier audits (exact / near / semantic): a real
+    ``availableNow`` run of :func:`..streaming.lakehouse_sink.
+    near_dedup_ingest_stream` with the quality gate and the metrics
+    table BOTH enabled. Arrivals: originals split 0/1 -> batch 0,
+    2 -> batch 1, 3 -> batch 2; HALF-DOC ghosts (first n_chars/2 chars
+    of an earlier-landed doc, new id) whose banded-MinHash estimate
+    against the index straddles the 0.5 threshold — some drop, some
+    land, and the oracle re-derives every signature to agree row for
+    row; junk rows that must die at the quality gate BEFORE touching
+    dedup; and batch-2 ghosts derived from BATCH-1 docs, which can only
+    drop if the index was actually extended by batch 1's landing (the
+    two-table lockstep under one txn). Emits per-version corpus
+    aggregates plus the per-batch metrics rows
+    (arrived / quality_rejected / dedup_dropped / landed), all
+    recomputed independently by the oracle.
+
+    Scale: the probe is batch-sized banded signatures broadcast into
+    the index scan — corpus text is never re-read; metrics cost two
+    batch-sized counts per micro-batch.
+    """
+    from ..sources.lakehouse import SnapshotTable
+    from ..streaming.lakehouse_sink import near_dedup_ingest_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    res = F.col("doc_id") % 4
+    half = F.expr("substring(text, 1, cast(n_chars div 2 as int))")
+
+    def ghosts(src_res: int, id_shift: int):
+        return (
+            docs.filter((res == src_res) & (F.col("doc_id") % 11 == 0))
+            .select(
+                (F.col("doc_id") + id_shift).alias("doc_id"),
+                half.alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") / 2).cast("long").alias("n_chars"),
+            )
+        )
+
+    junk = docs.filter((res == 0) & (F.col("doc_id") % 13 == 0)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("junk "), F.col("doc_id")).alias("text"),
+        "lang",
+        "source",
+        F.lit(10).cast("long").alias("n_chars"),
+    )
+    batches = [
+        docs.filter(res.isin(0, 1)),
+        docs.filter(res == 2).unionByName(ghosts(0, 200000)).unionByName(junk),
+        docs.filter(res == 3).unionByName(ghosts(2, 400000)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_near_audit_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        _write_batch_files(batches, src)
+        table = SnapshotTable(spark, os.path.join(tmp, "corpus"))
+        index = SnapshotTable(spark, os.path.join(tmp, "index"))
+        metrics = SnapshotTable(spark, os.path.join(tmp, "metrics"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        _drain(
+            near_dedup_ingest_stream(
+                stream, table, index, "gate_audit", os.path.join(tmp, "ckpt"),
+                quality_pred=F.length("text") >= _QUALITY_MIN_CHARS,
+                metrics=metrics,
+            )
+        )
+        out = None
+        for snap in table.history():
+            r = table.read(version=snap.version).agg(
+                F.count(F.lit(1)).alias("a"),
+                F.sum("doc_id").alias("b"),
+                F.sum("n_chars").alias("c"),
+            ).select(
+                F.lit("docs").alias("side"),
+                F.lit(snap.version).alias("version"),
+                F.lit(snap.txn["batch_id"]).alias("batch_id"),
+                "a",
+                "b",
+                "c",
+                F.lit(0).cast("long").alias("d"),
+            )
+            out = r if out is None else out.unionByName(r)
+        mrows = metrics.read().select(
+            F.lit("metrics").alias("side"),
+            F.lit(0).alias("version"),
+            F.col("batch_id").cast("int").alias("batch_id"),
+            F.col("n_arrived").alias("a"),
+            F.col("n_quality_rejected").alias("b"),
+            F.col("n_dedup_dropped").alias("c"),
+            F.col("n_landed").alias("d"),
+        )
+        out = out.unionByName(mrows)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _semantic_audit_oracle() -> str:
     """Full replay of the semantic ingest lifecycle from raw parquet:
     arrival construction (originals by ``vec_id % 3``, re-id'd copies,
