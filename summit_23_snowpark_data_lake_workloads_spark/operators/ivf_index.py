@@ -110,6 +110,45 @@ def extend_ivf_index(
     return index.cells.append(rows, txn=txn)
 
 
+def rebuild_ivf_index(
+    index: IvfIndex,
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[Snapshot, Snapshot]:
+    """Retrain = rebuild, in place: when :func:`..plans.queries_index.
+    ivf_cell_drift_profile`'s signal fires (high ``appended_frac`` with
+    skewing ``load_ratio``), re-derive centroids from the CURRENT
+    corpus and overwrite both tables as new versions — one corpus pass
+    for training + one for assignment, the same cost the original
+    build paid. Old versions stay readable: a probe that time-travels
+    ``cells`` across the rebuild boundary must pass the matching
+    ``centroid_version`` (pre-rebuild assignments rank against
+    pre-rebuild centroids; mixing generations silently mis-probes,
+    which is why the probe takes the two versions separately).
+    """
+    cents = (
+        kmeans_centroids(vectors, n_cells, train_iters, id_col, vec_col)
+        if train_iters > 0
+        else _seed_centroids(vectors, n_cells, id_col, vec_col)
+    )
+    s1 = index.centroids.overwrite(cents)
+    rows = (
+        ivf_assign(vectors, 0, id_col, vec_col, centroids=cents)
+        .filter(F.col("cell_rank") <= n_assign)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cent_id").alias("cell"),
+            "cell_rank",
+        )
+    )
+    s2 = index.cells.overwrite(rows)
+    return s1, s2
+
+
 def compact_ivf_index(index: IvfIndex, target_files: int = 8) -> Snapshot:
     """Index maintenance: every :func:`extend_ivf_index` append adds a
     small file to the cells table, so after N micro-batches the
@@ -258,6 +297,7 @@ def probe_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    centroid_version: int | None = None,
 ) -> DataFrame:
     """Cell-probed top-k of every query vector against the INDEXED
     corpus: (query_id, neighbor_id, cos_sim, rk). Only the queries are
@@ -265,8 +305,11 @@ def probe_ivf_index(
     corpus side is the 3-int-column inverted-file scan, and full
     candidate vectors are fetched from ``vectors`` (the vector storage
     table) by id only AFTER cell pruning. ``version`` probes a
-    historical index snapshot (time travel)."""
-    cents = index.centroids.read()
+    historical inverted-file snapshot (time travel); when that snapshot
+    predates a :func:`rebuild_ivf_index`, pass the matching
+    ``centroid_version`` — cell ids are only meaningful against the
+    centroid generation that assigned them."""
+    cents = index.centroids.read(version=centroid_version)
     probes = (
         ivf_assign(queries, 0, id_col, vec_col, centroids=cents)
         .filter(F.col("cell_rank") <= n_probe)

@@ -364,6 +364,63 @@ def ivf_index_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("ivf_index_compaction_audit", oracle=_ivf_probe_oracle())
+def ivf_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction invisibility under the hash gate: the exact
+    ``ivf_index_probe_audit`` lifecycle with a ``compact_ivf_index``
+    between the append and the probes — version 1 is still the
+    time-travel read of the pre-append index, and the LATEST
+    (post-compaction) inverted file must rank identically to the
+    pre-compaction one, so the oracle is byte-for-byte the probe
+    audit's oracle. A compaction that drops, duplicates, or reorders
+    rows in a way the probe can see hash-mismatches here.
+
+    Scale: compaction is the maintenance pass a micro-batch-append
+    index needs (N appends = N-file fragmentation = N footer reads per
+    probe); invisibility is the property that makes it safe to run on
+    a live index.
+    """
+    from ..operators.ivf_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        extend_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    second = emb.filter(F.col("vec_id") % 4 == 2)
+    queries_df = emb.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") < 80)
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_compact_audit_")
+    try:
+        idx = build_ivf_index(
+            spark, base, tmp, n_cells=16, n_assign=2, train_iters=0
+        )
+        extend_ivf_index(
+            idx, second, n_assign=2, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        compact_ivf_index(idx, target_files=1)
+        out = None
+        # label 1 = time travel past BOTH the compact and the append;
+        # label 2 = the live post-compaction index (version=None)
+        for label, v in ((1, 1), (2, None)):
+            r = probe_ivf_index(
+                idx, emb, queries_df, k=5, n_probe=2, version=v
+            ).select(
+                F.lit(label).alias("idx_version"),
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                "rk",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ivf_drift_oracle() -> str:
     """Per-cell base vs appended membership of the extended index,
     recomputed from raw embeddings with the same frozen-seed-centroid

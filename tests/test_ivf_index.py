@@ -162,3 +162,45 @@ def test_ivfpq_compaction_lockstep(spark, sf_dir, tmp_path):
         == before_v1
     )
     assert len(ivf.cells._versions()) == len(pq.codes._versions())
+
+
+def test_rebuild_after_drift(spark, sf_dir, tmp_path):
+    """rebuild_ivf_index: retrain-as-rebuild over the current corpus —
+    the rebuilt index must probe exactly like a FRESH build over the
+    same corpus, and pre-rebuild snapshots must still probe correctly
+    when paired with their own centroid generation."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.ivf_index import (
+        rebuild_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 1)
+    corpus = emb.filter(F.col("vec_id") % 3 < 2)
+    queries = emb.filter(F.col("vec_id") % 3 == 2).filter(F.col("vec_id") < 60)
+
+    idx = build_ivf_index(spark, base, str(tmp_path / "ivf"), n_cells=16, n_assign=2)
+    extend_ivf_index(idx, batch, txn={"app_id": "t", "batch_id": 1})
+    pre = _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2))
+
+    rebuild_ivf_index(idx, corpus, n_cells=16, n_assign=2)
+
+    # rebuilt == fresh build over the same corpus (seed centroids are
+    # now the corpus' lowest ids, not the base's — a real retrain)
+    fresh = build_ivf_index(
+        spark, corpus, str(tmp_path / "fresh"), n_cells=16, n_assign=2
+    )
+    got = _rows(probe_ivf_index(idx, emb, queries, k=3, n_probe=2))
+    assert got == _rows(probe_ivf_index(fresh, emb, queries, k=3, n_probe=2))
+    assert got != pre, "rebuild with a different centroid set must re-rank"
+
+    # pre-rebuild snapshot + matching centroid generation reproduces
+    # the pre-rebuild probe exactly
+    assert (
+        _rows(
+            probe_ivf_index(
+                idx, emb, queries, k=3, n_probe=2, version=2, centroid_version=1
+            )
+        )
+        == pre
+    )
