@@ -408,6 +408,129 @@ def streaming_ingest_neardup_audit(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _cdc_merge_oracle() -> str:
+    """Last-write-wins state per version of the CDC-merged table:
+    version 1 = the created base; each later version applies its
+    batch's upserts (matched keys replaced whole-row, new keys
+    inserted). Updates are constructed from the raw table, so the
+    oracle states each version as CASE expressions over it."""
+    money = "round(sum(CAST({x} AS DECIMAL(18,4))), 2)::DOUBLE"
+    versions = [
+        (1, -1, "c_custkey % 3 = 0", "c_acctbal"),
+        (
+            2,
+            0,
+            "c_custkey % 3 IN (0, 1)",
+            """CASE WHEN c_custkey % 3 = 0 AND c_custkey % 7 = 0
+                    THEN c_acctbal + 1000 ELSE c_acctbal END""",
+        ),
+        (
+            3,
+            1,
+            "TRUE",
+            """CASE WHEN c_custkey % 3 = 0 AND c_custkey % 14 = 0
+                    THEN c_acctbal + 3000
+                    WHEN c_custkey % 3 = 0 AND c_custkey % 7 = 0
+                    THEN c_acctbal + 1000
+                    WHEN c_custkey % 3 = 1 AND c_custkey % 7 = 0
+                    THEN c_acctbal + 2000
+                    ELSE c_acctbal END""",
+        ),
+    ]
+    parts = [
+        f"""
+    SELECT {v} AS version, {b} AS batch_id,
+           count(*)::BIGINT AS n_rows,
+           sum(c_custkey)::BIGINT AS sum_key,
+           {money.format(x=bal)} AS sum_acctbal
+    FROM customer WHERE {pred}"""
+        for v, b, pred, bal in versions
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("streaming_cdc_merge_audit", oracle=_cdc_merge_oracle())
+def streaming_cdc_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC upsert sink under the driver gate — the fourth streaming
+    sink audit (append / exact / near / semantic dedup are gated; this
+    gates :func:`..streaming.lakehouse_sink.
+    merge_stream_into_snapshot_table`): create the customer table from
+    ``c_custkey % 3 = 0``, then stream two upsert micro-batches through
+    the real sink — batch 0 inserts the ``% 3 = 1`` keys and updates
+    every ``% 3 = 0 AND % 7 = 0`` row (+1000 acctbal), batch 1 inserts
+    ``% 3 = 2``, updates ``% 3 = 1 AND % 7 = 0`` (+2000), and
+    RE-updates ``% 3 = 0 AND % 14 = 0`` (+3000 over the ORIGINAL —
+    overwriting batch 0's earlier update, the last-write-wins contract).
+    One row per version from time-travel reads; the oracle states each
+    version as CASE expressions over the raw table, with the
+    decimal-exact money sum, so matched-key replacement, whole-row
+    overwrite (not column patch), insert-vs-update routing, and version
+    lineage all gate on exact values.
+
+    Scale: MERGE rewrites only files containing matched keys
+    (file-granular COW); per-batch cost is batch-sized against the
+    bloom/stats-pruned scan, the Delta CDC-apply shape.
+    """
+    from ..sources.lakehouse import SnapshotTable
+    from ..streaming.lakehouse_sink import merge_stream_into_snapshot_table
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+
+    def bump(df: DataFrame, amount: float) -> DataFrame:
+        return df.withColumn("c_acctbal", F.col("c_acctbal") + amount)
+
+    batches = [
+        cust.filter(k % 3 == 1).unionByName(
+            bump(cust.filter((k % 3 == 0) & (k % 7 == 0)), 1000)
+        ),
+        cust.filter(k % 3 == 2)
+        .unionByName(bump(cust.filter((k % 3 == 1) & (k % 7 == 0)), 2000))
+        .unionByName(bump(cust.filter((k % 3 == 0) & (k % 14 == 0)), 3000)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_audit_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        _write_batch_files(batches, src)
+        table = SnapshotTable(spark, os.path.join(tmp, "customers"))
+        table.create(cust.filter(k % 3 == 0))
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        _drain(
+            merge_stream_into_snapshot_table(
+                stream, table, ["c_custkey"], "gate_audit",
+                os.path.join(tmp, "ckpt"),
+            )
+        )
+        from .queries import _money_sum
+
+        out = None
+        for snap in table.history():
+            r = table.read(version=snap.version).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("sum_key"),
+                _money_sum(F.col("c_acctbal")).alias("sum_acctbal"),
+            ).select(
+                F.lit(snap.version).alias("version"),
+                F.lit(
+                    snap.txn["batch_id"] if snap.txn else -1
+                ).alias("batch_id"),
+                "n_rows",
+                "sum_key",
+                "sum_acctbal",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _semantic_audit_oracle() -> str:
     """Full replay of the semantic ingest lifecycle from raw parquet:
     arrival construction (originals by ``vec_id % 3``, re-id'd copies,
