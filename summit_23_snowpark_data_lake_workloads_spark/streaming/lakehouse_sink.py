@@ -94,6 +94,29 @@ def merge_stream_into_snapshot_table(
     return writer.start()
 
 
+def _maybe_compact(
+    tables: list[SnapshotTable],
+    batch_id: int,
+    compact_every: int | None,
+    target_files: int = 8,
+) -> None:
+    """Periodic small-file maintenance for micro-batch-append sinks:
+    every ``compact_every``-th batch, rewrite each table whose live
+    file count exceeds ``target_files`` (the OPTIMIZE cadence — N
+    appends = N-file fragmentation = N footer reads per later scan).
+    Runs AFTER the batch's txn commits, so a crash mid-compaction
+    loses only the maintenance (the replay skips the already-durable
+    batch and the next trigger compacts a bit more); compaction
+    commits carry no txn stamp and are invisible to readers (pinned by
+    the compaction-invariance tests and the hash-gated
+    ``ivf_index_compaction_audit``)."""
+    if compact_every is None or (batch_id + 1) % compact_every != 0:
+        return
+    for t in tables:
+        if t._versions() and len(t.snapshot().files) > target_files:
+            t.compact(target_files)
+
+
 def _rows_in_files(table: SnapshotTable, files: list[str]) -> int:
     """Total row count of already-written parquet files, from footers
     only (driver-local metadata read, no Spark job)."""
@@ -170,6 +193,7 @@ def dedup_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     processing_time: str | None = None,
+    compact_every: int | None = None,
 ):
     """The production corpus-ingestion loop: each micro-batch of
     documents exact-dedups against the standing corpus BEFORE landing —
@@ -200,6 +224,7 @@ def dedup_ingest_stream(
         _dedup_ingest_batch(
             batch_df, batch_id, table, app_id, id_col, text_col
         )
+        _maybe_compact([table], batch_id, compact_every)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)
@@ -396,6 +421,7 @@ def near_dedup_ingest_stream(
     processing_time: str | None = None,
     quality_pred=None,
     metrics: SnapshotTable | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-dup corpus ingestion: the exact-dedup sink's
     shape (:func:`dedup_ingest_stream`), with the persisted MinHash
@@ -417,6 +443,7 @@ def near_dedup_ingest_stream(
             batch_df, batch_id, table, index, app_id, id_col, text_col,
             min_est_jaccard, quality_pred=quality_pred, metrics=metrics,
         )
+        _maybe_compact([table, index], batch_id, compact_every)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)
@@ -691,6 +718,7 @@ def semantic_dedup_ingest_stream(
     quality_pred=None,
     metrics: SnapshotTable | None = None,
     intra_batch: bool = False,
+    compact_every: int | None = None,
 ):
     """Streaming SEMANTIC dedup ingestion — the embedding-space
     counterpart of :func:`near_dedup_ingest_stream`: micro-batches of
@@ -711,6 +739,7 @@ def semantic_dedup_ingest_stream(
             quality_pred=quality_pred, metrics=metrics,
             intra_batch=intra_batch,
         )
+        _maybe_compact([table, cells], batch_id, compact_every)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)
