@@ -78,6 +78,31 @@ def _drain(query_handle) -> None:
     query_handle.awaitTermination(600)
 
 
+class _small_shuffle:
+    """Temporarily lower ``spark.sql.shuffle.partitions`` for the audit
+    stream's lifetime. AQE partition coalescing is DISABLED inside
+    Structured Streaming, so every shuffle in a foreachBatch plan runs
+    at the session's full width — 32 near-empty tasks per stage for
+    micro-batches of a few hundred rows, and the audits are pure stage-
+    scheduling overhead (measured: the near-dup audit 54s -> ~30s at
+    8 partitions, bit-identical results — all shuffles here are
+    hash-partitioned aggregates/joins whose output is partition-count
+    independent). Restores the previous value even on failure; the
+    driver runs gate queries sequentially, so the temporary session
+    tweak cannot leak into a concurrently-planned query."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _exact_audit_oracle() -> str:
     """Landed set = first (batch, doc_id) occurrence per text across
     the arrival sequence — exactly the sink's rule (within-batch min-id
@@ -154,16 +179,17 @@ def streaming_ingest_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src)
         _write_batch_files(batches, src)
         table = SnapshotTable(spark, os.path.join(tmp, "corpus"))
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        _drain(
-            dedup_ingest_stream(
-                stream, table, "gate_audit", os.path.join(tmp, "ckpt")
+        with _small_shuffle(spark):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
             )
-        )
+            _drain(
+                dedup_ingest_stream(
+                    stream, table, "gate_audit", os.path.join(tmp, "ckpt")
+                )
+            )
         out = None
         for snap in table.history():
             r = table.read(version=snap.version).agg(
@@ -365,18 +391,20 @@ def streaming_ingest_neardup_audit(
         table = SnapshotTable(spark, os.path.join(tmp, "corpus"))
         index = SnapshotTable(spark, os.path.join(tmp, "index"))
         metrics = SnapshotTable(spark, os.path.join(tmp, "metrics"))
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        _drain(
-            near_dedup_ingest_stream(
-                stream, table, index, "gate_audit", os.path.join(tmp, "ckpt"),
-                quality_pred=F.length("text") >= _QUALITY_MIN_CHARS,
-                metrics=metrics,
+        with _small_shuffle(spark):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
             )
-        )
+            _drain(
+                near_dedup_ingest_stream(
+                    stream, table, index, "gate_audit",
+                    os.path.join(tmp, "ckpt"),
+                    quality_pred=F.length("text") >= _QUALITY_MIN_CHARS,
+                    metrics=metrics,
+                )
+            )
         out = None
         for snap in table.history():
             r = table.read(version=snap.version).agg(
@@ -497,17 +525,18 @@ def streaming_cdc_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_batch_files(batches, src)
         table = SnapshotTable(spark, os.path.join(tmp, "customers"))
         table.create(cust.filter(k % 3 == 0))
-        stream = (
-            spark.readStream.schema(batches[0].schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        _drain(
-            merge_stream_into_snapshot_table(
-                stream, table, ["c_custkey"], "gate_audit",
-                os.path.join(tmp, "ckpt"),
+        with _small_shuffle(spark):
+            stream = (
+                spark.readStream.schema(batches[0].schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
             )
-        )
+            _drain(
+                merge_stream_into_snapshot_table(
+                    stream, table, ["c_custkey"], "gate_audit",
+                    os.path.join(tmp, "ckpt"),
+                )
+            )
         from .queries import _money_sum
 
         out = None
@@ -720,17 +749,18 @@ def streaming_ingest_semantic_audit(
         table = SnapshotTable(spark, os.path.join(tmp, "vectors"))
         centroids = SnapshotTable(spark, os.path.join(tmp, "centroids"))
         cells = SnapshotTable(spark, os.path.join(tmp, "cells"))
-        stream = (
-            spark.readStream.schema(b0.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        _drain(
-            semantic_dedup_ingest_stream(
-                stream, table, centroids, cells, "gate_audit",
-                os.path.join(tmp, "ckpt"), min_cos=_SEM_TAU,
+        with _small_shuffle(spark):
+            stream = (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
             )
-        )
+            _drain(
+                semantic_dedup_ingest_stream(
+                    stream, table, centroids, cells, "gate_audit",
+                    os.path.join(tmp, "ckpt"), min_cos=_SEM_TAU,
+                )
+            )
         out = None
         for snap in table.history():
             r = table.read(version=snap.version).agg(
