@@ -60,6 +60,14 @@ _DATA_DIR = "data"
 _CHECKPOINT_EVERY = 8
 
 
+class SchemaMismatchError(ValueError):
+    """An incoming write's schema conflicts with the table's: a shared
+    column changed type (never allowed — the files become unreadable
+    together), or the write introduces new columns without
+    ``schema_evolution=True`` (the Delta default: evolution is an
+    explicit opt-in, not something a typo'd column name triggers)."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed since this operation read the table, and
     the operation does not commute (Delta's conflict rule: appends
@@ -508,6 +516,45 @@ class SnapshotTable:
     def history(self) -> list[Snapshot]:
         return [self._load(v) for v in self._versions()]
 
+    def table_schema(self, version: int | None = None):
+        """The table's (merged) Spark schema at a version — footer-only
+        work, no data scan. After an evolved append, the merged schema
+        includes the new columns; a time-travel read of an older
+        version sees the pre-evolution schema.
+
+        Derived from the live files' footers (correct under every
+        operation incl. rollback, which can REVERT an evolution), and
+        bounded by compaction's file-count ceiling. At 10^6-file scale
+        the production move is Delta's: record the schema in each
+        schema-changing manifest — that lands in the same seam as the
+        partition-sharded checkpoints (ROADMAP)."""
+        return self.read(version).schema
+
+    def _validate_write_schema(self, df: DataFrame, schema_evolution: bool) -> None:
+        """Delta-style write-side enforcement: shared columns must keep
+        their exact type (a type flip makes old and new files
+        unreadable together); NEW columns require the explicit
+        ``schema_evolution=True`` opt-in (old rows surface NULLs via the
+        read path's ``mergeSchema``); a write MISSING table columns is
+        always fine (its rows read as NULLs there — the Delta
+        missing-column contract)."""
+        current = {f.name: f.dataType for f in self.table_schema().fields}
+        flipped = [
+            (f.name, str(current[f.name]), str(f.dataType))
+            for f in df.schema.fields
+            if f.name in current and f.dataType != current[f.name]
+        ]
+        if flipped:
+            raise SchemaMismatchError(
+                f"column type change(s) not allowed: {flipped}"
+            )
+        new_cols = [f.name for f in df.schema.fields if f.name not in current]
+        if new_cols and not schema_evolution:
+            raise SchemaMismatchError(
+                f"write adds new column(s) {new_cols}; pass "
+                "schema_evolution=True to evolve the table schema"
+            )
+
     # ------------------------------------------------------------ writes
 
     def create(self, df: DataFrame) -> Snapshot:
@@ -515,8 +562,14 @@ class SnapshotTable:
             raise FileExistsError(f"table already exists at {self.path}")
         return self._commit("create", 0, self._write_batch(df), replace_all=True)
 
-    def append(self, df: DataFrame, txn: dict | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        txn: dict | None = None,
+        schema_evolution: bool = False,
+    ) -> Snapshot:
         prev = self.snapshot()
+        self._validate_write_schema(df, schema_evolution)
         # pure addition commutes: a racing append rebases onto the new HEAD
         return self._commit("append", prev.version, self._write_batch(df), txn=txn)
 
@@ -576,12 +629,20 @@ class SnapshotTable:
         return self._commit("delete", prev.version, new_files, remove=touched_rel)
 
     def merge(
-        self, source: DataFrame, key_cols: list[str], txn: dict | None = None
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        txn: dict | None = None,
+        schema_evolution: bool = False,
     ) -> Snapshot:
         """Row-level MERGE (upsert-by-key): matched target rows are
         replaced by their source row, unmatched survive, new keys
-        insert. Only files holding matched keys are rewritten."""
+        insert. Only files holding matched keys are rewritten. A source
+        with NEW columns needs ``schema_evolution=True`` (rewritten
+        survivors carry NULLs there; untouched files surface NULLs via
+        the read path's ``mergeSchema``)."""
         prev = self.snapshot()
+        self._validate_write_schema(source, schema_evolution)
         cur = self.read()
         keys = source.select(*key_cols)
         touched_abs = self._touched_files(

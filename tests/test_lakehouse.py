@@ -165,10 +165,12 @@ def test_conflicting_commit_on_stale_base_raises(spark, table):
 
 
 def test_schema_evolution_append_new_column(spark, table):
+    # r8: evolution is an explicit opt-in (Delta's write-side contract)
     table.append(
         spark.range(200, 210).select(
             "id", (F.col("id") % 5).alias("grp"), F.lit("en").alias("lang")
-        )
+        ),
+        schema_evolution=True,
     )
     got = table.read()
     assert "lang" in got.columns
@@ -598,3 +600,113 @@ def test_delta_manifest_delete_and_vacuum_boundary(spark, tmp_path):
     # both retained versions still read correctly
     assert t.read(version=kept[0]).count() > 0
     assert t.read(version=kept[1]).filter("k < 5").count() == 0
+
+
+class TestSchemaEvolution:
+    """Delta-style write-side schema enforcement + opt-in evolution."""
+
+    def _base(self, spark, tmp_path, name):
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SnapshotTable,
+        )
+
+        t = SnapshotTable(spark, str(tmp_path / name))
+        t.create(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, name string"
+            )
+        )
+        return t
+
+    def test_new_column_rejected_by_default(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SchemaMismatchError,
+        )
+
+        t = self._base(spark, tmp_path, "t1")
+        evolved = spark.createDataFrame(
+            [(3, "c", 9.5)], "id long, name string, score double"
+        )
+        with _pytest.raises(SchemaMismatchError, match="score"):
+            t.append(evolved)
+        assert len(t._versions()) == 1  # nothing committed
+
+    def test_opt_in_evolution_nulls_old_rows_and_time_travels(
+        self, spark, tmp_path
+    ):
+        t = self._base(spark, tmp_path, "t2")
+        t.append(
+            spark.createDataFrame(
+                [(3, "c", 9.5)], "id long, name string, score double"
+            ),
+            schema_evolution=True,
+        )
+        rows = {r.id: r.score for r in t.read().collect()}
+        assert rows == {1: None, 2: None, 3: 9.5}
+        assert "score" in t.table_schema().fieldNames()
+        # pre-evolution version keeps the old schema
+        assert "score" not in t.table_schema(version=1).fieldNames()
+
+    def test_type_flip_always_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SchemaMismatchError,
+        )
+
+        t = self._base(spark, tmp_path, "t3")
+        flipped = spark.createDataFrame([("x", "c")], "id string, name string")
+        with _pytest.raises(SchemaMismatchError, match="type change"):
+            t.append(flipped, schema_evolution=True)
+
+    def test_missing_column_append_reads_as_null(self, spark, tmp_path):
+        t = self._base(spark, tmp_path, "t4")
+        t.append(spark.createDataFrame([(9,)], "id long"))
+        rows = {r.id: r.name for r in t.read().collect()}
+        assert rows == {1: "a", 2: "b", 9: None}
+
+    def test_merge_evolution(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SchemaMismatchError,
+        )
+
+        t = self._base(spark, tmp_path, "t5")
+        src = spark.createDataFrame(
+            [(2, "B", 1.5), (4, "d", 2.5)],
+            "id long, name string, score double",
+        )
+        with _pytest.raises(SchemaMismatchError):
+            t.merge(src, ["id"])
+        t.merge(src, ["id"], schema_evolution=True)
+        rows = {r.id: (r.name, r.score) for r in t.read().collect()}
+        assert rows == {
+            1: ("a", None),
+            2: ("B", 1.5),
+            4: ("d", 2.5),
+        }
+
+    def test_rollback_reverts_evolution(self, spark, tmp_path):
+        t = self._base(spark, tmp_path, "t6")
+        t.append(
+            spark.createDataFrame([(3, "c", 9.5)],
+                                  "id long, name string, score double"),
+            schema_evolution=True,
+        )
+        t.rollback(1)
+        assert "score" not in t.table_schema().fieldNames()
+        # and enforcement follows the ROLLED-BACK schema: score is new again
+        import pytest as _pytest
+
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SchemaMismatchError,
+        )
+
+        with _pytest.raises(SchemaMismatchError):
+            t.append(
+                spark.createDataFrame([(5, "e", 1.0)],
+                                      "id long, name string, score double")
+            )
