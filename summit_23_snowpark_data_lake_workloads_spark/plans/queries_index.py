@@ -708,6 +708,84 @@ def bpe_artifact_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _schema_evolution_oracle() -> str:
+    """Per-version facts of the evolved table: row counts, the evolved
+    column's NULL count (old rows must surface NULL after evolution,
+    and the pre-evolution version must not have the column at all —
+    encoded as n_nulls = -1), and a decimal-exact sum over the evolved
+    column's populated rows."""
+    return """
+    SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+           (-1)::BIGINT AS n_null_extra, 0::BIGINT AS sum_extra
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 2, count(*)::BIGINT,
+           (count(*) FILTER (doc_id % 2 = 0))::BIGINT,
+           (sum(n_chars) FILTER (doc_id % 2 = 1))::BIGINT
+    FROM documents
+    """
+
+
+@query("lakehouse_schema_evolution_audit", oracle=_schema_evolution_oracle())
+def lakehouse_schema_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution under the driver gate: CREATE the table with
+    (doc_id, source) from the even documents, APPEND the odd documents
+    WITH a new ``n_chars`` column under ``schema_evolution=True``, then
+    emit per-version facts — version 1 must NOT have the column
+    (``n_null_extra`` = -1 encodes its absence, from the time-travel
+    schema), version 2 must surface NULL for every pre-evolution row
+    and the exact ``n_chars`` sum for the appended ones. A write-side
+    enforcement bug (column leaking into v1, NULLs materialized wrong,
+    or the evolved column dropped) hash-mismatches.
+
+    Scale: evolution costs nothing at write time (new files simply
+    carry the new column); reads pay one footer merge — the audit adds
+    no data-sized work beyond the create+append any table pays.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="lh_schema_audit_")
+    try:
+        table = SnapshotTable(spark, tmp)
+        table.create(
+            docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+        )
+        table.append(
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "source", "n_chars"
+            ),
+            schema_evolution=True,
+        )
+        out = None
+        for v in (1, 2):
+            fields = table.table_schema(version=v).fieldNames()
+            r = table.read(version=v)
+            if "n_chars" in fields:
+                agg = r.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count_if(F.col("n_chars").isNull()).alias(
+                        "n_null_extra"
+                    ),
+                    F.sum("n_chars").alias("sum_extra"),
+                )
+            else:
+                agg = r.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.lit(-1).cast("long").alias("n_null_extra"),
+                    F.lit(0).cast("long").alias("sum_extra"),
+                )
+            row = agg.select(
+                F.lit(v).alias("version"), "n_rows", "n_null_extra", "sum_extra"
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _lakehouse_audit_oracle() -> str:
     """Filtered aggregates of ``documents`` equal to each lakehouse
     version's content after create/append/delete/merge."""

@@ -142,6 +142,42 @@ landed AS (
     return "WITH " + arr + " UNION ALL ".join(parts)
 
 
+def _exact_arrival_batches(docs: DataFrame) -> list[DataFrame]:
+    """The exact-audit arrival sequence (shared with the resume audit,
+    whose oracle is identical — restarts must not change the landed
+    set): overlapping residue batches + re-id'd ghosts per batch."""
+    res = F.col("doc_id") % 4
+    ghost = lambda df: df.filter(F.col("doc_id") % 11 == 0).withColumn(  # noqa: E731
+        "doc_id", F.col("doc_id") + 100000
+    )
+    b0 = docs.filter(res.isin(0, 1))
+    return [
+        b0.unionByName(ghost(b0)),
+        docs.filter(res.isin(1, 2)).unionByName(ghost(docs.filter(res == 2))),
+        docs.filter(res.isin(2, 3)).unionByName(ghost(docs.filter(res == 0))),
+    ]
+
+
+def _exact_version_rows(table) -> DataFrame:
+    """(version, batch_id, n_rows, sum_doc_id, sum_n_chars) per
+    committed version, batch id from the txn stamp."""
+    out = None
+    for snap in table.history():
+        r = table.read(version=snap.version).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_n_chars"),
+        ).select(
+            F.lit(snap.version).alias("version"),
+            F.lit(snap.txn["batch_id"]).alias("batch_id"),
+            "n_rows",
+            "sum_doc_id",
+            "sum_n_chars",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 @query("streaming_ingest_exact_audit", oracle=_exact_audit_oracle())
 def streaming_ingest_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-dedup streaming ingest sink under the driver gate: a
@@ -163,16 +199,7 @@ def streaming_ingest_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.lakehouse_sink import dedup_ingest_stream
 
     docs = _t(spark, sf_dir, "documents")
-    res = F.col("doc_id") % 4
-    ghost = lambda df: df.filter(F.col("doc_id") % 11 == 0).withColumn(  # noqa: E731
-        "doc_id", F.col("doc_id") + 100000
-    )
-    b0 = docs.filter(res.isin(0, 1))
-    batches = [
-        b0.unionByName(ghost(b0)),
-        docs.filter(res.isin(1, 2)).unionByName(ghost(docs.filter(res == 2))),
-        docs.filter(res.isin(2, 3)).unionByName(ghost(docs.filter(res == 0))),
-    ]
+    batches = _exact_arrival_batches(docs)
     tmp = tempfile.mkdtemp(prefix="stream_exact_audit_")
     try:
         src = os.path.join(tmp, "src")
@@ -190,21 +217,60 @@ def streaming_ingest_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stream, table, "gate_audit", os.path.join(tmp, "ckpt")
                 )
             )
-        out = None
-        for snap in table.history():
-            r = table.read(version=snap.version).agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("doc_id").alias("sum_doc_id"),
-                F.sum("n_chars").alias("sum_n_chars"),
-            ).select(
-                F.lit(snap.version).alias("version"),
-                F.lit(snap.txn["batch_id"]).alias("batch_id"),
-                "n_rows",
-                "sum_doc_id",
-                "sum_n_chars",
-            )
-            out = r if out is None else out.unionByName(r)
-        return out.localCheckpoint(eager=True)
+        return _exact_version_rows(table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("streaming_ingest_resume_audit", oracle=_exact_audit_oracle())
+def streaming_ingest_resume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESUME under the driver gate — the restart property
+    the other audits don't reach: the SAME arrival sequence as
+    ``streaming_ingest_exact_audit`` (hence the identical oracle — a
+    restart must not change the landed set), but the stream is run
+    THREE times against one checkpoint: first with only batches 0-1
+    present (drains, stops), then after batch 2's file appears (the
+    resumed query must process ONLY the unseen file, continue the batch
+    numbering at 2, and not re-land batches 0-1), then once more with
+    nothing new (a pure-replay restart must commit nothing — a fourth
+    version would break the row-count/hash match). Gates the file
+    source's checkpointed progress tracking, batch-id continuity across
+    restarts, and txn idempotency on the resume path.
+
+    Scale: restart cost is checkpoint-metadata-sized; no corpus work
+    repeats on resume — exactly the property that matters when the
+    corpus is 100 TB and the stream restarts daily.
+    """
+    from ..sources.lakehouse import SnapshotTable
+    from ..streaming.lakehouse_sink import dedup_ingest_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    batches = _exact_arrival_batches(docs)
+    tmp = tempfile.mkdtemp(prefix="stream_resume_audit_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        table = SnapshotTable(spark, os.path.join(tmp, "corpus"))
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def run_once():
+            with _small_shuffle(spark):
+                stream = (
+                    spark.readStream.schema(docs.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src)
+                )
+                _drain(
+                    dedup_ingest_stream(stream, table, "gate_audit", ckpt)
+                )
+
+        _write_batch_files(batches[:2], src)
+        run_once()                      # drains batches 0-1, stops
+        _write_batch_files(batches, src)  # batch 2 appears (0-1 rewritten
+        # in place with identical content; the source tracks them as seen)
+        run_once()                      # resume: processes ONLY batch 2
+        run_once()                      # pure replay: must commit nothing
+        return _exact_version_rows(table).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
