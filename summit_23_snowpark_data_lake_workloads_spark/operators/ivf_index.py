@@ -149,7 +149,11 @@ def rebuild_ivf_index(
     return s1, s2
 
 
-def compact_ivf_index(index: IvfIndex, target_files: int = 8) -> Snapshot:
+def compact_ivf_index(
+    index: IvfIndex,
+    target_files: int = 8,
+    small_file_bytes: int | None = None,
+) -> Snapshot:
     """Index maintenance: every :func:`extend_ivf_index` append adds a
     small file to the cells table, so after N micro-batches the
     inverted file is N-file fragmented and every probe pays N footer
@@ -159,17 +163,25 @@ def compact_ivf_index(index: IvfIndex, target_files: int = 8) -> Snapshot:
     pre-compaction versions still works, and the txn bookkeeping is
     untouched (``last_committed_batch`` folds the whole history).
     Run it on the same cadence Delta OPTIMIZE runs: every ~N appends,
-    not per batch."""
-    return index.cells.compact(target_files)
+    not per batch. ``small_file_bytes`` switches to threshold
+    compaction (only sub-threshold fragments rewritten — the form a
+    corpus-scale cells table needs; ``None`` = full rewrite, fine for
+    bounded tables)."""
+    return index.cells.compact(target_files, small_file_bytes=small_file_bytes)
 
 
-def compact_ivfpq_index(ivf: IvfIndex, pq, target_files: int = 8):
+def compact_ivfpq_index(
+    ivf: IvfIndex,
+    pq,
+    target_files: int = 8,
+    small_file_bytes: int | None = None,
+):
     """Compact BOTH fragment-accumulating sides of an IVF-PQ index —
     the cells table and the codes table (centroids and codebook are
     single-commit KB tables; nothing to compact). Returns the two new
     snapshots."""
-    s1 = ivf.cells.compact(target_files)
-    s2 = pq.codes.compact(target_files)
+    s1 = ivf.cells.compact(target_files, small_file_bytes=small_file_bytes)
+    s2 = pq.codes.compact(target_files, small_file_bytes=small_file_bytes)
     return s1, s2
 
 

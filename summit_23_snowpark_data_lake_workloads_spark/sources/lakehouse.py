@@ -676,10 +676,25 @@ class SnapshotTable:
             replace_all=True,
         )
 
-    def compact(self, target_files: int, preserve_order: bool = True) -> Snapshot:
-        """Small-file compaction: rewrite the current data into
-        ``target_files`` files. Pure metadata swap for readers —
-        same rows, new layout.
+    def compact(
+        self,
+        target_files: int,
+        preserve_order: bool = True,
+        small_file_bytes: int | None = None,
+    ) -> Snapshot:
+        """Small-file compaction. Pure metadata swap for readers — same
+        rows, new layout.
+
+        ``small_file_bytes=None`` rewrites the WHOLE table into
+        ``target_files`` files — right for bounded tables (indexes,
+        metrics) and tests. For a 100 TB corpus that's a full rewrite
+        per maintenance cycle, which is NOT what OPTIMIZE does: pass a
+        threshold and only files SMALLER than it are bin-packed
+        (Delta's minFileSize behavior) — full-sized files carry over
+        untouched, so the rewrite is proportional to the
+        FRAGMENTATION, not the table, and the commit is an
+        add/remove delta, not a replace-all. A no-op (fewer than two
+        small files) commits nothing and returns the current snapshot.
 
         ``preserve_order=True`` (default) bin-packs via ``coalesce`` —
         no shuffle, and file-local ordering survives, so a prior
@@ -688,14 +703,33 @@ class SnapshotTable:
         perfectly even output sizes at the cost of destroying any
         clustering."""
         prev = self.snapshot()
-        cur = self.read()
+        if small_file_bytes is None:
+            packed_src = self.read()
+            remove, replace_all = None, True
+        else:
+            small = [
+                f
+                for f in prev.files
+                if os.path.getsize(os.path.join(self.path, f))
+                < small_file_bytes
+            ]
+            if len(small) < 2:
+                return prev  # nothing worth packing: no empty commit
+            packed_src = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in small]
+            )
+            remove, replace_all = frozenset(small), False
         packed = (
-            cur.coalesce(target_files)
+            packed_src.coalesce(target_files)
             if preserve_order
-            else cur.repartition(target_files)
+            else packed_src.repartition(target_files)
         )
         return self._commit(
-            "compact", prev.version, self._write_batch(packed), replace_all=True
+            "compact",
+            prev.version,
+            self._write_batch(packed),
+            remove=remove,
+            replace_all=replace_all,
         )
 
     def cluster_zorder(self, cols: list[str], n_files: int) -> Snapshot:

@@ -114,7 +114,11 @@ def _maybe_compact(
         return
     for t in tables:
         if t._versions() and len(t.snapshot().files) > target_files:
-            t.compact(target_files)
+            # threshold form: only sub-32MB fragments are bin-packed, so
+            # the rewrite is proportional to the fragmentation the
+            # micro-batches created — never a full-table rewrite on a
+            # standing 100 TB corpus
+            t.compact(target_files, small_file_bytes=32 << 20)
 
 
 def _rows_in_files(table: SnapshotTable, files: list[str]) -> int:

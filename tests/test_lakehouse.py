@@ -710,3 +710,42 @@ class TestSchemaEvolution:
                 spark.createDataFrame([(5, "e", 1.0)],
                                       "id long, name string, score double")
             )
+
+
+def test_threshold_compaction_packs_only_small_files(spark, tmp_path):
+    """compact(small_file_bytes=...): full-sized files carry over
+    UNTOUCHED (same path in the new manifest — the rewrite is
+    proportional to fragmentation, not the table), sub-threshold
+    fragments bin-pack, rows are invariant, and a fragment-free table
+    is a no-op commit."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # one "big" file (10k rows) + four tiny fragment appends
+    t.create(spark.range(10_000).coalesce(1))
+    for b in range(4):
+        t.append(spark.range(100_000 + b, 100_001 + b).coalesce(1))
+    snap = t.snapshot()
+    big = max(
+        snap.files,
+        key=lambda f: os.path.getsize(os.path.join(t.path, f)),
+    )
+    big_size = os.path.getsize(os.path.join(t.path, big))
+    n_before = t.read().count()
+
+    t.compact(target_files=1, small_file_bytes=big_size)  # big is NOT small
+    after = t.snapshot()
+    assert big in after.files, "full-sized file must carry over untouched"
+    assert len(after.files) == 2  # big + one packed fragment file
+    assert after.operation == "compact"
+    assert t.read().count() == n_before
+    assert {r.id for r in t.read().filter(F.col("id") >= 100_000).collect()} == {
+        100_000, 100_001, 100_002, 100_003
+    }
+
+    # fragment-free now: threshold compaction is a no-op, no new version
+    v = after.version
+    t.compact(target_files=1, small_file_bytes=big_size)
+    assert t.snapshot().version == v
