@@ -708,6 +708,144 @@ def bpe_artifact_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivf_rebuild_oracle() -> str:
+    """Two centroid GENERATIONS probed side by side: idx_version 1 =
+    the pre-rebuild index (corpus (0,1,2) assigned against the
+    original base seed centroids — vec_id < 16, vec_id%4 IN (0,1)),
+    idx_version 2 = after retrain-as-rebuild over the full current
+    corpus (seed rule ``vec_id < n_cells`` applied to the NEW corpus:
+    every id < 16 with vec_id%4 IN (0,1,2) — a different, larger
+    centroid set than the base generation's)."""
+    gens = [
+        (1, "c.vec_id < 16 AND c.vec_id % 4 IN (0, 1)"),
+        (2, "c.vec_id < 16 AND c.vec_id % 4 IN (0, 1, 2)"),
+    ]
+    parts = []
+    for gen, cent_pred in gens:
+        parts.append(f"""
+    SELECT {gen} AS idx_version, query_id, neighbor_id, cos_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   round(d.dot / (nq.nrm * nn.nrm), 4) AS cos_sim
+            FROM (
+                SELECT ca.query_id, ca.neighbor_id,
+                       sum(q.val * c.val) AS dot
+                FROM (
+                    SELECT DISTINCT p.id AS query_id, h.id AS neighbor_id
+                    FROM assign{gen} p JOIN assign{gen} h
+                      ON p.cent_id = h.cent_id
+                     AND p.cell_rank <= 2 AND h.cell_rank <= 2
+                    WHERE p.id % 4 = 3 AND p.id < 80
+                      AND h.id % 4 IN (0, 1, 2)
+                      AND p.id <> h.id
+                ) ca
+                JOIN e q ON q.vec_id = ca.query_id
+                JOIN e c ON c.vec_id = ca.neighbor_id AND q.pos = c.pos
+                GROUP BY ca.query_id, ca.neighbor_id
+            ) d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nn ON nn.vec_id = d.neighbor_id
+        )
+    ) WHERE rk <= 5""")
+    assigns = ",\n".join(
+        f"""
+    cent_dots{gen} AS (
+        SELECT v.vec_id AS id, c.vec_id AS cent_id, sum(v.val * c.val) AS dot
+        FROM e v JOIN e c ON v.pos = c.pos AND ({cent_pred})
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign{gen} AS (
+        SELECT id, cent_id, cell_rank FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY round(dot / (nv.nrm * nc.nrm), 4) DESC, cent_id
+                   ) AS cell_rank
+            FROM cent_dots{gen}
+            JOIN norms nv ON nv.vec_id = id
+            JOIN norms nc ON nc.vec_id = cent_id
+        )
+    )"""
+        for gen, cent_pred in gens
+    )
+    return (
+        """
+    WITH e AS (
+        SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+    """
+        + assigns
+        + " "
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("ivf_rebuild_audit", oracle=_ivf_rebuild_oracle())
+def ivf_rebuild_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain-as-rebuild under the driver gate: build from the base
+    corpus, append a batch against the FROZEN original centroids, then
+    ``rebuild_ivf_index`` over the full current corpus — the seed rule
+    applied to the new corpus yields a genuinely different centroid
+    generation. Probe the held-out queries against BOTH generations:
+    idx_version 1 pairs the pre-rebuild inverted file with the
+    pre-rebuild centroid table (``version=2, centroid_version=1`` —
+    the generational-pairing contract), idx_version 2 is the live
+    rebuilt index. The oracle derives both assignments and rankings
+    independently, so a rebuild that re-uses stale centroids, loses
+    rows, or mixes generations hash-mismatches.
+
+    Scale: rebuild is the two corpus passes a build always is
+    (training + assignment) — paid when the drift profile says so,
+    never per batch; old versions stay readable for in-flight readers.
+    """
+    from ..operators.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        probe_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 < 2)
+    second = emb.filter(F.col("vec_id") % 4 == 2)
+    corpus = emb.filter(F.col("vec_id") % 4 != 3)
+    queries_df = emb.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") < 80)
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_rebuild_audit_")
+    try:
+        idx = build_ivf_index(
+            spark, base, tmp, n_cells=16, n_assign=2, train_iters=0
+        )
+        extend_ivf_index(
+            idx, second, n_assign=2, txn={"app_id": "gate_audit", "batch_id": 1}
+        )
+        rebuild_ivf_index(idx, corpus, n_cells=16, n_assign=2)
+        out = None
+        for label, kw in (
+            (1, {"version": 2, "centroid_version": 1}),
+            (2, {}),
+        ):
+            r = probe_ivf_index(
+                idx, emb, queries_df, k=5, n_probe=2, **kw
+            ).select(
+                F.lit(label).alias("idx_version"),
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                "rk",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _schema_evolution_oracle() -> str:
     """Per-version facts of the evolved table: row counts, the evolved
     column's NULL count (old rows must surface NULL after evolution,
