@@ -576,13 +576,20 @@ class SnapshotTable:
     def last_committed_batch(self, app_id: str) -> int | None:
         """Highest ``batch_id`` this ``app_id`` has committed (None if
         never) — the streaming sink's replay detector. History scan is
-        O(#versions) driver-side JSON; vacuum bounds it."""
+        O(#versions) driver-side JSON; vacuum bounds it, and the
+        ``txn_seen`` high-water map vacuum folds into the oldest
+        retained manifest keeps stamps from EXPIRED versions visible
+        (without it, vacuum would silently disarm replay protection)."""
         best = None
         for v in self._versions():
             # txn is commit-local: read the raw manifest, never fold
-            t = self._raw(v).get("txn")
+            raw = self._raw(v)
+            t = raw.get("txn")
             if t and t.get("app_id") == app_id:
                 best = t["batch_id"] if best is None else max(best, t["batch_id"])
+            seen = (raw.get("txn_seen") or {}).get(app_id)
+            if seen is not None:
+                best = seen if best is None else max(best, seen)
         return best
 
     def overwrite(self, df: DataFrame) -> Snapshot:
@@ -785,15 +792,35 @@ class SnapshotTable:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         keep_v = versions[-retain_last:]
+        # dropping expired manifests would also drop their txn stamps —
+        # and last_committed_batch IS the streaming sinks' replay
+        # detector, so a post-vacuum checkpoint replay would re-append
+        # already-committed batches. Fold the expired stamps into a
+        # txn_seen high-water map carried by the oldest retained
+        # manifest (Delta keeps the same appId->version map in its
+        # checkpoints for exactly this reason).
+        folded: dict[str, int] = {}
+        for v in versions[: len(versions) - retain_last]:
+            raw_v = self._raw(v)
+            for app, b in (raw_v.get("txn_seen") or {}).items():
+                folded[app] = max(folded.get(app, b), b)
+            t = raw_v.get("txn")
+            if t:
+                folded[t["app_id"]] = max(
+                    folded.get(t["app_id"], t["batch_id"]), t["batch_id"]
+                )
         # the oldest retained manifest may be a DELTA whose base is about
-        # to expire: materialize it as a FULL manifest first so retained
-        # history never folds past the retention boundary. Content is
-        # logically identical (same resolved snapshot), so the
-        # immutability contract readers rely on is preserved.
-        if keep_v and "files" not in self._raw(keep_v[0]):
+        # to expire: materialize it as a FULL manifest so retained
+        # history never folds past the retention boundary; rewrite also
+        # when there are txn stamps to fold. Content is logically
+        # identical (same resolved snapshot + high-water txn facts), so
+        # the immutability contract readers rely on is preserved.
+        if keep_v and ("files" not in self._raw(keep_v[0]) or folded):
             snap = self._load(keep_v[0])
             tmp = self._manifest_path(keep_v[0]) + ".ckpt"
             raw = self._raw(keep_v[0])
+            for app, b in (raw.get("txn_seen") or {}).items():
+                folded[app] = max(folded.get(app, b), b)
             with open(tmp, "w") as fh:
                 fh.write(
                     json.dumps(
@@ -805,6 +832,7 @@ class SnapshotTable:
                             "stats": snap.stats,
                             **({"blooms": snap.blooms} if snap.blooms else {}),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),
+                            **({"txn_seen": folded} if folded else {}),
                         }
                     )
                 )

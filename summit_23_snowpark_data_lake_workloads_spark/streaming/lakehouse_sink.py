@@ -99,6 +99,7 @@ def _maybe_compact(
     batch_id: int,
     compact_every: int | None,
     target_files: int = 8,
+    vacuum_retain_last: int | None = None,
 ) -> None:
     """Periodic small-file maintenance for micro-batch-append sinks:
     every ``compact_every``-th batch, rewrite each table whose live
@@ -119,6 +120,12 @@ def _maybe_compact(
             # micro-batches created — never a full-table rewrite on a
             # standing 100 TB corpus
             t.compact(target_files, small_file_bytes=32 << 20)
+        if vacuum_retain_last is not None and t._versions():
+            # reclaim the files compaction (and late-detected replays)
+            # orphaned. EXPLICIT opt-in: vacuum trades time-travel depth
+            # for storage — retain_last bounds how far back readers can
+            # still travel, exactly Delta's retention contract
+            t.vacuum(retain_last=vacuum_retain_last)
 
 
 def _rows_in_files(table: SnapshotTable, files: list[str]) -> int:
@@ -198,6 +205,7 @@ def dedup_ingest_stream(
     text_col: str = "text",
     processing_time: str | None = None,
     compact_every: int | None = None,
+    vacuum_retain_last: int | None = None,
 ):
     """The production corpus-ingestion loop: each micro-batch of
     documents exact-dedups against the standing corpus BEFORE landing —
@@ -228,7 +236,8 @@ def dedup_ingest_stream(
         _dedup_ingest_batch(
             batch_df, batch_id, table, app_id, id_col, text_col
         )
-        _maybe_compact([table], batch_id, compact_every)
+        _maybe_compact([table], batch_id, compact_every,
+                       vacuum_retain_last=vacuum_retain_last)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)
@@ -426,6 +435,7 @@ def near_dedup_ingest_stream(
     quality_pred=None,
     metrics: SnapshotTable | None = None,
     compact_every: int | None = None,
+    vacuum_retain_last: int | None = None,
 ):
     """Streaming NEAR-dup corpus ingestion: the exact-dedup sink's
     shape (:func:`dedup_ingest_stream`), with the persisted MinHash
@@ -447,7 +457,8 @@ def near_dedup_ingest_stream(
             batch_df, batch_id, table, index, app_id, id_col, text_col,
             min_est_jaccard, quality_pred=quality_pred, metrics=metrics,
         )
-        _maybe_compact([table, index], batch_id, compact_every)
+        _maybe_compact([table, index], batch_id, compact_every,
+                       vacuum_retain_last=vacuum_retain_last)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)
@@ -723,6 +734,7 @@ def semantic_dedup_ingest_stream(
     metrics: SnapshotTable | None = None,
     intra_batch: bool = False,
     compact_every: int | None = None,
+    vacuum_retain_last: int | None = None,
 ):
     """Streaming SEMANTIC dedup ingestion — the embedding-space
     counterpart of :func:`near_dedup_ingest_stream`: micro-batches of
@@ -743,7 +755,8 @@ def semantic_dedup_ingest_stream(
             quality_pred=quality_pred, metrics=metrics,
             intra_batch=intra_batch,
         )
-        _maybe_compact([table, cells], batch_id, compact_every)
+        _maybe_compact([table, cells], batch_id, compact_every,
+                       vacuum_retain_last=vacuum_retain_last)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)

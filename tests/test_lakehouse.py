@@ -749,3 +749,33 @@ def test_threshold_compaction_packs_only_small_files(spark, tmp_path):
     v = after.version
     t.compact(target_files=1, small_file_bytes=big_size)
     assert t.snapshot().version == v
+
+
+def test_vacuum_preserves_replay_protection(spark, tmp_path):
+    """Vacuum folds expired txn stamps into a txn_seen high-water map
+    on the oldest retained manifest — last_committed_batch (the
+    streaming sinks' replay detector) must survive arbitrary vacuums,
+    including repeated ones, or a post-vacuum checkpoint replay would
+    re-append committed batches."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(3))
+    for b in range(5):
+        t.append(spark.range(10 + b, 11 + b), txn={"app_id": "s", "batch_id": b})
+    t.append(spark.range(99, 100), txn={"app_id": "other", "batch_id": 41})
+    assert t.last_committed_batch("s") == 4
+
+    t.vacuum(retain_last=2)  # drops the manifests carrying batches 0-4
+    assert t.last_committed_batch("s") == 4
+    assert t.last_committed_batch("other") == 41
+    assert t.last_committed_batch("never") is None
+
+    # fold-of-fold: a second vacuum must carry the map forward again
+    t.append(spark.range(100, 101), txn={"app_id": "s", "batch_id": 5})
+    t.vacuum(retain_last=1)
+    assert t.last_committed_batch("s") == 5
+    assert t.last_committed_batch("other") == 41
+    assert t.read().count() == 3 + 5 + 1 + 1

@@ -900,8 +900,25 @@ def test_dedup_ingest_auto_compaction(spark, tmp_path):
     # off-cadence batch id: no-op
     _maybe_compact([frag], batch_id=2, compact_every=2, target_files=2)
     assert len(frag.snapshot().files) == n_before
-    _maybe_compact([frag], batch_id=1, compact_every=2, target_files=2)
+    _maybe_compact(
+        [frag], batch_id=1, compact_every=2, target_files=2,
+        vacuum_retain_last=1,
+    )
     assert len(frag.snapshot().files) <= 2
     assert frag.read().count() == 4
     assert frag.last_committed_batch("ac") == 3
+    # vacuum opt-in reclaimed the pre-compaction fragments while the
+    # retained version still reads
+    import os as _os
+
+    live = {_os.path.join(frag.path, f) for f in frag.snapshot().files}
+    data_dir = _os.path.join(frag.path, "data")
+    on_disk = {
+        _os.path.join(dp, f)
+        for dp, _dn, fn in _os.walk(data_dir)
+        for f in fn
+        if f.endswith(".parquet")  # _SUCCESS/.crc sidecars stay with
+        # their batch dir until it is fully vacuumed
+    }
+    assert on_disk == live, "vacuum must leave only the live data files" 
     assert ops.count("create") == 1
