@@ -1013,3 +1013,93 @@ def lakehouse_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _partition_audit_oracle() -> str:
+    """Per-(version, bucket) aggregates mirroring the partitioned
+    lifecycle: v1 = all documents bucketed by doc_id % 5; v2 = bucket 2
+    dynamically overwritten with its even-doc_id rows at doubled
+    n_chars; v3 = bucket 0 dropped (metadata-only delete)."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, "
+        "sum(doc_id)::BIGINT AS sum_doc_id, "
+        "sum(n_chars)::BIGINT AS sum_n_chars"
+    )
+    return f"""
+    WITH v1 AS (
+        SELECT doc_id, n_chars, doc_id % 5 AS bucket FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, n_chars, bucket FROM v1 WHERE bucket <> 2
+        UNION ALL
+        SELECT doc_id, n_chars * 2 AS n_chars, 2 AS bucket FROM v1
+        WHERE bucket = 2 AND doc_id % 2 = 0
+    )
+    SELECT 1 AS version, bucket::BIGINT AS bucket, {stats}
+    FROM v1 GROUP BY bucket
+    UNION ALL
+    SELECT 2, bucket::BIGINT, {stats} FROM v2 GROUP BY bucket
+    UNION ALL
+    SELECT 3, bucket::BIGINT, {stats} FROM v2 WHERE bucket <> 0
+    GROUP BY bucket
+    """
+
+
+@query("lakehouse_partition_audit", oracle=_partition_audit_oracle())
+def lakehouse_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned tables under the driver gate: CREATE a table
+    partitioned by ``bucket = doc_id % 5``, dynamic-partition-OVERWRITE
+    bucket 2 with its even-doc_id rows at doubled ``n_chars``
+    (``overwrite_partitions`` — every other partition's files must
+    carry over by reference), then DROP bucket 0 as a pure metadata
+    commit (``drop_partitions``). Every emitted aggregate is computed
+    from a PARTITION-PRUNED time-travel read
+    (``read(version=v, partition_where=[("bucket", "=", b)])``), so the
+    pruning path itself is what the hash gates: a file wrongly pruned
+    (rows lost) or wrongly kept (a dropped/overwritten partition
+    leaking back) changes the sums. The oracle recomputes all three
+    versions from raw parquet.
+
+    Scale: this is the 100 TB fact-table maintenance loop — backfill
+    one partition, expire another — where the write cost is one
+    partition's data and the delete cost is one manifest JSON; the
+    pruned reads plan scans over only the matching partition's files
+    (asserted by tests/test_lakehouse.py::TestPartitionedTables via
+    ``inputFiles``).
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", (F.col("doc_id") % 5).alias("bucket"))
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_partition_audit_")
+    try:
+        table = SnapshotTable(spark, tmp, partition_by=["bucket"])
+        table.create(docs)
+        table.overwrite_partitions(
+            docs.filter((F.col("bucket") == 2) & (F.col("doc_id") % 2 == 0))
+            .withColumn("n_chars", F.col("n_chars") * 2)
+        )
+        table.drop_partitions([("bucket", "=", 0)])
+        out = None
+        for v in (1, 2, 3):
+            for p in table.partitions(version=v):
+                b = int(p["bucket"])
+                r = table.read(
+                    version=v, partition_where=[("bucket", "=", b)]
+                ).agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("doc_id").alias("sum_doc_id"),
+                    F.sum("n_chars").alias("sum_n_chars"),
+                ).select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit(b).cast("long").alias("bucket"),
+                    "n_rows",
+                    "sum_doc_id",
+                    "sum_n_chars",
+                )
+                out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

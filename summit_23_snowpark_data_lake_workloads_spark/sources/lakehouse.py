@@ -167,6 +167,75 @@ class Snapshot:
     #: per-file bloom bitsets {relpath: {col: hex}} for ``=`` skipping on
     #: high-cardinality unsorted columns (range stats can't prune those)
     blooms: dict = None  # type: ignore[assignment]
+    #: per-file partition values {relpath: {col: str|None}} for tables
+    #: created with ``partition_by`` — Delta's ``partitionValues``: the
+    #: EXACT file→partition map that makes partition pruning a manifest
+    #: filter and partition overwrite/drop a metadata operation
+    parts: dict = None  # type: ignore[assignment]
+
+
+def _parts_from_relpath(relpath: str) -> dict:
+    """Partition values encoded in a data file's own relative path
+    (``_pk_<col>=<hive-escaped value>`` segments). The path IS the
+    durable record, so any code holding a relpath — commit, audit,
+    repair — can recover the partition tuple without a side channel."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for seg in relpath.split(os.sep):
+        k, eq, v = seg.partition("=")
+        if eq and k.startswith("_pk_"):
+            v = unquote(v)
+            vals[k[4:]] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return vals
+
+
+def _partition_match(vals: dict, conjuncts: list[tuple]) -> bool:
+    """EXACT partition predicate over a file's recorded partition tuple
+    (unlike :func:`_file_may_match` this is not conservative — the tuple
+    fully determines membership). Conjuncts are ``(col, op, value)`` with
+    op in ``= in < <= > >=``; values compare numerically when both sides
+    parse as numbers (partition dir values are strings — lexicographic
+    "10" < "9" would misprune), else as strings (correct for ISO dates).
+    A conjunct on a non-partition column keeps the file (pruning must
+    never be the layer that drops rows)."""
+
+    def _cmp(a: str, b) -> float | None:
+        if a is None:
+            return None
+        try:
+            return float(a) - float(b)
+        except (TypeError, ValueError):
+            b = str(b)
+            return (a > b) - (a < b)
+
+    for col, op, value in conjuncts:
+        if col not in vals:
+            continue
+        have = vals[col]
+        if op == "=":
+            if value is None:
+                if have is not None:
+                    return False
+            elif have is None or _cmp(have, value) != 0:
+                return False
+        elif op == "in":
+            if have is None or not any(_cmp(have, v) == 0 for v in value):
+                return False
+        elif op in ("<", "<=", ">", ">="):
+            d = _cmp(have, value)
+            if d is None:
+                return False
+            if (
+                (op == "<" and not d < 0)
+                or (op == "<=" and not d <= 0)
+                or (op == ">" and not d > 0)
+                or (op == ">=" and not d >= 0)
+            ):
+                return False
+        else:
+            raise ValueError(f"unsupported partition op {op!r}")
+    return True
 
 
 def _footer_stats(abs_path: str) -> dict:
@@ -282,6 +351,7 @@ class SnapshotTable:
         path: str,
         bloom_cols: list[str] | None = None,
         commit_protocol: CommitProtocol | None = None,
+        partition_by: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -293,6 +363,31 @@ class SnapshotTable:
         #: for the per-backend story (POSIX O_EXCL here; S3 conditional
         #: PUT or a DynamoDB-style lock at the 100 TB deployment)
         self.commit_protocol = commit_protocol or PosixCommit()
+        #: Hive/Delta-style partition columns. TABLE state, not handle
+        #: state: persisted in every manifest, re-read from the latest
+        #: manifest when a handle is opened without it, and a handle
+        #: opened WITH a conflicting spec fails fast (silently writing
+        #: unaligned files would poison every later partition operation).
+        #: Unlike Hive, partition columns STAY in the data files (the
+        #: Iceberg choice) — readers need no directory-parsing magic and
+        #: un-partitioned engines (DuckDB oracles) read the same files.
+        self.partition_by = list(partition_by or [])
+        existing = self._table_partition_by()
+        if existing is not None:
+            if partition_by is not None and list(partition_by) != existing:
+                raise ValueError(
+                    f"table at {self.path} is partitioned by {existing}; "
+                    f"handle requested {list(partition_by)}"
+                )
+            self.partition_by = existing
+
+    def _table_partition_by(self) -> list[str] | None:
+        """The committed table's partition spec (None if no version yet).
+        Commit-local field, so the raw latest manifest suffices."""
+        versions = self._versions()
+        if not versions:
+            return None
+        return list(self._raw(versions[-1]).get("partition_by") or [])
 
     # ---------------------------------------------------------------- io
 
@@ -349,6 +444,7 @@ class SnapshotTable:
             return Snapshot(
                 m["version"], m["timestamp_ms"], m["operation"], m["files"],
                 m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
+                m.get("parts", {}),
             )
         base = self._load(m["base_version"])
         removed = set(m.get("remove", []))
@@ -364,9 +460,13 @@ class SnapshotTable:
             f: b for f, b in (base.blooms or {}).items() if f in live
         }
         blooms.update(m.get("add_blooms", {}))
+        parts = {
+            f: p for f, p in (base.parts or {}).items() if f in live
+        }
+        parts.update(m.get("add_parts", {}))
         return Snapshot(
             m["version"], m["timestamp_ms"], m["operation"], files,
-            stats, m.get("txn"), blooms,
+            stats, m.get("txn"), blooms, parts,
         )
 
     def _commit(
@@ -387,6 +487,10 @@ class SnapshotTable:
         :class:`ConcurrentWriteError` rather than silently dropping or
         resurrecting the other writer's rows (the lost-update anomaly)."""
         remove = remove or frozenset()
+        # partition tuples are recoverable from the paths themselves
+        add_parts = (
+            {f: _parts_from_relpath(f) for f in add} if self.partition_by else {}
+        )
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
         while True:
             versions = self._versions()
@@ -398,15 +502,19 @@ class SnapshotTable:
                 )
             if replace_all or not latest:
                 base_files, base_stats, base_blooms = [], {}, {}
+                base_parts = {}
             else:
                 base = self._load(latest)
                 base_files = base.files
                 base_stats = base.stats or {}
                 base_blooms = base.blooms or {}
+                base_parts = base.parts or {}
             files = [f for f in base_files if f not in remove] + add
             # stats/blooms carry over with their file; new files get fresh
             stats = {f: base_stats[f] for f in base_files if f in base_stats}
             blooms = {f: base_blooms[f] for f in base_files if f in base_blooms}
+            parts = {f: base_parts[f] for f in base_files if f in base_parts}
+            parts.update(add_parts)
             for f in add:
                 stats[f] = _footer_stats(os.path.join(self.path, f))
                 if self.bloom_cols:
@@ -416,6 +524,7 @@ class SnapshotTable:
             live = set(files)
             stats = {f: s for f, s in stats.items() if f in live}
             blooms = {f: b for f, b in blooms.items() if f in live}
+            parts = {f: p for f, p in parts.items() if f in live}
             if txn is not None:
                 # re-check idempotency inside the commit loop: a replayed
                 # micro-batch racing its twin must not double-append
@@ -425,7 +534,7 @@ class SnapshotTable:
             next_v = latest + 1
             snap = Snapshot(
                 next_v, int(time.time() * 1000), operation, sorted(files),
-                stats, txn, blooms,
+                stats, txn, blooms, parts,
             )
             # DELTA manifest for incremental commits: metadata written is
             # proportional to the commit (add/remove lists + their stats),
@@ -444,6 +553,7 @@ class SnapshotTable:
                     "files": snap.files,
                     "stats": snap.stats,
                     **({"blooms": snap.blooms} if snap.blooms else {}),
+                    **({"parts": snap.parts} if snap.parts else {}),
                 }
             else:
                 body_d = {
@@ -455,7 +565,10 @@ class SnapshotTable:
                     "remove": sorted(remove),
                     "add_stats": add_stats,
                     **({"add_blooms": add_blooms} if add_blooms else {}),
+                    **({"add_parts": add_parts} if add_parts else {}),
                 }
+            if self.partition_by:
+                body_d["partition_by"] = self.partition_by
             if txn is not None:
                 body_d["txn"] = txn
             body = json.dumps(body_d)
@@ -465,7 +578,10 @@ class SnapshotTable:
 
     def _write_batch(self, df: DataFrame) -> list[str]:
         """Write ``df`` as a new immutable batch dir; return the parquet
-        files created (relative paths)."""
+        files created (relative paths). Partitioned tables route through
+        :meth:`_write_batch_parts` (alignment is a write-path invariant)."""
+        if self.partition_by:
+            return list(self._write_batch_parts(df))
         batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
         out = os.path.join(self.path, batch)
         df.write.mode("error").parquet(out)
@@ -475,6 +591,43 @@ class SnapshotTable:
             if f.endswith(".parquet")
         ]
 
+    def _write_batch_parts(self, df: DataFrame) -> dict:
+        """Partition-aligned batch write: every output file holds rows of
+        exactly ONE partition tuple, and the manifest records that tuple
+        per file (Delta's ``partitionValues``). Returns
+        ``{relpath: {col: str|None}}``.
+
+        The write duplicates each partition column into a ``_pk_<col>``
+        shadow and hands the SHADOWS to ``partitionBy`` — Spark consumes
+        (drops) the dir-encoding columns, the real columns stay in the
+        parquet (Iceberg's layout), so readers — Spark here, the DuckDB
+        oracle, any engine — see complete rows with no directory-parsing
+        dependency. Values are recovered from the ``_pk_<c>=<v>`` path
+        segments Spark wrote (hive-escaped; ``__HIVE_DEFAULT_PARTITION__``
+        = NULL), which is exactly the string form the pruning comparator
+        uses."""
+        missing = [c for c in self.partition_by if c not in df.columns]
+        if missing:
+            raise SchemaMismatchError(
+                f"write is missing partition column(s) {missing}"
+            )
+        batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, batch)
+        shadows = [f"_pk_{c}" for c in self.partition_by]
+        staged = df
+        for c, s in zip(self.partition_by, shadows):
+            staged = staged.withColumn(s, F.col(c).cast("string"))
+        staged.write.mode("error").partitionBy(*shadows).parquet(out)
+        found: dict = {}
+        for root, _dirs, names in os.walk(out):
+            for name in names:
+                if name.endswith(".parquet"):
+                    rel = os.path.normpath(
+                        os.path.join(batch, os.path.relpath(root, out), name)
+                    )
+                    found[rel] = _parts_from_relpath(rel)
+        return found
+
     # ------------------------------------------------------------- reads
 
     def read(
@@ -482,6 +635,7 @@ class SnapshotTable:
         version: int | None = None,
         as_of_ms: int | None = None,
         skip_where: list[tuple] | None = None,
+        partition_where: list[tuple] | None = None,
     ) -> DataFrame:
         """The table at a version (default latest). ``mergeSchema`` makes
         added-column evolution transparent: old files surface NULLs.
@@ -492,9 +646,26 @@ class SnapshotTable:
         skipping, the Delta/Iceberg fast path; parquet row-group pruning
         still applies within surviving files). Callers must still apply
         the real ``.filter`` — skipping is file-granular, not row-exact.
-        """
+
+        ``partition_where`` — same conjunct shape, evaluated against the
+        manifest's EXACT per-file partition tuples: a partition-aligned
+        predicate is row-exact at file granularity, so the scan Spark
+        plans touches only matching partitions (the classic 100 TB fact
+        table read: one day out of three years, without listing — or
+        statting — the other thousand days' files). Callers still apply
+        the ``.filter`` for uniformity; on a partition column it drops
+        nothing."""
         snap = self.snapshot(version, as_of_ms)
         files = snap.files
+        if partition_where:
+            parts = snap.parts or {}
+            files = [
+                f
+                for f in files
+                if _partition_match(parts.get(f, {}), partition_where)
+            ]
+            if not files:
+                return self.read(version, as_of_ms).limit(0)
         if skip_where:
             stats = snap.stats or {}
             blooms = snap.blooms or {}
@@ -673,6 +844,91 @@ class SnapshotTable:
             txn=txn,
         )
 
+    # ------------------------------------------------------- partitions
+
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """Distinct partition tuples with per-partition file counts —
+        pure manifest metadata (no listing, no scan): the ops surface a
+        100 TB operator uses to spot fragmentation or skew before paying
+        for a read. Sorted by tuple for stable output."""
+        if not self.partition_by:
+            raise ValueError("table is not partitioned")
+        snap = self.snapshot(version)
+        counts: dict = {}
+        for f in snap.files:
+            key = tuple(
+                (snap.parts or {}).get(f, {}).get(c) for c in self.partition_by
+            )
+            counts[key] = counts.get(key, 0) + 1
+        return [
+            {**dict(zip(self.partition_by, k)), "num_files": n}
+            for k, n in sorted(
+                counts.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+            )
+        ]
+
+    def overwrite_partitions(self, df: DataFrame) -> Snapshot:
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Delta's ``replaceWhere``
+        auto-derived): replace EXACTLY the partitions present in ``df``,
+        carry every other partition's files over untouched. The backfill
+        primitive — re-running one day of a year-partitioned pipeline
+        rewrites that day, never the year. Cost: one write of ``df``
+        plus one distinct-tuples collect bounded by the number of
+        TOUCHED partitions (never table-wide)."""
+        if not self.partition_by:
+            raise ValueError("table is not partitioned")
+        prev = self.snapshot()
+        self._validate_write_schema(df, schema_evolution=False)
+        touched = {
+            tuple(None if r[c] is None else str(r[c]) for c in self.partition_by)
+            for r in df.select(
+                *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+            )
+            .distinct()
+            .collect()
+        }
+        remove = frozenset(
+            f
+            for f in prev.files
+            if tuple(
+                (prev.parts or {}).get(f, {}).get(c) for c in self.partition_by
+            )
+            in touched
+        )
+        return self._commit(
+            "overwrite_partitions",
+            prev.version,
+            self._write_batch(df),
+            remove=remove,
+        )
+
+    def drop_partitions(self, partition_where: list[tuple]) -> Snapshot:
+        """Partition-level DELETE as a PURE METADATA commit: files whose
+        recorded partition tuple matches are removed from the manifest —
+        no data is read or rewritten (``ALTER TABLE DROP PARTITION`` /
+        retention sweeps: expiring 30-day-old events from a 100 TB table
+        costs one JSON write). Contrast :meth:`delete`, which scans and
+        rewrites because a row predicate can straddle files. Raises on a
+        predicate naming non-partition columns — silently treating it as
+        row-level would drop rows the caller didn't select."""
+        if not self.partition_by:
+            raise ValueError("table is not partitioned")
+        bad = [c for c, _op, _v in partition_where if c not in self.partition_by]
+        if bad:
+            raise ValueError(
+                f"drop_partitions predicate names non-partition column(s) {bad}"
+            )
+        prev = self.snapshot()
+        remove = frozenset(
+            f
+            for f in prev.files
+            if _partition_match((prev.parts or {}).get(f, {}), partition_where)
+        )
+        if not remove:
+            return prev
+        return self._commit("drop_partitions", prev.version, [], remove=remove)
+
     def rollback(self, version: int) -> Snapshot:
         """Restore an old version AS A NEW COMMIT (history is never
         rewritten — the bad versions stay auditable)."""
@@ -831,6 +1087,12 @@ class SnapshotTable:
                             "files": snap.files,
                             "stats": snap.stats,
                             **({"blooms": snap.blooms} if snap.blooms else {}),
+                            **({"parts": snap.parts} if snap.parts else {}),
+                            **(
+                                {"partition_by": self.partition_by}
+                                if self.partition_by
+                                else {}
+                            ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),
                             **({"txn_seen": folded} if folded else {}),
                         }
@@ -842,16 +1104,25 @@ class SnapshotTable:
         ddir = os.path.join(self.path, _DATA_DIR)
         for batch in os.listdir(ddir) if os.path.isdir(ddir) else []:
             bdir = os.path.join(ddir, batch)
-            for f in os.listdir(bdir):
-                rel = os.path.join(_DATA_DIR, batch, f)
-                if f.endswith(".parquet") and rel not in live:
-                    os.unlink(os.path.join(bdir, f))
-                    removed.append(rel)
-            if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
-                # batch fully vacuumed; drop its _SUCCESS etc. and the dir
-                for f in os.listdir(bdir):
-                    os.unlink(os.path.join(bdir, f))
-                os.rmdir(bdir)
+            # bottom-up walk: partitioned batches nest _pk_<c>=<v> dirs
+            batch_live = False
+            for root, dirs, names in os.walk(bdir, topdown=False):
+                for f in names:
+                    rel = os.path.normpath(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+                    if f.endswith(".parquet"):
+                        if rel in live:
+                            batch_live = True
+                        else:
+                            os.unlink(os.path.join(root, f))
+                            removed.append(rel)
+            if not batch_live:
+                # batch fully vacuumed; drop _SUCCESS/.crc sidecars + dirs
+                for root, dirs, names in os.walk(bdir, topdown=False):
+                    for f in names:
+                        os.unlink(os.path.join(root, f))
+                    os.rmdir(root)
         for v in versions[:-retain_last]:
             os.unlink(self._manifest_path(v))
         return removed

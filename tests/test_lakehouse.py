@@ -779,3 +779,181 @@ def test_vacuum_preserves_replay_protection(spark, tmp_path):
     assert t.last_committed_batch("s") == 5
     assert t.last_committed_batch("other") == 41
     assert t.read().count() == 3 + 5 + 1 + 1
+
+
+# ---------------------------------------------------------------- partitions
+
+
+class TestPartitionedTables:
+    """Hive/Delta-style partition columns (``partition_by``): values live
+    in the data files (Iceberg layout — any engine reads complete rows)
+    AND in the manifest's per-file ``parts`` map, which is what makes
+    partition pruning exact and partition overwrite/drop metadata-only.
+
+    The 100 TB assertions: a pruned read plans a scan over ONLY the
+    matching partition's files; ``drop_partitions`` commits without
+    reading a byte; ``overwrite_partitions`` carries every untouched
+    partition's files over by reference."""
+
+    @pytest.fixture()
+    def ptable(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "pt"), partition_by=["day"])
+        df = spark.createDataFrame(
+            [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(30)],
+            "id int, day string, v double",
+        ).coalesce(2)
+        t.create(df)
+        return t
+
+    def test_partition_columns_stay_in_data(self, ptable):
+        df = ptable.read()
+        assert set(df.columns) == {"id", "day", "v"}
+        assert df.count() == 30
+
+    def test_pruned_read_plans_only_matching_files(self, ptable):
+        pruned = ptable.read(partition_where=[("day", "=", "2024-01-02")])
+        snap = ptable.snapshot()
+        match = [
+            f for f, p in snap.parts.items() if p["day"] == "2024-01-02"
+        ]
+        assert len(pruned.inputFiles()) == len(match) < len(snap.files)
+        assert pruned.count() == 10
+        # pruning is exact: same rows as the full read + filter
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id
+            for r in ptable.read().filter(F.col("day") == "2024-01-02").collect()
+        )
+
+    def test_partition_pruning_in_op_and_ranges(self, ptable):
+        assert ptable.read(
+            partition_where=[("day", "in", ["2024-01-01", "2024-01-03"])]
+        ).count() == 20
+        assert ptable.read(
+            partition_where=[("day", ">=", "2024-01-02")]
+        ).count() == 20
+        # empty match returns an empty frame with the right schema
+        empty = ptable.read(partition_where=[("day", "=", "2099-12-31")])
+        assert empty.count() == 0 and set(empty.columns) == {"id", "day", "v"}
+
+    def test_numeric_partitions_compare_numerically(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "np"), partition_by=["bucket"])
+        t.create(
+            spark.createDataFrame(
+                [(i, b) for i, b in enumerate([2, 9, 10, 11])],
+                "id int, bucket int",
+            )
+        )
+        # lexicographic "10" < "9" would misprune here
+        assert t.read(partition_where=[("bucket", ">", 9)]).count() == 2
+        assert t.read(partition_where=[("bucket", "=", 10)]).count() == 1
+
+    def test_overwrite_partitions_is_surgical(self, spark, ptable):
+        before = ptable.snapshot()
+        untouched = {
+            f for f, p in before.parts.items() if p["day"] != "2024-01-02"
+        }
+        ptable.overwrite_partitions(
+            spark.createDataFrame(
+                [(99, "2024-01-02", 9.9)], "id int, day string, v double"
+            )
+        )
+        after = ptable.snapshot()
+        # untouched partitions carried over BY REFERENCE (same paths)
+        assert untouched <= set(after.files)
+        assert ptable.read(
+            partition_where=[("day", "=", "2024-01-02")]
+        ).count() == 1
+        assert ptable.read().count() == 21
+        # time travel still sees the pre-overwrite day
+        assert ptable.read(
+            version=before.version, partition_where=[("day", "=", "2024-01-02")]
+        ).count() == 10
+
+    def test_drop_partitions_is_metadata_only(self, ptable):
+        before = ptable.snapshot()
+        snap = ptable.drop_partitions([("day", "=", "2024-01-01")])
+        assert snap.operation == "drop_partitions"
+        # pure metadata: every surviving file existed before (no rewrite)
+        assert set(snap.files) <= set(before.files)
+        assert ptable.read().count() == 20
+        # manifest is a delta whose add list is empty
+        raw = ptable._raw(snap.version)
+        assert raw.get("add") == [] and raw.get("remove")
+
+    def test_drop_partitions_rejects_row_predicates(self, ptable):
+        with pytest.raises(ValueError, match="non-partition"):
+            ptable.drop_partitions([("id", "=", 1)])
+
+    def test_partitions_listing_is_metadata(self, ptable):
+        listing = ptable.partitions()
+        assert [p["day"] for p in listing] == [
+            "2024-01-01", "2024-01-02", "2024-01-03",
+        ]
+        assert all(p["num_files"] >= 1 for p in listing)
+
+    def test_handle_reopen_inherits_and_conflicts_fail(self, spark, ptable):
+        t2 = SnapshotTable(spark, ptable.path)
+        assert t2.partition_by == ["day"]
+        assert t2.read(partition_where=[("day", "=", "2024-01-01")]).count() == 10
+        with pytest.raises(ValueError, match="partitioned by"):
+            SnapshotTable(spark, ptable.path, partition_by=["id"])
+
+    def test_write_missing_partition_column_fails(self, spark, ptable):
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SchemaMismatchError,
+        )
+
+        with pytest.raises(SchemaMismatchError, match="partition column"):
+            ptable.append(spark.createDataFrame([(1, 1.0)], "id int, v double"))
+
+    def test_compact_preserves_partition_alignment(self, ptable):
+        ptable.compact(target_files=1)
+        snap = ptable.snapshot()
+        # every file still maps to exactly one partition tuple
+        assert all(set(p) == {"day"} for p in snap.parts.values())
+        assert ptable.read().count() == 30
+        assert ptable.read(
+            partition_where=[("day", "=", "2024-01-03")]
+        ).count() == 10
+
+    def test_null_partition_value_roundtrip(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "nl"), partition_by=["day"])
+        t.create(
+            spark.createDataFrame(
+                [(1, "2024-01-01"), (2, None)], "id int, day string"
+            )
+        )
+        assert t.read(partition_where=[("day", "=", None)]).count() == 1
+        assert t.read(partition_where=[("day", "=", "2024-01-01")]).count() == 1
+
+    def test_vacuum_on_partitioned_table(self, spark, ptable):
+        ptable.drop_partitions([("day", "=", "2024-01-01")])
+        ptable.compact(target_files=1)
+        removed = ptable.vacuum(retain_last=1)
+        assert removed  # dropped partition + pre-compaction fragments
+        assert ptable.read().count() == 20
+        # pruning still works off the vacuum-materialized manifest
+        assert ptable.read(
+            partition_where=[("day", "=", "2024-01-02")]
+        ).count() == 10
+        # partition spec survives the manifest rewrite
+        assert SnapshotTable(spark, ptable.path).partition_by == ["day"]
+
+    def test_merge_respects_partitioning(self, spark, ptable):
+        ptable.merge(
+            spark.createDataFrame(
+                [(0, "2024-01-01", -1.0), (555, "2024-01-02", 5.5)],
+                "id int, day string, v double",
+            ),
+            key_cols=["id"],
+        )
+        snap = ptable.snapshot()
+        assert all(set(p) == {"day"} for p in snap.parts.values())
+        assert ptable.read().count() == 31
+        got = {
+            r.id: r.v
+            for r in ptable.read(
+                partition_where=[("day", "=", "2024-01-02")]
+            ).collect()
+        }
+        assert got[555] == 5.5
