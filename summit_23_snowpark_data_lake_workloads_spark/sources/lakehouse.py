@@ -58,6 +58,11 @@ _DATA_DIR = "data"
 #: to the commit and a reader's fold chain is bounded by this interval
 #: (the Delta-log checkpoint design)
 _CHECKPOINT_EVERY = 8
+#: a partitioned table's FULL manifest switches to per-partition shard
+#: sidecars past this file count (kept small enough that tests exercise
+#: the sharded layout on real data; at 100 TB the constant is
+#: irrelevant — every table is far past it)
+_SHARD_CHECKPOINT_FILES = 64
 
 
 class SchemaMismatchError(ValueError):
@@ -372,6 +377,18 @@ class SnapshotTable:
         #: Iceberg choice) — readers need no directory-parsing magic and
         #: un-partitioned engines (DuckDB oracles) read the same files.
         self.partition_by = list(partition_by or [])
+        #: checkpoint sharding threshold: a FULL manifest of a
+        #: partitioned table with more than this many files is written
+        #: as per-partition SHARD sidecars + a small shard index
+        #: (Iceberg's manifest-list design) so a pruned read loads only
+        #: the matching partitions' metadata — at 10^6 files the
+        #: one-partition read stops paying a table-wide JSON parse.
+        #: Handle state (a layout policy, like ``bloom_cols``).
+        self.shard_checkpoint_files = _SHARD_CHECKPOINT_FILES
+        #: shard paths loaded by the most recent manifest resolution —
+        #: observability for tests/ops (DID that pruned read stay
+        #: partition-local?)
+        self.last_shards_loaded: list[str] = []
         existing = self._table_partition_by()
         if existing is not None:
             if partition_by is not None and list(partition_by) != existing:
@@ -404,26 +421,31 @@ class SnapshotTable:
             if f.startswith("v") and f.endswith(".json")
         )
 
-    def snapshot(self, version: int | None = None, as_of_ms: int | None = None) -> Snapshot:
-        """Resolve a version (latest by default; ``as_of_ms`` = the last
-        version committed at-or-before that wall-clock, i.e. time travel
-        ``AT (TIMESTAMP => ...)``)."""
+    def _resolve_v(self, version: int | None, as_of_ms: int | None) -> int:
+        """Version-number resolution (latest / explicit / timestamp) —
+        raw-manifest reads only, no snapshot fold."""
         versions = self._versions()
         if not versions:
             raise FileNotFoundError(f"no committed version at {self.path}")
         if version is None and as_of_ms is None:
-            version = versions[-1]
-        elif version is None:
+            return versions[-1]
+        if version is None:
             eligible = [
                 v for v in versions
-                if self._load(v).timestamp_ms <= as_of_ms
+                if self._raw(v)["timestamp_ms"] <= as_of_ms
             ]
             if not eligible:
                 raise LookupError(f"no version at or before {as_of_ms}")
-            version = eligible[-1]
+            return eligible[-1]
         if version not in versions:
             raise LookupError(f"version {version} not in {versions}")
-        return self._load(version)
+        return version
+
+    def snapshot(self, version: int | None = None, as_of_ms: int | None = None) -> Snapshot:
+        """Resolve a version (latest by default; ``as_of_ms`` = the last
+        version committed at-or-before that wall-clock, i.e. time travel
+        ``AT (TIMESTAMP => ...)``)."""
+        return self._load(self._resolve_v(version, as_of_ms))
 
     def _raw(self, version: int) -> dict:
         """The manifest JSON as written — either a FULL manifest (has
@@ -435,39 +457,152 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _load(self, version: int) -> Snapshot:
-        """Fully-resolved snapshot. Delta manifests fold onto their base
+    def _load(self, version: int, partition_where: list[tuple] | None = None) -> Snapshot:
+        """Resolved snapshot. Delta manifests fold onto their base
         (chain length is bounded by the checkpoint interval, so a fold
-        is <= ``_CHECKPOINT_EVERY`` JSON reads)."""
+        is <= ``_CHECKPOINT_EVERY`` JSON reads).
+
+        ``partition_where`` makes the resolution itself partition-local:
+        a sharded FULL manifest (``shard_index``) loads ONLY the shards
+        whose partition tuple matches, and a delta fold filters its adds
+        by the same predicate (partition tuples are recoverable from the
+        add paths). The result is a PARTIAL snapshot — correct for a
+        pruned read, never to be used as a commit base — so only
+        :meth:`read` requests it."""
         m = self._raw(version)
-        if "files" in m:
+        if "shard_index" in m:
+            files: list[str] = []
+            stats: dict = {}
+            blooms: dict = {}
+            parts: dict = {}
+            loaded = []
+            for shard, vals in sorted(m["shard_index"].items()):
+                if partition_where and not _partition_match(
+                    vals, partition_where
+                ):
+                    continue
+                with open(os.path.join(self.path, _MANIFEST_DIR, shard)) as fh:
+                    s = json.load(fh)
+                loaded.append(shard)
+                files += s["files"]
+                stats.update(s.get("stats", {}))
+                blooms.update(s.get("blooms", {}))
+                parts.update(s.get("parts", {}))
+            self.last_shards_loaded = loaded
             return Snapshot(
-                m["version"], m["timestamp_ms"], m["operation"], m["files"],
-                m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
-                m.get("parts", {}),
+                m["version"], m["timestamp_ms"], m["operation"], sorted(files),
+                stats, m.get("txn"), blooms, parts,
             )
-        base = self._load(m["base_version"])
+        if "files" in m:
+            files = m["files"]
+            parts = m.get("parts", {})
+            if partition_where:
+                files = [
+                    f
+                    for f in files
+                    if _partition_match(parts.get(f, {}), partition_where)
+                ]
+                parts = {f: parts[f] for f in files if f in parts}
+            return Snapshot(
+                m["version"], m["timestamp_ms"], m["operation"], files,
+                m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
+                parts,
+            )
+        base = self._load(m["base_version"], partition_where)
         removed = set(m.get("remove", []))
-        files = sorted(
-            [f for f in base.files if f not in removed] + m.get("add", [])
-        )
+        add = m.get("add", [])
+        if partition_where:
+            add = [
+                f
+                for f in add
+                if _partition_match(
+                    m.get("add_parts", {}).get(f) or _parts_from_relpath(f),
+                    partition_where,
+                )
+            ]
+        files = sorted([f for f in base.files if f not in removed] + add)
         live = set(files)
         stats = {
             f: s for f, s in (base.stats or {}).items() if f in live
         }
-        stats.update(m.get("add_stats", {}))
+        stats.update(
+            {f: s for f, s in m.get("add_stats", {}).items() if f in live}
+        )
         blooms = {
             f: b for f, b in (base.blooms or {}).items() if f in live
         }
-        blooms.update(m.get("add_blooms", {}))
+        blooms.update(
+            {f: b for f, b in m.get("add_blooms", {}).items() if f in live}
+        )
         parts = {
             f: p for f, p in (base.parts or {}).items() if f in live
         }
-        parts.update(m.get("add_parts", {}))
+        parts.update(
+            {f: p for f, p in m.get("add_parts", {}).items() if f in live}
+        )
         return Snapshot(
             m["version"], m["timestamp_ms"], m["operation"], files,
             stats, m.get("txn"), blooms, parts,
         )
+
+    def _full_manifest_body(self, snap: Snapshot) -> dict:
+        """The FULL-manifest JSON body for ``snap`` — inline
+        (files/stats/blooms/parts) normally; past
+        ``shard_checkpoint_files`` on a partitioned table, written as
+        per-partition SHARD sidecars under ``_manifests/shards/`` with
+        the body carrying only a ``shard_index`` (shard → partition
+        tuple): the Iceberg manifest-list design. Shards are plain
+        writes BEFORE the manifest publishes — invisible until the
+        commit protocol picks a winner; a loser's shards are orphans
+        that vacuum sweeps. Checkpoint metadata cost stays O(table), but
+        a PRUNED read's metadata cost drops to O(matching partitions) —
+        the piece that keeps a one-partition read off a table-wide JSON
+        parse at 10^6 files."""
+        shard_worthy = (
+            self.partition_by
+            and len(snap.files) > self.shard_checkpoint_files
+        )
+        if not shard_worthy:
+            return {
+                "files": snap.files,
+                "stats": snap.stats,
+                **({"blooms": snap.blooms} if snap.blooms else {}),
+                **({"parts": snap.parts} if snap.parts else {}),
+            }
+        groups: dict = {}
+        for f in snap.files:
+            key = tuple(sorted((snap.parts or {}).get(f, {}).items()))
+            groups.setdefault(key, []).append(f)
+        sdir = os.path.join(self.path, _MANIFEST_DIR, "shards")
+        os.makedirs(sdir, exist_ok=True)
+        index: dict = {}
+        for key, files in groups.items():
+            name = os.path.join(
+                "shards", f"v{snap.version:010d}-{uuid.uuid4().hex[:8]}.json"
+            )
+            with open(os.path.join(self.path, _MANIFEST_DIR, name), "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "files": files,
+                            "stats": {
+                                f: (snap.stats or {}).get(f)
+                                for f in files
+                                if f in (snap.stats or {})
+                            },
+                            "blooms": {
+                                f: (snap.blooms or {}).get(f)
+                                for f in files
+                                if f in (snap.blooms or {})
+                            },
+                            "parts": {
+                                f: (snap.parts or {}).get(f, {}) for f in files
+                            },
+                        }
+                    )
+                )
+            index[name] = dict(key)
+        return {"shard_index": index}
 
     def _commit(
         self,
@@ -550,10 +685,7 @@ class SnapshotTable:
                     "version": snap.version,
                     "timestamp_ms": snap.timestamp_ms,
                     "operation": snap.operation,
-                    "files": snap.files,
-                    "stats": snap.stats,
-                    **({"blooms": snap.blooms} if snap.blooms else {}),
-                    **({"parts": snap.parts} if snap.parts else {}),
+                    **self._full_manifest_body(snap),
                 }
             else:
                 body_d = {
@@ -652,20 +784,19 @@ class SnapshotTable:
         predicate is row-exact at file granularity, so the scan Spark
         plans touches only matching partitions (the classic 100 TB fact
         table read: one day out of three years, without listing — or
-        statting — the other thousand days' files). Callers still apply
-        the ``.filter`` for uniformity; on a partition column it drops
-        nothing."""
-        snap = self.snapshot(version, as_of_ms)
-        files = snap.files
+        statting — the other thousand days' files). Resolution itself is
+        pruned too: sharded checkpoints load only matching shards
+        (:meth:`_load`). Callers still apply the ``.filter`` for
+        uniformity; on a partition column it drops nothing."""
         if partition_where:
-            parts = snap.parts or {}
-            files = [
-                f
-                for f in files
-                if _partition_match(parts.get(f, {}), partition_where)
-            ]
-            if not files:
-                return self.read(version, as_of_ms).limit(0)
+            snap = self._load(
+                self._resolve_v(version, as_of_ms), partition_where
+            )
+        else:
+            snap = self.snapshot(version, as_of_ms)
+        files = snap.files
+        if partition_where and not files:
+            return self.read(version, as_of_ms).limit(0)
         if skip_where:
             stats = snap.stats or {}
             blooms = snap.blooms or {}
@@ -1084,10 +1215,7 @@ class SnapshotTable:
                             "version": snap.version,
                             "timestamp_ms": snap.timestamp_ms,
                             "operation": snap.operation,
-                            "files": snap.files,
-                            "stats": snap.stats,
-                            **({"blooms": snap.blooms} if snap.blooms else {}),
-                            **({"parts": snap.parts} if snap.parts else {}),
+                            **self._full_manifest_body(snap),
                             **(
                                 {"partition_by": self.partition_by}
                                 if self.partition_by
@@ -1100,6 +1228,17 @@ class SnapshotTable:
                 )
             os.replace(tmp, self._manifest_path(keep_v[0]))
         live = {f for v in keep_v for f in self._load(v).files}
+        # sweep shard sidecars referenced by NO retained manifest
+        # (expired checkpoints' shards + orphans from lost commit races)
+        live_shards = {
+            s
+            for v in keep_v
+            for s in (self._raw(v).get("shard_index") or {})
+        }
+        sdir = os.path.join(self.path, _MANIFEST_DIR, "shards")
+        for s in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            if os.path.join("shards", s) not in live_shards:
+                os.unlink(os.path.join(sdir, s))
         removed = []
         ddir = os.path.join(self.path, _DATA_DIR)
         for batch in os.listdir(ddir) if os.path.isdir(ddir) else []:

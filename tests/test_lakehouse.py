@@ -957,3 +957,74 @@ class TestPartitionedTables:
             ).collect()
         }
         assert got[555] == 5.5
+
+
+class TestShardedCheckpoints:
+    """Partition-sharded FULL manifests (the Iceberg manifest-list
+    design): past ``shard_checkpoint_files`` a checkpoint writes one
+    sidecar per partition plus a small shard index, and a pruned read
+    resolves METADATA partition-locally — the piece that keeps a
+    one-partition read off a table-wide JSON parse at 10^6 files."""
+
+    @pytest.fixture()
+    def sharded(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "sh"), partition_by=["day"])
+        t.shard_checkpoint_files = 8  # force the sharded layout at test scale
+        t.create(
+            spark.createDataFrame(
+                [(i, f"d{i % 5}", float(i)) for i in range(50)],
+                "id int, day string, v double",
+            ).repartition(4)
+        )
+        return t
+
+    def test_checkpoint_is_sharded_per_partition(self, sharded):
+        raw = sharded._raw(1)
+        assert "files" not in raw
+        assert len(raw["shard_index"]) == 5
+        assert sorted(v["day"] for v in raw["shard_index"].values()) == [
+            f"d{i}" for i in range(5)
+        ]
+
+    def test_pruned_read_loads_one_shard(self, sharded):
+        df = sharded.read(partition_where=[("day", "=", "d3")])
+        assert df.count() == 10
+        assert len(sharded.last_shards_loaded) == 1
+        # full read assembles all shards and loses nothing
+        assert sharded.read().count() == 50
+        assert len(sharded.last_shards_loaded) == 5
+
+    def test_delta_fold_over_shards_stays_pruned(self, spark, sharded):
+        sharded.append(
+            spark.createDataFrame([(99, "d3", 9.9)], "id int, day string, v double")
+        )
+        df = sharded.read(partition_where=[("day", "=", "d3")])
+        assert df.count() == 11
+        assert len(sharded.last_shards_loaded) == 1
+        # the appended file must NOT leak into other partitions' reads
+        assert sharded.read(partition_where=[("day", "=", "d1")]).count() == 10
+
+    def test_sharded_read_equals_unsharded(self, spark, tmp_path, sharded):
+        plain = SnapshotTable(spark, str(tmp_path / "pl"), partition_by=["day"])
+        plain.create(sharded.read())
+        assert "files" in plain._raw(1)  # below threshold: inline manifest
+        a = sorted((r.id, r.day, r.v) for r in sharded.read().collect())
+        b = sorted((r.id, r.day, r.v) for r in plain.read().collect())
+        assert a == b
+
+    def test_vacuum_sweeps_expired_shards_keeps_live(self, spark, sharded):
+        sharded.append(
+            spark.createDataFrame([(99, "d0", 0.0)], "id int, day string, v double")
+        )
+        # rollback forces a second FULL (replace_all) manifest -> more shards
+        sharded.rollback(1)
+        sdir = os.path.join(sharded.path, "_manifests", "shards")
+        before = len(os.listdir(sdir))
+        sharded.vacuum(retain_last=1)
+        after = os.listdir(sdir)
+        # only the retained (still-sharded) manifest's shards survive
+        live = set((sharded._raw(sharded.snapshot().version).get("shard_index") or {}))
+        assert {os.path.join("shards", s) for s in after} == live
+        assert len(after) < before
+        assert sharded.read().count() == 50
+        assert sharded.read(partition_where=[("day", "=", "d2")]).count() == 10
