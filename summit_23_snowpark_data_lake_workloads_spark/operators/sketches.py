@@ -1,0 +1,156 @@
+"""Mergeable cardinality sketches for 100 TB distinct counting.
+
+``COUNT(DISTINCT x)`` at scale shuffles every distinct value; a
+sketch shuffles a CONSTANT k longs per group regardless of
+cardinality, and — the operational point — sketches computed per
+partition/day/shard MERGE without rescanning the data (element-wise
+min), so a rolling "distinct users last 30 days" is 30 tiny merges,
+not a 30-day rescan.
+
+The sketch is the k-mins estimator (Flajolet–Martin / Cohen's
+MinCount family — the structure HyperLogLog refines): k independent
+hashes of each value, the per-group MIN of each. For n distinct
+values hashed uniformly into [0, H), each min is ~H/(n+1), so
+``n̂ = k*H / Σ mins − 1`` with relative standard error ~1/sqrt(k).
+Why this shape:
+
+- ONE wide min-aggregate — Spark computes it with full map-side
+  partial aggregation (each partition sends k longs per group up the
+  tree, never the values), the plan shape the MinHash signature
+  aggregate (operators/dedup.py) was measured to win with at 500k
+  docs;
+- merge = element-wise ``least`` — associative/commutative/
+  IDEMPOTENT, so re-processed shards merge harmlessly (at-least-once
+  pipelines don't inflate the estimate, unlike naive partial counts);
+- integer-deterministic: the DuckDB oracle replays every min and the
+  estimate exactly.
+
+Hashing: the i-th hash is ``md5(i ':' value)`` truncated to 60 bits
+(H = 16^15) — UNIFORM over [0, H), which the estimator requires.
+(MinHash's cheap affine remix of one md5 is NOT usable here: its
+output range varies with the multiplier ``2i+3``, fine for ordering,
+fatally non-uniform for cardinality — measured 6 orders of magnitude
+off.) Cost is k md5s per row; at a production deployment swap in any
+64-bit hash both your engines share (xxhash64 exists in Spark but not
+DuckDB, hence md5 here — the cross-engine-replayability seam).
+
+Sums of k 60-bit mins overflow a signed 64-bit long — both engines
+sum as DECIMAL(38,0)/HUGEINT and divide with INTEGER division (the
+cross-engine decimal-exact rule, tests/oracle_utils.py; float-path
+division would flake at rounding boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: hash range: 15 hex chars = 60 bits
+MINCOUNT_H = 16**15
+
+
+def _seed_hash(value_col: str, i: int):
+    """The i-th 60-bit hash — uniform over [0, H), identical in DuckDB
+    as ``('0x' || substr(md5(i ':' value), 1, 15))::BIGINT``."""
+    salted = F.concat_ws(":", F.lit(str(i)), F.col(value_col))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def mincount_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group k-mins sketch: ``group_cols + [s0..s{k-1}]``.
+
+    One wide aggregate — k min states per group flow through Spark's
+    partial aggregation; the shuffle carries k longs per group, never
+    the values. NULL values hash to NULL and drop out of min (SQL
+    aggregate semantics), matching COUNT(DISTINCT)'s NULL handling;
+    a group whose every value is NULL yields all-NULL mins, estimated
+    as 0 downstream."""
+    return df.groupBy(*group_cols).agg(
+        *[F.min(_seed_hash(value_col, i)).alias(f"s{i}") for i in range(k)]
+    )
+
+
+def mincount_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Merge two sketch tables: full-outer join on the group, then
+    element-wise ``least`` (NULL-tolerant — a group absent from one
+    side keeps the other's mins). Associative + idempotent, so
+    shard/day/partition sketches combine in any order and re-merging
+    a shard is harmless."""
+    bb = b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in group_cols],
+        *[F.col(f"s{i}").alias(f"_b_s{i}") for i in range(k)],
+    )
+    cond = None
+    for c in group_cols:
+        eq = a[c].eqNullSafe(bb[f"_b_{c}"])
+        cond = eq if cond is None else cond & eq
+    return a.join(bb, cond, "full_outer").select(
+        *[F.coalesce(a[c], bb[f"_b_{c}"]).alias(c) for c in group_cols],
+        *[
+            F.coalesce(
+                F.least(F.col(f"s{i}"), F.col(f"_b_s{i}")),
+                F.col(f"s{i}"),
+                F.col(f"_b_s{i}"),
+            ).alias(f"s{i}")
+            for i in range(k)
+        ],
+    )
+
+
+def mincount_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Estimate distinct counts from a sketch:
+    ``group_cols + [est_distinct]``.
+
+    ``n̂ = (k*H − Σ mins) div Σ mins`` — algebraically
+    ``floor(k*H/Σ − 1)`` — in pure integer arithmetic on BOTH engines
+    (DECIMAL(38,0) ``div`` here, HUGEINT ``//`` in the oracle).
+    All-NULL sketches estimate 0; ``Σ = 0`` (possible only when every
+    seed's min is 0) saturates to 0 rather than dividing by zero."""
+    total = None
+    for i in range(k):
+        t = F.coalesce(F.col(f"s{i}").cast("decimal(38,0)"), F.lit(0))
+        total = t if total is None else total + t
+    kh = k * MINCOUNT_H  # python int: exact, fits decimal(38,0)
+    with_tot = sketch.withColumn("_tot", total)
+    est = F.when(F.col("_tot") <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            f"CAST((CAST('{kh}' AS DECIMAL(38,0)) - _tot) div _tot AS BIGINT)"
+        )
+    )
+    return with_tot.select(*group_cols, est.alias("est_distinct"))
+
+
+def mincount_oracle_sql(
+    source_sql: str, group_cols: list[str], value_expr: str, k: int = 32
+) -> str:
+    """DuckDB CTE replaying sketch + estimate over ``source_sql``
+    (any relation exposing ``group_cols`` and ``value_expr``) — the
+    differential the gate runs. Mirrors :func:`mincount_sketch` +
+    :func:`mincount_estimate` exactly."""
+    g = ", ".join(group_cols)
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || ({value_expr})), 1, 15))::BIGINT)"
+        f" AS s{i}"
+        for i in range(k)
+    )
+    tot = " + ".join(f"coalesce(s{i}::HUGEINT, 0)" for i in range(k))
+    return f"""
+    WITH src AS ({source_sql}),
+    sk AS (SELECT {g}, {mins} FROM src GROUP BY {g}),
+    tt AS (SELECT {g}, ({tot}) AS tot FROM sk)
+    SELECT {g},
+           CASE WHEN tot <= 0 THEN 0
+                ELSE (({k}::HUGEINT * {MINCOUNT_H}::HUGEINT - tot)
+                      // tot)::BIGINT
+           END AS est_distinct
+    FROM tt
+    """

@@ -4417,3 +4417,73 @@ def bpe_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _distinct_sketch_oracle() -> str:
+    from ..operators.sketches import mincount_oracle_sql
+
+    est = mincount_oracle_sql(
+        "SELECT source, doc_id::VARCHAR AS v FROM documents",
+        ["source"],
+        "v",
+        k=32,
+    )
+    return f"""
+    WITH est AS ({est}),
+    ex AS (
+        SELECT source, count(DISTINCT doc_id)::BIGINT AS n_exact
+        FROM documents GROUP BY source
+    )
+    SELECT est.source, est.est_distinct AS est_full,
+           est.est_distinct AS est_merged, ex.n_exact
+    FROM est JOIN ex ON est.source = ex.source
+    """
+
+
+@query("distinct_sketch_sources", oracle=_distinct_sketch_oracle())
+def distinct_sketch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketch (k-mins / MinCount, the structure
+    HyperLogLog refines) under the driver gate: per-source distinct
+    doc_id estimates from (a) one whole-corpus sketch and (b) two
+    half-corpus sketches (even/odd doc_id) MERGED by element-wise min.
+    The oracle replays every hash, min, and the integer-division
+    estimator in DuckDB and emits the same value for both columns —
+    so a merge bug (non-commutative join, NULL mishandling, a lost
+    group) hash-mismatches, not just an estimator bug. ``n_exact``
+    rides along so the result documents estimator accuracy
+    (~1/sqrt(32) ≈ 18% RSE).
+
+    Scale: each sketch is ONE wide min-aggregate — k longs per group
+    cross the shuffle, never the values; the merge joins two
+    |groups|-row tables. This is how "distinct users per day x 30
+    days" stays 30 tiny merges instead of a 30-day rescan at 100 TB.
+    """
+    from ..operators.sketches import (
+        mincount_estimate,
+        mincount_merge,
+        mincount_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("string").alias("v"), "doc_id"
+    )
+    full = mincount_estimate(
+        mincount_sketch(d, ["source"], "v", 32), ["source"], 32
+    ).withColumnRenamed("est_distinct", "est_full")
+    halves = mincount_merge(
+        mincount_sketch(d.filter(F.col("doc_id") % 2 == 0), ["source"], "v", 32),
+        mincount_sketch(d.filter(F.col("doc_id") % 2 == 1), ["source"], "v", 32),
+        ["source"],
+        32,
+    )
+    merged = mincount_estimate(halves, ["source"], 32).withColumnRenamed(
+        "est_distinct", "est_merged"
+    )
+    exact = d.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_exact")
+    )
+    return (
+        full.join(merged, "source")
+        .join(exact, "source")
+        .select("source", "est_full", "est_merged", "n_exact")
+    )

@@ -1,0 +1,96 @@
+"""Mergeable k-mins cardinality sketch (operators/sketches.py): the
+merge algebra (associative, commutative, IDEMPOTENT — the property
+that makes at-least-once reprocessing safe), NULL semantics matching
+COUNT(DISTINCT), estimator accuracy bounds, and the one-wide-aggregate
+plan shape (shuffle carries k longs per group, never values)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+    mincount_estimate,
+    mincount_merge,
+    mincount_sketch,
+)
+
+K = 16
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def _est(spark, sketch):
+    return {
+        r.g: r.est_distinct
+        for r in mincount_estimate(sketch, ["g"], K).collect()
+    }
+
+
+def test_estimate_within_sketch_error(spark):
+    n = 2000
+    df = spark.range(n).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = _est(spark, mincount_sketch(df, ["g"], "v", K))["a"]
+    # RSE ~ 1/sqrt(16) = 25%; 3 sigma bound, deterministic (fixed hash)
+    assert abs(est - n) / n < 0.75
+
+
+def test_duplicates_do_not_inflate(spark):
+    base = [("a", str(i)) for i in range(100)]
+    once = mincount_sketch(_df(spark, base), ["g"], "v", K)
+    thrice = mincount_sketch(_df(spark, base * 3), ["g"], "v", K)
+    assert _est(spark, once) == _est(spark, thrice)
+
+
+def test_merge_equals_whole(spark):
+    rows = [("a", str(i)) for i in range(300)] + [
+        ("b", str(i)) for i in range(40)
+    ]
+    whole = mincount_sketch(_df(spark, rows), ["g"], "v", K)
+    s1 = mincount_sketch(_df(spark, rows[:170]), ["g"], "v", K)
+    s2 = mincount_sketch(_df(spark, rows[170:]), ["g"], "v", K)
+    assert _est(spark, mincount_merge(s1, s2, ["g"], K)) == _est(spark, whole)
+    # commutative
+    assert _est(spark, mincount_merge(s2, s1, ["g"], K)) == _est(spark, whole)
+
+
+def test_merge_is_idempotent(spark):
+    rows = [("a", str(i)) for i in range(200)]
+    s = mincount_sketch(_df(spark, rows), ["g"], "v", K)
+    # re-merging the same shard (at-least-once delivery) changes nothing
+    assert _est(spark, mincount_merge(s, s, ["g"], K)) == _est(spark, s)
+
+
+def test_merge_disjoint_groups_survive(spark):
+    s1 = mincount_sketch(_df(spark, [("a", "1"), ("a", "2")]), ["g"], "v", K)
+    s2 = mincount_sketch(_df(spark, [("b", "9")]), ["g"], "v", K)
+    est = _est(spark, mincount_merge(s1, s2, ["g"], K))
+    assert set(est) == {"a", "b"} and est["b"] >= 0
+
+
+def test_null_values_match_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", None), ("a", "2"), ("n", None)],
+        "g string, v string",
+    )
+    est = _est(spark, mincount_sketch(df, ["g"], "v", K))
+    # NULLs drop out (like COUNT(DISTINCT)); all-NULL group estimates 0
+    assert est["n"] == 0 and est["a"] > 0
+
+
+def test_plan_is_single_wide_aggregate(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    plan = (
+        mincount_sketch(df, ["g"], "v", K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial + final hash aggregate, ONE exchange, no expand/explode
+    assert plan.count("Exchange") == 1
+    assert "Expand" not in plan and "Generate" not in plan
