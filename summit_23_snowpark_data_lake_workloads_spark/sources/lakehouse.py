@@ -246,7 +246,10 @@ def _partition_match(vals: dict, conjuncts: list[tuple]) -> bool:
 def _footer_stats(abs_path: str) -> dict:
     """Column [min, max] from a parquet file's row-group footers — pure
     metadata (no data pages read), the same stats Delta stores in its
-    transaction log. Only JSON-stable scalar types are kept."""
+    transaction log. Only JSON-stable scalar types are kept. The file's
+    row count rides along under the reserved key ``_nrows`` (Delta's
+    ``numRecords``): it is what makes ``COUNT(*)`` — the most common
+    query against a 100 TB table — a manifest read instead of a scan."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -269,7 +272,9 @@ def _footer_stats(abs_path: str) -> dict:
             name = col.path_in_schema
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins}
+    out = {c: [mins[c], maxs[c]] for c in mins}
+    out["_nrows"] = [md.num_rows, md.num_rows]
+    return out
 
 
 _BLOOM_BITS = 8192  # 1 KiB/column/file; ~1% FP at ~850 distinct values
@@ -977,11 +982,39 @@ class SnapshotTable:
 
     # ------------------------------------------------------- partitions
 
+    def row_count(
+        self,
+        version: int | None = None,
+        partition_where: list[tuple] | None = None,
+    ) -> int | None:
+        """``COUNT(*)`` from manifest stats alone — zero data scanned
+        (every commit records each file's footer row count under the
+        reserved ``_nrows`` stat, Delta's ``numRecords``). With
+        ``partition_where``, counts only matching partitions, and on a
+        sharded checkpoint resolves only matching shards. Returns None
+        if any live file predates row-count stats (tables written
+        before this feature) — the caller falls back to a scan rather
+        than getting a silently wrong number."""
+        snap = (
+            self._load(self._resolve_v(version, None), partition_where)
+            if partition_where
+            else self.snapshot(version)
+        )
+        total = 0
+        for f in snap.files:
+            nr = (snap.stats or {}).get(f, {}).get("_nrows")
+            if nr is None:
+                return None
+            total += nr[0]
+        return total
+
     def partitions(self, version: int | None = None) -> list[dict]:
-        """Distinct partition tuples with per-partition file counts —
-        pure manifest metadata (no listing, no scan): the ops surface a
-        100 TB operator uses to spot fragmentation or skew before paying
-        for a read. Sorted by tuple for stable output."""
+        """Distinct partition tuples with per-partition file AND row
+        counts — pure manifest metadata (no listing, no scan): the ops
+        surface a 100 TB operator uses to spot fragmentation or skew
+        before paying for a read. ``num_rows`` is None when any of the
+        partition's files predates row-count stats. Sorted by tuple
+        for stable output."""
         if not self.partition_by:
             raise ValueError("table is not partitioned")
         snap = self.snapshot(version)
@@ -990,10 +1023,12 @@ class SnapshotTable:
             key = tuple(
                 (snap.parts or {}).get(f, {}).get(c) for c in self.partition_by
             )
-            counts[key] = counts.get(key, 0) + 1
+            nf, nr = counts.get(key, (0, 0))
+            fr = (snap.stats or {}).get(f, {}).get("_nrows")
+            counts[key] = (nf + 1, None if nr is None or fr is None else nr + fr[0])
         return [
-            {**dict(zip(self.partition_by, k)), "num_files": n}
-            for k, n in sorted(
+            {**dict(zip(self.partition_by, k)), "num_files": nf, "num_rows": nr}
+            for k, (nf, nr) in sorted(
                 counts.items(), key=lambda kv: tuple(str(x) for x in kv[0])
             )
         ]

@@ -1089,3 +1089,39 @@ def test_streaming_sink_into_partitioned_table(spark, tmp_path):
         txn={"app_id": "part-ingest", "batch_id": 1},
     )
     assert t.read().count() == 14
+
+
+def test_row_count_is_metadata_only(spark, tmp_path):
+    """COUNT(*) from the manifest's per-file _nrows stats — exact
+    across append/delete/merge/compact and per-partition, with no
+    scan; None (never a wrong number) for pre-feature files."""
+    t = SnapshotTable(spark, str(tmp_path / "rc"), partition_by=["day"])
+    t.create(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}") for i in range(30)], "id int, day string"
+        )
+    )
+    assert t.row_count() == 30
+    assert t.row_count(partition_where=[("day", "=", "d1")]) == 10
+    t.delete(F.col("id") < 6)
+    assert t.row_count() == 24 == t.read().count()
+    t.compact(target_files=1)
+    assert t.row_count() == 24
+    # per-partition rows in the listing
+    assert {p["day"]: p["num_rows"] for p in t.partitions()} == {
+        "d0": 8, "d1": 8, "d2": 8,
+    }
+    # time travel counts the old version
+    assert t.row_count(version=1) == 30
+    # a manifest stripped of _nrows (pre-feature table) -> None
+    snap = t.snapshot()
+    import json as _json
+
+    mp = t._manifest_path(snap.version)
+    raw = _json.loads(open(mp).read())
+    for f in raw.get("stats", {}):
+        raw["stats"][f].pop("_nrows", None)
+    if "shard_index" in raw:  # not at this size, but stay robust
+        pass
+    open(mp, "w").write(_json.dumps(raw))
+    assert t.row_count() is None
