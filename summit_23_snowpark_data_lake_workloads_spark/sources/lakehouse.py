@@ -1161,21 +1161,40 @@ class SnapshotTable:
             replace_all=replace_all,
         )
 
-    def cluster_zorder(self, cols: list[str], n_files: int) -> Snapshot:
+    def cluster_zorder(
+        self,
+        cols: list[str],
+        n_files: int,
+        partition_where: list[tuple] | None = None,
+    ) -> Snapshot:
         """Z-order clustering (Delta ``OPTIMIZE ZORDER BY``): rewrite the
         table sorted by the interleaved-bit key of ``cols``, so the
         manifest [min,max] stats prune files for predicates on ANY of
         the clustered columns — a 1-D sort only skips on its prefix.
 
-        Normalization is min/max fixed-point (one cheap agg pass), not a
-        global rank window (which would funnel the table through one
-        task at 100 TB). Monotonic per column, so range predicates stay
-        range predicates in z-space; heavy per-column skew degrades
-        toward 1-D behavior (document, don't hide: pre-bucket a skewed
-        column first).
+        ``partition_where`` scopes the rewrite (Delta's ``OPTIMIZE ...
+        WHERE``): only matching partitions' files are read, re-sorted
+        and replaced; everything else carries over by reference. At
+        100 TB z-ordering is a per-partition maintenance pass on the
+        partitions that just landed — never a full-table rewrite.
+
+        Normalization is min/max fixed-point (one cheap agg pass over
+        the SCOPED rows), not a global rank window (which would funnel
+        the table through one task at 100 TB). Monotonic per column, so
+        range predicates stay range predicates in z-space; heavy
+        per-column skew degrades toward 1-D behavior (document, don't
+        hide: pre-bucket a skewed column first).
         """
         prev = self.snapshot()
-        cur = self.read()
+        if partition_where:
+            if not self.partition_by:
+                raise ValueError("partition_where on an unpartitioned table")
+            scoped = self._load(prev.version, partition_where)
+            if not scoped.files:
+                return prev
+            cur = self.read(partition_where=partition_where)
+        else:
+            cur = self.read()
         k = len(cols)
         bounds = cur.agg(
             *[F.min(c).alias(f"lo{j}") for j, c in enumerate(cols)],
@@ -1200,6 +1219,13 @@ class SnapshotTable:
             .sortWithinPartitions("_z")
             .drop("_z")
         )
+        if partition_where:
+            return self._commit(
+                "zorder",
+                prev.version,
+                self._write_batch(clustered),
+                remove=frozenset(scoped.files),
+            )
         return self._commit(
             "zorder", prev.version, self._write_batch(clustered), replace_all=True
         )

@@ -1125,3 +1125,50 @@ def test_row_count_is_metadata_only(spark, tmp_path):
         pass
     open(mp, "w").write(_json.dumps(raw))
     assert t.row_count() is None
+
+
+def test_partition_scoped_zorder(spark, tmp_path):
+    """OPTIMIZE ... WHERE: z-ordering one partition rewrites only that
+    partition's files; the rest carry over by reference, rows are
+    unchanged, and the clustered partition's stats actually skip."""
+    t = SnapshotTable(spark, str(tmp_path / "zp"), partition_by=["day"])
+    t.create(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}", i * 37 % 100, i * 53 % 100) for i in range(400)],
+            "id int, day string, x int, y int",
+        ).repartition(8)
+    )
+    before = t.snapshot()
+    d0_before = {
+        f for f, p in before.parts.items() if p["day"] == "d0"
+    }
+    d1_before = {
+        f for f, p in before.parts.items() if p["day"] == "d1"
+    }
+    snap = t.cluster_zorder(["x", "y"], 4, partition_where=[("day", "=", "d0")])
+    assert snap.operation == "zorder"
+    after = set(snap.files)
+    # untouched partition carried over by reference; scoped one replaced
+    assert d1_before <= after
+    assert not (d0_before & after)
+    assert t.read().count() == 400
+    assert t.read(partition_where=[("day", "=", "d0")]).count() == 200
+    # the re-clustered files skip on x within d0
+    kept = [
+        f
+        for f in snap.files
+        if snap.parts[f]["day"] == "d0"
+        and _file_may_match_stats(snap.stats.get(f), "x", 5)
+    ]
+    d0_after = [f for f in snap.files if snap.parts[f]["day"] == "d0"]
+    assert len(kept) < len(d0_after)
+    # no-match scope is a no-op commit
+    assert t.cluster_zorder(["x"], 2, partition_where=[("day", "=", "zz")]).version == snap.version
+
+
+def _file_may_match_stats(stats, col, value):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        _file_may_match,
+    )
+
+    return _file_may_match(stats, col, "=", value)
