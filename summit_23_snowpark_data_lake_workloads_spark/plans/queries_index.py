@@ -1022,6 +1022,7 @@ def _partition_audit_oracle() -> str:
     n_chars; v3 = bucket 0 dropped (metadata-only delete)."""
     stats = (
         "count(*)::BIGINT AS n_rows, "
+        "count(*)::BIGINT AS n_meta, "
         "sum(doc_id)::BIGINT AS sum_doc_id, "
         "sum(n_chars)::BIGINT AS sum_n_chars"
     )
@@ -1086,6 +1087,12 @@ def lakehouse_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (1, 2, 3):
             for p in table.partitions(version=v):
                 b = int(p["bucket"])
+                # metadata-only COUNT(*) — gated against the oracle's
+                # real count(*): the _nrows bookkeeping must survive
+                # create/overwrite/drop COW exactly
+                n_meta = table.row_count(
+                    version=v, partition_where=[("bucket", "=", b)]
+                )
                 r = table.read(
                     version=v, partition_where=[("bucket", "=", b)]
                 ).agg(
@@ -1096,6 +1103,7 @@ def lakehouse_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(v).cast("long").alias("version"),
                     F.lit(b).cast("long").alias("bucket"),
                     "n_rows",
+                    F.lit(n_meta).cast("long").alias("n_meta"),
                     "sum_doc_id",
                     "sum_n_chars",
                 )
