@@ -1172,3 +1172,49 @@ def _file_may_match_stats(stats, col, value):
     )
 
     return _file_may_match(stats, col, "=", value)
+
+
+def test_partition_ops_conflict_on_stale_base(spark, tmp_path):
+    """overwrite_partitions / drop_partitions are non-commuting (they
+    remove files), so a commit based on a stale HEAD must raise
+    ConcurrentWriteError — never silently resurrect or drop the other
+    writer's rows."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cc"), partition_by=["day"])
+    t.create(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(10)], "id int, day string"
+        )
+    )
+    stale = SnapshotTable(spark, t.path)  # second handle, same table
+    t.append(spark.createDataFrame([(99, "d0")], "id int, day string"))
+
+    # the stale handle's partition ops read HEAD at call time -> succeed;
+    # simulate the real race by pinning the base version in _commit
+    with pytest.raises(ConcurrentWriteError):
+        stale._commit(
+            "drop_partitions", base_version=1, add=[],
+            remove=frozenset(stale.snapshot(1).files),
+        )
+    # table unchanged by the failed commit
+    assert t.read().count() == 11
+
+
+def test_partition_values_with_special_characters(spark, tmp_path):
+    """Hive-escaped partition dir values (spaces, slashes, equals)
+    round-trip through write -> manifest -> pruning exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "sp"), partition_by=["src"])
+    vals = ["a b", "x/y", "k=v", "plain"]
+    t.create(
+        spark.createDataFrame(
+            [(i, vals[i % 4]) for i in range(8)], "id int, src string"
+        )
+    )
+    for v in vals:
+        got = t.read(partition_where=[("src", "=", v)])
+        assert got.count() == 2
+        assert {r.src for r in got.collect()} == {v}
+    assert {p["src"] for p in t.partitions()} == set(vals)
