@@ -4487,3 +4487,87 @@ def distinct_sketch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "source")
         .select("source", "est_full", "est_merged", "n_exact")
     )
+
+
+def _rolling_sketch_oracle(k: int = 16) -> str:
+    from ..operators.sketches import MINCOUNT_H
+
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || v), 1, 15))::BIGINT) AS s{i}"
+        for i in range(k)
+    )
+    rmins = ", ".join(f"min(b.s{i}) AS s{i}" for i in range(k))
+
+    def est(alias: str) -> str:
+        tot = " + ".join(f"{alias}.s{i}::HUGEINT" for i in range(k))
+        return (
+            f"CASE WHEN ({tot}) <= 0 THEN 0 ELSE "
+            f"(({k}::HUGEINT * {MINCOUNT_H}::HUGEINT - ({tot})) // ({tot}))::BIGINT END"
+        )
+
+    return f"""
+    WITH src AS (
+        SELECT ts::DATE AS day, user_id::VARCHAR AS v FROM events
+    ),
+    sk AS (SELECT day, {mins} FROM src GROUP BY day),
+    roll AS (
+        SELECT a.day, {rmins}
+        FROM sk a JOIN sk b ON b.day BETWEEN a.day - 2 AND a.day
+        GROUP BY a.day
+    ),
+    ex AS (SELECT day, count(DISTINCT v)::BIGINT AS n_exact FROM src GROUP BY day)
+    SELECT sk.day::VARCHAR AS day, {est('sk')} AS est_daily,
+           {est('roll')} AS est_roll3, ex.n_exact
+    FROM sk JOIN roll ON sk.day = roll.day JOIN ex ON sk.day = ex.day
+    """
+
+
+@query("distinct_rolling_users", oracle=_rolling_sketch_oracle())
+def distinct_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-algebra payoff query: distinct users per day AND per
+    trailing 3-day window, where the rolling number is computed by
+    MERGING the daily sketches (a range self-join of the 30-row sketch
+    table + per-seed min), not by rescanning 3 days of events. This is
+    exactly how "distinct users, trailing 30 days" stays O(days²·k)
+    metadata work at 100 TB — the events table is read ONCE to build
+    daily sketches; every window after that is sketch algebra. The
+    DuckDB oracle replays hashes, daily mins, the rolling min-merge,
+    and the integer estimator; ``n_exact`` rides along for accuracy
+    context.
+    """
+    from ..operators.sketches import mincount_estimate, mincount_sketch
+
+    k = 16
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    daily = mincount_sketch(ev, ["day"], "v", k)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    roll = (
+        a.join(
+            b,
+            (F.datediff(F.col("a.day"), F.col("b.day")) >= 0)
+            & (F.datediff(F.col("a.day"), F.col("b.day")) <= 2),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(*[F.min(F.col(f"b.s{i}")).alias(f"s{i}") for i in range(k)])
+    )
+    est_d = mincount_estimate(daily, ["day"], k).withColumnRenamed(
+        "est_distinct", "est_daily"
+    )
+    est_r = mincount_estimate(roll, ["day"], k).withColumnRenamed(
+        "est_distinct", "est_roll3"
+    )
+    exact = ev.groupBy("day").agg(F.count_distinct("v").alias("n_exact"))
+    return (
+        est_d.join(est_r, "day")
+        .join(exact, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "est_daily",
+            "est_roll3",
+            "n_exact",
+        )
+    )
