@@ -1077,6 +1077,12 @@ def lakehouse_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="lh_partition_audit_")
     try:
         table = SnapshotTable(spark, tmp, partition_by=["bucket"])
+        # force the SHARDED checkpoint layout at gate scale (production
+        # threshold is 64 files — sf0.01 stays under it), so the
+        # shard-index write, per-shard pruned resolution, and delta
+        # folding over shards are all inside the hash gate, not just
+        # pytest (the hot-shingle low-cap trick)
+        table.shard_checkpoint_files = 4
         table.create(docs)
         table.overwrite_partitions(
             docs.filter((F.col("bucket") == 2) & (F.col("doc_id") % 2 == 0))
