@@ -659,3 +659,112 @@ def simhash_band_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Corpus-level segment dedup with document REWRITE — the C4
+    three-sentence-span rule (Raffel et al. 2020 §2.2: "remove all but
+    one of any three-sentence span occurring more than once") and
+    RefinedWeb's line-level dedup, re-expressed over a pluggable
+    deterministic segmentation: documents split into consecutive
+    ``k``-token segments, any segment whose corpus-wide occurrence count
+    reaches ``min_count`` keeps ONLY its canonical first occurrence
+    (lexicographic min ``(id, seg_idx)``), every other copy is cut, and
+    each document is reassembled from its surviving segments in order.
+
+    Production splits on real line/sentence boundaries; fixed windows
+    are the segmentation both engines here can replay exactly (the
+    synthetic corpus has no newlines), and the dedup algebra is
+    identical either way.
+
+    Returns one row per input document:
+    ``(id, n_segments, n_kept, n_dropped, text_clean)``.
+
+    Scale shape (100 TB):
+
+    - Segmentation is SHUFFLE-FREE: explode over ``sequence(0,
+      n_segs-1)`` + ``slice`` on the token array, pipelined codegen in
+      the scan stage — O(n_tokens) work, never a (doc, seg) shuffle.
+    - The frequency pass groups on the 8-byte ``portable_hash64`` of
+      the segment (map-side combinable; the segment text itself never
+      crosses that shuffle), and keeps only over-``min_count`` rows —
+      the duplicated-content set, which is small relative to the corpus
+      by construction (bounded by duplicate volume, not corpus size).
+      ``broadcast_dups=True`` broadcasts it into the segment scan; set
+      False when duplicate volume itself is huge (boilerplate-dominated
+      crawls) to fall back to a shuffle join on the hash.
+    - Reassembly is ONE groupBy on the document id; per-group state is
+      one document's segments (struct sort + array_join), never a
+      window over the corpus.
+    - The canonical-occurrence pick rides the SAME hash shuffle as the
+      frequency count (``min(struct(id, seg_idx))`` merges map-side) —
+      no second pass over the corpus.
+
+    Identical-hash distinct segments (60-bit md5 prefix) would merge
+    counts; both engines use the same md5, so results still agree
+    exactly — at 100 TB widen to the full md5 if collision-level
+    precision matters.
+    """
+    w = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    segs = (
+        w.select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / F.lit(float(k))).cast("int") - 1,
+                )
+            ).alias("seg_idx"),
+            "w",
+        )
+        .select(
+            "id",
+            "seg_idx",
+            F.array_join(
+                F.slice("w", F.col("seg_idx") * k + 1, F.lit(k)), " "
+            ).alias("seg"),
+        )
+        .withColumn("h", portable_hash64("seg"))
+    )
+    dups = (
+        segs.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("id", "seg_idx")).alias("keep"),
+        )
+        .filter(F.col("n") >= min_count)
+        .select("h", "keep")
+    )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    marked = segs.join(dups, "h", "left")
+    survive = F.col("keep").isNull() | (
+        F.struct("id", "seg_idx") == F.col("keep")
+    )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(survive.cast("int")).cast("long").alias("n_kept"),
+        (
+            F.count(F.lit(1)) - F.sum(survive.cast("int"))
+        ).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(survive, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

@@ -1117,3 +1117,124 @@ def lakehouse_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bucket_audit_oracle() -> str:
+    """Mirror of the bucketed-table lifecycle: final state = (create
+    doc_id%3=0) ∪ (append doc_id%3=1) upserted by the merge batch
+    (doc_id%5=2 → source='merged', n_chars×10; matched rows replaced,
+    unmatched inserted). Bucket residency is recomputed from the SAME
+    md5 hash the table's bucket function uses."""
+    return f"""
+    WITH state AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 2 THEN 'merged' ELSE source END
+                   AS source,
+               CASE WHEN doc_id % 5 = 2 THEN n_chars * 10 ELSE n_chars END
+                   AS n_chars
+        FROM documents
+        WHERE doc_id % 3 IN (0, 1) OR doc_id % 5 = 2
+    ),
+    b AS (
+        SELECT *, {_DUCK_HASH.format(x="doc_id::VARCHAR")} % 8 AS bucket
+        FROM state
+    )
+    SELECT 'bucket' AS kind, bucket::BIGINT AS key,
+           count(*)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_meta,
+           sum(n_chars)::BIGINT AS sum_n_chars
+    FROM b GROUP BY bucket
+    UNION ALL
+    SELECT 'lookup' AS kind, doc_id::BIGINT AS key,
+           1::BIGINT AS n_rows, -1::BIGINT AS n_meta,
+           n_chars::BIGINT AS sum_n_chars
+    FROM state WHERE doc_id % 7 = 3
+    """
+
+
+@query("lakehouse_bucket_audit", oracle=_bucket_audit_oracle())
+def lakehouse_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed table layout under the driver gate: CREATE a
+    ``BucketedTable`` (bucket_col=doc_id, 8 buckets) from doc_id%3=0,
+    APPEND doc_id%3=1, MERGE an upsert batch (doc_id%5=2 →
+    source='merged', n_chars×10 — matched buckets rewritten, new keys
+    inserted INTO THEIR hash bucket), then emit two fact families:
+
+    - one row per non-empty bucket with the scanned row count, the
+      METADATA-ONLY count (``row_count`` over that bucket's manifest
+      stats — zero data read), and the n_chars sum: gates that rows
+      land in ``portable_hash64(doc_id) % 8`` exactly, that merge
+      re-derives buckets on rewrite (a NULL-bucket upsert would shift
+      a bucket's counts), and that manifest stats survive the
+      lifecycle;
+    - one row per FOUND probe key (every doc_id%7=3 in the raw table —
+      absent keys must return nothing) via :meth:`lookup`, which plans
+      a scan over only the probed buckets' files.
+
+    The oracle recomputes bucket residency from the same md5 the
+    bucket function uses — an engine-independent check that the layout
+    is portable, not Spark-private. Scale: lookup is the 100 TB
+    point-read path (k keys → ≤k buckets' files, exact manifest
+    pruning); merge cost is bounded by touched buckets, never the
+    table."""
+    import os
+
+    from ..sources.lakehouse import BucketedTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="lakehouse_bucket_audit_")
+    try:
+        table = BucketedTable(
+            spark, os.path.join(tmp, "tbl"), bucket_col="doc_id", n_buckets=8
+        )
+        table.create(docs.filter(F.col("doc_id") % 3 == 0))
+        table.append(
+            docs.filter(F.col("doc_id") % 3 == 1),
+            txn={"app_id": "bucket_audit", "batch_id": 1},
+        )
+        table.merge(
+            docs.filter(F.col("doc_id") % 5 == 2)
+            .withColumn("source", F.lit("merged"))
+            .withColumn("n_chars", F.col("n_chars") * 10),
+            key_cols=["doc_id"],
+            txn={"app_id": "bucket_audit", "batch_id": 2},
+        )
+        meta = spark.createDataFrame(
+            [
+                (b, table.row_count(partition_where=[("_bucket", "=", b)]))
+                for b in range(table.n_buckets)
+            ],
+            "key long, n_meta long",
+        )
+        per_bucket = (
+            table.read()
+            .groupBy(F.col("_bucket").cast("long").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("sum_n_chars"),
+            )
+            .join(meta, "key")
+            .select(
+                F.lit("bucket").alias("kind"),
+                "key",
+                "n_rows",
+                "n_meta",
+                "sum_n_chars",
+            )
+        )
+        probe_ids = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 7 == 3)
+            .select("doc_id")
+            .collect()
+        ]
+        found = table.lookup(probe_ids).select(
+            F.lit("lookup").alias("kind"),
+            F.col("doc_id").alias("key"),
+            F.lit(1).cast("long").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_meta"),
+            F.col("n_chars").cast("long").alias("sum_n_chars"),
+        )
+        return per_bucket.unionByName(found).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

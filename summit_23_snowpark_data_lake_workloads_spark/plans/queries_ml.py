@@ -4571,3 +4571,66 @@ def distinct_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+@query(
+    "dedup_segment_rewrite",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(w[(i*8)+1:(i*8)+8], ' ') AS seg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)
+    ),
+    h AS (
+        SELECT doc_id, seg_idx, seg,
+               {_DUCK_HASH.format(x='seg')} AS hh
+        FROM segs
+    ),
+    f AS (
+        SELECT hh,
+               min({{'id': doc_id, 'seg_idx': seg_idx}}) AS keep
+        FROM h GROUP BY hh HAVING count(*) >= 2
+    ),
+    m AS (
+        SELECT h.doc_id, h.seg_idx, h.seg,
+               (f.hh IS NULL
+                OR (h.doc_id = f.keep.id AND h.seg_idx = f.keep.seg_idx))
+                   AS survive
+        FROM h LEFT JOIN f ON h.hh = f.hh
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN survive THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN survive THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE survive), '') AS text_clean
+    FROM m GROUP BY doc_id
+    """,
+)
+def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule corpus dedup with document REWRITE (Raffel et al. 2020
+    §2.2; RefinedWeb line-dedup): consecutive 8-token segments, any
+    segment occurring >= 2 times corpus-wide keeps only its canonical
+    first occurrence (min ``(doc_id, seg_idx)``), and every document is
+    reassembled from its surviving segments — the op that cuts
+    boilerplate out of the text itself rather than dropping whole docs.
+
+    Scale: segmentation is shuffle-free (sequence+slice codegen in the
+    scan stage); frequency + canonical pick share ONE 8-byte-hash
+    shuffle; the duplicated-segment set broadcasts; reassembly is one
+    groupBy on doc_id. See
+    :func:`..operators.dedup.segment_dedup_rewrite`.
+    """
+    from ..operators.dedup import segment_dedup_rewrite
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup_rewrite(docs, "doc_id", "text", k=8, min_count=2).select(
+        F.col("id").alias("doc_id"),
+        "n_segments",
+        "n_kept",
+        "n_dropped",
+        "text_clean",
+    )

@@ -1326,3 +1326,170 @@ class SnapshotTable:
         for v in versions[:-retain_last]:
             os.unlink(self._manifest_path(v))
         return removed
+
+
+_BUCKET_COL = "_bucket"
+_BUCKET_SPEC_FILE = "_bucket_spec.json"
+
+
+class BucketedTable(SnapshotTable):
+    """Hash-bucketed table layout: every row lands in bucket
+    ``portable_hash64(key) % n_buckets``, and the bucket id is a
+    partition column — so the whole partition machinery (exact
+    manifest pruning, sharded checkpoints, partition-scoped compaction
+    and Z-order, metadata-only counts) applies to a HASH of the key
+    instead of a value range. This is the classic point-lookup layout
+    for a 100 TB id-keyed table: :meth:`lookup` of k keys plans a scan
+    over only those keys' buckets' files — 1/n_buckets of the table
+    per distinct bucket, without any sort order on the key — and a
+    MERGE of a key-local batch rewrites only the touched buckets'
+    files (the key can only live where its hash points).
+
+    The bucket function is ``portable_hash64`` of the key's string
+    form (md5-based), so an external engine — the DuckDB oracle, a
+    non-Spark reader — can recompute bucket residency exactly:
+    ``('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT % n``.
+    Int and string keys only (their string forms are canonical across
+    engines); NULL keys land in the NULL partition and are never
+    lookup targets.
+
+    The spec ``(bucket_col, n_buckets)`` is TABLE state: published
+    once (atomically, via the commit protocol) as a sidecar next to
+    the manifests on the first write, re-read when a handle opens
+    without it, and a handle opened with a CONFLICTING spec fails
+    fast — two writers hashing into different bucket counts would
+    silently poison every later lookup. Changing ``n_buckets`` is a
+    table rebuild, exactly as in Hive/Spark bucketing.
+
+    ``partition_by`` may add ordinary partition columns IN FRONT of
+    the bucket (date + bucket — the partitioned-and-bucketed fact
+    layout); the bucket is always the innermost dir level.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_col: str | None = None,
+        n_buckets: int | None = None,
+        partition_by: list[str] | None = None,
+        **kw,
+    ):
+        super().__init__(
+            spark,
+            path,
+            partition_by=list(partition_by or []) + [_BUCKET_COL],
+            **kw,
+        )
+        stored = self._stored_bucket_spec()
+        if stored is not None:
+            if bucket_col is not None and (
+                bucket_col != stored["bucket_col"]
+                or (n_buckets or stored["n_buckets"]) != stored["n_buckets"]
+            ):
+                raise ValueError(
+                    f"table at {self.path} is bucketed by "
+                    f"({stored['bucket_col']}, {stored['n_buckets']}); "
+                    f"handle requested ({bucket_col}, {n_buckets})"
+                )
+            self.bucket_col = stored["bucket_col"]
+            self.n_buckets = int(stored["n_buckets"])
+        else:
+            if bucket_col is None or not n_buckets:
+                raise ValueError(
+                    "new bucketed table needs bucket_col and n_buckets"
+                )
+            self.bucket_col = bucket_col
+            self.n_buckets = int(n_buckets)
+
+    # ------------------------------------------------------------- spec
+
+    def _spec_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, _BUCKET_SPEC_FILE)
+
+    def _stored_bucket_spec(self) -> dict | None:
+        try:
+            with open(self._spec_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _publish_spec(self) -> None:
+        """First-writer-wins spec publication through the commit
+        protocol (same atomicity story as a manifest). A concurrent
+        creator publishing the SAME spec is a no-op; a different spec
+        already on disk fails the write loudly."""
+        if self._stored_bucket_spec() is not None:
+            self._check_spec()
+            return
+        os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
+        body = json.dumps(
+            {"bucket_col": self.bucket_col, "n_buckets": self.n_buckets}
+        )
+        self.commit_protocol.publish(self._spec_path(), body)
+        self._check_spec()
+
+    def _check_spec(self) -> None:
+        stored = self._stored_bucket_spec()
+        if stored and (
+            stored["bucket_col"] != self.bucket_col
+            or int(stored["n_buckets"]) != self.n_buckets
+        ):
+            raise ValueError(
+                f"bucket spec conflict at {self.path}: table has "
+                f"({stored['bucket_col']}, {stored['n_buckets']}), handle "
+                f"has ({self.bucket_col}, {self.n_buckets})"
+            )
+
+    # ---------------------------------------------------------- buckets
+
+    def bucket_expr(self):
+        """The bucket id as a Column — usable by external plans that
+        want bucket-aligned processing (e.g. repartition a batch by the
+        table's own bucket function before a bucket-wise merge)."""
+        from ..functions.scalar import portable_hash64
+
+        return F.pmod(
+            portable_hash64(F.col(self.bucket_col).cast("string")),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def bucket_of(self, value) -> int:
+        """Driver-side twin of :meth:`bucket_expr` (same md5, same
+        string canonicalization) — how :meth:`lookup` routes keys to
+        buckets without touching the cluster."""
+        import hashlib
+
+        h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+        return h % self.n_buckets
+
+    def _write_batch(self, df: DataFrame):
+        # ALWAYS (re)derive the bucket: it is pure derived state, and
+        # internal rewrite paths build frames where only PART of the
+        # rows carry it (merge unions file-read survivors, which have
+        # it, with the user's source batch, which doesn't — a
+        # conditional add would land every upserted row in the NULL
+        # partition). Recomputation is idempotent by construction.
+        df = df.withColumn(_BUCKET_COL, self.bucket_expr())
+        self._publish_spec()
+        return super()._write_batch(df)
+
+    # ----------------------------------------------------------- reads
+
+    def lookup(
+        self,
+        values: list,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup: rows whose ``bucket_col`` is in ``values``.
+        Plans a scan over ONLY the target buckets' files (exact
+        manifest-level partition pruning; sharded checkpoints resolve
+        only those buckets' metadata) with the residual equality filter
+        on top — the row-exactness still comes from the filter, the
+        pruning only bounds the scan."""
+        buckets = sorted({self.bucket_of(v) for v in values})
+        df = self.read(
+            version=version,
+            partition_where=[(_BUCKET_COL, "in", buckets)],
+        )
+        return df.filter(F.col(self.bucket_col).isin(list(values)))

@@ -649,3 +649,56 @@ def test_incremental_hot_shingle_guard(spark, sf_dir, monkeypatch):
         assert ex2 == ex  # exact tier untouched by the shingle guard
         assert nc2 <= nc and nb2 <= nb
         assert acc2 >= acc
+
+
+def test_segment_dedup_rewrite_canonical_and_reassembly(spark):
+    """C4-rule semantics: the lexicographically-first occurrence of a
+    duplicated segment survives (everywhere else it is cut, including a
+    within-doc repeat), unique segments are untouched, and rewritten
+    text preserves segment order."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        segment_dedup_rewrite,
+    )
+
+    boiler = "a b c d"  # one 4-token segment of boilerplate
+    rows = [
+        # doc 10: boilerplate twice (segments 0 and 1) + unique tail
+        (10, f"{boiler} {boiler} t10 u10 v10 w10"),
+        # doc 20: boilerplate mid-document
+        (20, f"x20 y20 z20 q20 {boiler} r20 s20"),
+        # doc 30: no duplicated content
+        (30, "m30 n30 o30 p30"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in segment_dedup_rewrite(
+            df, "id", "text", k=4, min_count=2
+        ).collect()
+    }
+    # doc 10 keeps the FIRST boilerplate copy (seg_idx 0), loses seg 1
+    assert out[10]["n_segments"] == 3
+    assert out[10]["n_dropped"] == 1
+    assert out[10]["text_clean"] == f"{boiler} t10 u10 v10 w10"
+    # doc 20 loses its copy entirely (doc 10 holds the canonical one)
+    assert out[20]["n_dropped"] == 1
+    assert out[20]["text_clean"] == "x20 y20 z20 q20 r20 s20"
+    # doc 30 untouched, short tail segment intact
+    assert out[30]["n_dropped"] == 0
+    assert out[30]["text_clean"] == "m30 n30 o30 p30"
+
+
+def test_segment_dedup_rewrite_shuffle_join_parity(spark):
+    """broadcast_dups=False (the huge-duplicate-volume fallback) must
+    produce identical rewrites via the shuffle join."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        segment_dedup_rewrite,
+    )
+
+    rows = [(i, f"dup{i % 3} dup{i % 3} tail{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = segment_dedup_rewrite(df, "id", "text", k=2, min_count=2)
+    b = segment_dedup_rewrite(
+        df, "id", "text", k=2, min_count=2, broadcast_dups=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1218,3 +1218,89 @@ def test_partition_values_with_special_characters(spark, tmp_path):
         assert got.count() == 2
         assert {r.src for r in got.collect()} == {v}
     assert {p["src"] for p in t.partitions()} == set(vals)
+
+
+# ---------------------------------------------------------------- bucketed
+
+
+class TestBucketedTable:
+    def _make(self, spark, tmp_path, n_buckets=4):
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            BucketedTable,
+        )
+
+        t = BucketedTable(
+            spark, str(tmp_path / "bt"), bucket_col="id", n_buckets=n_buckets
+        )
+        t.create(
+            spark.range(0, 200).select("id", (F.col("id") * 7).alias("val"))
+        )
+        return t
+
+    def test_lookup_scans_only_target_buckets(self, spark, tmp_path):
+        t = self._make(spark, tmp_path)
+        got = t.lookup([13, 42])
+        assert sorted((r.id, r.val) for r in got.collect()) == [
+            (13, 91),
+            (42, 294),
+        ]
+        # the PLANNED scan touches only the two keys' buckets' files
+        want_buckets = {t.bucket_of(13), t.bucket_of(42)}
+        for f in got.inputFiles():
+            assert any(f"_pk__bucket={b}" in f for b in want_buckets), f
+        # and strictly fewer files than the full table (pruning is real)
+        assert len(got.inputFiles()) < len(t.read().inputFiles())
+
+    def test_bucket_expr_matches_driver_side_bucket_of(self, spark, tmp_path):
+        t = self._make(spark, tmp_path)
+        rows = (
+            t.read()
+            .select("id", "_bucket")
+            .withColumn("expect", t.bucket_expr())
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert r["_bucket"] == r["expect"] == t.bucket_of(r["id"])
+
+    def test_merge_rewrites_only_touched_buckets(self, spark, tmp_path):
+        t = self._make(spark, tmp_path)
+        before = set(t.snapshot().files)
+        src = spark.createDataFrame(
+            [(13, -1), (1000, -2)], "id long, val long"
+        )
+        t.merge(src, key_cols=["id"])
+        after = set(t.snapshot().files)
+        removed = before - after
+        touched = {t.bucket_of(13)}  # 1000 is an insert: removes nothing
+        assert removed, "merge should rewrite the matched key's bucket"
+        for f in removed:
+            assert any(f"_pk__bucket={b}" in f for b in touched), f
+        got = {r.id: r.val for r in t.lookup([13, 1000, 42]).collect()}
+        assert got == {13: -1, 1000: -2, 42: 294}
+        # upserted rows carry their REAL bucket, never NULL
+        assert (
+            t.read().filter(F.col("_bucket").isNull()).count() == 0
+        )
+
+    def test_reopen_adopts_spec_and_conflict_fails(self, spark, tmp_path):
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            BucketedTable,
+        )
+
+        t = self._make(spark, tmp_path)
+        again = BucketedTable(spark, t.path)
+        assert (again.bucket_col, again.n_buckets) == ("id", 4)
+        assert again.lookup([99]).count() == 1
+        with pytest.raises(ValueError, match="bucketed by"):
+            BucketedTable(spark, t.path, bucket_col="val", n_buckets=4)
+        with pytest.raises(ValueError, match="bucketed by"):
+            BucketedTable(spark, t.path, bucket_col="id", n_buckets=8)
+
+    def test_compaction_preserves_lookup(self, spark, tmp_path):
+        t = self._make(spark, tmp_path)
+        t.append(spark.range(200, 400).select("id", (F.col("id") * 7).alias("val")))
+        before = sorted((r.id, r.val) for r in t.lookup([5, 250]).collect())
+        t.compact(target_files=1)
+        after = sorted((r.id, r.val) for r in t.lookup([5, 250]).collect())
+        assert before == after == [(5, 35), (250, 1750)]
