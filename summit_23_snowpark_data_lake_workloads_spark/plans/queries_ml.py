@@ -4634,3 +4634,114 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         "text_clean",
     )
+
+
+def _contrastive_oracle(
+    pos_min: float = 0.35, neg_max: float = 0.30, n_planes: int = 4
+) -> str:
+    projs = " + ".join(
+        f"CASE WHEN {_lsh_plane_sql(j)} >= 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH {_EMB_POS_CTE},
+    buckets AS (
+        SELECT vec_id, ({projs}) AS bucket
+        FROM (SELECT vec_id, pos AS i, val FROM e)
+        GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.val * b.val) AS dot
+        FROM e a
+        JOIN buckets ba ON ba.vec_id = a.vec_id
+        JOIN buckets bb ON bb.bucket = ba.bucket
+        JOIN e b ON b.vec_id = bb.vec_id AND a.pos = b.pos
+                AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 4) AS c
+        FROM dots
+        JOIN norms na ON na.vec_id = ia
+        JOIN norms nb ON nb.vec_id = ib
+    ),
+    sym AS (
+        SELECT ia AS anchor_id, ib AS other_id, c FROM scored
+        UNION ALL
+        SELECT ib AS anchor_id, ia AS other_id, c FROM scored
+    ),
+    pos AS (
+        SELECT anchor_id, other_id AS pos_id, c AS pos_cos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id ORDER BY c DESC, other_id) AS rk
+              FROM sym WHERE c >= {pos_min})
+        WHERE rk = 1
+    ),
+    neg AS (
+        SELECT anchor_id, other_id AS neg_id, c AS neg_cos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id ORDER BY c DESC, other_id) AS rk
+              FROM sym WHERE c < {neg_max})
+        WHERE rk = 1
+    )
+    SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos
+    FROM pos JOIN neg USING (anchor_id)
+    """
+
+
+@query("contrastive_triplets", oracle=_contrastive_oracle())
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for contrastive embedding training
+    (the (anchor, positive, hard-negative) batches behind SimCLR/InfoNCE
+    -style finetuning): per anchor, the positive is its most-similar
+    same-LSH-bucket neighbor with cos >= 0.35, the hard negative its
+    most-similar neighbor BELOW 0.30 — "closest point that is still
+    wrong", the negative that actually moves the loss; the margin band
+    [0.30, 0.35) is excluded from both roles so label noise near the
+    boundary never flips a triplet. Ties break on min neighbor id after
+    the shared round-4 quantization, so the mined set is deterministic.
+
+    Scale: candidate pairs come from the SAME hyperplane-bucket verify
+    as ``dedup_embedding_lsh`` (sum_b |b|² work, never n² — and the
+    per-bucket matmul is one vectorized Arrow batch); both arg-max
+    picks are struct-max aggregates riding ONE shuffle on anchor_id
+    (no corpus-wide window), and the final join is agg ⋈ agg on that
+    same key. The oracle replays buckets, cosines, and both picks from
+    the raw embeddings."""
+    from ..operators.similarity import allpairs_cosine_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = allpairs_cosine_lsh(emb, threshold=-1.0, n_planes=4, dim=64)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("other_id"),
+        "cos_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("other_id"),
+            "cos_sim",
+        )
+    )
+
+    def _argmax(cand: DataFrame, id_name: str, cos_name: str) -> DataFrame:
+        # max cos, ties -> MIN other_id: max(struct(c, -id)) merges
+        # map-side (an aggregate, not a window over the corpus)
+        return cand.groupBy("anchor_id").agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("c"),
+                    (-F.col("other_id")).alias("nid"),
+                )
+            ).alias("best")
+        ).select(
+            "anchor_id",
+            (-F.col("best.nid")).cast("long").alias(id_name),
+            F.col("best.c").alias(cos_name),
+        )
+
+    pos = _argmax(sym.filter(F.col("cos_sim") >= 0.35), "pos_id", "pos_cos")
+    neg = _argmax(sym.filter(F.col("cos_sim") < 0.30), "neg_id", "neg_cos")
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )
