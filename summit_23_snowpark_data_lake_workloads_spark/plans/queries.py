@@ -1958,3 +1958,49 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("val"), 4).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (SURVEY §8 pipeline-validation tier)
+# ---------------------------------------------------------------------------
+
+from ..operators import validate as _V  # noqa: E402
+
+#: The shipped demo suite over ``orders`` (+ customer referential
+#: integrity). Mixes exact keys (metric 1.0), partial compliance with a
+#: loose threshold (passes), and partial compliance against an exact
+#: threshold (fails) so the gate pins BOTH branches of ``passed``.
+_DQ_SUITE = [
+    _V.not_null("o_custkey"),
+    _V.unique("o_orderkey"),
+    _V.in_set("o_orderstatus", ["O", "F", "P"]),
+    _V.in_set("o_orderstatus", ["O", "F"], threshold=0.6),
+    _V.in_range("o_totalprice", 0, 400000, threshold=0.99),
+    _V.matches("o_orderpriority", "^[1-5]-", threshold=1.0),
+    _V.matches("o_orderpriority", "^[12]-", threshold=0.3),
+    _V.foreign_key("o_custkey", "customer", "c_custkey"),
+]
+
+
+@query(
+    "data_quality_audit",
+    oracle=_V.constraint_oracle_sql("orders", _DQ_SUITE),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report over ``orders`` — completeness,
+    key uniqueness, enum membership, range, regex, and referential
+    integrity against ``customer`` — one row per constraint.
+
+    Scale: all seven row-local constraints fold into ONE wide aggregate
+    (single scan, map-side partials, one counter row shuffled); the FK
+    check is one broadcast anti-ish join (distinct customer keys are
+    dimension-sized). ``passed`` is computed from exact integer
+    counters, not the rounded ratio, so a single bad row in 10^7 still
+    fails an exact threshold. Reference analog: the row-count
+    validation step of the reference's ingest DAG
+    (code/elt_pipeline/procedures, X5) generalized to a declarative
+    suite.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return _V.check(orders, _DQ_SUITE, refs={"customer": customer})
