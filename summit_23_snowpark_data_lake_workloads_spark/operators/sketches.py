@@ -154,3 +154,185 @@ def mincount_oracle_sql(
            END AS est_distinct
     FROM tt
     """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) row-sample sketch -> mergeable quantiles
+# ---------------------------------------------------------------------------
+#
+# The quantile twin of the k-mins cardinality sketch above: per group,
+# keep the k rows whose 60-bit hash of a UNIQUE row key is smallest.
+# A uniform hash over a unique key makes the retained set a uniform
+# random-but-DETERMINISTIC sample of the group's rows, so the type-1
+# sample quantile estimates the population quantile with the usual
+# O(1/sqrt(k)) error — and the sketch MERGES: bottom-k of a union is
+# the bottom-k of the concatenated bottom-ks (dedup + re-rank), so
+# per-day/shard/partition sketches roll up without rescanning data.
+#
+# Scale shape: a naive per-group bottom-k is a per-group SORT of all
+# rows. Instead we pre-filter with a deterministic hash threshold
+# tau = H * 4k / cnt (integer arithmetic; inert when cnt <= 4k): the
+# expected survivor count is 4k, so the window sort ranks ~4k rows per
+# group instead of all of them, while P(a true bottom-k row is lost)
+# <= exp(-Theta(k)) (Chernoff: losing one requires < k survivors at
+# expectation 4k). Both engines replay the SAME tau, so the
+# differential is exact even in the astronomically unlikely clip case.
+
+#: oversample factor for the threshold pre-filter
+BOTTOMK_OVERSAMPLE = 4
+
+
+def _row_hash(key_col: str):
+    """60-bit uniform row hash — ``('0x' || substr(md5('q:' || key),
+    1, 15))::BIGINT`` in DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("q"), F.col(key_col))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sample: ``group_cols + [_h, _v]`` (k rows per
+    group). ``key_col`` must be unique per row (the sample is "rows",
+    not "distinct values"); NULL values are excluded (quantiles are
+    over non-null values, matching SQL aggregate semantics)."""
+    from pyspark.sql import Window
+
+    cap = BOTTOMK_OVERSAMPLE * k
+    cnt = df.groupBy(*group_cols).agg(F.count(value_col).alias("_c"))
+    h = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        _row_hash(key_col).alias("_h"),
+        F.col(value_col).alias("_v"),
+    )
+    ht = MINCOUNT_H * cap  # python int, exact
+    tau = F.when(
+        F.col("_c") > cap,
+        F.expr(f"CAST(CAST('{ht}' AS DECIMAL(38,0)) div _c AS BIGINT)"),
+    ).otherwise(F.lit(MINCOUNT_H))
+    filt = h.join(cnt, group_cols).where(F.col("_h") <= tau)
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    return (
+        filt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*group_cols, "_h", "_v")
+    )
+
+
+def bottomk_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge two sketch tables: union, dedup identical retained rows
+    (idempotent under shard re-processing), re-rank, keep k."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).dropDuplicates([*group_cols, "_h", "_v"])
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*group_cols, "_h", "_v")
+    )
+
+
+def bottomk_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    quantiles: list[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10)),
+) -> DataFrame:
+    """Type-1 sample quantiles from a sketch:
+    ``group_cols + [q, est_value]`` — one row per (group, quantile).
+
+    Ranks are PURE INTEGER: for quantile num/den over a sample of m
+    rows, rank = max(1, ceil(num*m/den)) = (num*m + den - 1) div den —
+    no float multiply, so Spark and DuckDB agree bit-for-bit (a float
+    ``ceil(0.9 * m)`` would straddle representation error at exact
+    multiples)."""
+    from pyspark.sql import Window
+
+    m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_m"))
+    w = Window.partitionBy(*group_cols).orderBy("_v", "_h")
+    vr = sketch.withColumn("_vrn", F.row_number().over(w)).join(m, group_cols)
+    qrows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("q"),
+                    F.lit(num).cast("bigint").alias("_qn"),
+                    F.lit(den).cast("bigint").alias("_qd"),
+                )
+                for label, num, den in quantiles
+            ]
+        )
+    ).alias("_q")
+    return (
+        vr.select(*group_cols, "_vrn", "_m", "_v", qrows)
+        .select(*group_cols, "_vrn", "_m", "_v", "_q.q", "_q._qn", "_q._qd")
+        .where(
+            F.col("_vrn")
+            == F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr("(_qn * _m + _qd - 1) div _qd"),
+            )
+        )
+        .select(*group_cols, "q", F.col("_v").alias("est_value"))
+    )
+
+
+def bottomk_oracle_sql(
+    source_sql: str,
+    group_cols: list[str],
+    key_expr: str,
+    value_expr: str,
+    k: int = 64,
+    quantiles: list[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10)),
+) -> str:
+    """DuckDB replay of sketch build + quantile extraction over
+    ``source_sql`` (exposing ``group_cols``, ``key_expr``,
+    ``value_expr``) — mirrors tau, ranking, and the integer rank
+    formula exactly."""
+    g = ", ".join(group_cols)
+    cap = BOTTOMK_OVERSAMPLE * k
+    ht = MINCOUNT_H * cap
+    qsel = " UNION ALL ".join(
+        f"SELECT '{label}' AS q, {num}::BIGINT AS qn, {den}::BIGINT AS qd"
+        for label, num, den in quantiles
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    cnt AS (SELECT {g}, count({value_expr}) AS c FROM src GROUP BY {g}),
+    h AS (
+        SELECT {g}, ('0x' || substr(md5('q:' || ({key_expr})), 1, 15))::BIGINT AS hh,
+               {value_expr} AS v
+        FROM src WHERE {value_expr} IS NOT NULL
+    ),
+    filt AS (
+        SELECT h.* FROM h JOIN cnt USING ({g})
+        WHERE hh <= CASE WHEN c > {cap}
+                    THEN ({ht}::HUGEINT // c::HUGEINT)::BIGINT
+                    ELSE {MINCOUNT_H} END
+    ),
+    sk AS (
+        SELECT * FROM (
+            SELECT {g}, hh, v,
+                   row_number() OVER (PARTITION BY {g} ORDER BY hh, v) AS rn
+            FROM filt) WHERE rn <= {k}
+    ),
+    m AS (SELECT {g}, count(*) AS m FROM sk GROUP BY {g}),
+    vr AS (
+        SELECT {g}, hh, v,
+               row_number() OVER (PARTITION BY {g} ORDER BY v, hh) AS vrn
+        FROM sk
+    ),
+    qq AS ({qsel})
+    SELECT {g}, qq.q, vr.v AS est_value
+    FROM vr JOIN m USING ({g}) CROSS JOIN qq
+    WHERE vr.vrn = greatest(1, (qq.qn * m.m + qq.qd - 1) // qq.qd)
+    """

@@ -4745,3 +4745,147 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) quantile sketches (operators/sketches.py) — the
+# quantile twin of the k-mins cardinality family above.
+# ---------------------------------------------------------------------------
+
+
+def _quantile_sketch_ev_oracle() -> str:
+    from ..operators.sketches import bottomk_oracle_sql
+
+    return bottomk_oracle_sql(
+        "SELECT event_type, event_id::VARCHAR AS k, value FROM events",
+        ["event_type"],
+        "k",
+        "value",
+        k=64,
+    )
+
+
+@query("quantile_sketch_events", oracle=_quantile_sketch_ev_oracle())
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k (KMV) quantile sketch under the driver gate:
+    per-event-type p50/p90 of ``value`` estimated from a k=64
+    deterministic row sample (60-bit md5 of the unique event_id).
+
+    At gate scale (~2,000 rows/group) the tau = H*4k/cnt pre-filter
+    FIRES: the per-group rank sorts ~256 survivors, not 2,000 — the
+    same plan at 100 TB sorts 256 rows per group instead of billions,
+    which is the entire point of the sketch. The DuckDB oracle replays
+    hash, tau, both rank windows, and the integer rank formula
+    ``(num*m + den - 1) div den`` exactly (no float multiply anywhere).
+    """
+    from ..operators.sketches import bottomk_quantiles, bottomk_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("string").alias("k"),
+        "value",
+    )
+    sk = bottomk_sketch(ev, ["event_type"], "k", "value", k=64)
+    return bottomk_quantiles(sk, ["event_type"])
+
+
+def _rolling_quantile_oracle(k: int = 32) -> str:
+    from ..operators.sketches import BOTTOMK_OVERSAMPLE, MINCOUNT_H
+
+    cap = BOTTOMK_OVERSAMPLE * k
+    ht = MINCOUNT_H * cap
+    return f"""
+    WITH src AS (
+        SELECT ts::DATE AS day, event_id::VARCHAR AS key, value AS v
+        FROM events
+    ),
+    cnt AS (SELECT day, count(v) AS c FROM src GROUP BY day),
+    h AS (
+        SELECT day, ('0x' || substr(md5('q:' || key), 1, 15))::BIGINT AS hh, v
+        FROM src WHERE v IS NOT NULL
+    ),
+    filt AS (
+        SELECT h.* FROM h JOIN cnt USING (day)
+        WHERE hh <= CASE WHEN c > {cap}
+                    THEN ({ht}::HUGEINT // c::HUGEINT)::BIGINT
+                    ELSE {MINCOUNT_H} END
+    ),
+    daily AS (
+        SELECT * FROM (
+            SELECT day, hh, v,
+                   row_number() OVER (PARTITION BY day ORDER BY hh, v) AS rn
+            FROM filt) WHERE rn <= {k}
+    ),
+    roll AS (
+        SELECT * FROM (
+            SELECT a.day AS day, b.hh, b.v,
+                   row_number() OVER (PARTITION BY a.day ORDER BY b.hh, b.v)
+                       AS rn
+            FROM (SELECT DISTINCT day FROM daily) a
+            JOIN daily b ON b.day BETWEEN a.day - 2 AND a.day)
+        WHERE rn <= {k}
+    ),
+    m AS (SELECT day, count(*) AS m FROM roll GROUP BY day),
+    vr AS (
+        SELECT day, hh, v,
+               row_number() OVER (PARTITION BY day ORDER BY v, hh) AS vrn
+        FROM roll
+    )
+    SELECT vr.day::VARCHAR AS day, vr.v AS est_p90, m.m AS sample_n
+    FROM vr JOIN m USING (day)
+    WHERE vr.vrn = greatest(1, (9 * m.m + 9) // 10)
+    """
+
+
+@query("quantile_rolling_values", oracle=_rolling_quantile_oracle())
+def quantile_rolling_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling p90 of event values per trailing 3-day window computed
+    by MERGING daily bottom-k sketches (union + re-rank of <= 3k
+    retained rows per window), never rescanning 3 days of events —
+    the quantile twin of ``distinct_rolling_users``. The events table
+    is read ONCE to build daily sketches; each window after that is
+    sketch algebra over k-row tables. At 100 TB, "p90 latency,
+    trailing 30 days" stays O(days * 30k) metadata work.
+
+    Oracle replays daily build, window merge re-rank, and the integer
+    p90 rank ``(9m + 9) div 10`` exactly.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.sketches import bottomk_sketch
+
+    k = 32
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("event_id").cast("string").alias("key"),
+        "value",
+    )
+    daily = bottomk_sketch(ev, ["day"], "key", "value", k=k)
+    days = daily.select("day").distinct().alias("a")
+    b = daily.alias("b")
+    win = Window.partitionBy("a.day").orderBy(F.col("b._h"), F.col("b._v"))
+    roll = (
+        days.join(
+            b,
+            (F.datediff(F.col("a.day"), F.col("b.day")) >= 0)
+            & (F.datediff(F.col("a.day"), F.col("b.day")) <= 2),
+        )
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .select(F.col("a.day").alias("day"), F.col("b._h").alias("_h"),
+                F.col("b._v").alias("_v"))
+    )
+    m = roll.groupBy("day").agg(F.count(F.lit(1)).alias("_m"))
+    vwin = Window.partitionBy("day").orderBy("_v", "_h")
+    vr = roll.withColumn("_vrn", F.row_number().over(vwin)).join(m, "day")
+    return (
+        vr.where(
+            F.col("_vrn")
+            == F.greatest(F.lit(1), F.expr("(9 * _m + 9) div 10"))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("_v").alias("est_p90"),
+            F.col("_m").cast("bigint").alias("sample_n"),
+        )
+    )
