@@ -4889,3 +4889,57 @@ def quantile_rolling_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m").cast("bigint").alias("sample_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph: fixed-point PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(
+        "SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        iterations=3,
+    )
+    return f"""
+    SELECT node, rank FROM ({inner}) t
+    WHERE node LIKE 's%'
+    ORDER BY rank DESC, node
+    LIMIT 100
+    """
+
+
+@query("pagerank_suppliers", oracle=_pagerank_oracle())
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier importance by 3-round fixed-point PageRank over the
+    customer->supplier order graph (an edge per lineitem; duplicate
+    edges act as weights). The engine's third iterative algorithm
+    under the hash gate (after CC and k-means): BIGINT micro-unit
+    ranks with d = 17/20 integer damping make every round exact and
+    order-independent, so the DuckDB oracle unrolls the same three
+    rounds and matches bit-for-bit.
+
+    Scale: per round, one |edges|-row join-aggregate pair — edges and
+    out-degrees built once and session-cached; no adjacency matrix,
+    no driver-side state (the non-normalized teleport needs no global
+    node count). Top-100 with a total (rank, node) order.
+    """
+    from ..operators.graph import pagerank_fixed
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank_fixed(edges, iterations=3)
+    return (
+        pr.where(F.col("node").startswith("s"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(100)
+    )
