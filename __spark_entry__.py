@@ -38,8 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    "dedup_minhash_lsh": 8,
-    "dedup_minhash_prefilter": 8,
+    # r9: NULL-propagating hash fix rerouted every sketch plan
+    "distinct_sketch_sources": 9,
+    "distinct_rolling_users": 9,
+    "quantile_sketch_events": 9,
+    "quantile_rolling_values": 9,
+    # r9: oracle literal escaping touched the data-quality differential
+    "data_quality_audit": 9,
 }
 
 

@@ -51,8 +51,15 @@ MINCOUNT_H = 16**15
 
 def _seed_hash(value_col: str, i: int):
     """The i-th 60-bit hash — uniform over [0, H), identical in DuckDB
-    as ``('0x' || substr(md5(i ':' value), 1, 15))::BIGINT``."""
-    salted = F.concat_ws(":", F.lit(str(i)), F.col(value_col))
+    as ``('0x' || substr(md5(i ':' value), 1, 15))::BIGINT``.
+
+    NULL-propagating on purpose: ``F.concat`` (unlike ``concat_ws``,
+    which SKIPS null args) yields NULL for a NULL value, so the hash is
+    NULL and drops out of ``min`` — matching both COUNT(DISTINCT)'s
+    NULL semantics and the oracle's ``md5('i:' || NULL) = NULL``. With
+    ``concat_ws`` a NULL row would hash as ``md5('i')`` and inflate the
+    estimate on the Spark side only."""
+    salted = F.concat(F.lit(f"{i}:"), F.col(value_col))
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
 
 
@@ -184,9 +191,16 @@ BOTTOMK_OVERSAMPLE = 4
 
 def _row_hash(key_col: str):
     """60-bit uniform row hash — ``('0x' || substr(md5('q:' || key),
-    1, 15))::BIGINT`` in DuckDB."""
+    1, 15))::BIGINT`` in DuckDB.
+
+    NULL-propagating (``F.concat``, not ``concat_ws``): a NULL key
+    hashes to NULL, fails the ``_h <= tau`` pre-filter, and is excluded
+    from the sample on BOTH engines (the oracle's ``'q:' || NULL`` is
+    NULL and the comparison drops the row) — enforcing the "key_col
+    must be unique per row" contract symmetrically instead of letting a
+    NULL key slip into the Spark-side sample as ``md5('q')``."""
     return F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit("q"), F.col(key_col))), 1, 15),
+        F.substring(F.md5(F.concat(F.lit("q:"), F.col(key_col))), 1, 15),
         16,
         10,
     ).cast("bigint")

@@ -249,14 +249,17 @@ def constraint_oracle_sql(
             )
             den = f"count({col})"
         elif c.kind == "in_set":
+            # Escape embedded quotes ('' is the SQL standard) so a value
+            # containing ' renders a valid literal instead of breaking
+            # (or injecting into) the oracle query.
             vals = ", ".join(
-                f"'{v}'" if isinstance(v, str) else str(v)
+                "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
                 for v in c.params["values"]
             )
             num = f"sum(CASE WHEN {col} IN ({vals}) THEN 1 ELSE 0 END)"
             den = f"count({col})"
         elif c.kind == "matches":
-            pat = c.params["pattern"]
+            pat = c.params["pattern"].replace("'", "''")
             num = (
                 f"sum(CASE WHEN regexp_matches({col}, '{pat}')"
                 f" THEN 1 ELSE 0 END)"

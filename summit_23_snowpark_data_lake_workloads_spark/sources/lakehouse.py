@@ -208,8 +208,19 @@ def _partition_match(vals: dict, conjuncts: list[tuple]) -> bool:
     def _cmp(a: str, b) -> float | None:
         if a is None:
             return None
+        # Exact integer comparison FIRST: float(a) - float(b) loses
+        # precision above 2^53, so '=' on snowflake-id / hash-key
+        # partition values could match a NEIGHBORING partition —
+        # drop_partitions would delete the wrong data, and this exact
+        # (not conservative) pruned-read path would silently skip files.
         try:
-            return float(a) - float(b)
+            ia, ib = int(str(a)), int(str(b))
+            return (ia > ib) - (ia < ib)
+        except (TypeError, ValueError):
+            pass
+        try:
+            fa, fb = float(a), float(b)
+            return (fa > fb) - (fa < fb)
         except (TypeError, ValueError):
             b = str(b)
             return (a > b) - (a < b)

@@ -1304,3 +1304,25 @@ class TestBucketedTable:
         t.compact(target_files=1)
         after = sorted((r.id, r.val) for r in t.lookup([5, 250]).collect())
         assert before == after == [(5, 35), (250, 1750)]
+
+
+def test_partition_match_exact_above_2_53():
+    """Integer partition values above 2^53 (snowflake ids, hash keys)
+    must compare EXACTLY — float(a)-float(b) collapses neighbors, so
+    '=' could match (and drop_partitions delete) an adjacent partition,
+    and range conjuncts in this exact pruning path could silently skip
+    files."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        _partition_match,
+    )
+
+    a = 2**53 + 1  # float(2**53+1) == float(2**53)
+    b = 2**53
+    assert not _partition_match({"id": str(a)}, [("id", "=", b)])
+    assert _partition_match({"id": str(a)}, [("id", "=", a)])
+    assert _partition_match({"id": str(a)}, [("id", ">", b)])
+    assert not _partition_match({"id": str(b)}, [("id", ">", b)])
+    assert not _partition_match({"id": str(a)}, [("id", "in", [b, b - 1])])
+    # mixed int/float still compares numerically
+    assert _partition_match({"x": "10"}, [("x", "<", 10.5)])
+    assert _partition_match({"x": "10.0"}, [("x", "=", 10)])

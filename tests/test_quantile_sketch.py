@@ -100,3 +100,30 @@ def test_null_values_excluded(spark):
     )
     sk = bottomk_sketch(df, ["g"], "key", "v", k=8)
     assert sorted(r["_v"] for r in sk.collect()) == [1.0, 3.0]
+
+
+def test_null_keys_excluded_both_engines(spark):
+    """A NULL key must hash to NULL (F.concat, not concat_ws) and fail
+    the tau comparison on BOTH engines — otherwise Spark samples the
+    row as md5('q') while the oracle's 'q:'||NULL drops it."""
+    import duckdb
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        bottomk_oracle_sql,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", None, 2.0), ("g", "c", 3.0)],
+        "g string, key string, v double",
+    )
+    sk = bottomk_sketch(df, ["g"], "key", "v", k=8)
+    # the NULL-keyed row is not sampled
+    assert sorted(r["_v"] for r in sk.collect()) == [1.0, 3.0]
+    q = bottomk_quantiles(sk, ["g"])
+    con = duckdb.connect()
+    con.register("t_nullkey", df.toPandas())
+    sql = bottomk_oracle_sql(
+        "SELECT g, key, v FROM t_nullkey", ["g"], "key", "v", k=8
+    )
+    assert_matches_oracle(q, con, sql)

@@ -80,6 +80,37 @@ def test_null_values_match_count_distinct(spark):
     assert est["n"] == 0 and est["a"] > 0
 
 
+def test_null_rows_leave_estimate_unchanged(spark):
+    """A NULL value must hash to NULL and drop out of min — NOT hash as
+    md5('i') (the concat_ws pitfall), which inflates the Spark-side
+    estimate relative to the DuckDB oracle's NULL-propagating ||."""
+    clean = [("a", str(i)) for i in range(50)]
+    withnull = clean + [("a", None), ("a", None)]
+    e1 = _est(spark, mincount_sketch(_df(spark, clean), ["g"], "v", K))
+    e2 = _est(spark, mincount_sketch(_df(spark, withnull), ["g"], "v", K))
+    assert e1 == e2
+
+
+def test_nulls_differential_vs_duckdb(spark):
+    """Spark-vs-DuckDB with NULLs PRESENT: both engines must drop NULL
+    values from the sketch identically (the oracle's md5('i:'||NULL)
+    is NULL; Spark's F.concat propagates NULL the same way)."""
+    import duckdb
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        mincount_oracle_sql,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    rows = [("a", str(i)) for i in range(5)] + [("a", None), ("b", None)]
+    df = _df(spark, rows)
+    est = mincount_estimate(mincount_sketch(df, ["g"], "v", K), ["g"], K)
+    con = duckdb.connect()
+    con.register("t_nulls", df.toPandas())
+    sql = mincount_oracle_sql("SELECT g, v FROM t_nulls", ["g"], "v", K)
+    assert_matches_oracle(est, con, sql)
+
+
 def test_plan_is_single_wide_aggregate(spark):
     df = spark.range(100).select(
         (F.col("id") % 3).cast("string").alias("g"),

@@ -99,3 +99,22 @@ def test_single_scan_for_local_constraints(spark):
     # appears exactly once, and there is no join
     assert plan.count("Range (0, 100") == 1, plan
     assert "Join" not in plan
+
+
+def test_oracle_sql_escapes_embedded_quotes(spark):
+    """in_set values and regex patterns containing a single quote must
+    render as valid (escaped) SQL literals in the DuckDB oracle — not a
+    broken/injectable query — and the differential must still match."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "o'brien"), (2, "smith"), (3, "it's")], "id int, s string"
+    )
+    cs = [V.in_set("s", ["o'brien", "it's"]), V.matches("s", "^[a-z']+$")]
+    got = V.check(df, cs)
+    con = duckdb.connect()
+    con.register("t_quotes", df.toPandas())
+    sql = V.constraint_oracle_sql("t_quotes", cs)
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(got, con, sql)
