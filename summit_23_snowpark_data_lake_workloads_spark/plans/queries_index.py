@@ -1238,3 +1238,161 @@ def lakehouse_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return per_bucket.unionByName(found).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _partition_transform_oracle() -> str:
+    """Replay of the day(ts)-partitioned events lifecycle from raw
+    parquet: v1 = events; v2 = + day 2024-01-05 shifted 30 days forward
+    under new ids (the late-landing partition); v3 = day 2024-01-10
+    dynamically overwritten with its even-id rows at doubled value;
+    v4 = days before 2024-01-04 expired. Probes per version: two exact
+    derived-field day reads, the late day, and a SOURCE-column ts-range
+    read (conservative pruning + row filter == exact rows)."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, "
+        "{meta} AS n_meta, "
+        "coalesce(sum(event_id), 0)::BIGINT AS sum_event_id, "
+        "round(coalesce(sum(value::DECIMAL(28,9)), 0)::DOUBLE, 4) AS sum_value"
+    )
+    day_stats = stats.format(meta="count(*)::BIGINT")
+    rng_stats = stats.format(meta="(-1)::BIGINT")
+    probes = [
+        ("day_eq", "d = '2024-01-10'", day_stats),
+        ("early_day", "d = '2024-01-02'", day_stats),
+        ("late_day", "d = '2024-02-04'", day_stats),
+        ("ts_range", "ts >= TIMESTAMP '2024-01-27 12:00:00'", rng_stats),
+    ]
+    sels = []
+    for v in (1, 2, 3, 4):
+        for name, cond, st in probes:
+            sels.append(
+                f"SELECT {v}::BIGINT AS version, '{name}' AS probe, {st} "
+                f"FROM v{v} WHERE {cond}"
+            )
+    body = "\nUNION ALL\n".join(sels)
+    return f"""
+    WITH base AS (
+        SELECT event_id, ts, value, strftime(ts, '%Y-%m-%d') AS d
+        FROM events
+    ),
+    late AS (
+        SELECT event_id + 10000000 AS event_id,
+               ts + INTERVAL 30 DAY AS ts, value,
+               strftime(ts + INTERVAL 30 DAY, '%Y-%m-%d') AS d
+        FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+    ),
+    v1 AS (SELECT * FROM base),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM late),
+    v3 AS (
+        SELECT * FROM v2 WHERE d <> '2024-01-10'
+        UNION ALL
+        SELECT event_id, ts, value * 2 AS value, d FROM v2
+        WHERE d = '2024-01-10' AND event_id % 2 = 0
+    ),
+    v4 AS (SELECT * FROM v3 WHERE d >= '2024-01-04')
+    {body}
+    """
+
+
+@query(
+    "lakehouse_partition_transform_audit",
+    oracle=_partition_transform_oracle(),
+)
+def lakehouse_partition_transform_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN (transform) partitioning under the driver gate — the
+    canonical 100 TB fact layout: events partitioned by ``day(ts)``
+    (the reference's own fact stream is keyed by TXN_DATE,
+    ``04_sales_enrich_sp.sql:36-39``; SURVEY §4 R5 names date
+    partitioning as the pruning analog).
+
+    Lifecycle: CREATE the day-partitioned table from events; APPEND a
+    LATE day (day 2024-01-05 shifted +30 days under new event ids — the
+    backfill arrival); dynamic-partition-OVERWRITE day 2024-01-10 with
+    its even-id rows at doubled value (``overwrite_partitions`` derives
+    the touched day THROUGH the transform); DROP expired days
+    (``ts_day < '2024-01-04'``) as a pure metadata commit. Probes per
+    version, every one a pruned time-travel read:
+
+    - ``day_eq`` / ``early_day`` / ``late_day``: exact derived-field
+      reads (``ts_day = …``) with the metadata-only ``row_count`` gated
+      against the oracle's real count — ``n_meta`` proves the _nrows
+      bookkeeping survives transform-derived COW exactly;
+    - ``ts_range``: a SOURCE-column predicate (``ts >= X``) — the
+      conservative day-level rewrite plus the row filter must equal the
+      exact answer (``n_meta = -1``: exact metadata counts refuse
+      translated predicates by design).
+
+    Scale: appending a late day writes one day's files; the overwrite
+    moves one partition; the drop moves none; the ranged read plans a
+    scan over ~4 of ~31 day-partitions (sharded manifests forced low so
+    the shard-pruned resolution path itself is under the hash gate).
+    A wrong transform derivation, a mispruned day, or a leaked expired
+    partition all change the sums.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_transform_audit_")
+    try:
+        table = SnapshotTable(spark, tmp, partition_by=["day(ts)"])
+        table.shard_checkpoint_files = 8  # force the sharded-manifest path
+        table.create(ev)
+        late = (
+            ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05")
+            .select(
+                (F.col("event_id") + F.lit(10000000)).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                "value",
+            )
+        )
+        table.append(late, txn={"app_id": "transform_audit", "batch_id": 1})
+        table.overwrite_partitions(
+            ev.filter(
+                (F.date_format("ts", "yyyy-MM-dd") == "2024-01-10")
+                & (F.col("event_id") % 2 == 0)
+            ).withColumn("value", F.col("value") * 2)
+        )
+        table.drop_partitions([("ts_day", "<", "2024-01-04")])
+
+        rng_lit = "2024-01-27 12:00:00"
+        probes = [
+            ("day_eq", [("ts_day", "=", "2024-01-10")], None),
+            ("early_day", [("ts_day", "=", "2024-01-02")], None),
+            ("late_day", [("ts_day", "=", "2024-02-04")], None),
+            ("ts_range", [("ts", ">=", rng_lit)], F.col("ts") >= rng_lit),
+        ]
+        out = None
+        for v in (1, 2, 3, 4):
+            for name, where, row_filter in probes:
+                df = table.read(version=v, partition_where=where)
+                if row_filter is not None:
+                    df = df.filter(row_filter)
+                    n_meta = -1
+                else:
+                    n_meta = table.row_count(version=v, partition_where=where)
+                r = df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum("event_id"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_event_id"),
+                    F.round(
+                        F.coalesce(
+                            F.sum(F.col("value").cast("decimal(28,9)")),
+                            F.lit(0),
+                        ).cast("double"),
+                        4,
+                    ).alias("sum_value"),
+                ).select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit(name).alias("probe"),
+                    "n_rows",
+                    F.lit(n_meta).cast("long").alias("n_meta"),
+                    "sum_event_id",
+                    "sum_value",
+                )
+                out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

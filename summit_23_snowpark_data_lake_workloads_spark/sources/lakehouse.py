@@ -41,8 +41,10 @@ files, not the table.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -193,6 +195,149 @@ def _parts_from_relpath(relpath: str) -> dict:
             v = unquote(v)
             vals[k[4:]] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
     return vals
+
+
+# --------------------------------------------------------- partition spec
+#
+# Iceberg-style HIDDEN partitioning: a `partition_by` entry is either a
+# plain column name (identity — the Hive/Delta behavior) or a TRANSFORM
+# of a source column. The table is laid out by the DERIVED value, but
+# readers filter on the SOURCE column and pruning translates the
+# predicate — the user never has to know (or get wrong) the partition
+# scheme. The canonical 100 TB fact layout is exactly this:
+# `day(txn_ts)` (the reference's own fact stream is keyed by TXN_DATE,
+# 04_sales_enrich_sp.sql:36-39; SURVEY §4 R5).
+#
+# Supported transforms (each ORDER-PRESERVING, which is what makes
+# range-predicate translation sound):
+#   day(col) / month(col) / year(col) / hour(col)  — timestamp/date
+#   truncate(n, col)  — string prefix, or integer floor-to-multiple
+# Derived field names follow Iceberg: ts -> ts_day / ts_month /
+# ts_year / ts_hour; col -> col_trunc<n>.
+
+_TIME_TRANSFORM_RE = re.compile(r"^(day|month|year|hour)\((\w+)\)$")
+_TRUNCATE_RE = re.compile(r"^truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+#: derived-value format per time transform — ISO prefixes, so
+#: LEXICOGRAPHIC order == chronological order and the string branch of
+#: the pruning comparator is exact (hour uses Iceberg's dash form to
+#: keep directory values space-free)
+_TIME_FMT = {
+    "day": "yyyy-MM-dd",
+    "month": "yyyy-MM",
+    "year": "yyyy",
+    "hour": "yyyy-MM-dd-HH",
+}
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One resolved entry of a partition spec."""
+
+    name: str  # derived field name (manifest tuples, _pk_ dirs, predicates)
+    source: str  # source data column
+    transform: str  # identity | day | month | year | hour | truncate
+    param: int | None = None  # truncate width
+
+
+def _parse_partition_spec(spec: list[str]) -> list[PartitionField]:
+    fields = []
+    for s in spec:
+        m = _TIME_TRANSFORM_RE.match(s)
+        if m:
+            tr, col = m.group(1), m.group(2)
+            fields.append(PartitionField(f"{col}_{tr}", col, tr))
+            continue
+        m = _TRUNCATE_RE.match(s)
+        if m:
+            n, col = int(m.group(1)), m.group(2)
+            if n <= 0:
+                raise ValueError(f"truncate width must be positive: {s!r}")
+            fields.append(PartitionField(f"{col}_trunc{n}", col, "truncate", n))
+            continue
+        if "(" in s:
+            raise ValueError(f"unsupported partition transform {s!r}")
+        fields.append(PartitionField(s, s, "identity"))
+    names = [f.name for f in fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"partition spec derives duplicate field names: {names}")
+    return fields
+
+
+def _transform_expr(field: PartitionField, dtype) -> "F.Column":
+    """The Spark expression deriving ``field``'s STRING partition value
+    from its source column — evaluated only on the write path (the
+    derived value never lives in data files, matching Iceberg: readers
+    see source columns, manifests see derived tuples)."""
+    c = F.col(field.source)
+    if field.transform == "identity":
+        return c.cast("string")
+    if field.transform in _TIME_FMT:
+        return F.date_format(c, _TIME_FMT[field.transform])
+    # truncate: string prefix, or integer floor-to-multiple (Iceberg's
+    # truncate semantics; pmod keeps negatives on the floored grid,
+    # matching Python's v - (v % n))
+    from pyspark.sql.types import StringType
+
+    if isinstance(dtype, StringType):
+        return F.substring(c, 1, field.param)
+    return F.expr(
+        f"CAST(`{field.source}` - pmod(`{field.source}`, {field.param}) AS STRING)"
+    )
+
+
+def _transform_literal(field: PartitionField, v):
+    """Apply ``field``'s transform to a PREDICATE literal, returning the
+    derived partition-value string it belongs to. Accepts datetime/date
+    objects or ISO strings for time transforms."""
+    if v is None:
+        return None
+    if field.transform == "identity":
+        return v
+    if field.transform in _TIME_FMT:
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            py_fmt = {
+                "day": "%Y-%m-%d",
+                "month": "%Y-%m",
+                "year": "%Y",
+                "hour": "%Y-%m-%d-%H",
+            }[field.transform]
+            return v.strftime(py_fmt)
+        s = str(v).strip().replace("T", " ")
+        if not re.match(r"^\d{4}(-\d{2}(-\d{2}([ ]\d{2}.*)?)?)?$", s):
+            raise ValueError(
+                f"cannot derive {field.transform}() from literal {v!r}"
+            )
+        width = {"day": 10, "month": 7, "year": 4}.get(field.transform)
+        if width is not None:
+            return s[:width]
+        return f"{s[:10]}-{s[11:13]}"  # hour
+    if isinstance(v, str):
+        return v[: field.param]
+    return str(int(v) - (int(v) % field.param))
+
+
+def _translate_conjunct(field: PartitionField, op: str, value) -> tuple:
+    """Rewrite a source-column conjunct into a CONSERVATIVE conjunct on
+    the derived field. Sound because every transform is order-
+    preserving: rows with ``ts >= X`` can only live in partitions with
+    ``day(ts) >= day(X)``; strict bounds relax to inclusive because the
+    boundary partition may still hold matching rows. The result is a
+    file-granular SUPERSET — callers must (and do) apply the row filter;
+    exact surfaces (drop_partitions, row_count) refuse translated
+    predicates instead."""
+    if op == "=":
+        return (field.name, "=", _transform_literal(field, value))
+    if op == "in":
+        return (
+            field.name,
+            "in",
+            sorted({_transform_literal(field, v) for v in value}, key=str),
+        )
+    if op in ("<", "<="):
+        return (field.name, "<=", _transform_literal(field, value))
+    if op in (">", ">="):
+        return (field.name, ">=", _transform_literal(field, value))
+    raise ValueError(f"unsupported partition op {op!r}")
 
 
 def _partition_match(vals: dict, conjuncts: list[tuple]) -> bool:
@@ -413,6 +558,41 @@ class SnapshotTable:
                     f"handle requested {list(partition_by)}"
                 )
             self.partition_by = existing
+        #: resolved spec — identity fields plus Iceberg-style transforms
+        #: (``day(ts)``, ``truncate(4, sku)``, …); field NAMES (``ts_day``)
+        #: are what manifests record and partition predicates target
+        self._pfields = _parse_partition_spec(self.partition_by)
+
+    @property
+    def partition_field_names(self) -> list[str]:
+        """Derived partition field names (= the spec for identity-only
+        tables) — the vocabulary of ``partition_where`` predicates,
+        ``partitions()`` output, and ``drop_partitions``."""
+        return [f.name for f in self._pfields]
+
+    def _translate_where(
+        self, partition_where: list[tuple] | None
+    ) -> list[tuple] | None:
+        """Canonicalize read-path partition predicates: conjuncts naming
+        a derived FIELD pass through; conjuncts naming a transform
+        field's SOURCE column are rewritten conservatively
+        (:func:`_translate_conjunct`) so ``ts >= X`` prunes a
+        ``day(ts)``-partitioned table to the matching days. Conjuncts on
+        other columns pass through (the comparator keeps those files)."""
+        if not partition_where:
+            return partition_where
+        fields = {f.name: f for f in self._pfields}
+        by_source = {}
+        for f in self._pfields:
+            if f.transform != "identity":
+                by_source.setdefault(f.source, f)
+        out = []
+        for col, op, value in partition_where:
+            if col not in fields and col in by_source:
+                out.append(_translate_conjunct(by_source[col], op, value))
+            else:
+                out.append((col, op, value))
+        return out
 
     def _table_partition_by(self) -> list[str] | None:
         """The committed table's partition spec (None if no version yet).
@@ -745,26 +925,32 @@ class SnapshotTable:
         per file (Delta's ``partitionValues``). Returns
         ``{relpath: {col: str|None}}``.
 
-        The write duplicates each partition column into a ``_pk_<col>``
+        The write derives each partition FIELD (identity value, or an
+        Iceberg-style transform like ``day(ts)``) into a ``_pk_<field>``
         shadow and hands the SHADOWS to ``partitionBy`` — Spark consumes
-        (drops) the dir-encoding columns, the real columns stay in the
-        parquet (Iceberg's layout), so readers — Spark here, the DuckDB
-        oracle, any engine — see complete rows with no directory-parsing
-        dependency. Values are recovered from the ``_pk_<c>=<v>`` path
+        (drops) the dir-encoding columns, the real source columns stay in
+        the parquet (Iceberg's layout), so readers — Spark here, the
+        DuckDB oracle, any engine — see complete rows with no
+        directory-parsing dependency. Values are recovered from the ``_pk_<c>=<v>`` path
         segments Spark wrote (hive-escaped; ``__HIVE_DEFAULT_PARTITION__``
         = NULL), which is exactly the string form the pruning comparator
         uses."""
-        missing = [c for c in self.partition_by if c not in df.columns]
+        missing = [
+            f.source for f in self._pfields if f.source not in df.columns
+        ]
         if missing:
             raise SchemaMismatchError(
-                f"write is missing partition column(s) {missing}"
+                f"write is missing partition column source(s) {missing}"
             )
         batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
         out = os.path.join(self.path, batch)
-        shadows = [f"_pk_{c}" for c in self.partition_by]
+        dtypes = {fld.name: fld.dataType for fld in df.schema.fields}
+        shadows = [f"_pk_{f.name}" for f in self._pfields]
         staged = df
-        for c, s in zip(self.partition_by, shadows):
-            staged = staged.withColumn(s, F.col(c).cast("string"))
+        for f, s in zip(self._pfields, shadows):
+            staged = staged.withColumn(
+                s, _transform_expr(f, dtypes[f.source])
+            )
         staged.write.mode("error").partitionBy(*shadows).parquet(out)
         found: dict = {}
         for root, _dirs, names in os.walk(out):
@@ -802,11 +988,16 @@ class SnapshotTable:
         table read: one day out of three years, without listing — or
         statting — the other thousand days' files). Resolution itself is
         pruned too: sharded checkpoints load only matching shards
-        (:meth:`_load`). Callers still apply the ``.filter`` for
-        uniformity; on a partition column it drops nothing."""
+        (:meth:`_load`). Callers still apply the ``.filter``: on an
+        identity partition field it drops nothing; on a TRANSFORM
+        field's source column (``ts`` on a ``day(ts)`` table) the
+        conjunct is rewritten conservatively — ``ts >= X`` prunes to
+        days ``>= day(X)`` — and the row filter is REQUIRED to trim the
+        boundary partition."""
         if partition_where:
             snap = self._load(
-                self._resolve_v(version, as_of_ms), partition_where
+                self._resolve_v(version, as_of_ms),
+                self._translate_where(partition_where),
             )
         else:
             snap = self.snapshot(version, as_of_ms)
@@ -1005,7 +1196,29 @@ class SnapshotTable:
         sharded checkpoint resolves only matching shards. Returns None
         if any live file predates row-count stats (tables written
         before this feature) — the caller falls back to a scan rather
-        than getting a silently wrong number."""
+        than getting a silently wrong number.
+
+        EXACT surface: conjuncts must name partition FIELDS. A transform
+        field's source column is refused — its rewrite is conservative
+        (a superset of files), which for a COUNT means silently
+        overcounting instead of pruning."""
+        if partition_where:
+            srcs = {
+                f.source: f.name
+                for f in self._pfields
+                if f.transform != "identity"
+            }
+            fields = set(self.partition_field_names)
+            bad = [
+                c for c, _op, _v in partition_where
+                if c in srcs and c not in fields
+            ]
+            if bad:
+                raise ValueError(
+                    f"row_count is exact: predicate on source column(s) "
+                    f"{bad} would overcount — use the derived field(s) "
+                    f"{[srcs[c] for c in bad]}"
+                )
         snap = (
             self._load(self._resolve_v(version, None), partition_where)
             if partition_where
@@ -1028,17 +1241,16 @@ class SnapshotTable:
         for stable output."""
         if not self.partition_by:
             raise ValueError("table is not partitioned")
+        names = self.partition_field_names
         snap = self.snapshot(version)
         counts: dict = {}
         for f in snap.files:
-            key = tuple(
-                (snap.parts or {}).get(f, {}).get(c) for c in self.partition_by
-            )
+            key = tuple((snap.parts or {}).get(f, {}).get(c) for c in names)
             nf, nr = counts.get(key, (0, 0))
             fr = (snap.stats or {}).get(f, {}).get("_nrows")
             counts[key] = (nf + 1, None if nr is None or fr is None else nr + fr[0])
         return [
-            {**dict(zip(self.partition_by, k)), "num_files": nf, "num_rows": nr}
+            {**dict(zip(names, k)), "num_files": nf, "num_rows": nr}
             for k, (nf, nr) in sorted(
                 counts.items(), key=lambda kv: tuple(str(x) for x in kv[0])
             )
@@ -1057,10 +1269,15 @@ class SnapshotTable:
             raise ValueError("table is not partitioned")
         prev = self.snapshot()
         self._validate_write_schema(df, schema_evolution=False)
+        names = self.partition_field_names
+        dtypes = {fld.name: fld.dataType for fld in df.schema.fields}
         touched = {
-            tuple(None if r[c] is None else str(r[c]) for c in self.partition_by)
+            tuple(None if r[n] is None else str(r[n]) for n in names)
             for r in df.select(
-                *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+                *[
+                    _transform_expr(f, dtypes[f.source]).alias(f.name)
+                    for f in self._pfields
+                ]
             )
             .distinct()
             .collect()
@@ -1068,9 +1285,7 @@ class SnapshotTable:
         remove = frozenset(
             f
             for f in prev.files
-            if tuple(
-                (prev.parts or {}).get(f, {}).get(c) for c in self.partition_by
-            )
+            if tuple((prev.parts or {}).get(f, {}).get(n) for n in names)
             in touched
         )
         return self._commit(
@@ -1091,10 +1306,23 @@ class SnapshotTable:
         row-level would drop rows the caller didn't select."""
         if not self.partition_by:
             raise ValueError("table is not partitioned")
-        bad = [c for c, _op, _v in partition_where if c not in self.partition_by]
+        names = set(self.partition_field_names)
+        sources = {
+            f.source: f.name for f in self._pfields if f.transform != "identity"
+        }
+        bad = [c for c, _op, _v in partition_where if c not in names]
         if bad:
+            hint = "; ".join(
+                f"use derived field {sources[c]!r} instead of source "
+                f"column {c!r} (a source-column predicate is only "
+                "file-granular-exact after a conservative rewrite, and a "
+                "DROP must never be conservative)"
+                for c in bad
+                if c in sources
+            )
             raise ValueError(
-                f"drop_partitions predicate names non-partition column(s) {bad}"
+                "drop_partitions predicate names non-partition-field "
+                f"column(s) {bad}" + (f" — {hint}" if hint else "")
             )
         prev = self.snapshot()
         remove = frozenset(
@@ -1200,7 +1428,7 @@ class SnapshotTable:
         if partition_where:
             if not self.partition_by:
                 raise ValueError("partition_where on an unpartitioned table")
-            scoped = self._load(prev.version, partition_where)
+            scoped = self._load(prev.version, self._translate_where(partition_where))
             if not scoped.files:
                 return prev
             cur = self.read(partition_where=partition_where)

@@ -1326,3 +1326,169 @@ def test_partition_match_exact_above_2_53():
     # mixed int/float still compares numerically
     assert _partition_match({"x": "10"}, [("x", "<", 10.5)])
     assert _partition_match({"x": "10.0"}, [("x", "=", 10)])
+
+
+class TestTransformPartitioning:
+    """Iceberg-style hidden partitioning: partition_by entries like
+    ``day(ts)`` / ``month(ts)`` / ``truncate(n, col)`` derive the layout
+    from a source column; readers predicate on the SOURCE column and
+    pruning translates conservatively; exact surfaces (drop_partitions,
+    row_count) accept only derived-field predicates."""
+
+    @pytest.fixture()
+    def ttable(self, spark, tmp_path):
+        import datetime as dt
+
+        t = SnapshotTable(spark, str(tmp_path / "tt"), partition_by=["day(ts)"])
+        rows = [
+            (i, dt.datetime(2024, 1, 1 + i % 5, 6 + i % 12, 30), float(i))
+            for i in range(50)
+        ]
+        t.create(
+            spark.createDataFrame(rows, "id int, ts timestamp, v double")
+            .coalesce(2)
+        )
+        return t
+
+    def test_derived_field_names_and_layout(self, ttable):
+        assert ttable.partition_field_names == ["ts_day"]
+        parts = ttable.partitions()
+        assert [p["ts_day"] for p in parts] == [
+            f"2024-01-{d:02d}" for d in range(1, 6)
+        ]
+        assert sum(p["num_rows"] for p in parts) == 50
+        # derived field never lands in the data files
+        assert set(ttable.read().columns) == {"id", "ts", "v"}
+
+    def test_timestamp_range_predicate_shrinks_input_files(self, ttable):
+        """The VERDICT 'done' bar: inputFiles() shrinks under a
+        timestamp-range predicate against day partitions."""
+        full = ttable.read()
+        pruned = ttable.read(
+            partition_where=[("ts", ">=", "2024-01-04 00:00:00")]
+        )
+        assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+        # conservative + row filter == exact
+        lit = "2024-01-04 00:00:00"
+        assert (
+            pruned.filter(F.col("ts") >= lit).count()
+            == full.filter(F.col("ts") >= lit).count()
+            == 20
+        )
+
+    def test_boundary_day_needs_row_filter(self, ttable):
+        """A mid-day bound keeps the boundary partition (conservative),
+        and the row filter trims it exactly."""
+        lit = "2024-01-03 12:00:00"
+        pruned = ttable.read(partition_where=[("ts", ">", lit)])
+        # days 03..05 kept (03 is the boundary day)
+        assert {p["ts_day"] for p in ttable.partitions()} >= {"2024-01-03"}
+        exact = ttable.read().filter(F.col("ts") > lit)
+        assert pruned.filter(F.col("ts") > lit).count() == exact.count()
+        assert pruned.count() >= exact.count()
+
+    def test_field_predicates_are_exact(self, ttable):
+        one = ttable.read(partition_where=[("ts_day", "=", "2024-01-02")])
+        assert one.count() == 10
+        assert ttable.row_count(
+            partition_where=[("ts_day", "=", "2024-01-02")]
+        ) == 10
+
+    def test_exact_surfaces_refuse_source_column(self, ttable):
+        with pytest.raises(ValueError, match="ts_day"):
+            ttable.drop_partitions([("ts", "<", "2024-01-03")])
+        with pytest.raises(ValueError, match="overcount"):
+            ttable.row_count(partition_where=[("ts", "<", "2024-01-03")])
+
+    def test_drop_expired_days_is_metadata_only(self, ttable):
+        before = set(ttable.snapshot().files)
+        ttable.drop_partitions([("ts_day", "<", "2024-01-03")])
+        after = set(ttable.snapshot().files)
+        assert after < before  # removed, nothing added
+        assert ttable.read().count() == 30
+        # expired days still readable via time travel
+        assert ttable.read(version=1).count() == 50
+
+    def test_overwrite_late_day(self, spark, ttable):
+        import datetime as dt
+
+        late = spark.createDataFrame(
+            [(99, dt.datetime(2024, 1, 2, 9, 0), 999.0)],
+            "id int, ts timestamp, v double",
+        )
+        ttable.overwrite_partitions(late)
+        day2 = ttable.read(partition_where=[("ts_day", "=", "2024-01-02")])
+        assert [r.id for r in day2.collect()] == [99]
+        assert ttable.read().count() == 41  # 50 - 10 + 1
+
+    def test_spec_persists_and_conflicts_fail(self, spark, ttable):
+        reopened = SnapshotTable(spark, ttable.path)
+        assert reopened.partition_by == ["day(ts)"]
+        assert reopened.partition_field_names == ["ts_day"]
+        with pytest.raises(ValueError, match="partitioned by"):
+            SnapshotTable(spark, ttable.path, partition_by=["ts"])
+
+    def test_truncate_string_and_int(self, spark, tmp_path):
+        t = SnapshotTable(
+            spark, str(tmp_path / "tr"), partition_by=["truncate(3, sku)"]
+        )
+        t.create(
+            spark.createDataFrame(
+                [("abc-1", 1), ("abc-2", 2), ("xyz-9", 3)], "sku string, n int"
+            )
+        )
+        assert {p["sku_trunc3"] for p in t.partitions()} == {"abc", "xyz"}
+        assert t.read(
+            partition_where=[("sku", "=", "abc-2")]
+        ).filter(F.col("sku") == "abc-2").count() == 1
+        ti = SnapshotTable(
+            spark, str(tmp_path / "ti"), partition_by=["truncate(100, uid)"]
+        )
+        ti.create(
+            spark.createDataFrame(
+                [(5, "a"), (105, "b"), (199, "c"), (250, "d")],
+                "uid long, tag string",
+            )
+        )
+        assert {p["uid_trunc100"] for p in ti.partitions()} == {"0", "100", "200"}
+        pruned = ti.read(partition_where=[("uid", ">=", 150)])
+        assert pruned.filter(F.col("uid") >= 150).count() == 2
+        assert len(pruned.inputFiles()) < len(ti.read().inputFiles())
+
+    def test_month_transform_and_mixed_spec(self, spark, tmp_path):
+        import datetime as dt
+
+        t = SnapshotTable(
+            spark,
+            str(tmp_path / "mx"),
+            partition_by=["region", "month(ts)"],
+        )
+        t.create(
+            spark.createDataFrame(
+                [
+                    ("eu", dt.datetime(2024, 1, 10), 1),
+                    ("eu", dt.datetime(2024, 2, 10), 2),
+                    ("us", dt.datetime(2024, 1, 20), 3),
+                ],
+                "region string, ts timestamp, n int",
+            )
+        )
+        assert t.partition_field_names == ["region", "ts_month"]
+        got = {
+            (p["region"], p["ts_month"]): p["num_rows"] for p in t.partitions()
+        }
+        assert got == {("eu", "2024-01"): 1, ("eu", "2024-02"): 1, ("us", "2024-01"): 1}
+        pruned = t.read(
+            partition_where=[("region", "=", "eu"), ("ts", ">=", "2024-02-01")]
+        )
+        assert [r.n for r in pruned.filter(F.col("ts") >= "2024-02-01").collect()] == [2]
+
+    def test_bad_specs_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="unsupported"):
+            SnapshotTable(spark, str(tmp_path / "b1"), partition_by=["century(ts)"])
+        with pytest.raises(ValueError, match="positive"):
+            SnapshotTable(spark, str(tmp_path / "b2"), partition_by=["truncate(0, x)"])
+        with pytest.raises(ValueError, match="duplicate"):
+            SnapshotTable(
+                spark, str(tmp_path / "b3"), partition_by=["day(ts)", "day(ts)"]
+            )
