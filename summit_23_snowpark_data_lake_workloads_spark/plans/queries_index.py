@@ -1396,3 +1396,135 @@ def lakehouse_partition_transform_audit(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _vacuum_audit_oracle() -> str:
+    """Retained state after the vacuum lifecycle: v3/v4 both hold
+    documents with doc_id%3 in (0,1) minus the dropped bucket 0
+    (v4 is v3 compacted — same rows, new layout). The lifecycle
+    invariants (expired versions unreadable, disk == retained
+    manifests, orphan swept, replay high-water preserved) are exact
+    integer flags."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, "
+        "sum(doc_id)::BIGINT AS sum_doc_id, "
+        "sum(n_chars)::BIGINT AS sum_n_chars"
+    )
+    return f"""
+    WITH state AS (
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id % 3 IN (0, 1) AND doc_id % 4 <> 0
+    )
+    SELECT 'v3_after_vacuum' AS probe, {stats} FROM state
+    UNION ALL
+    SELECT 'v4_after_vacuum' AS probe, {stats} FROM state
+    UNION ALL
+    SELECT 'expired_gone', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    UNION ALL
+    SELECT 'disk_matches_manifests', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    UNION ALL
+    SELECT 'orphan_swept', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    UNION ALL
+    SELECT 'replay_hwm_preserved', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    """
+
+
+@query("lakehouse_vacuum_audit", oracle=_vacuum_audit_oracle())
+def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vacuum/retention lifecycle under the driver gate — the one
+    lakehouse surface that was pytest-only, and the site of a real r8
+    bug (ce03c95: vacuum silently disarming streaming replay
+    protection by dropping expired manifests' txn stamps).
+
+    Lifecycle: CREATE a bucket-partitioned table (documents,
+    bucket = doc_id % 4, doc_id%3==0), txn-stamped APPEND (doc_id%3==1,
+    app_id='vac_audit' batch 1), DROP partition bucket 0 (v3), full
+    COMPACT (v4), plant an ORPHAN parquet (a crashed write's leftover),
+    then ``vacuum(retain_last=2)``. Probes:
+
+    - ``v3_after_vacuum`` / ``v4_after_vacuum``: time-travel aggregates
+      of BOTH retained versions read AFTER the vacuum — retained
+      history must be byte-intact (v4 = compacted v3: same rows);
+    - ``expired_gone``: reads of v1/v2 must RAISE (the retention
+      boundary is real, not advisory);
+    - ``disk_matches_manifests``: every parquet on disk is referenced
+      by a retained manifest and vice versa — vacuum removed exactly
+      the expired/orphan set, no more (data loss) and no less (leak);
+    - ``orphan_swept``: the planted crashed-write file is gone;
+    - ``replay_hwm_preserved``: ``last_committed_batch('vac_audit')``
+      still answers 1 after its stamping manifest expired — the
+      txn_seen fold that keeps exactly-once streaming sinks armed
+      across retention sweeps.
+
+    Scale: vacuum's cost is O(files on disk) listing + unlink of the
+    expired set; the retained-manifest rewrite is one JSON. At 100 TB
+    this is the nightly retention sweep; the replay high-water fold is
+    what lets it run under live streaming ingest without re-ingesting
+    checkpointed batches.
+    """
+    import os as _os
+
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 4).alias("bucket")
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_vacuum_audit_")
+    try:
+        table = SnapshotTable(spark, tmp, partition_by=["bucket"])
+        table.create(docs.filter(F.col("doc_id") % 3 == 0))
+        table.append(
+            docs.filter(F.col("doc_id") % 3 == 1),
+            txn={"app_id": "vac_audit", "batch_id": 1},
+        )
+        table.drop_partitions([("bucket", "=", 0)])
+        table.compact(target_files=2)
+        orphan = _os.path.join(tmp, "data", "b-orphancrash", "part-0.parquet")
+        _os.makedirs(_os.path.dirname(orphan), exist_ok=True)
+        docs.limit(5).coalesce(1).toPandas().to_parquet(orphan)
+        table.vacuum(retain_last=2)
+
+        expired_gone = 1
+        for v in (1, 2):
+            try:
+                table.read(version=v)
+                expired_gone = 0
+            except (LookupError, FileNotFoundError, ValueError):
+                pass
+        on_disk = set()
+        for root, _dirs, names in _os.walk(_os.path.join(tmp, "data")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    on_disk.add(
+                        _os.path.normpath(
+                            _os.path.relpath(_os.path.join(root, n), tmp)
+                        )
+                    )
+        retained = {
+            f for v in table._versions() for f in table._load(v).files
+        }
+        disk_ok = 1 if on_disk == retained else 0
+        orphan_ok = 0 if _os.path.exists(orphan) else 1
+        hwm_ok = 1 if table.last_committed_batch("vac_audit") == 1 else 0
+
+        vs = table._versions()
+        out = None
+        for label, v in (("v3_after_vacuum", vs[0]), ("v4_after_vacuum", vs[1])):
+            r = table.read(version=v).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            ).select(F.lit(label).alias("probe"), "n_rows", "sum_doc_id", "sum_n_chars")
+            out = r if out is None else out.unionByName(r)
+        flags = spark.createDataFrame(
+            [
+                ("expired_gone", expired_gone, 0, 0),
+                ("disk_matches_manifests", disk_ok, 0, 0),
+                ("orphan_swept", orphan_ok, 0, 0),
+                ("replay_hwm_preserved", hwm_ok, 0, 0),
+            ],
+            "probe string, n_rows long, sum_doc_id long, sum_n_chars long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
