@@ -668,6 +668,7 @@ def segment_dedup_rewrite(
     k: int = 8,
     min_count: int = 2,
     broadcast_dups: bool = True,
+    boundary: str = "fixed",
 ) -> DataFrame:
     """Corpus-level segment dedup with document REWRITE — the C4
     three-sentence-span rule (Raffel et al. 2020 §2.2: "remove all but
@@ -679,10 +680,18 @@ def segment_dedup_rewrite(
     (lexicographic min ``(id, seg_idx)``), every other copy is cut, and
     each document is reassembled from its surviving segments in order.
 
-    Production splits on real line/sentence boundaries; fixed windows
-    are the segmentation both engines here can replay exactly (the
-    synthetic corpus has no newlines), and the dedup algebra is
-    identical either way.
+    ``boundary`` picks the segmentation, the dedup algebra is identical:
+
+    - ``"fixed"``: consecutive ``k``-token windows — the segmentation
+      both engines replay exactly on a corpus WITHOUT newlines;
+    - ``"line"``: one segment per NEWLINE-delimited line (RefinedWeb's
+      actual line-level rule, and the natural reading of C4's
+      boundary-aligned spans — fixed windows under-match SHIFTED
+      boilerplate, which boundary alignment makes position-invariant).
+      ``k`` is ignored; reassembly re-joins with ``\\n``. Empty lines
+      are segments too (they dedup to one canonical copy — blank-run
+      collapsing, same rule both engines replay via
+      ``string_split(text, chr(10))``).
 
     Returns one row per input document:
     ``(id, n_segments, n_kept, n_dropped, text_clean)``.
@@ -712,29 +721,41 @@ def segment_dedup_rewrite(
     exactly — at 100 TB widen to the full md5 if collision-level
     precision matters.
     """
-    w = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
-    )
-    segs = (
-        w.select(
-            "id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("w") / F.lit(float(k))).cast("int") - 1,
-                )
-            ).alias("seg_idx"),
-            "w",
+    if boundary == "line":
+        joiner = "\n"
+        segs = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "seg_idx", "seg"
+            ),
+        ).withColumn("h", portable_hash64("seg"))
+    elif boundary == "fixed":
+        joiner = " "
+        w = df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
         )
-        .select(
-            "id",
-            "seg_idx",
-            F.array_join(
-                F.slice("w", F.col("seg_idx") * k + 1, F.lit(k)), " "
-            ).alias("seg"),
+        segs = (
+            w.select(
+                "id",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("w") / F.lit(float(k))).cast("int") - 1,
+                    )
+                ).alias("seg_idx"),
+                "w",
+            )
+            .select(
+                "id",
+                "seg_idx",
+                F.array_join(
+                    F.slice("w", F.col("seg_idx") * k + 1, F.lit(k)), " "
+                ).alias("seg"),
+            )
+            .withColumn("h", portable_hash64("seg"))
         )
-        .withColumn("h", portable_hash64("seg"))
-    )
+    else:
+        raise ValueError(f"unknown boundary {boundary!r}")
     dups = (
         segs.groupBy("h")
         .agg(
@@ -765,6 +786,6 @@ def segment_dedup_rewrite(
                 ),
                 lambda s: s["seg"],
             ),
-            " ",
+            joiner,
         ).alias("text_clean"),
     )

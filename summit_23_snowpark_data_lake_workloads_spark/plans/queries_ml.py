@@ -4636,6 +4636,102 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_segment_rewrite_lines",
+    oracle=f"""
+    WITH lines0 AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(w[(i*6)+1:(i*6)+6], ' ') AS seg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(0, CAST(ceil(len(w) / 6.0) AS BIGINT))) AS t(i)
+    ),
+    lined AS (
+        SELECT doc_id,
+               '=== COMMON HEADER ===' || chr(10)
+               || string_agg(seg, chr(10) ORDER BY seg_idx)
+               || chr(10) || 'footer visit example dot com' AS text
+        FROM lines0 GROUP BY doc_id
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_idx, ls[i + 1] AS seg
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+             unnest(range(0, len(ls))) AS t(i)
+    ),
+    h AS (
+        SELECT doc_id, seg_idx, seg,
+               {_DUCK_HASH.format(x='seg')} AS hh
+        FROM segs
+    ),
+    f AS (
+        SELECT hh,
+               min({{'id': doc_id, 'seg_idx': seg_idx}}) AS keep
+        FROM h GROUP BY hh HAVING count(*) >= 2
+    ),
+    m AS (
+        SELECT h.doc_id, h.seg_idx, h.seg,
+               (f.hh IS NULL
+                OR (h.doc_id = f.keep.id AND h.seg_idx = f.keep.seg_idx))
+                   AS survive
+        FROM h LEFT JOIN f ON h.hh = f.hh
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN survive THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN survive THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           coalesce(string_agg(seg, chr(10) ORDER BY seg_idx)
+                        FILTER (WHERE survive), '') AS text_clean
+    FROM m GROUP BY doc_id
+    """,
+)
+def dedup_segment_rewrite_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-boundary segment dedup with document rewrite — C4's actual
+    rule is three-SENTENCE spans (Raffel et al. 2020 §2.2) and
+    RefinedWeb dedups LINES: boundary-aligned segments are
+    position-invariant, so shifted boilerplate still matches (the
+    fixed-k variant under-matches it — see ``dedup_segment_rewrite``).
+
+    The synthetic corpus has no newlines, so the query ARRANGES one
+    (stream-audit style): every document is re-lined into 6-token lines
+    and wrapped in a shared boilerplate header + footer line — the
+    crawl shape this op exists for. The dedup must then keep exactly
+    ONE corpus-wide copy of the header/footer (canonical min
+    ``(doc_id, seg_idx)``), cut every other copy, and reassemble each
+    document's surviving lines in order. The oracle replays the
+    arrangement AND the dedup from raw parquet.
+
+    Scale: identical algebra to the fixed-k variant — posexplode is
+    scan-stage codegen, frequency + canonical pick share one
+    8-byte-hash shuffle, the dup set broadcasts, reassembly is one
+    groupBy(doc_id).
+    """
+    from ..operators.dedup import segment_dedup_rewrite
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("=== COMMON HEADER ===\n"),
+            F.expr(
+                "array_join(transform(sequence(0, "
+                "cast(ceil(size(split(text, ' ')) / 6.0) as int) - 1), "
+                "i -> array_join(slice(split(text, ' '), i*6 + 1, 6), ' ')), "
+                "'\\n')"
+            ),
+            F.lit("\nfooter visit example dot com"),
+        ).alias("text"),
+    )
+    return segment_dedup_rewrite(
+        docs, "doc_id", "text", min_count=2, boundary="line"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_segments",
+        "n_kept",
+        "n_dropped",
+        "text_clean",
+    )
+
+
 def _contrastive_oracle(
     pos_min: float = 0.35, neg_max: float = 0.30, n_planes: int = 4
 ) -> str:

@@ -702,3 +702,51 @@ def test_segment_dedup_rewrite_shuffle_join_parity(spark):
         df, "id", "text", k=2, min_count=2, broadcast_dups=False
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_segment_dedup_rewrite_line_boundary(spark):
+    """boundary='line': newline-delimited segments, position-INVARIANT
+    matching (the shifted-boilerplate case fixed-k windows miss), and
+    newline-joined reassembly."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        segment_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "BOILER\nunique one\nmore text"),
+            # same boilerplate line at a DIFFERENT position
+            (2, "intro words\nBOILER\nunique two"),
+            (3, "all original\nnothing shared"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r.id: r
+        for r in segment_dedup_rewrite(
+            df, "id", "text", min_count=2, boundary="line"
+        ).collect()
+    }
+    # canonical copy = min (id, seg_idx) -> doc 1 keeps it, doc 2 loses it
+    assert got[1].text_clean == "BOILER\nunique one\nmore text"
+    assert got[2].text_clean == "intro words\nunique two"
+    assert got[2].n_dropped == 1 and got[1].n_dropped == 0
+    assert got[3].text_clean == "all original\nnothing shared"
+    # fixed-k windows would NOT have matched the shifted line
+    fixed = {
+        r.id: r.n_dropped
+        for r in segment_dedup_rewrite(
+            df, "id", "text", k=2, min_count=2, boundary="fixed"
+        ).collect()
+    }
+    assert fixed[2] == 0
+
+
+def test_segment_dedup_rewrite_bad_boundary(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.dedup import (
+        segment_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError, match="boundary"):
+        segment_dedup_rewrite(df, "id", "text", boundary="paragraph")
