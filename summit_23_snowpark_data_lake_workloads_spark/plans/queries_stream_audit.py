@@ -870,3 +870,256 @@ def streaming_ingest_semantic_audit(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _semantic_intra_oracle() -> str:
+    """Replay of the semantic ingest lifecycle WITH the within-batch
+    SemDeDup pass enabled: batch 0 = originals (vec_id%3==0, cold-start
+    intra pass blocked on the batch's own 16 lowest-id rows); batch 1 =
+    originals (%3==1) + same-vector twins (+5000: cosine 1.0 against a
+    LOWER-id row in the SAME batch -> intra drop) + parent blends
+    (+2000: intra cosine straddles tau against the same-batch parent)
+    + re-id'd copies of landed batch-0 vectors (+1000: pass intra,
+    drop at the INDEX probe — the ordering intra-then-index). Every
+    rule (cold-start blocking, frozen-centroid top-2 blocking, lower-id
+    keeper, index probe) replayed from raw parquet."""
+    tau = _SEM_TAU
+    return f"""
+WITH e AS (
+    SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+),
+arr AS (
+    SELECT vec_id AS aid, 0 AS b, pos, val FROM e WHERE vec_id % 3 = 0
+    UNION ALL
+    SELECT vec_id, 1, pos, val FROM e WHERE vec_id % 3 = 1
+    UNION ALL  -- same-vector twins: intra-batch cosine 1.0 -> drop
+    SELECT vec_id + 5000, 1, pos, val FROM e
+    WHERE vec_id % 3 = 1 AND vec_id < 30
+    UNION ALL  -- parent blends: intra cosine straddles tau
+    SELECT a.vec_id + 2000, 1, a.pos, a.val + bb.val
+    FROM e a JOIN e bb ON bb.pos = a.pos AND bb.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 3 = 1 AND a.vec_id < 30
+    UNION ALL  -- re-id'd copies of batch-0 rows: drop at the INDEX probe
+    SELECT vec_id + 1000, 1, pos, val FROM e
+    WHERE vec_id % 3 = 0 AND vec_id < 30
+),
+nrm AS (SELECT aid, b, sqrt(sum(val * val)) AS nrm FROM arr GROUP BY aid, b),
+pair AS (  -- all pairwise dots once (audit-scale; engine never does this)
+    SELECT qa.aid AS qid, qa.b AS qb, ha.aid AS hid, ha.b AS hb,
+           sum(qa.val * ha.val) AS dot
+    FROM arr qa JOIN arr ha ON ha.pos = qa.pos
+    GROUP BY 1, 2, 3, 4
+),
+cosv AS (
+    SELECT p.qid, p.qb, p.hid, p.hb,
+           round(p.dot / (nq.nrm * nh.nrm), 4) AS c
+    FROM pair p
+    JOIN nrm nq ON nq.aid = p.qid AND nq.b = p.qb
+    JOIN nrm nh ON nh.aid = p.hid AND nh.b = p.hb
+),
+c0 AS (SELECT aid AS cid FROM nrm WHERE b = 0 ORDER BY aid LIMIT 16),
+a0 AS (  -- cold-start top-2 blocking of batch 0 vs its own 16 lowest
+    SELECT v.qid AS aid, v.hid AS cid, row_number() OVER (
+        PARTITION BY v.qid ORDER BY v.c DESC, v.hid) AS rnk
+    FROM cosv v JOIN c0 ON c0.cid = v.hid
+    WHERE v.qb = 0 AND v.hb = 0
+),
+drop0 AS (
+    SELECT DISTINCT qa.aid AS qid
+    FROM a0 qa JOIN a0 ha ON ha.cid = qa.cid
+    JOIN cosv v ON v.qid = qa.aid AND v.qb = 0
+              AND v.hid = ha.aid AND v.hb = 0
+    WHERE qa.rnk <= 2 AND ha.rnk <= 2 AND ha.aid < qa.aid AND v.c >= {tau}
+),
+land0 AS (
+    SELECT aid FROM (SELECT DISTINCT aid FROM arr WHERE b = 0)
+    WHERE aid NOT IN (SELECT qid FROM drop0)
+),
+boot AS (SELECT aid AS cid FROM land0 ORDER BY aid LIMIT 16),
+ab AS (  -- every row's top-2 cells vs the FROZEN bootstrap centroids
+    SELECT v.qid AS aid, v.qb AS b, v.hid AS cid, row_number() OVER (
+        PARTITION BY v.qid, v.qb ORDER BY v.c DESC, v.hid) AS rnk
+    FROM cosv v JOIN boot ON boot.cid = v.hid
+    WHERE v.hb = 0
+),
+q1 AS (  -- id guard
+    SELECT DISTINCT aid FROM arr WHERE b = 1
+    AND aid NOT IN (SELECT aid FROM land0)
+),
+drop1 AS (  -- within-batch pass: lower-id same-cell row over tau
+    SELECT DISTINCT qa.aid AS qid
+    FROM ab qa JOIN ab ha ON ha.cid = qa.cid AND ha.b = 1
+    JOIN cosv v ON v.qid = qa.aid AND v.qb = 1
+              AND v.hid = ha.aid AND v.hb = 1
+    WHERE qa.b = 1 AND qa.rnk <= 2 AND ha.rnk <= 2
+      AND qa.aid IN (SELECT aid FROM q1) AND ha.aid IN (SELECT aid FROM q1)
+      AND ha.aid < qa.aid AND v.c >= {tau}
+),
+q1b AS (SELECT aid FROM q1 WHERE aid NOT IN (SELECT qid FROM drop1)),
+dropi AS (  -- index probe vs the landed batch-0 corpus
+    SELECT DISTINCT q.aid AS qid
+    FROM ab q JOIN ab h ON h.cid = q.cid AND h.b = 0 AND h.rnk <= 2
+    JOIN cosv v ON v.qid = q.aid AND v.qb = 1 AND v.hid = h.aid AND v.hb = 0
+    WHERE q.b = 1 AND q.rnk <= 2
+      AND q.aid IN (SELECT aid FROM q1b)
+      AND h.aid IN (SELECT aid FROM land0)
+      AND h.aid <> q.aid AND v.c >= {tau}
+),
+land1 AS (SELECT aid FROM q1b WHERE aid NOT IN (SELECT qid FROM dropi)),
+landed AS (
+    SELECT aid, 0 AS b, 0 AS lb FROM land0
+    UNION ALL SELECT aid, 1, 1 FROM land1
+)
+    SELECT 'docs' AS side, 1 AS version, 0 AS batch_id,
+           count(*)::BIGINT AS n_rows, sum(aid)::BIGINT AS sum_id,
+           0::BIGINT AS sum_extra
+    FROM landed WHERE lb < 1
+UNION ALL
+    SELECT 'docs', 2, 1, count(*)::BIGINT, sum(aid)::BIGINT, 0::BIGINT
+    FROM landed
+UNION ALL
+    SELECT 'cells', 1, 0, count(*)::BIGINT, sum(l.aid)::BIGINT,
+           sum(a.cid)::BIGINT
+    FROM landed l JOIN ab a ON a.aid = l.aid AND a.b = l.b AND a.rnk <= 2
+    WHERE l.lb < 1
+UNION ALL
+    SELECT 'cells', 2, 1, count(*)::BIGINT, sum(l.aid)::BIGINT,
+           sum(a.cid)::BIGINT
+    FROM landed l JOIN ab a ON a.aid = l.aid AND a.b = l.b AND a.rnk <= 2
+UNION ALL
+    SELECT 'centroids', 1, 0, count(*)::BIGINT, sum(cid)::BIGINT, 0::BIGINT
+    FROM boot
+    """
+
+
+@query(
+    "streaming_ingest_semantic_intra_audit",
+    oracle=_semantic_intra_oracle(),
+)
+def streaming_ingest_semantic_intra_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic ingest sink with the INTRA-batch SemDeDup pass
+    enabled (``intra_batch=True``) under the driver gate — closing the
+    one r8 sink option that was pytest-only. Two real ``availableNow``
+    micro-batches: batch 0 = originals (``vec_id % 3 == 0``; the
+    cold-start intra pass blocks on the batch's own 16 lowest-id rows —
+    the same set the bootstrap then freezes); batch 1 = originals
+    (``% 3 == 1``) plus three planted arrival classes that pin the
+    pass's ORDER (id guard -> intra-batch -> index probe):
+
+    - same-vector twins (+5000): cosine 1.0 against a LOWER-id row of
+      the SAME batch — must die in the intra pass (min-id keeper);
+    - parent blends (+2000): intra cosine straddles tau against the
+      same-batch parent — the rounded-cosine rule decides each one,
+      and the oracle must agree row for row;
+    - re-id'd copies of landed batch-0 vectors (+1000): no same-batch
+      twin, so they must SURVIVE the intra pass and die at the index
+      probe instead.
+
+    Emits the same per-version facts as ``streaming_ingest_semantic_
+    audit`` (vector table, inverted file with actual cell ids,
+    bootstrap centroids); the oracle replays cold-start blocking,
+    frozen-centroid top-2 assignment, the lower-id drop rule, and the
+    index probe from raw parquet.
+
+    Scale: the intra pass is one cell-blocked batch self-join per
+    micro-batch (batch-sized, never corpus); everything else is the
+    gated semantic sink unchanged.
+    """
+    from ..sources.lakehouse import SnapshotTable
+    from ..streaming.lakehouse_sink import semantic_dedup_ingest_stream
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    m3 = F.col("vec_id") % 3
+    b0 = emb.filter(m3 == 0)
+    b1 = emb.filter(m3 == 1)
+    twins = b1.filter(F.col("vec_id") < 30).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    a, bb = emb.alias("a"), emb.alias("bb")
+    blends = (
+        a.filter((F.col("a.vec_id") % 3 == 1) & (F.col("a.vec_id") < 30))
+        .join(bb, F.col("bb.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            (F.col("a.vec_id") + 2000).alias("vec_id"),
+            F.zip_with(
+                "a.embedding", "bb.embedding", lambda x, y: x + y
+            ).alias("embedding"),
+        )
+    )
+    copies = b0.filter(F.col("vec_id") < 30).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    batches = [
+        b0,
+        b1.unionByName(twins).unionByName(blends).unionByName(copies),
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_sem_intra_audit_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        _write_batch_files(batches, src)
+        table = SnapshotTable(spark, os.path.join(tmp, "vectors"))
+        centroids = SnapshotTable(spark, os.path.join(tmp, "centroids"))
+        cells = SnapshotTable(spark, os.path.join(tmp, "cells"))
+        with _small_shuffle(spark):
+            stream = (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            _drain(
+                semantic_dedup_ingest_stream(
+                    stream, table, centroids, cells, "gate_audit",
+                    os.path.join(tmp, "ckpt"), min_cos=_SEM_TAU,
+                    intra_batch=True,
+                )
+            )
+        out = None
+        for snap in table.history():
+            r = table.read(version=snap.version).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("vec_id").alias("sum_id"),
+            ).select(
+                F.lit("docs").alias("side"),
+                F.lit(snap.version).alias("version"),
+                F.lit(snap.txn["batch_id"]).alias("batch_id"),
+                "n_rows",
+                "sum_id",
+                F.lit(0).cast("long").alias("sum_extra"),
+            )
+            out = r if out is None else out.unionByName(r)
+        for snap in cells.history():
+            r = cells.read(version=snap.version).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("vec_id").alias("sum_id"),
+                F.sum("cell").alias("sum_extra"),
+            ).select(
+                F.lit("cells").alias("side"),
+                F.lit(snap.version).alias("version"),
+                F.lit(snap.txn["batch_id"]).alias("batch_id"),
+                "n_rows",
+                "sum_id",
+                "sum_extra",
+            )
+            out = out.unionByName(r)
+        cent = centroids.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cent_id").alias("sum_id"),
+        ).select(
+            F.lit("centroids").alias("side"),
+            F.lit(1).alias("version"),
+            F.lit(0).alias("batch_id"),
+            "n_rows",
+            "sum_id",
+            F.lit(0).cast("long").alias("sum_extra"),
+        )
+        out = out.unionByName(cent)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
