@@ -59,10 +59,14 @@ def pagerank_fixed(
     ranks — compare/order them; divide by :data:`RANK_SCALE` for the
     conventional value.
 
-    64-bit headroom: total mass is n_nodes * RANK_SCALE; the widest
-    intermediate is ``NUM_D * r(u)`` <= 17 * total mass, so the plan
-    is exact to ~5e17 total mass (~500k nodes at the default scale) —
-    past that, lower RANK_SCALE or widen to DECIMAL(38,0) (one cast).
+    Headroom: the two widest intermediates — ``NUM_D * r(u)`` (<= 17x
+    total mass) and the per-node contribution SUM (<= total mass) —
+    both compute in DECIMAL(38,0), so the plan that ships is the
+    >500k-node plan: per-node ranks are bounded by total mass
+    ``n_nodes * RANK_SCALE`` and stay BIGINT-exact to ~9e6 nodes at the
+    default scale (past that, lower ``RANK_SCALE`` — ranks are
+    micro-units, the precision is yours to spend). The DuckDB oracle
+    mirrors with HUGEINT, so the widening itself is hash-gated.
     """
     e = registered_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -88,15 +92,18 @@ def pagerank_fixed(
             .join(e, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"({NUM_D} * rank) div ({DEN_D} * outdeg)").alias(
-                    "contrib"
-                ),
+                # DECIMAL(38,0) multiply: the 17x-mass intermediate that
+                # would overflow BIGINT first at large n
+                F.expr(
+                    f"(CAST({NUM_D} AS DECIMAL(38,0)) * rank)"
+                    f" div ({DEN_D} * outdeg)"
+                ).alias("contrib"),
             )
         )
         ranks = (
             nodes.join(
                 contribs.groupBy("node").agg(
-                    F.sum("contrib").alias("_in")
+                    F.sum(F.col("contrib").cast("decimal(38,0)")).alias("_in")
                 ),
                 "node",
                 "left",
@@ -132,7 +139,8 @@ def pagerank_oracle_sql(
                    ({tele}::BIGINT + coalesce(c.inmass, 0))::BIGINT AS rank
             FROM nodes n LEFT JOIN (
                 SELECT e.dst AS node,
-                       sum(({NUM_D} * r.rank) // ({DEN_D} * o.outdeg))
+                       sum(({NUM_D}::HUGEINT * r.rank)
+                           // ({DEN_D} * o.outdeg))
                            AS inmass
                 FROM r{i} r JOIN outdeg o ON r.node = o.src
                             JOIN e ON e.src = r.node

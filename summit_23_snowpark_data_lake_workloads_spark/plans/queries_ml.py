@@ -4998,7 +4998,7 @@ def _pagerank_oracle() -> str:
     inner = pagerank_oracle_sql(
         "SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
-        iterations=3,
+        iterations=5,
     )
     return f"""
     SELECT node, rank FROM ({inner}) t
@@ -5010,13 +5010,14 @@ def _pagerank_oracle() -> str:
 
 @query("pagerank_suppliers", oracle=_pagerank_oracle())
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier importance by 3-round fixed-point PageRank over the
+    """Supplier importance by 5-round fixed-point PageRank over the
     customer->supplier order graph (an edge per lineitem; duplicate
     edges act as weights). The engine's third iterative algorithm
-    under the hash gate (after CC and k-means): BIGINT micro-unit
-    ranks with d = 17/20 integer damping make every round exact and
-    order-independent, so the DuckDB oracle unrolls the same three
-    rounds and matches bit-for-bit.
+    under the hash gate (after CC and k-means): micro-unit ranks
+    with d = 17/20 integer damping and DECIMAL(38,0) contribution
+    arithmetic (the >500k-node plan) make every round exact and
+    order-independent, so the DuckDB oracle unrolls the same five
+    rounds in HUGEINT and matches bit-for-bit.
 
     Scale: per round, one |edges|-row join-aggregate pair — edges and
     out-degrees built once and session-cached; no adjacency matrix,
@@ -5033,7 +5034,7 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
-    pr = pagerank_fixed(edges, iterations=3)
+    pr = pagerank_fixed(edges, iterations=5)
     return (
         pr.where(F.col("node").startswith("s"))
         .orderBy(F.col("rank").desc(), F.col("node"))
