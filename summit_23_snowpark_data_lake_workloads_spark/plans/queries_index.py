@@ -1528,3 +1528,154 @@ def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _spec_evolution_oracle() -> str:
+    """State per version of the partition-spec-evolution lifecycle:
+    v1 (create, event_type spec) and v2 (evolve — metadata only) hold
+    events; v3 appends day 2024-01-05 shifted +31 days under new ids;
+    v4 compacts (same rows); v5 drops days before 2024-01-04 (exact —
+    post-compact every file records ts_day). Probes carry row filters,
+    so conservative pruning across the spec boundary must still yield
+    exact answers; the refusal flag pins the exact-surface guard."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, {meta} AS n_meta, "
+        "coalesce(sum(event_id), 0)::BIGINT AS sum_event_id"
+    )
+    sels = []
+    for v, rel in ((1, "v1"), (2, "v1"), (3, "v3"), (4, "v3"), (5, "v5")):
+        meta_day = "count(*)::BIGINT" if v >= 4 else "(-1)::BIGINT"
+        probes = [
+            ("type_eq", "event_type = 'purchase'", "(-1)::BIGINT"),
+            ("day_eq", "d = '2024-01-10'", meta_day),
+            ("late_day", "d = '2024-02-05'", meta_day),
+        ]
+        for name, cond, meta in probes:
+            sels.append(
+                f"SELECT {v}::BIGINT AS version, '{name}' AS probe, "
+                + stats.format(meta=meta)
+                + f" FROM {rel} WHERE {cond}"
+            )
+    sels.append(
+        "SELECT 0::BIGINT, 'pre_compact_refusal', 1::BIGINT, (-1)::BIGINT,"
+        " 0::BIGINT"
+    )
+    body = "\nUNION ALL\n".join(sels)
+    return f"""
+    WITH v1 AS (
+        SELECT event_id, ts, event_type,
+               strftime(ts, '%Y-%m-%d') AS d
+        FROM events
+    ),
+    v3 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT event_id + 10000000, ts + INTERVAL 31 DAY, event_type,
+               strftime(ts + INTERVAL 31 DAY, '%Y-%m-%d')
+        FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+    ),
+    v5 AS (SELECT * FROM v3 WHERE d >= '2024-01-04')
+    {body}
+    """
+
+
+@query(
+    "lakehouse_partition_spec_evolution_audit",
+    oracle=_spec_evolution_oracle(),
+)
+def lakehouse_partition_spec_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-SPEC evolution under the driver gate (Iceberg's
+    evolve-without-rewrite): CREATE events partitioned by
+    ``event_type``, EVOLVE the spec to ``[event_type, day(ts)]`` as a
+    metadata-only commit, APPEND a late shifted day (files written
+    under the NEW spec while old files keep their old tuples), COMPACT
+    (migrating every file to the current spec), then DROP expired days
+    exactly. Probes per version, each a pruned read + row filter:
+
+    - ``type_eq``: the identity field both eras record — prunes
+      exactly across the boundary;
+    - ``day_eq`` / ``late_day``: the evolved field — pre-compact the
+      pruned read KEEPS pre-evolution files (conservative, the row
+      filter trims them; losing a row here means pruning dropped
+      old-spec data), post-compact it prunes exactly and the
+      metadata-only ``row_count`` re-arms (``n_meta``, -1 while any
+      live file predates the field);
+    - ``pre_compact_refusal``: ``drop_partitions`` on ``ts_day`` at v3
+      must RAISE while pre-evolution files are live — the
+      exact-surface guard that turns a silent under-drop into an
+      error.
+
+    Scale: evolution is one JSON commit on a 100 TB table (the whole
+    point — hour->day re-granularity without touching history);
+    conservative pruning degrades scan cost only for pre-evolution
+    files, and compaction is the bounded migration that restores
+    exactness.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="lh_spec_evo_audit_")
+    try:
+        table = SnapshotTable(spark, tmp, partition_by=["event_type"])
+        table.create(ev)
+        table.evolve_partition_spec(["event_type", "day(ts)"])
+        late = ev.filter(
+            F.date_format("ts", "yyyy-MM-dd") == "2024-01-05"
+        ).select(
+            (F.col("event_id") + F.lit(10000000)).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 31 DAYS")).alias("ts"),
+            "event_type",
+        )
+        table.append(late)
+        refusal = 0
+        try:
+            table.drop_partitions([("ts_day", "<", "2024-01-04")])
+        except ValueError:
+            refusal = 1
+        table.compact(target_files=4)
+        table.drop_partitions([("ts_day", "<", "2024-01-04")])
+
+        probes = [
+            ("type_eq", [("event_type", "=", "purchase")],
+             F.col("event_type") == "purchase", False),
+            ("day_eq", [("ts_day", "=", "2024-01-10")],
+             F.date_format("ts", "yyyy-MM-dd") == "2024-01-10", True),
+            ("late_day", [("ts_day", "=", "2024-02-05")],
+             F.date_format("ts", "yyyy-MM-dd") == "2024-02-05", True),
+        ]
+        out = None
+        for v in (1, 2, 3, 4, 5):
+            for name, where, row_filter, meta_able in probes:
+                n_meta = (
+                    table.row_count(version=v, partition_where=where)
+                    if meta_able and v >= 4
+                    else -1
+                )
+                r = (
+                    table.read(version=v, partition_where=where)
+                    .filter(row_filter)
+                    .agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.coalesce(F.sum("event_id"), F.lit(0))
+                        .cast("long")
+                        .alias("sum_event_id"),
+                    )
+                    .select(
+                        F.lit(v).cast("long").alias("version"),
+                        F.lit(name).alias("probe"),
+                        "n_rows",
+                        F.lit(n_meta).cast("long").alias("n_meta"),
+                        "sum_event_id",
+                    )
+                )
+                out = r if out is None else out.unionByName(r)
+        flag = spark.createDataFrame(
+            [(0, "pre_compact_refusal", refusal, -1, 0)],
+            "version long, probe string, n_rows long, n_meta long,"
+            " sum_event_id long",
+        )
+        return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1184,6 +1184,74 @@ class SnapshotTable:
 
     # ------------------------------------------------------- partitions
 
+    def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
+        """Change the table's partition spec WITHOUT rewriting data —
+        Iceberg's partition-spec evolution: a metadata-only commit
+        records the new spec; files written BEFORE it keep the tuples
+        of the spec they were written under (recorded per file in the
+        manifests), files written after derive the new fields. The
+        realistic migrations this enables at 100 TB: an unpartitioned
+        table that outgrew a full-scan read, or hour(ts) -> day(ts)
+        re-granularity — in both cases rewriting history is exactly the
+        cost evolution avoids.
+
+        Read-path semantics across the boundary are CONSERVATIVE by
+        construction: a pruning conjunct on a field an old file never
+        recorded keeps that file (``_partition_match`` skips unknown
+        columns), so pre-evolution data is scanned, never lost. EXACT
+        surfaces (:meth:`drop_partitions`, :meth:`overwrite_partitions`,
+        :meth:`row_count` with a predicate) refuse to act while any
+        live file predates the fields they name — :meth:`compact`
+        rewrites everything under the current spec and is the
+        migration path to re-arm them."""
+        if not new_spec:
+            raise ValueError(
+                "cannot evolve to an empty spec (devolution to "
+                "unpartitioned would silently strip exact partition ops)"
+            )
+        fields = _parse_partition_spec(list(new_spec))
+        have = {f.name for f in self.table_schema().fields}
+        missing = [f.source for f in fields if f.source not in have]
+        if missing:
+            raise SchemaMismatchError(
+                f"partition spec names missing source column(s) {missing}"
+            )
+        prev = self.snapshot()
+        old_spec = self.partition_by
+        self.partition_by = list(new_spec)
+        self._pfields = fields
+        try:
+            return self._commit("evolve_partition_spec", prev.version, [])
+        except BaseException:
+            self.partition_by = old_spec
+            self._pfields = _parse_partition_spec(old_spec)
+            raise
+
+    def _require_fields_on_files(
+        self, snap: Snapshot, cols: list[str], op_name: str
+    ) -> None:
+        """Exactness guard for partition surfaces that REMOVE or COUNT:
+        every live file must record every named field. A file written
+        under a pre-evolution spec has no tuple for the field, which
+        the conservative comparator KEEPS — correct for a read, but for
+        a drop it means a silent under-drop and for a count a silent
+        overcount. Refuse loudly; compaction migrates old files to the
+        current spec."""
+        parts = snap.parts or {}
+        stale = [
+            f
+            for f in snap.files
+            if any(c not in parts.get(f, {}) for c in cols)
+        ]
+        if stale:
+            raise ValueError(
+                f"{op_name} on field(s) {cols} is exact, but "
+                f"{len(stale)} live file(s) predate the current "
+                "partition spec and record no value for them (e.g. "
+                f"{stale[0]!r}); compact() to rewrite them under the "
+                "current spec first"
+            )
+
     def row_count(
         self,
         version: int | None = None,
@@ -1224,6 +1292,10 @@ class SnapshotTable:
             if partition_where
             else self.snapshot(version)
         )
+        if partition_where:
+            self._require_fields_on_files(
+                snap, [c for c, _op, _v in partition_where], "row_count"
+            )
         total = 0
         for f in snap.files:
             nr = (snap.stats or {}).get(f, {}).get("_nrows")
@@ -1270,6 +1342,7 @@ class SnapshotTable:
         prev = self.snapshot()
         self._validate_write_schema(df, schema_evolution=False)
         names = self.partition_field_names
+        self._require_fields_on_files(prev, names, "overwrite_partitions")
         dtypes = {fld.name: fld.dataType for fld in df.schema.fields}
         touched = {
             tuple(None if r[n] is None else str(r[n]) for n in names)
@@ -1325,6 +1398,9 @@ class SnapshotTable:
                 f"column(s) {bad}" + (f" — {hint}" if hint else "")
             )
         prev = self.snapshot()
+        self._require_fields_on_files(
+            prev, [c for c, _op, _v in partition_where], "drop_partitions"
+        )
         remove = frozenset(
             f
             for f in prev.files

@@ -1492,3 +1492,106 @@ class TestTransformPartitioning:
             SnapshotTable(
                 spark, str(tmp_path / "b3"), partition_by=["day(ts)", "day(ts)"]
             )
+
+
+class TestPartitionSpecEvolution:
+    """Iceberg-style spec evolution: metadata-only spec change; old
+    files keep their written-under spec's tuples (conservative reads),
+    exact surfaces refuse until compaction migrates, compact re-arms."""
+
+    @pytest.fixture()
+    def evolved(self, spark, tmp_path):
+        import datetime as dt
+
+        t = SnapshotTable(spark, str(tmp_path / "ev"), partition_by=["region"])
+        rows = [
+            ("eu", dt.datetime(2024, 1, 1 + i % 3), i, float(i))
+            for i in range(12)
+        ] + [("us", dt.datetime(2024, 1, 4), 99, 9.0)]
+        t.create(
+            spark.createDataFrame(
+                rows, "region string, ts timestamp, id int, v double"
+            ).coalesce(2)
+        )
+        t.evolve_partition_spec(["region", "day(ts)"])
+        import datetime as dt2
+
+        t.append(
+            spark.createDataFrame(
+                [("eu", dt2.datetime(2024, 2, 1), 100, 1.0),
+                 ("us", dt2.datetime(2024, 2, 2), 101, 2.0)],
+                "region string, ts timestamp, id int, v double",
+            )
+        )
+        return t
+
+    def test_spec_persists_and_old_files_conservative(self, spark, evolved):
+        assert evolved.partition_by == ["region", "day(ts)"]
+        reopened = SnapshotTable(spark, evolved.path)
+        assert reopened.partition_field_names == ["region", "ts_day"]
+        # a day predicate keeps ALL old files (they predate ts_day) plus
+        # the matching new one — conservative, never lossy
+        pruned = evolved.read(partition_where=[("ts_day", "=", "2024-02-01")])
+        lit = "2024-02-01 00:00:00"
+        exact = evolved.read().filter(
+            F.date_format("ts", "yyyy-MM-dd") == "2024-02-01"
+        )
+        got = pruned.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-02-01")
+        assert got.count() == exact.count() == 1
+        # identity field recorded by BOTH eras still prunes exactly
+        us = evolved.read(partition_where=[("region", "=", "us")])
+        assert us.count() == 2
+
+    def test_exact_surfaces_refuse_pre_evolution_files(self, evolved):
+        with pytest.raises(ValueError, match="compact"):
+            evolved.drop_partitions([("ts_day", "<", "2024-01-02")])
+        with pytest.raises(ValueError, match="compact"):
+            evolved.row_count(partition_where=[("ts_day", "=", "2024-02-01")])
+        with pytest.raises(ValueError, match="compact"):
+            evolved.overwrite_partitions(
+                evolved.read().filter(F.col("id") == 100)
+            )
+        # fields recorded on EVERY live file still work exactly
+        assert evolved.row_count(partition_where=[("region", "=", "us")]) == 2
+
+    def test_compact_migrates_and_rearms(self, evolved):
+        before = evolved.read().count()
+        evolved.compact(target_files=2)
+        assert evolved.read().count() == before
+        # every file now records ts_day -> exact surfaces re-armed
+        assert evolved.row_count(
+            partition_where=[("ts_day", "=", "2024-02-01")]
+        ) == 1
+        evolved.drop_partitions([("ts_day", ">=", "2024-02-01")])
+        assert evolved.read().count() == before - 2
+        # and time travel across the evolution boundary still reads
+        assert evolved.read(version=1).count() == 13
+
+    def test_unpartitioned_table_can_evolve(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "up"))
+        t.create(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "a")], "id int, cat string"
+            )
+        )
+        t.evolve_partition_spec(["cat"])
+        t.append(spark.createDataFrame([(4, "c")], "id int, cat string"))
+        assert {p["cat"] for p in t.partitions()} >= {"c"}
+        pruned = t.read(partition_where=[("cat", "=", "c")])
+        assert pruned.filter(F.col("cat") == "c").count() == 1
+        # old unpartitioned files are kept conservatively
+        assert pruned.count() >= 1
+
+    def test_bad_evolution_rejected(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "bad"), partition_by=["cat"])
+        t.create(spark.createDataFrame([(1, "a")], "id int, cat string"))
+        from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+            SchemaMismatchError,
+        )
+
+        with pytest.raises(ValueError, match="empty"):
+            t.evolve_partition_spec([])
+        with pytest.raises(SchemaMismatchError, match="missing source"):
+            t.evolve_partition_spec(["day(ts)"])
+        # failed evolution must not leave the handle on the new spec
+        assert t.partition_by == ["cat"]
