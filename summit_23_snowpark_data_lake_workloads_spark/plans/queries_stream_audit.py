@@ -1123,3 +1123,145 @@ def streaming_ingest_semantic_intra_audit(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _partitioned_fact_oracle() -> str:
+    """Per-version facts of the streaming day-partitioned fact table:
+    version k holds the first k micro-batches (event_id % 3 < k).
+    Probes mirror the engine's pruned reads; the rerun flag pins
+    checkpoint idempotency (no fourth version after a second drain of
+    the same source)."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, {meta} AS n_meta, "
+        "coalesce(sum(event_id), 0)::BIGINT AS sum_event_id"
+    )
+    day = "strftime(ts, '%Y-%m-%d')"
+    sels = []
+    for v in (1, 2, 3):
+        base = f"SELECT * FROM events WHERE event_id % 3 < {v}"
+        sels.append(
+            f"SELECT {v}::BIGINT AS version, 'day_eq' AS probe, "
+            + stats.format(meta="count(*)::BIGINT")
+            + f" FROM ({base}) WHERE {day} = '2024-01-10'"
+        )
+        sels.append(
+            f"SELECT {v}::BIGINT, 'ts_range', "
+            + stats.format(meta="(-1)::BIGINT")
+            + f" FROM ({base}) WHERE ts >= TIMESTAMP '2024-01-27 12:00:00'"
+        )
+    sels.append(
+        "SELECT 0::BIGINT, 'rerun_no_reappend', 1::BIGINT, (-1)::BIGINT,"
+        " 0::BIGINT"
+    )
+    return "\nUNION ALL\n".join(sels)
+
+
+@query(
+    "streaming_partitioned_fact_audit",
+    oracle=_partitioned_fact_oracle(),
+)
+def streaming_partitioned_fact_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion INTO the canonical 100 TB fact layout — a
+    real ``availableNow`` run of ``write_stream_to_snapshot_table``
+    appending three event micro-batches to a ``day(ts)``-partitioned
+    table (the reference's TXN_DATE-keyed fact stream landed the way a
+    large deployment actually lays it out), then a SECOND drain of the
+    same source against the same checkpoint that must re-append
+    NOTHING (txn-stamp idempotency on a partitioned table).
+
+    Probes per version, each through partition pruning: an exact
+    derived-field day read with the metadata-only ``row_count`` gated
+    against the oracle's real count, and a source-column ts-range read
+    (conservative rewrite + row filter == exact). Every micro-batch's
+    files land partition-aligned THROUGH the transform — a mis-derived
+    day, a tuple missing from a streamed batch's manifest, or a replay
+    re-append all change the sums.
+
+    Scale: each micro-batch writes only the days it contains; the
+    sharded-manifest threshold is forced low so streamed commits
+    exercise the 10^6-file checkpoint layout under the gate.
+    """
+    from ..sources.lakehouse import SnapshotTable
+    from ..streaming.lakehouse_sink import write_stream_to_snapshot_table
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="stream_pfact_audit_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        _write_batch_files(batches, src)
+        table = SnapshotTable(
+            spark, os.path.join(tmp, "fact"), partition_by=["day(ts)"]
+        )
+        table.shard_checkpoint_files = 8
+        with _small_shuffle(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            _drain(
+                write_stream_to_snapshot_table(
+                    stream, table, "gate_audit", os.path.join(tmp, "ckpt")
+                )
+            )
+            v_after_first = len(table._versions())
+            stream2 = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            _drain(
+                write_stream_to_snapshot_table(
+                    stream2, table, "gate_audit", os.path.join(tmp, "ckpt")
+                )
+            )
+        rerun_ok = 1 if len(table._versions()) == v_after_first == 3 else 0
+
+        rng_lit = "2024-01-27 12:00:00"
+        out = None
+        for v in (1, 2, 3):
+            day_where = [("ts_day", "=", "2024-01-10")]
+            n_meta = table.row_count(version=v, partition_where=day_where)
+            day_r = table.read(version=v, partition_where=day_where).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("event_id"), F.lit(0))
+                .cast("long")
+                .alias("sum_event_id"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit("day_eq").alias("probe"),
+                "n_rows",
+                F.lit(n_meta).cast("long").alias("n_meta"),
+                "sum_event_id",
+            )
+            rng_r = (
+                table.read(version=v, partition_where=[("ts", ">=", rng_lit)])
+                .filter(F.col("ts") >= rng_lit)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum("event_id"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_event_id"),
+                )
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit("ts_range").alias("probe"),
+                    "n_rows",
+                    F.lit(-1).cast("long").alias("n_meta"),
+                    "sum_event_id",
+                )
+            )
+            both = day_r.unionByName(rng_r)
+            out = both if out is None else out.unionByName(both)
+        flag = spark.createDataFrame(
+            [(0, "rerun_no_reappend", rerun_ok, -1, 0)],
+            "version long, probe string, n_rows long, n_meta long,"
+            " sum_event_id long",
+        )
+        return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
