@@ -350,3 +350,158 @@ def bottomk_oracle_sql(
     FROM vr JOIN m USING ({g}) CROSS JOIN qq
     WHERE vr.vrn = greatest(1, (qq.qn * m.m + qq.qd - 1) // qq.qd)
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch -> mergeable approximate counts
+# ---------------------------------------------------------------------------
+#
+# The FREQUENCY member of the mergeable-sketch tier (k-mins answers
+# COUNT(DISTINCT), bottom-k answers quantiles, this answers "how often
+# does key X occur" when the key space is too large to GROUP BY): a
+# d x w counter grid where row i adds each occurrence at column
+# hash_i(key) % w; a point estimate is the MIN over the d rows' cells
+# (Cormode & Muthukrishnan 2005). Guarantees: estimate >= true count
+# always (one-sided), and <= true + (total/w) with probability
+# 1 - (1/2)^d under pairwise-independent hashes.
+#
+# Why this shape at 100 TB:
+# - the BUILD is one groupBy over (row, cell) — d small ints per input
+#   row, full map-side combine, and the sketch's size (d*w counters) is
+#   CONSTANT regardless of key cardinality;
+# - MERGE = cell-wise + (associative/commutative), so per-day/shard
+#   sketches roll up without rescanning — but NOT idempotent (counts
+#   are additive): re-processing a shard double-counts, so CM sketches
+#   belong BEHIND an exactly-once boundary (the lakehouse txn stamps),
+#   unlike the k-mins/bottom-k sketches which shrug off at-least-once.
+#   Documented, not hidden.
+# - integer-exact and hash-replayable (same md5 scheme as the rest of
+#   the module), so the DuckDB oracle rebuilds the grid bit-for-bit.
+
+
+def cm_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Per-group Count-Min grid: ``group_cols + [row, cell, cnt]`` —
+    only NON-ZERO cells are materialized (the grid is logically dense;
+    merge/estimate treat missing cells as 0). NULL keys are excluded
+    (a NULL contributes to no frequency class, matching COUNT(col))."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(d)])
+    ).alias("row")
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, F.col(key_col).cast("string").alias("_k"), rows
+    )
+    cell = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("c"), F.col("row"), F.lit(":"), F.col("_k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    return (
+        keyed.withColumn("cell", cell)
+        .groupBy(*group_cols, "row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two CM sketches: cell-wise sum. Associative and
+    commutative; NOT idempotent — counts are additive, so feed it
+    exactly-once inputs (lakehouse txn boundaries), never at-least-once
+    redeliveries."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Point estimates for ``probes`` (one row per (group, key)):
+    ``group_cols + [key_col, est_count]`` = MIN over the d rows of the
+    probed cells (missing cell -> 0; the estimate never undercounts).
+    The probe side re-derives cells with the same hash, joins the
+    sketch on (group, row, cell) — probe-sized work against a
+    constant-size sketch, never a corpus scan."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
+    pk = probes.select(
+        *group_cols, F.col(key_col).cast("string").alias("_k"), rows
+    )
+    cell = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("c"), F.col("row"), F.lit(":"), F.col("_k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    probed = pk.withColumn("cell", cell).join(
+        sketch, [*group_cols, "row", "cell"], "left"
+    )
+    return (
+        probed.groupBy(*group_cols, "_k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(*group_cols, F.col("_k").alias(key_col), "est_count")
+    )
+
+
+def cm_oracle_sql(
+    source_sql: str,
+    probes_sql: str,
+    group_cols: list[str],
+    key_expr: str,
+    d: int = 4,
+    w: int = 64,
+) -> str:
+    """DuckDB replay of build + point estimates: ``source_sql`` exposes
+    ``group_cols`` + ``key_expr`` (one row per occurrence),
+    ``probes_sql`` exposes ``group_cols`` + the probe keys under the
+    same expression name."""
+    g = ", ".join(group_cols)
+    rows = ", ".join(str(i) for i in range(d))
+    return f"""
+    WITH src AS ({source_sql}),
+    pr AS ({probes_sql}),
+    grid AS (
+        SELECT {g}, r.row,
+               ('0x' || substr(md5('c' || r.row || ':' || ({key_expr})), 1, 15))::BIGINT
+                   % {w} AS cell,
+               count(*) AS cnt
+        FROM src CROSS JOIN (SELECT unnest([{rows}]) AS row) r
+        WHERE ({key_expr}) IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    probe AS (
+        SELECT {g}, ({key_expr})::VARCHAR AS k, r.row,
+               ('0x' || substr(md5('c' || r.row || ':' || ({key_expr})), 1, 15))::BIGINT
+                   % {w} AS cell
+        FROM pr CROSS JOIN (SELECT unnest([{rows}]) AS row) r
+    )
+    SELECT p.{g.replace(', ', ', p.')}, p.k, min(coalesce(grid.cnt, 0))::BIGINT AS est_count
+    FROM probe p LEFT JOIN grid
+      ON {' AND '.join(f'grid.{c} = p.{c}' for c in group_cols)}
+     AND grid.row = p.row AND grid.cell = p.cell
+    GROUP BY p.{g.replace(', ', ', p.')}, p.k
+    """

@@ -5040,3 +5040,95 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(100)
     )
+
+
+def _cm_oracle() -> str:
+    from ..operators.sketches import cm_oracle_sql
+
+    src = (
+        "SELECT event_type, user_id FROM events"
+    )
+    probes = (
+        "SELECT DISTINCT event_type, user_id FROM events"
+        " WHERE user_id % 7 = 0"
+    )
+    inner = cm_oracle_sql(src, probes, ["event_type"], "user_id")
+    return f"""
+    WITH est AS ({inner}),
+    tru AS (
+        SELECT event_type, user_id::VARCHAR AS k, count(*)::BIGINT AS n_true
+        FROM events WHERE user_id % 7 = 0
+        GROUP BY 1, 2
+    )
+    SELECT est.event_type, est.k AS user_key,
+           est.est_count, est.est_count AS est_merged,
+           coalesce(tru.n_true, 0) AS n_true
+    FROM est LEFT JOIN tru
+      ON tru.event_type = est.event_type AND tru.k = est.k
+    """
+
+
+@query("freq_sketch_events", oracle=_cm_oracle())
+def freq_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    FREQUENCY member of the mergeable-sketch tier (k-mins =
+    COUNT(DISTINCT), bottom-k = quantiles, this = per-key counts when
+    the key space is too large to GROUP BY): per event_type, a 4x64
+    counter grid over user_id occurrences; probe estimates = min over
+    the 4 hashed cells (never undercounts). The query builds the
+    full-corpus sketch AND two half-sketches split by event_id parity,
+    merges them cell-wise, and emits both estimates side by side — the
+    gate proves merge(a, b) == build(a ∪ b) EXACTLY (cell-wise + is
+    lossless), plus the true counts for error context.
+
+    Scale: the build is one (group, row, cell)-keyed aggregate with
+    full map-side combine — d small ints per input row, CONSTANT
+    sketch size regardless of key cardinality; probes join a
+    probe-sized key set against the constant-size grid. Merge is
+    additive (associative, NOT idempotent) — CM sketches belong behind
+    an exactly-once boundary (lakehouse txn stamps), unlike the
+    idempotent k-mins/bottom-k merges; documented in
+    operators/sketches.py.
+    """
+    from ..operators.sketches import cm_estimate, cm_merge, cm_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    probes = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    full = cm_sketch(ev, ["event_type"], "user_id")
+    half_a = cm_sketch(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    )
+    half_b = cm_sketch(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+    )
+    merged = cm_merge(half_a, half_b, ["event_type"])
+    est_f = cm_estimate(full, probes, ["event_type"], "user_id").select(
+        "event_type",
+        F.col("user_id").alias("user_key"),
+        "est_count",
+    )
+    est_m = cm_estimate(merged, probes, ["event_type"], "user_id").select(
+        "event_type",
+        F.col("user_id").alias("user_key"),
+        F.col("est_count").alias("est_merged"),
+    )
+    tru = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy("event_type", F.col("user_id").cast("string").alias("user_key"))
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        est_f.join(est_m, ["event_type", "user_key"])
+        .join(tru, ["event_type", "user_key"], "left")
+        .select(
+            "event_type",
+            "user_key",
+            "est_count",
+            "est_merged",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        )
+    )

@@ -125,3 +125,78 @@ def test_plan_is_single_wide_aggregate(spark):
     # partial + final hash aggregate, ONE exchange, no expand/explode
     assert plan.count("Exchange") == 1
     assert "Expand" not in plan and "Generate" not in plan
+
+
+# --------------------------------------------------------------- Count-Min
+
+
+def test_cm_never_undercounts_and_exact_when_sparse(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = [("g", f"k{i % 5}") for i in range(50)]  # 5 keys x 10 each
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk = cm_sketch(df, ["g"], "k", d=4, w=64)
+    probes = df.select("g", "k").distinct()
+    est = {
+        r.k: r.est_count
+        for r in cm_estimate(sk, probes, ["g"], "k", d=4, w=64).collect()
+    }
+    # 5 keys in a 64-cell row: collisions possible but estimate >= true
+    assert all(v >= 10 for v in est.values())
+    # with d=4 independent rows and 5 keys, min over rows is exact here
+    assert all(v == 10 for v in est.values())
+
+
+def test_cm_merge_equals_whole_exactly(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        cm_merge,
+        cm_sketch,
+    )
+
+    rows = [("g", f"k{i % 17}") for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, g, k) for i, (g, k) in enumerate(rows)], "i int, g string, k string"
+    )
+    whole = cm_sketch(df, ["g"], "k")
+    merged = cm_merge(
+        cm_sketch(df.filter("i % 2 = 0"), ["g"], "k"),
+        cm_sketch(df.filter("i % 2 = 1"), ["g"], "k"),
+        ["g"],
+    )
+    canon = lambda sk: sorted(
+        (r.g, r.row, r.cell, r.cnt) for r in sk.collect()
+    )
+    assert canon(merged) == canon(whole)
+
+
+def test_cm_null_keys_excluded(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "a")], "g string, k string"
+    )
+    sk = cm_sketch(df, ["g"], "k")
+    probes = spark.createDataFrame([("g", "a")], "g string, k string")
+    est = cm_estimate(sk, probes, ["g"], "k").collect()
+    assert est[0].est_count == 2
+
+
+def test_cm_probe_of_absent_key_can_be_zero(spark):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.createDataFrame([("g", "a")], "g string, k string")
+    sk = cm_sketch(df, ["g"], "k")
+    probes = spark.createDataFrame(
+        [("g", "zzz-never-seen")], "g string, k string"
+    )
+    est = cm_estimate(sk, probes, ["g"], "k").collect()
+    assert est[0].est_count in (0, 1)  # 0 unless all 4 cells collide
