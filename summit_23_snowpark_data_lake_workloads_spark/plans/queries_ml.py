@@ -5132,3 +5132,167 @@ def freq_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
         )
     )
+
+
+_OVERLAP_PAIRS = [("click", "purchase"), ("view", "signup"), ("click", "error")]
+_OVERLAP_K = 16
+
+
+def _overlap_oracle() -> str:
+    from ..operators.sketches import MINCOUNT_H
+
+    k, H = _OVERLAP_K, MINCOUNT_H
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || user_id::VARCHAR), 1, 15))::BIGINT)"
+        f" AS s{i}"
+        for i in range(k)
+    )
+
+    def tot(prefix: str) -> str:
+        return " + ".join(f"coalesce({prefix}.s{i}::HUGEINT, 0)" for i in range(k))
+
+    def tot_union() -> str:
+        return " + ".join(
+            f"coalesce(least(sa.s{i}, sb.s{i})::HUGEINT, 0)" for i in range(k)
+        )
+
+    def est(texpr: str) -> str:
+        return (
+            f"CASE WHEN ({texpr}) <= 0 THEN 0 ELSE "
+            f"(({k}::HUGEINT * {H}::HUGEINT - ({texpr})) // ({texpr}))::BIGINT END"
+        )
+
+    pairs_vals = ", ".join(f"('{a}', '{b}')" for a, b in _OVERLAP_PAIRS)
+    return f"""
+    WITH sk AS (
+        SELECT event_type, {mins} FROM events GROUP BY event_type
+    ),
+    pairs(a, b) AS (VALUES {pairs_vals}),
+    est AS (
+        SELECT p.a || '|' || p.b AS pair,
+               {est("{ta}").format(ta=tot("sa"))} AS est_a,
+               {est("{tb}").format(tb=tot("sb"))} AS est_b,
+               {est("{tu}").format(tu=tot_union())} AS est_union
+        FROM pairs p
+        JOIN sk sa ON sa.event_type = p.a
+        JOIN sk sb ON sb.event_type = p.b
+    ),
+    u AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact_u AS (
+        SELECT p.a || '|' || p.b AS pair,
+               count(DISTINCT u.user_id)::BIGINT AS n_exact_union
+        FROM pairs p JOIN u ON u.event_type IN (p.a, p.b)
+        GROUP BY 1
+    ),
+    exact_i AS (
+        SELECT p.a || '|' || p.b AS pair,
+               count(DISTINCT x.user_id)::BIGINT AS n_exact_intersect
+        FROM pairs p
+        JOIN u x ON x.event_type = p.a
+        JOIN u y ON y.event_type = p.b AND y.user_id = x.user_id
+        GROUP BY 1
+    )
+    SELECT est.pair, est.est_a, est.est_b, est.est_union,
+           greatest(0, est.est_a + est.est_b - est.est_union)
+               AS est_intersect,
+           exact_u.n_exact_union, exact_i.n_exact_intersect
+    FROM est JOIN exact_u USING (pair) JOIN exact_i USING (pair)
+    """
+
+
+@query("distinct_overlap_types", oracle=_overlap_oracle())
+def distinct_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET ALGEBRA on k-mins sketches — the operational payoff of a
+    MERGEABLE distinct sketch beyond rollups: per event-type pair, the
+    distinct-user UNION estimate is the element-wise min-merge of the
+    two standing sketches, and the INTERSECTION (users who did both —
+    audience overlap, the classic segmentation question) follows by
+    inclusion-exclusion ``|A∩B| = |A| + |B| - |A∪B|`` (clamped at 0) —
+    all from 5 tiny per-type sketches, with the events table scanned
+    ONCE. Exact union/intersection ride along for error context.
+
+    Scale: at 100 TB the per-segment sketches are maintained
+    incrementally (idempotent merges); every pairwise overlap query
+    after that touches k longs per segment — no re-scan, no
+    distinct-shuffle, no pairwise user join.
+    """
+    from ..operators.sketches import mincount_estimate, mincount_sketch
+
+    k = _OVERLAP_K
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("_v"), "user_id"
+    )
+    sk = mincount_sketch(ev, ["event_type"], "_v", k)
+    pairs = spark.createDataFrame(_OVERLAP_PAIRS, "a string, b string")
+    sa = sk.select(
+        F.col("event_type").alias("a"),
+        *[F.col(f"s{i}").alias(f"a_s{i}") for i in range(k)],
+    )
+    sb = sk.select(
+        F.col("event_type").alias("b"),
+        *[F.col(f"s{i}").alias(f"b_s{i}") for i in range(k)],
+    )
+    j = pairs.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b").select(
+        F.concat("a", F.lit("|"), "b").alias("pair"),
+        *[F.col(f"a_s{i}") for i in range(k)],
+        *[F.col(f"b_s{i}") for i in range(k)],
+    )
+
+    def est_of(prefix: str, alias: str):
+        frame = j.select(
+            "pair", *[F.col(f"{prefix}_s{i}").alias(f"s{i}") for i in range(k)]
+        )
+        return mincount_estimate(frame, ["pair"], k).withColumnRenamed(
+            "est_distinct", alias
+        )
+
+    union_frame = j.select(
+        "pair",
+        *[
+            F.coalesce(
+                F.least(F.col(f"a_s{i}"), F.col(f"b_s{i}")),
+                F.col(f"a_s{i}"),
+                F.col(f"b_s{i}"),
+            ).alias(f"s{i}")
+            for i in range(k)
+        ],
+    )
+    est_u = mincount_estimate(union_frame, ["pair"], k).withColumnRenamed(
+        "est_distinct", "est_union"
+    )
+    u = ev.select("event_type", "user_id").distinct()
+    pu = pairs.join(
+        u,
+        (u["event_type"] == pairs["a"]) | (u["event_type"] == pairs["b"]),
+    ).groupBy(F.concat("a", F.lit("|"), "b").alias("pair")).agg(
+        F.count_distinct("user_id").alias("n_exact_union")
+    )
+    ux, uy = u.alias("ux"), u.alias("uy")
+    pi = (
+        pairs.join(ux, F.col("ux.event_type") == pairs["a"])
+        .join(
+            uy,
+            (F.col("uy.event_type") == pairs["b"])
+            & (F.col("uy.user_id") == F.col("ux.user_id")),
+        )
+        .groupBy(F.concat("a", F.lit("|"), "b").alias("pair"))
+        .agg(F.count_distinct("ux.user_id").alias("n_exact_intersect"))
+    )
+    return (
+        est_of("a", "est_a")
+        .join(est_of("b", "est_b"), "pair")
+        .join(est_u, "pair")
+        .withColumn(
+            "est_intersect",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ),
+        )
+        .join(pu, "pair")
+        .join(pi, "pair")
+        .select(
+            "pair", "est_a", "est_b", "est_union", "est_intersect",
+            "n_exact_union", "n_exact_intersect",
+        )
+    )
