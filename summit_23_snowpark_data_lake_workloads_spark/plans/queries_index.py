@@ -30,6 +30,7 @@ table tiers in the reference's medallion layout
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -1677,5 +1678,103 @@ def lakehouse_partition_spec_evolution_audit(
             " sum_event_id long",
         )
         return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rollup_audit_oracle() -> str:
+    """Rollup state after each refresh: k=1..3 cover the append-only
+    fact growth (event_id % 3 < k), k=4 follows the row DELETE
+    (event_id % 7 == 0 removed) that forces the full-recompute
+    fallback. Decimal-exact value sums keep the incremental combine
+    order-independent across engines."""
+    parts = []
+    for k, mode, pred in (
+        (1, "full", "event_id % 3 < 1"),
+        (2, "incremental", "event_id % 3 < 2"),
+        (3, "incremental", "event_id % 3 < 3"),
+        (4, "full", "event_id % 7 <> 0"),
+    ):
+        parts.append(f"""
+    SELECT {k}::BIGINT AS refresh, strftime(ts, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_rows,
+           round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value,
+           '{mode}' AS mode
+    FROM events WHERE {pred}
+    GROUP BY day""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "lakehouse_incremental_rollup_audit",
+    oracle=_rollup_audit_oracle(),
+)
+def lakehouse_incremental_rollup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained rollups under the driver gate — the
+    BATCH twin of the reference's Processed-layer dynamic table
+    (:mod:`..operators.rollup`; ``streaming/incremental.py`` gates the
+    streaming form): a per-day (count, sum) rollup over an events fact
+    is refreshed after every fact commit, and every refresh's FULL
+    state is hash-gated.
+
+    Lifecycle: create the fact (event_id%3==0) -> refresh (FULL:
+    first build) -> append %3==1 -> refresh (INCREMENTAL: aggregates
+    ONLY the appended files recovered from the commit manifests,
+    rewrites only touched day-partitions of the rollup) -> append
+    %3==2 -> refresh (incremental again) -> row DELETE (event_id%7==0;
+    COW moves rows between files, so add-lists alone would
+    double-count) -> refresh (FULL fallback, the documented soundness
+    boundary). The emitted ``mode`` column gates that each refresh
+    took the path it claims; decimal-exact sums make the incremental
+    combine order-independent, so incremental and full states are
+    bit-identical to the oracle's recompute.
+
+    Scale: refresh cost is O(appended files + touched groups) — the
+    nightly 1 TB append against a 100 TB fact refreshes from the 1 TB;
+    the high-water mark rides the rollup's own txn stamps, so replayed
+    refreshes are metadata no-ops.
+    """
+    from ..operators.rollup import refresh_rollup
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+    def prepare(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(28,9)").alias("value"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="lh_rollup_audit_")
+    try:
+        fact = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        rollup = SnapshotTable(
+            spark, os.path.join(tmp, "roll"), partition_by=["day"]
+        )
+        steps = [
+            lambda: fact.create(ev.filter(F.col("event_id") % 3 == 0)),
+            lambda: fact.append(ev.filter(F.col("event_id") % 3 == 1)),
+            lambda: fact.append(ev.filter(F.col("event_id") % 3 == 2)),
+            lambda: fact.delete(F.col("event_id") % 7 == 0),
+        ]
+        out = None
+        for i, step in enumerate(steps, start=1):
+            step()
+            mode = refresh_rollup(
+                fact, rollup, prepare, ["day"], ["value"], app_id="gate"
+            )
+            r = rollup.read().select(
+                F.lit(i).cast("long").alias("refresh"),
+                "day",
+                "n_rows",
+                F.round(F.col("sum_value").cast("double"), 4).alias(
+                    "sum_value"
+                ),
+                F.lit(mode).alias("mode"),
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

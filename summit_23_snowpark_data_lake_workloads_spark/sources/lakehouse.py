@@ -1066,10 +1066,12 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ writes
 
-    def create(self, df: DataFrame) -> Snapshot:
+    def create(self, df: DataFrame, txn: dict | None = None) -> Snapshot:
         if self._versions():
             raise FileExistsError(f"table already exists at {self.path}")
-        return self._commit("create", 0, self._write_batch(df), replace_all=True)
+        return self._commit(
+            "create", 0, self._write_batch(df), replace_all=True, txn=txn
+        )
 
     def append(
         self,
@@ -1101,10 +1103,11 @@ class SnapshotTable:
                 best = seen if best is None else max(best, seen)
         return best
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(self, df: DataFrame, txn: dict | None = None) -> Snapshot:
         prev = self.snapshot()
         return self._commit(
-            "overwrite", prev.version, self._write_batch(df), replace_all=True
+            "overwrite", prev.version, self._write_batch(df),
+            replace_all=True, txn=txn,
         )
 
     def _touched_files(self, current: DataFrame, row_filter) -> list[str]:
@@ -1328,7 +1331,9 @@ class SnapshotTable:
             )
         ]
 
-    def overwrite_partitions(self, df: DataFrame) -> Snapshot:
+    def overwrite_partitions(
+        self, df: DataFrame, txn: dict | None = None
+    ) -> Snapshot:
         """Dynamic partition overwrite (Spark's
         ``partitionOverwriteMode=dynamic`` / Delta's ``replaceWhere``
         auto-derived): replace EXACTLY the partitions present in ``df``,
@@ -1366,6 +1371,7 @@ class SnapshotTable:
             prev.version,
             self._write_batch(df),
             remove=remove,
+            txn=txn,
         )
 
     def drop_partitions(self, partition_where: list[tuple]) -> Snapshot:
