@@ -1431,6 +1431,7 @@ class SnapshotTable:
         target_files: int,
         preserve_order: bool = True,
         small_file_bytes: int | None = None,
+        partition_where: list[tuple] | None = None,
     ) -> Snapshot:
         """Small-file compaction. Pure metadata swap for readers — same
         rows, new layout.
@@ -1451,16 +1452,37 @@ class SnapshotTable:
         ``cluster_zorder`` keeps its data-skipping power (Delta's
         OPTIMIZE does the same). ``False`` hash-repartitions for
         perfectly even output sizes at the cost of destroying any
-        clustering."""
+        clustering.
+
+        ``partition_where`` scopes the compaction (Delta's ``OPTIMIZE
+        ... WHERE``): only matching partitions' files are candidates;
+        everything else carries over by reference — at 100 TB the
+        nightly maintenance pass compacts the partitions that just
+        streamed in, never the table. Conservative translation applies
+        (a source-column conjunct may scope in the boundary partition —
+        harmless: compaction never changes rows). Forces the
+        add/remove-delta commit path even without a size threshold."""
         prev = self.snapshot()
-        if small_file_bytes is None:
+        scope: frozenset | None = None
+        if partition_where:
+            if not self.partition_by:
+                raise ValueError("partition_where on an unpartitioned table")
+            scoped = self._load(
+                prev.version, self._translate_where(partition_where)
+            )
+            if not scoped.files:
+                return prev
+            scope = frozenset(scoped.files)
+        if small_file_bytes is None and scope is None:
             packed_src = self.read()
             remove, replace_all = None, True
         else:
+            candidates = sorted(scope) if scope is not None else prev.files
             small = [
                 f
-                for f in prev.files
-                if os.path.getsize(os.path.join(self.path, f))
+                for f in candidates
+                if small_file_bytes is None
+                or os.path.getsize(os.path.join(self.path, f))
                 < small_file_bytes
             ]
             if len(small) < 2:

@@ -1595,3 +1595,75 @@ class TestPartitionSpecEvolution:
             t.evolve_partition_spec(["day(ts)"])
         # failed evolution must not leave the handle on the new spec
         assert t.partition_by == ["cat"]
+
+
+def test_partition_scoped_compaction(spark, tmp_path):
+    """compact(partition_where=...) rewrites only the scoped
+    partition's files; every other partition carries by reference —
+    and the scope accepts a transform SOURCE-column predicate."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "pc"), partition_by=["day(ts)"])
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 3, 8), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, v double")
+    t.create(df.repartition(4))  # several files per day
+    for _ in range(2):  # fragment day partitions further
+        t.append(df.limit(6).repartition(3))
+    before = t.snapshot()
+    day2 = [
+        f for f, p in (before.parts or {}).items()
+        if p.get("ts_day") == "2024-01-02"
+    ]
+    other = [f for f in before.files if f not in day2]
+    assert len(day2) >= 3
+    total = t.read().count()
+    t.compact(target_files=1, partition_where=[("ts_day", "=", "2024-01-02")])
+    after = t.snapshot()
+    # untouched partitions carried by reference
+    assert all(f in after.files for f in other)
+    # scoped partition rewritten into fewer files
+    day2_after = [
+        f for f, p in (after.parts or {}).items()
+        if p.get("ts_day") == "2024-01-02"
+    ]
+    assert len(day2_after) < len(day2)
+    assert not any(f in after.files for f in day2)
+    assert t.read().count() == total
+    # source-column scope (translated) also works and preserves rows
+    t.compact(target_files=1, partition_where=[("ts", ">=", "2024-01-03 00:00:00")])
+    assert t.read().count() == total
+
+
+def test_zorder_scope_accepts_transform_source_predicate(spark, tmp_path):
+    """cluster_zorder(partition_where=[('ts', ...)]) on a day(ts)
+    table: the scope translates conservatively, only scoped files are
+    replaced, rows preserved."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "zt"), partition_by=["day(ts)"])
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 2, 8), float(i % 7), float(i % 11))
+        for i in range(40)
+    ]
+    t.create(
+        spark.createDataFrame(rows, "id int, ts timestamp, x double, y double")
+        .repartition(4)
+    )
+    before = set(t.snapshot().files)
+    day1 = {
+        f for f, p in (t.snapshot().parts or {}).items()
+        if p.get("ts_day") == "2024-01-01"
+    }
+    t.cluster_zorder(
+        ["x", "y"], n_files=2,
+        partition_where=[("ts", "<", "2024-01-02 00:00:00")],
+    )
+    after = set(t.snapshot().files)
+    assert t.read().count() == 40
+    # day-1 files replaced, day-2 carried (strict '<' midnight bound
+    # translates to ts_day <= 2024-01-02... conservative keeps day 2 in
+    # scope, so allow either, but rows must be intact and day1 rewritten)
+    assert not (day1 & after)
+    assert before != after
