@@ -1778,3 +1778,81 @@ def lakehouse_incremental_rollup_audit(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _clone_audit_oracle() -> str:
+    """Source and branch states around a shallow clone: the source is
+    created from doc_id%2==0 and NEVER changes; the clone appends
+    doc_id%2==1 and COW-deletes doc_id%5==0. The final source row is
+    emitted AFTER every branch mutation — any leak across the clone
+    boundary changes its sums."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS sum_doc_id, "
+        "sum(n_chars)::BIGINT AS sum_n_chars"
+    )
+    return f"""
+    SELECT 'source_final' AS probe, {stats}
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'clone_v1', {stats} FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'clone_v2', {stats} FROM documents
+    UNION ALL
+    SELECT 'clone_v3', {stats} FROM documents WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT 'zero_copy', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    """
+
+
+@query("lakehouse_clone_audit", oracle=_clone_audit_oracle())
+def lakehouse_clone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone under the driver gate: CREATE a source
+    table (doc_id%2==0), CLONE it (one JSON write — the ``zero_copy``
+    probe asserts the clone dir holds NO parquet at clone time), then
+    mutate ONLY the branch: append doc_id%2==1, COW-delete doc_id%5==0
+    (rewrites source-referenced files INTO the clone's root). Probes:
+    all three clone versions via time travel, plus the source's final
+    state read AFTER every branch mutation — a branch write leaking
+    into the source, or a clone read missing source-referenced files,
+    changes the sums.
+
+    Scale: cloning a 100 TB fact for an experiment costs one manifest
+    write; branch COW costs are proportional to the branch's own
+    mutations. The retention hazard (source vacuum expiring cloned-from
+    files) is documented on :meth:`SnapshotTable.clone_to`.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="lh_clone_audit_")
+    try:
+        src = SnapshotTable(spark, os.path.join(tmp, "src"))
+        src.create(docs.filter(F.col("doc_id") % 2 == 0))
+        clone = src.clone_to(os.path.join(tmp, "branch"))
+        zero_copy = 1
+        bdata = os.path.join(clone.path, "data")
+        if os.path.isdir(bdata):
+            for _r, _d, fs in os.walk(bdata):
+                if any(f.endswith(".parquet") for f in fs):
+                    zero_copy = 0
+        clone.append(docs.filter(F.col("doc_id") % 2 == 1))
+        clone.delete(F.col("doc_id") % 5 == 0)
+
+        def agg(df, probe):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            ).select(F.lit(probe).alias("probe"), "n_rows", "sum_doc_id",
+                     "sum_n_chars")
+
+        out = agg(src.read(), "source_final")
+        for v in (1, 2, 3):
+            out = out.unionByName(agg(clone.read(version=v), f"clone_v{v}"))
+        flag = spark.createDataFrame(
+            [("zero_copy", zero_copy, 0, 0)],
+            "probe string, n_rows long, sum_doc_id long, sum_n_chars long",
+        )
+        return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1125,9 +1125,13 @@ class SnapshotTable:
         ]
 
     def _relativize(self, abs_path: str) -> str:
-        # _metadata.file_path is a file: URI or plain path; strip both
+        # _metadata.file_path is a file: URI or plain path; strip both.
+        # Files OUTSIDE this table's root (a shallow clone's references
+        # into its source) keep their absolute form — that IS their
+        # manifest key, so COW remove-set matching still lines up.
         p = abs_path.removeprefix("file://").removeprefix("file:")
-        return os.path.relpath(p, self.path)
+        rel = os.path.relpath(p, self.path)
+        return p if rel.startswith("..") else rel
 
     def delete(self, predicate) -> Snapshot:
         """Row-level DELETE: rewrite only files that contain matching
@@ -1186,6 +1190,63 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------- partitions
+
+    def clone_to(self, dst_path: str) -> "SnapshotTable":
+        """ZERO-COPY shallow clone (Delta ``SHALLOW CLONE``): the new
+        table's first manifest references THIS table's current data
+        files by absolute path — no data moves, the clone costs one
+        JSON write regardless of table size. The dev/test/experiment
+        primitive at 100 TB: branch a fact table, mutate the branch
+        (appends land under the clone's own root; COW delete/merge
+        rewrite source-referenced files INTO the clone, because a
+        reference outside the clone's root keeps its absolute form as
+        its manifest key), the source never changes.
+
+        Retention hazard, stated not hidden (Delta has the same one):
+        the clone PINS source files by reference only — a ``vacuum`` on
+        the SOURCE that expires the cloned-from version deletes files
+        the clone still references. Cloning for longer than the
+        source's retention window means compacting the clone (which
+        rewrites everything under its own root) or raising source
+        retention. The clone's own vacuum only walks the clone's data
+        dir, so it can never delete source files."""
+        snap = self.snapshot()
+        dst = SnapshotTable(
+            self.spark,
+            dst_path,
+            commit_protocol=self.commit_protocol,
+            partition_by=list(self.partition_by) or None,
+        )
+        if dst._versions():
+            raise FileExistsError(f"table already exists at {dst_path}")
+        ab = lambda f: f if os.path.isabs(f) else os.path.join(self.path, f)
+        cloned = Snapshot(
+            1,
+            int(time.time() * 1000),
+            "clone",
+            sorted(ab(f) for f in snap.files),
+            {ab(f): s for f, s in (snap.stats or {}).items()},
+            None,
+            {ab(f): b for f, b in (snap.blooms or {}).items()},
+            {ab(f): p for f, p in (snap.parts or {}).items()},
+        )
+        os.makedirs(os.path.join(dst.path, _MANIFEST_DIR), exist_ok=True)
+        body = {
+            "version": 1,
+            "timestamp_ms": cloned.timestamp_ms,
+            "operation": "clone",
+            **dst._full_manifest_body(cloned),
+            **(
+                {"partition_by": self.partition_by}
+                if self.partition_by
+                else {}
+            ),
+        }
+        if not dst.commit_protocol.publish(
+            dst._manifest_path(1), json.dumps(body)
+        ):
+            raise ConcurrentWriteError(f"clone race at {dst_path}")
+        return dst
 
     def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
         """Change the table's partition spec WITHOUT rewriting data —

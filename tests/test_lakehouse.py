@@ -1667,3 +1667,84 @@ def test_zorder_scope_accepts_transform_source_predicate(spark, tmp_path):
     # scope, so allow either, but rows must be intact and day1 rewritten)
     assert not (day1 & after)
     assert before != after
+
+
+class TestShallowClone:
+    """Zero-copy clone: one JSON write, reads identical, branch
+    mutations never touch the source, clone vacuum can't delete source
+    files."""
+
+    def test_clone_reads_identical_and_costs_no_data(self, spark, tmp_path):
+        src = SnapshotTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(20)], "id int, v double"
+            )
+        )
+        clone = src.clone_to(str(tmp_path / "cl"))
+        assert sorted(r.id for r in clone.read().collect()) == list(range(20))
+        # zero copy: the clone dir holds no parquet
+        import os as _os
+
+        data = _os.path.join(clone.path, "data")
+        assert not _os.path.isdir(data) or not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in _os.walk(data)
+            for f in fs
+        )
+
+    def test_branch_mutations_leave_source_untouched(self, spark, tmp_path):
+        src = SnapshotTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(20)], "id int, v double"
+            )
+        )
+        clone = src.clone_to(str(tmp_path / "cl"))
+        clone.append(
+            spark.createDataFrame([(99, 9.0)], "id int, v double")
+        )
+        clone.delete(F.col("id") % 2 == 0)  # COW rewrites INTO the clone
+        assert src.read().count() == 20  # source unchanged
+        got = sorted(r.id for r in clone.read().collect())
+        assert got == [i for i in range(20) if i % 2] + [99]
+        # the COW rewrite landed under the clone's root
+        assert any(not os.path.isabs(f) for f in clone.snapshot().files)
+
+    def test_partitioned_clone_prunes_and_drops(self, spark, tmp_path):
+        src = SnapshotTable(
+            spark, str(tmp_path / "psrc"), partition_by=["bucket"]
+        )
+        src.create(
+            spark.createDataFrame(
+                [(i, i % 3, float(i)) for i in range(30)],
+                "id int, bucket int, v double",
+            )
+        )
+        clone = src.clone_to(str(tmp_path / "pcl"))
+        pruned = clone.read(partition_where=[("bucket", "=", 1)])
+        assert pruned.count() == 10
+        clone.drop_partitions([("bucket", "=", 0)])
+        assert clone.read().count() == 20
+        assert src.read().count() == 30
+
+    def test_clone_vacuum_never_deletes_source(self, spark, tmp_path):
+        src = SnapshotTable(spark, str(tmp_path / "vsrc"))
+        src.create(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+        )
+        clone = src.clone_to(str(tmp_path / "vcl"))
+        clone.append(spark.createDataFrame([(3, 3.0)], "id int, v double"))
+        clone.overwrite(
+            spark.createDataFrame([(9, 9.0)], "id int, v double")
+        )
+        removed = clone.vacuum(retain_last=1)
+        assert all(not os.path.isabs(f) for f in removed)
+        assert src.read().count() == 2  # source files all intact
+
+    def test_clone_of_existing_path_refuses(self, spark, tmp_path):
+        src = SnapshotTable(spark, str(tmp_path / "s2"))
+        src.create(spark.createDataFrame([(1, 1.0)], "id int, v double"))
+        src.clone_to(str(tmp_path / "c2"))
+        with pytest.raises((FileExistsError, ValueError)):
+            src.clone_to(str(tmp_path / "c2"))
