@@ -223,3 +223,67 @@ def test_hashed_features_additive_over_concatenation(spark):
             summed[bkt] += v
     combined = {bkt: v for (d, bkt), v in feat.items() if d == 2}
     assert combined == {k: v for k, v in summed.items() if v != 0}
+
+
+@given(
+    a=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    b=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_partition_cmp_exact_for_all_int64(a, b):
+    """_partition_match's '=' must hold iff the integers are equal and
+    range ops must follow true integer order — including above 2^53
+    where float comparison collapses neighbors."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        _partition_match,
+    )
+
+    vals = {"k": str(a)}
+    assert _partition_match(vals, [("k", "=", b)]) == (a == b)
+    assert _partition_match(vals, [("k", "<", b)]) == (a < b)
+    assert _partition_match(vals, [("k", ">=", b)]) == (a >= b)
+
+
+@given(
+    ts=st.datetimes(
+        min_value=__import__("datetime").datetime(1970, 1, 2),
+        max_value=__import__("datetime").datetime(2200, 12, 31),
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_transform_literal_matches_strftime(ts):
+    """_transform_literal must agree with strftime for datetime inputs
+    AND with its own string-input path (the two ways a predicate
+    literal arrives)."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        PartitionField,
+        _transform_literal,
+    )
+
+    iso = ts.strftime("%Y-%m-%d %H:%M:%S")
+    for tr, fmt in (("day", "%Y-%m-%d"), ("month", "%Y-%m"), ("year", "%Y")):
+        f = PartitionField(f"ts_{tr}", "ts", tr)
+        want = ts.strftime(fmt)
+        assert _transform_literal(f, ts) == want
+        assert _transform_literal(f, iso) == want
+    fh = PartitionField("ts_hour", "ts", "hour")
+    assert _transform_literal(fh, ts) == ts.strftime("%Y-%m-%d-%H")
+    assert _transform_literal(fh, iso) == ts.strftime("%Y-%m-%d-%H")
+
+
+@given(
+    v=st.integers(min_value=-(10**12), max_value=10**12),
+    n=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_truncate_literal_is_floored_grid(v, n):
+    """Integer truncate must floor onto the n-grid (Iceberg semantics):
+    result <= v, result % n == 0, v - result < n — for negatives too."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        PartitionField,
+        _transform_literal,
+    )
+
+    f = PartitionField(f"v_trunc{n}", "v", "truncate", n)
+    got = int(_transform_literal(f, v))
+    assert got <= v and got % n == 0 and v - got < n
