@@ -200,3 +200,25 @@ def test_cm_probe_of_absent_key_can_be_zero(spark):
     )
     est = cm_estimate(sk, probes, ["g"], "k").collect()
     assert est[0].est_count in (0, 1)  # 0 unless all 4 cells collide
+
+
+def test_cm_build_is_single_exchange(spark):
+    """The CM grid build must be ONE shuffle (map-side partial agg on
+    (group,row,cell)); the explode stays in the scan stage."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.sketches import (
+        cm_sketch,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("k"),
+    )
+    plan = (
+        cm_sketch(df, ["g"], "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
