@@ -58,13 +58,18 @@ from .queries import _t, query
 _SEM_TAU = 0.7
 
 
-def _write_batch_files(batches: list[DataFrame], src_dir: str) -> None:
+def _write_batch_files(
+    batches: list[DataFrame], src_dir: str, start_at: int = 0
+) -> None:
     """Materialize each batch as ONE parquet file with strictly
     ascending mtimes, so the file stream source (which orders unseen
     files by modification time) delivers exactly one arrival batch per
-    micro-batch, in sequence."""
+    micro-batch, in sequence. ``start_at`` numbers late arrivals
+    appended to an existing source dir (their mtimes sort after the
+    originals)."""
     base = int(time.time()) - 3600
-    for i, df in enumerate(batches):
+    for j, df in enumerate(batches):
+        i = start_at + j
         stage = os.path.join(src_dir, f"_stage{i}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
@@ -1263,5 +1268,135 @@ def streaming_partitioned_fact_audit(
             " sum_event_id long",
         )
         return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _medallion_incremental_oracle() -> str:
+    """Silver-rollup state after each refresh of the medallion loop:
+    refresh 1 runs after the first stream drain landed batches 0-2
+    (event_id % 4 in 0..2; FULL first build), refresh 2 after a late
+    file arrived and a second drain landed batch 3 (INCREMENTAL).
+    Gold = the top-3 days of the final silver by decimal-exact value
+    sum. Everything restated from raw events."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, "
+        "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    )
+    day = "strftime(ts, '%Y-%m-%d')"
+    return f"""
+    WITH r1 AS (SELECT * FROM events WHERE event_id % 4 < 3),
+    r2 AS (SELECT * FROM events)
+    SELECT 'silver' AS tier, 1::BIGINT AS refresh, {day} AS day,
+           {stats}, 'full' AS mode
+    FROM r1 GROUP BY {day}
+    UNION ALL
+    SELECT 'silver', 2, {day}, {stats}, 'incremental'
+    FROM r2 GROUP BY {day}
+    UNION ALL
+    SELECT 'gold', 2, day, n_rows, sum_value, 'top3' FROM (
+        SELECT {day} AS day, {stats}
+        FROM r2 GROUP BY {day}
+        ORDER BY sum_value DESC, day LIMIT 3
+    )
+    """
+
+
+@query(
+    "medallion_incremental_audit",
+    oracle=_medallion_incremental_oracle(),
+)
+def medallion_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's medallion loop END TO END, composed from the
+    gated pieces and itself hash-gated: RAW event files stream through
+    a real checkpointed ``availableNow`` sink into a
+    ``day(ts)``-PARTITIONED bronze table (batches ``event_id % 4`` in
+    0..2); SILVER is a per-day rollup brought up to date by the
+    manifest-driven incremental refresh (first refresh = FULL build);
+    then a LATE file arrives (batch 3), a second drain of the SAME
+    checkpoint lands exactly the unseen file, and the second refresh
+    must take the INCREMENTAL path — aggregating only the late batch's
+    files and rewriting only the touched silver day-partitions. GOLD
+    is the top-3 revenue days off the final silver. Emits every silver
+    state with the refresh mode it claims plus the gold rows; the
+    oracle restates all of it from raw events.
+
+    This is the reference's Ingest -> Raw -> Processed -> Curated loop
+    (SURVEY §0) in the 100 TB layout: the fact lands partition-aligned
+    by transaction day, nightly silver cost is O(new data), gold reads
+    an aggregate table — no stage rescans the corpus.
+    """
+    from ..operators.rollup import refresh_rollup
+    from ..sources.lakehouse import SnapshotTable
+    from ..streaming.lakehouse_sink import write_stream_to_snapshot_table
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    m4 = F.col("event_id") % 4
+    first = [ev.filter(m4 == i) for i in range(3)]
+    late = ev.filter(m4 == 3)
+
+    def prepare(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(28,9)").alias("value"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="medallion_inc_audit_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        _write_batch_files(first, src)
+        bronze = SnapshotTable(
+            spark, os.path.join(tmp, "bronze"), partition_by=["day(ts)"]
+        )
+        silver = SnapshotTable(
+            spark, os.path.join(tmp, "silver"), partition_by=["day"]
+        )
+        out = None
+        with _small_shuffle(spark):
+            for refresh_no, arriving in ((1, None), (2, late)):
+                if arriving is not None:
+                    _write_batch_files([arriving], src, start_at=3)
+                stream = (
+                    spark.readStream.schema(ev.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src)
+                )
+                _drain(
+                    write_stream_to_snapshot_table(
+                        stream, bronze, "medallion", os.path.join(tmp, "ckpt")
+                    )
+                )
+                mode = refresh_rollup(
+                    bronze, silver, prepare, ["day"], ["value"],
+                    app_id="silver",
+                )
+                r = silver.read().select(
+                    F.lit("silver").alias("tier"),
+                    F.lit(refresh_no).cast("long").alias("refresh"),
+                    "day",
+                    "n_rows",
+                    F.round(F.col("sum_value").cast("double"), 4).alias(
+                        "sum_value"
+                    ),
+                    F.lit(mode).alias("mode"),
+                )
+                out = r if out is None else out.unionByName(r)
+        gold = (
+            silver.read()
+            .select(
+                F.lit("gold").alias("tier"),
+                F.lit(2).cast("long").alias("refresh"),
+                "day",
+                "n_rows",
+                F.round(F.col("sum_value").cast("double"), 4).alias(
+                    "sum_value"
+                ),
+                F.lit("top3").alias("mode"),
+            )
+            .orderBy(F.col("sum_value").desc(), "day")
+            .limit(3)
+        )
+        return out.unionByName(gold).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
