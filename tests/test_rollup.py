@@ -136,3 +136,20 @@ def test_unpartitioned_rollup_overwrite_path(spark, tmp_path):
         == "incremental"
     )
     assert _state(rollup) == _full(spark, fact)
+
+
+def test_vacuum_expired_range_forces_full(spark, tmp_path):
+    """When the refresh range's manifests expired under vacuum, the
+    add-lists are gone — incremental is unprovable and the refresh
+    must fall back to a FULL recompute (and still be correct)."""
+    fact = SnapshotTable(spark, str(tmp_path / "fv"))
+    rollup = SnapshotTable(spark, str(tmp_path / "rv"), partition_by=["day"])
+    fact.create(_events(spark, 0, 8))
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    for i in range(3):
+        fact.append(_events(spark, 8 + 4 * i, 12 + 4 * i))
+    fact.vacuum(retain_last=1)  # expires the manifests the range needs
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"]) == "full"
+    )
+    assert _state(rollup) == _full(spark, fact)
