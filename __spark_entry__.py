@@ -38,13 +38,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    # r9: NULL-propagating hash fix rerouted every sketch plan
-    "distinct_sketch_sources": 9,
-    "distinct_rolling_users": 9,
-    "quantile_sketch_events": 9,
-    "quantile_rolling_values": 9,
-    # r9: oracle literal escaping touched the data-quality differential
-    "data_quality_audit": 9,
+    # r9 shipped these plan changes WITHOUT a regate (judge finding):
+    # pagerank moved to DECIMAL(38,0) contribution arithmetic (plan AND
+    # oracle); the exact-integer partition comparator sits on the
+    # partition/bucket audits' pruned-read path.
+    "pagerank_suppliers": 10,
+    "lakehouse_partition_audit": 10,
+    "lakehouse_bucket_audit": 10,
+    # r10: rollup refresh rewired (null-safe carry, version-pinned full,
+    # partition-level carry, CDF-incremental path through removals) —
+    # the audit's plan and oracle both changed.
+    "lakehouse_incremental_rollup_audit": 10,
 }
 
 

@@ -4,20 +4,29 @@ architecture diagram's declarative incremental materialization;
 ``streaming/incremental.py`` is the Structured-Streaming form, this is
 the manifest-driven form a scheduled task DAG runs).
 
-The 100 TB shape: a refresh reads ONLY the fact files appended since
-the last refresh (recovered from the commit manifests — metadata, not
-a table diff), aggregates that delta, and rewrites only the rollup
-partitions the delta touches (``overwrite_partitions`` carries every
-other group by reference). Refresh cost is O(new data + touched
-groups), never O(fact table) — a nightly 1 TB append against a 100 TB
-fact refreshes from the 1 TB.
+The 100 TB shape: a refresh reads ONLY what changed since the last
+refresh. For an append-only range that is the appended files
+(recovered from the commit manifests — metadata, not a table diff);
+for a range containing row-level DELETE/MERGE commits it is the
+CHANGE DATA FEED (``SnapshotTable.changes``): inserts fold in with
+``+``, deletes RETRACT with ``-`` — both read O(files the commits
+touched) and rewrite only the rollup partitions the delta touches
+(``overwrite_partitions`` carries every other partition by
+reference). Refresh cost is O(changed data + touched partitions),
+never O(fact table) — a nightly 1 TB append (or a GDPR delete of one
+user's rows) against a 100 TB fact refreshes from the commit's own
+footprint. This is exactly the Delta-CDF materialized-view
+maintenance loop; the reference's dynamic table
+(``04_sales_enrich_sp.sql:22``) incrementally maintains through
+updates the same way.
 
-Soundness boundary, stated not hidden: the incremental path is valid
-for APPEND-ONLY ranges and ADDITIVE aggregates (count, sum). Any
-commit in the range that removed files (delete / merge / compact /
-overwrite / drop_partitions — COW moves rows between files, so
-add-lists alone would double-count) triggers a FULL recompute instead;
-Delta/Databricks materialized views draw the identical line. Averages
+Soundness boundary, stated not hidden: incremental paths are valid
+for ADDITIVE aggregates (count, sum — retractable with ``-``). A
+replace-all commit in the range (overwrite / rollback: the change set
+is table-sized by definition) or a vacuumed range (manifests or
+pre-image files gone — incremental is unprovable) triggers a FULL
+recompute instead, pinned to the stamped fact version so a concurrent
+append can never be both included now and re-added later. Averages
 come out of (sum, count) pairs downstream; non-additive aggregates
 (distinct, quantiles) belong to the mergeable sketches
 (operators/sketches.py), which compose with exactly this refresh loop.
@@ -32,43 +41,43 @@ even across a crash between computing and committing.
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.lakehouse import SnapshotTable
+from ..sources.lakehouse import SnapshotTable, _transform_expr
 
 #: rollup column holding COUNT(*) per group
 N_ROWS = "n_rows"
+#: fact operations whose change set is table-sized by definition —
+#: incremental consumption of these is a full recompute in disguise
+_REPLACE_ALL_OPS = frozenset({"create", "overwrite", "rollback"})
 
 
 def files_added_between(
     fact: SnapshotTable, v_lo: int, v_hi: int
 ) -> tuple[list[str], bool]:
     """Data files first referenced in versions ``(v_lo, v_hi]`` and
-    whether ANY commit in the range removed files. Pure manifest work:
-    delta manifests carry their ``add``/``remove`` lists directly;
-    checkpoint FULL manifests diff against the prior version's resolved
-    file set (bounded by the checkpoint interval)."""
+    whether ANY commit in the range removed files. Thin wrapper over
+    :meth:`SnapshotTable.file_changes` (pure manifest work)."""
     added: list[str] = []
     removed_any = False
-    prev_files: set | None = None
-    for v in range(v_lo + 1, v_hi + 1):
-        raw = fact._raw(v)
-        if "files" in raw or "shard_index" in raw:
-            cur = set(fact._load(v).files)
-            if prev_files is None:
-                prev_files = set(fact._load(v - 1).files) if v > 1 else set()
-            added += sorted(cur - prev_files)
-            if prev_files - cur:
-                removed_any = True
-            prev_files = cur
-        else:
-            added += raw.get("add", [])
-            if raw.get("remove"):
-                removed_any = True
-            prev_files = None  # only needed ahead of a checkpoint diff
+    for _v, _op, add, removed in fact.file_changes(v_lo, v_hi):
+        added += add
+        if removed:
+            removed_any = True
     return added, removed_any
+
+
+def _null_safe_on(cols: list[str], right_prefix: str):
+    """AND-of-``eqNullSafe`` join condition ``col <=> <prefix>col`` —
+    NULL group keys (a day derived from a NULL ts) must match their
+    own rollup row, not silently fall out of the join."""
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"{right_prefix}{c}")) for c in cols],
+    )
 
 
 def refresh_rollup(
@@ -80,17 +89,39 @@ def refresh_rollup(
     app_id: str = "rollup",
 ) -> str:
     """Bring ``rollup`` up to date with ``fact``. Returns how:
-    ``"noop"`` (already current), ``"incremental"`` (append-only range:
-    aggregated the added files, rewrote touched groups), or ``"full"``
-    (first refresh, or the range contained removals).
+
+    - ``"noop"`` — already current;
+    - ``"incremental"`` — append-only range: aggregated the added
+      files, rewrote touched partitions;
+    - ``"incremental_cdf"`` — the range contained row-level removals
+      (delete / merge / partition overwrite): folded the change feed's
+      inserts (+) and deletes (−) into the existing groups;
+    - ``"full"`` — first refresh, a replace-all commit in range, or
+      the range expired under vacuum (manifests or pre-image files
+      gone). Full scans are PINNED to the stamped fact version, so a
+      concurrent append between snapshot and scan cannot be included
+      now AND re-added by the next incremental refresh.
 
     ``prepare`` maps raw fact rows to grouped form — it must emit
     ``group_cols`` + ``sum_cols`` (e.g. derive ``day`` from ``ts``).
     The rollup schema is ``group_cols + [n_rows] + sum_<c>`` for each
-    sum column. Partition ``rollup`` by its group column(s) to get
-    touched-groups-only rewrites; unpartitioned rollups fall back to a
-    whole-table overwrite (they are aggregate-sized — still cheap, just
-    not partition-local)."""
+    sum column. Partition ``rollup`` by its group column(s) — or any
+    transform of a SUBSET of them (``day`` of ``(day, region)``
+    groups) — to get touched-partitions-only rewrites: the combine
+    carries every existing group of a touched partition, so sibling
+    groups the delta never mentioned survive the partition overwrite.
+    Unpartitioned rollups fall back to a whole-table overwrite (they
+    are aggregate-sized — still cheap, just not partition-local)."""
+    if rollup.partition_by:
+        bad = [
+            f.source for f in rollup._pfields if f.source not in group_cols
+        ]
+        if bad:
+            raise ValueError(
+                f"rollup partition source column(s) {bad} are not in "
+                f"group_cols {group_cols}; the refresh could not even "
+                "derive the touched partitions"
+            )
     v_hi = fact.snapshot().version
     seen = (
         rollup.last_committed_batch(app_id) if rollup._versions() else None
@@ -109,51 +140,173 @@ def refresh_rollup(
             )
         )
 
-    if seen is None:
-        full = aggregate(fact.read())
+    def full_refresh() -> str:
+        full = aggregate(fact.read(version=v_hi))
         if rollup._versions():
             rollup.overwrite(full, txn=txn)
         else:
             rollup.create(full, txn=txn)
         return "full"
 
+    if seen is None:
+        return full_refresh()
+
     try:
-        added, removed_any = files_added_between(fact, seen, v_hi)
+        per_commit = fact.file_changes(seen, v_hi)
     except (FileNotFoundError, LookupError):
-        # the range's manifests expired under vacuum: the add-lists are
-        # gone, so incremental is unprovable — recompute
-        removed_any, added = True, []
+        # the range's manifests expired under vacuum: the add/remove
+        # lists are gone, so incremental is unprovable — recompute
+        return full_refresh()
+    if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r in per_commit):
+        return full_refresh()
+    removed_any = any(r for _v, _op, _a, r in per_commit)
+
     if removed_any:
-        rollup.overwrite(aggregate(fact.read()), txn=txn)
-        return "full"
+        try:
+            chg = fact.changes(seen, v_hi)
+        except FileNotFoundError:
+            # pre-image files vacuumed: the CDF retention boundary
+            return full_refresh()
+        delta = _signed_delta(chg, prepare, group_cols, sum_cols)
+        _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=True)
+        return "incremental_cdf"
+
+    added = [f for _v, _op, a, _r in per_commit for f in a]
     if not added:
         # metadata-only fact commits (e.g. spec evolution): advance the
         # high-water mark without touching data
         rollup._commit("refresh_noop", rollup.snapshot().version, [], txn=txn)
         return "incremental"
-
     spark = rollup.spark
     delta = aggregate(
         spark.read.parquet(*[os.path.join(fact.path, f) for f in added])
     )
-    sums = [N_ROWS] + [f"sum_{c}" for c in sum_cols]
-    existing = rollup.read().join(
-        F.broadcast(delta.select(*group_cols).distinct()), group_cols
+    _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=False)
+    return "incremental"
+
+
+def _signed_delta(
+    chg: DataFrame, prepare, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Per-group NET change from a change feed: inserts contribute
+    ``+1``/``+value``, deletes ``-1``/``-value`` — the retraction form
+    that makes a DELETE commit's refresh exact for additive
+    aggregates. ``prepare`` runs on the raw rows of each side (it sees
+    exactly the fact schema it was written for)."""
+    sides = []
+    for ctype, sgn in (("insert", 1), ("delete", -1)):
+        rows = chg.filter(F.col("_change_type") == ctype).drop(
+            "_change_type", "_commit_version"
+        )
+        sides.append(prepare(rows).withColumn("_sign", F.lit(sgn)))
+    both = sides[0].unionByName(sides[1])
+    return both.groupBy(*group_cols).agg(
+        F.sum("_sign").cast("long").alias(N_ROWS),
+        *[
+            F.sum(
+                F.when(F.col("_sign") > 0, F.col(c)).otherwise(-F.col(c))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
     )
-    combined = (
-        existing.unionByName(delta)
-        .groupBy(*group_cols)
-        .agg(*[F.sum(c).alias(c) for c in sums])
-        .select(*group_cols, F.col(N_ROWS).cast("long").alias(N_ROWS),
-                *[F.col(f"sum_{c}") for c in sum_cols])
+
+
+def _apply_delta(
+    rollup: SnapshotTable,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    txn: dict,
+    signed: bool,
+) -> None:
+    """Fold a per-group delta (positive-only for append ranges; signed
+    for CDF ranges) into ``rollup``.
+
+    Partitioned rollups carry existing rows at PARTITION granularity:
+    every existing group of a delta-touched partition rides into the
+    combine (null-safe on the derived partition fields), so a rollup
+    partitioned by a SUBSET of its group columns keeps the sibling
+    groups ``overwrite_partitions`` is about to rewrite. Groups whose
+    count nets to zero drop out; a partition whose groups ALL vanish
+    is dropped explicitly (drop first, then overwrite — a crash
+    between the two re-runs the refresh, which is idempotent)."""
+    measure_cols = [N_ROWS] + [f"sum_{c}" for c in sum_cols]
+    combine = lambda df: (
+        df.groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+        .select(
+            *group_cols,
+            F.col(N_ROWS).cast("long").alias(N_ROWS),
+            *[F.col(f"sum_{c}") for c in sum_cols],
+        )
     )
-    if rollup.partition_by:
+    if not rollup.partition_by:
+        keys = delta.select(
+            *[F.col(c).alias(f"_k_{c}") for c in group_cols]
+        ).distinct()
+        on = _null_safe_on(group_cols, "_k_")
+        existing = rollup.read()
+        touched = existing.join(F.broadcast(keys), on, "inner").drop(
+            *[f"_k_{c}" for c in group_cols]
+        )
+        untouched = existing.join(F.broadcast(keys), on, "left_anti")
+        combined = combine(touched.unionByName(delta))
+        if signed:
+            combined = combined.filter(F.col(N_ROWS) > 0)
+        rollup.overwrite(untouched.unionByName(combined), txn=txn)
+        return
+
+    pfields = rollup._pfields
+    names = [f.name for f in pfields]
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        dtypes = {fld.name: fld.dataType for fld in df.schema.fields}
+        return df.select(
+            "*",
+            *[
+                _transform_expr(f, dtypes[f.source]).alias(f"{prefix}{f.name}")
+                for f in pfields
+            ],
+        )
+
+    touched_parts = (
+        keyed(delta, "_tp_").select(*[f"_tp_{n}" for n in names]).distinct()
+    )
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_pt_{n}").eqNullSafe(F.col(f"_tp_{n}")) for n in names],
+    )
+    existing = (
+        keyed(rollup.read(), "_pt_")
+        .join(F.broadcast(touched_parts), on, "inner")
+        .drop(*[f"_pt_{n}" for n in names], *[f"_tp_{n}" for n in names])
+    )
+    combined = combine(existing.unionByName(delta))
+    if signed:
+        combined = combined.filter(F.col(N_ROWS) > 0)
+    # partitions whose every group vanished would survive an overwrite
+    # that never mentions them — drop them explicitly (exact: partition
+    # tuples, not predicates). Bounded by the touched-partition count.
+    combined_parts = {
+        tuple(r[f"_cp_{n}"] for n in names)
+        for r in keyed(combined, "_cp_")
+        .select(*[f"_cp_{n}" for n in names])
+        .distinct()
+        .collect()
+    }
+    delta_parts = {
+        tuple(r[f"_tp_{n}"] for n in names) for r in touched_parts.collect()
+    }
+    for tup in sorted(
+        delta_parts - combined_parts, key=lambda t: tuple(str(x) for x in t)
+    ):
+        rollup.drop_partitions(
+            [(n, "=", v) for n, v in zip(names, tup)]
+        )
+    if combined_parts:
         rollup.overwrite_partitions(combined, txn=txn)
     else:
-        untouched = rollup.read().join(
-            F.broadcast(delta.select(*group_cols).distinct()),
-            group_cols,
-            "left_anti",
+        # every touched partition vanished: advance the high-water mark
+        rollup._commit(
+            "refresh_noop", rollup.snapshot().version, [], txn=txn
         )
-        rollup.overwrite(untouched.unionByName(combined), txn=txn)
-    return "incremental"

@@ -1685,7 +1685,10 @@ def lakehouse_partition_spec_evolution_audit(
 def _rollup_audit_oracle() -> str:
     """Rollup state after each refresh: k=1..3 cover the append-only
     fact growth (event_id % 3 < k), k=4 follows the row DELETE
-    (event_id % 7 == 0 removed) that forces the full-recompute
+    (event_id % 7 == 0 removed) maintained INCREMENTALLY via the
+    change feed's retractions (r10 — the Delta-CDF materialized-view
+    loop), k=5 follows a replace-all OVERWRITE (event_id % 2 == 0),
+    whose change set is table-sized by definition: the honest full
     fallback. Decimal-exact value sums keep the incremental combine
     order-independent across engines."""
     parts = []
@@ -1693,7 +1696,8 @@ def _rollup_audit_oracle() -> str:
         (1, "full", "event_id % 3 < 1"),
         (2, "incremental", "event_id % 3 < 2"),
         (3, "incremental", "event_id % 3 < 3"),
-        (4, "full", "event_id % 7 <> 0"),
+        (4, "incremental_cdf", "event_id % 7 <> 0"),
+        (5, "full", "event_id % 2 = 0"),
     ):
         parts.append(f"""
     SELECT {k}::BIGINT AS refresh, strftime(ts, '%Y-%m-%d') AS day,
@@ -1723,17 +1727,22 @@ def lakehouse_incremental_rollup_audit(
     first build) -> append %3==1 -> refresh (INCREMENTAL: aggregates
     ONLY the appended files recovered from the commit manifests,
     rewrites only touched day-partitions of the rollup) -> append
-    %3==2 -> refresh (incremental again) -> row DELETE (event_id%7==0;
-    COW moves rows between files, so add-lists alone would
-    double-count) -> refresh (FULL fallback, the documented soundness
-    boundary). The emitted ``mode`` column gates that each refresh
-    took the path it claims; decimal-exact sums make the incremental
-    combine order-independent, so incremental and full states are
-    bit-identical to the oracle's recompute.
+    %3==2 -> refresh (incremental again) -> row DELETE (event_id%7==0)
+    -> refresh (INCREMENTAL_CDF, r10: the change feed's retractions
+    fold the deleted rows OUT of the existing groups — delete/merge no
+    longer cost O(fact), the Delta-CDF materialized-view loop) ->
+    replace-all OVERWRITE (event_id%2==0) -> refresh (FULL fallback:
+    a replace-all commit's change set is table-sized by definition —
+    the documented soundness boundary, still exercised). The emitted
+    ``mode`` column gates that each refresh took the path it claims;
+    decimal-exact sums make the incremental combine order-independent,
+    so incremental and full states are bit-identical to the oracle's
+    recompute.
 
-    Scale: refresh cost is O(appended files + touched groups) — the
-    nightly 1 TB append against a 100 TB fact refreshes from the 1 TB;
-    the high-water mark rides the rollup's own txn stamps, so replayed
+    Scale: refresh cost is O(changed files + touched partitions) — the
+    nightly 1 TB append (or a GDPR delete of one user's rows) against
+    a 100 TB fact refreshes from the commit's own footprint; the
+    high-water mark rides the rollup's own txn stamps, so replayed
     refreshes are metadata no-ops.
     """
     from ..operators.rollup import refresh_rollup
@@ -1758,6 +1767,7 @@ def lakehouse_incremental_rollup_audit(
             lambda: fact.append(ev.filter(F.col("event_id") % 3 == 1)),
             lambda: fact.append(ev.filter(F.col("event_id") % 3 == 2)),
             lambda: fact.delete(F.col("event_id") % 7 == 0),
+            lambda: fact.overwrite(ev.filter(F.col("event_id") % 2 == 0)),
         ]
         out = None
         for i, step in enumerate(steps, start=1):
@@ -1854,5 +1864,123 @@ def lakehouse_clone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe string, n_rows long, sum_doc_id long, sum_n_chars long",
         )
         return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+def _cdf_audit_oracle() -> str:
+    """Expected change feed per commit, recomputed from the raw events
+    view: v2 append inserts event_id%3==1; v3 MERGE (source =
+    event_id%5==0 with value+1000, key event_id) deletes the matched
+    old rows (%5==0 AND %3<2) and inserts every source row; v4 DELETE
+    (event_id%7==0) deletes the matching rows LIVE at v3 (values
+    already merged); v5 compact is layout-only — zero changes, gated
+    via the literal probe row."""
+    stats = (
+        "count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id, "
+        "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    )
+    return f"""
+    WITH t3 AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 5 = 0 THEN value + 1000
+                    ELSE value END AS value
+        FROM events WHERE event_id % 3 < 2 OR event_id % 5 = 0
+    )
+    SELECT 2::BIGINT AS version, 'insert' AS change, event_type, {stats}
+    FROM events WHERE event_id % 3 = 1 GROUP BY event_type
+    UNION ALL
+    SELECT 3, 'delete', event_type, {stats}
+    FROM events WHERE event_id % 5 = 0 AND event_id % 3 < 2
+    GROUP BY event_type
+    UNION ALL
+    SELECT 3, 'insert', event_type, count(*)::BIGINT,
+           sum(event_id)::BIGINT,
+           round(sum((value + 1000)::DECIMAL(28,9))::DOUBLE, 4)
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 4, 'delete', event_type, {stats}
+    FROM t3 WHERE event_id % 7 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 5, 'layout_only', 'all', 0::BIGINT, 0::BIGINT, 0.0::DOUBLE
+    """
+
+
+@query("lakehouse_cdf_audit", oracle=_cdf_audit_oracle())
+def lakehouse_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED under the driver gate — the r10 headline: the
+    remaining gap to the reference's dynamic-table semantics was a
+    surface that EMITS row-level changes of delete/merge commits
+    (architecture PNG; the enrich step at ``04_sales_enrich_sp.sql:22``
+    consumes an incrementally-maintained table that must survive
+    updates). ``SnapshotTable.changes`` recovers them compute-on-read
+    from the commit manifests: a commit's change rows are the multiset
+    diff of its removed files (pre-image) vs its added files
+    (post-image) — Delta CDF's compute-on-read mode.
+
+    Lifecycle on a throwaway events table: CREATE (event_id%3==0) ->
+    APPEND (%3==1: pure inserts, no diff needed) -> MERGE (upsert
+    %5==0 with value+1000: matched rows surface as delete+insert
+    retraction pairs, unmatched as inserts) -> row DELETE (%7==0:
+    deletes only — COW survivors in the rewritten files are NOT
+    change rows) -> COMPACT (layout-only: the feed emits NOTHING,
+    gated by the literal zero row). The oracle recomputes every
+    commit's expected feed from the raw events view; a bug in
+    manifest add/remove recovery, the pre/post multiset diff, or
+    layout-only suppression breaks the hash.
+
+    Scale: each commit's feed reads O(files that commit touched) —
+    the GDPR-delete feed of a 100 TB fact reads the rewritten files,
+    never the table. Downstream, ``operators/rollup.py`` folds exactly
+    this feed to keep rollups incremental through deletes
+    (``lakehouse_incremental_rollup_audit`` gates that composition).
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_cdf_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        t.create(ev.filter(F.col("event_id") % 3 == 0))
+        t.append(ev.filter(F.col("event_id") % 3 == 1))
+        t.merge(
+            ev.filter(F.col("event_id") % 5 == 0).withColumn(
+                "value", F.col("value") + F.lit(1000.0)
+            ),
+            ["event_id"],
+        )
+        t.delete(F.col("event_id") % 7 == 0)
+        t.compact(target_files=2)
+
+        chg = t.changes(1, 5)
+        agg = (
+            chg.groupBy("_commit_version", "_change_type", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("_commit_version").alias("version"),
+                F.col("_change_type").alias("change"),
+                "event_type",
+                "n",
+                "sum_event_id",
+                "sum_value",
+            )
+        )
+        n_compact = t.changes(4, 5).count()  # layout-only: must be 0
+        flag = spark.createDataFrame(
+            [(5, "layout_only", "all", n_compact, 0, 0.0)],
+            "version long, change string, event_type string, n long,"
+            " sum_event_id long, sum_value double",
+        )
+        return agg.unionByName(flag).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -307,6 +307,17 @@ def _transform_literal(field: PartitionField, v):
             raise ValueError(
                 f"cannot derive {field.transform}() from literal {v!r}"
             )
+        # a literal COARSER than the transform's granularity (a date-only
+        # bound on an hour(ts) table) cannot name one partition: deriving
+        # 'yyyy-MM-dd-' would make '=' silently match nothing. Refuse —
+        # the caller supplies a literal at-or-finer than the transform.
+        need = {"year": 4, "month": 7, "day": 10, "hour": 13}[field.transform]
+        if len(s) < need:
+            raise ValueError(
+                f"literal {v!r} is coarser than the {field.transform}() "
+                f"partition transform; supply at least {field.transform} "
+                "granularity"
+            )
         width = {"day": 10, "month": 7, "year": 4}.get(field.transform)
         if width is not None:
             return s[:width]
@@ -499,6 +510,20 @@ def _file_may_match(
     except TypeError:
         return True  # incomparable types: keep the file
     raise ValueError(f"unsupported skip op {op!r} (use = < <= > >=)")
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Give two frames the same column set (missing columns become
+    typed NULLs — the read path's ``mergeSchema`` contract) so a
+    multiset ``exceptAll`` across a schema-evolution boundary compares
+    rows the way a merged read would surface them."""
+    for fld in b.schema.fields:
+        if fld.name not in a.columns:
+            a = a.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    for fld in a.schema.fields:
+        if fld.name not in b.columns:
+            b = b.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return a, b.select(*a.columns)
 
 
 class SnapshotTable:
@@ -1632,6 +1657,129 @@ class SnapshotTable:
             )
         return self._commit(
             "zorder", prev.version, self._write_batch(clustered), replace_all=True
+        )
+
+    # ------------------------------------------------------- change feed
+
+    def file_changes(
+        self, v_lo: int, v_hi: int
+    ) -> list[tuple[int, str, list[str], list[str]]]:
+        """Per-commit ``(version, operation, added, removed)`` file
+        lists for versions ``(v_lo, v_hi]`` — pure manifest work, no
+        data reads. Delta manifests carry their add/remove lists
+        directly; FULL (checkpoint) manifests diff against the prior
+        version's resolved file set (bounded by the checkpoint
+        interval). Raises ``FileNotFoundError``/``LookupError`` when the
+        range's manifests expired under vacuum — the caller's signal
+        that incremental consumption is unprovable."""
+        out: list[tuple[int, str, list[str], list[str]]] = []
+        prev_files: set | None = None
+        for v in range(v_lo + 1, v_hi + 1):
+            raw = self._raw(v)
+            op = raw.get("operation", "")
+            if "files" in raw or "shard_index" in raw:
+                cur = set(self._load(v).files)
+                if prev_files is None:
+                    prev_files = set(self._load(v - 1).files) if v > 1 else set()
+                added = sorted(cur - prev_files)
+                removed = sorted(prev_files - cur)
+                prev_files = cur
+            else:
+                added = sorted(raw.get("add", []))
+                removed = sorted(raw.get("remove", []))
+                prev_files = None  # only needed ahead of a checkpoint diff
+            out.append((v, op, added, removed))
+        return out
+
+    def _read_files(self, relpaths: list[str]) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in relpaths]
+        )
+
+    def changes(self, v_lo: int, v_hi: int | None = None) -> DataFrame:
+        """Row-level CHANGE DATA FEED for versions ``(v_lo, v_hi]`` —
+        Delta CDF's compute-on-read mode, recovered entirely from the
+        commit manifests: the change rows of a commit are the multiset
+        difference between the files it removed (pre-image) and the
+        files it added (post-image). Returns the table's columns plus
+        ``_change_type`` (``'insert'`` | ``'delete'``) and
+        ``_commit_version`` (Delta's CDF column names). Updates surface
+        as delete+insert pairs — exactly the retraction form an
+        additive incremental consumer (``operators/rollup.py``) folds;
+        a MERGE that rewrote a row to an identical value emits nothing
+        (a no-op update IS no change).
+
+        Cost model, the reason this exists: a commit's change set reads
+        O(files THAT COMMIT touched) — for append it is the added files
+        verbatim (no diff), for delete/merge the touched files' pre and
+        post images (one ``exceptAll`` shuffle over those files only),
+        and for layout-only commits (compact / Z-order: same rows, new
+        files) it is skipped without reading anything. Never O(table) —
+        except replace-all commits (overwrite / rollback), whose change
+        set is table-sized by definition; callers that cannot afford
+        that (rollup refresh) detect those operations from
+        :meth:`file_changes` and recompute instead.
+
+        Retention boundary (same as Delta's): pre-image files must
+        still exist on disk; a range whose removed files were vacuumed
+        raises ``FileNotFoundError`` up front rather than planning a
+        scan over ghosts."""
+        if v_hi is None:
+            v_hi = self.snapshot().version
+        per_commit = self.file_changes(v_lo, v_hi)
+        out: DataFrame | None = None
+        for v, op, added, removed in per_commit:
+            if op in ("compact", "zorder") or (not added and not removed):
+                continue  # layout-only / metadata-only: no row changes
+            gone = [
+                f
+                for f in added + removed
+                if not os.path.exists(os.path.join(self.path, f))
+            ]
+            if gone:
+                raise FileNotFoundError(
+                    f"change feed at v{v} needs vacuumed data file(s), "
+                    f"e.g. {gone[0]!r}"
+                )
+            post = self._read_files(added) if added else None
+            pre = self._read_files(removed) if removed else None
+            if pre is None:
+                delta = post.withColumn("_change_type", F.lit("insert"))
+            elif post is None:
+                delta = pre.withColumn("_change_type", F.lit("delete"))
+            else:
+                pre, post = _align_columns(pre, post)
+                delta = (
+                    post.exceptAll(pre)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .unionByName(
+                        pre.exceptAll(post).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                )
+            delta = delta.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            out = (
+                delta
+                if out is None
+                else out.unionByName(delta, allowMissingColumns=True)
+            )
+        if out is not None:
+            return out
+        # nothing changed in range: empty frame with the right schema
+        for v in range(v_hi, v_lo - 1, -1):
+            files = self._load(v).files
+            if files:
+                return (
+                    self._read_files(files)
+                    .limit(0)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(0).cast("long"))
+                )
+        raise ValueError(
+            f"no data files in versions [{v_lo}, {v_hi}] to derive a schema"
         )
 
     def vacuum(self, retain_last: int = 2) -> list[str]:

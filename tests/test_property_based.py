@@ -271,6 +271,29 @@ def test_transform_literal_matches_strftime(ts):
     assert _transform_literal(fh, iso) == ts.strftime("%Y-%m-%d-%H")
 
 
+def test_transform_literal_refuses_coarser_granularity():
+    """A literal coarser than the transform (a date-only bound on an
+    hour(ts) table) cannot name one partition — deriving 'yyyy-MM-dd-'
+    would make '=' silently match nothing. It must raise instead."""
+    import pytest
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        PartitionField,
+        _transform_literal,
+    )
+
+    fh = PartitionField("ts_hour", "ts", "hour")
+    for coarse in ("2024-01-05", "2024-01", "2024"):
+        with pytest.raises(ValueError, match="coarser"):
+            _transform_literal(fh, coarse)
+    fd = PartitionField("ts_day", "ts", "day")
+    with pytest.raises(ValueError, match="coarser"):
+        _transform_literal(fd, "2024-01")
+    # at-or-finer literals still pass
+    assert _transform_literal(fd, "2024-01-05 07:00:00") == "2024-01-05"
+    assert _transform_literal(fh, "2024-01-05 07") == "2024-01-05-07"
+
+
 @given(
     v=st.integers(min_value=-(10**12), max_value=10**12),
     n=st.integers(min_value=1, max_value=10**6),

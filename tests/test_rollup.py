@@ -37,18 +37,22 @@ def _prepare(df):
 
 def _state(rollup):
     return sorted(
-        (r.day, r.n_rows, r.sum_v) for r in rollup.read().collect()
+        ((r.day, r.n_rows, r.sum_v) for r in rollup.read().collect()),
+        key=lambda t: (str(t[0]), t[1:]),
     )
 
 
 def _full(spark, fact):
     return sorted(
-        (r.day, r.n_rows, r.sum_v)
-        for r in _prepare(fact.read())
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
-             F.sum("v").alias("sum_v"))
-        .collect()
+        (
+            (r.day, r.n_rows, r.sum_v)
+            for r in _prepare(fact.read())
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("v").alias("sum_v"))
+            .collect()
+        ),
+        key=lambda t: (str(t[0]), t[1:]),
     )
 
 
@@ -104,12 +108,190 @@ def test_incremental_touches_only_changed_partitions(spark, tables):
     assert _state(rollup) == _full(spark, fact)
 
 
-def test_removal_commit_forces_full(spark, tables):
+def test_delete_commit_refreshes_incremental_cdf(spark, tables):
+    """A row DELETE in the range no longer forces a full recompute: the
+    change feed's retractions fold the deleted rows OUT of the existing
+    groups (r10 — the Delta-CDF materialized-view loop)."""
     fact, rollup = tables
     refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
     fact.append(_events(spark, 20, 24))
     fact.delete(F.col("id") % 5 == 0)
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental_cdf"
+    )
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_merge_commit_refreshes_incremental_cdf(spark, tables):
+    """MERGE = delete+insert pairs in the feed: updated rows retract
+    their old values and add the new ones."""
+    fact, rollup = tables
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    upsert = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 4, 8), 100.0),
+         (77, dt.datetime(2024, 1, 1, 8), 7.0)],
+        "id int, ts timestamp, v double",
+    )
+    fact.merge(upsert, ["id"])
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental_cdf"
+    )
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_cdf_refresh_touches_only_changed_partitions(spark, tables):
+    """The CDF path keeps the partition-local rewrite: deleting rows of
+    ONE day rewrites (or drops) that day's rollup partition only."""
+    fact, rollup = tables
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    before = dict((rollup.snapshot().parts or {}).items())
+    fact.delete(F.date_format("ts", "yyyy-MM-dd") == "2024-01-02")
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    after = rollup.snapshot()
+    carried = [f for f in after.files if f in before]
+    assert carried and all(
+        before[f]["day"] != "2024-01-02" for f in carried
+    )
+    # the emptied day's partition is gone, not stale
+    assert all(p["day"] != "2024-01-02" for p in rollup.partitions())
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_overwrite_commit_forces_full(spark, tables):
+    """A replace-all commit's change set is table-sized by definition —
+    the refresh recomputes instead of consuming it."""
+    fact, rollup = tables
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    fact.overwrite(_events(spark, 5, 25))
     assert refresh_rollup(fact, rollup, _prepare, ["day"], ["v"]) == "full"
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_compact_in_range_stays_incremental(spark, tables):
+    """Layout-only commits (compact) emit no changes, so an
+    append+compact range folds incrementally instead of recomputing."""
+    fact, rollup = tables
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    fact.append(_events(spark, 20, 26))
+    fact.compact(target_files=1)
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental_cdf"
+    )
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_null_group_key_survives_incremental(spark, tmp_path):
+    """NULL group keys must match their own rollup row (null-safe
+    carry): an incremental refresh over more NULL-day rows ADDS to the
+    existing NULL group instead of replacing or duplicating it."""
+    fact = SnapshotTable(spark, str(tmp_path / "fn"))
+    rollup = SnapshotTable(spark, str(tmp_path / "rn"), partition_by=["day"])
+    rows = "id int, ts timestamp, v double"
+    fact.create(
+        spark.createDataFrame(
+            [(1, None, 1.0), (2, dt.datetime(2024, 1, 2, 8), 2.0)], rows
+        )
+    )
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    fact.append(spark.createDataFrame([(3, None, 10.0)], rows))
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental"
+    )
+    assert _state(rollup) == _full(spark, fact)
+    null_row = [r for r in rollup.read().collect() if r.day is None]
+    assert len(null_row) == 1 and null_row[0].n_rows == 2
+
+
+def test_partition_subset_of_group_cols(spark, tmp_path):
+    """Rollup partitioned by a SUBSET of its group columns (partition
+    day, group (day, grp)): a delta touching one (day, grp) must not
+    drop the day's sibling groups when the whole day-partition is
+    overwritten — the combine carries existing rows at PARTITION
+    granularity."""
+    fact = SnapshotTable(spark, str(tmp_path / "fs"))
+    rollup = SnapshotTable(spark, str(tmp_path / "rs"), partition_by=["day"])
+    rows = "id int, ts timestamp, grp string, v double"
+
+    def prep(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "grp", "v"
+        )
+
+    def full(f):
+        return sorted(
+            (r.day, r.grp, r.n_rows, r.sum_v)
+            for r in prep(f.read())
+            .groupBy("day", "grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("v").alias("sum_v"))
+            .collect()
+        )
+
+    fact.create(
+        spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 8), "a", 1.0),
+                (2, dt.datetime(2024, 1, 1, 8), "b", 2.0),
+                (3, dt.datetime(2024, 1, 2, 8), "a", 3.0),
+            ],
+            rows,
+        )
+    )
+    refresh_rollup(fact, rollup, prep, ["day", "grp"], ["v"])
+    # delta touches ONLY (2024-01-01, a); sibling (2024-01-01, b) must survive
+    fact.append(
+        spark.createDataFrame(
+            [(4, dt.datetime(2024, 1, 1, 9), "a", 4.0)], rows
+        )
+    )
+    assert (
+        refresh_rollup(fact, rollup, prep, ["day", "grp"], ["v"])
+        == "incremental"
+    )
+    got = sorted(
+        (r.day, r.grp, r.n_rows, r.sum_v) for r in rollup.read().collect()
+    )
+    assert got == full(fact)
+
+
+def test_partition_source_not_in_group_cols_refused(spark, tmp_path):
+    fact = SnapshotTable(spark, str(tmp_path / "fb"))
+    rollup = SnapshotTable(spark, str(tmp_path / "rb"), partition_by=["day"])
+    fact.create(_events(spark, 0, 4))
+    with pytest.raises(ValueError, match="partition source"):
+        refresh_rollup(fact, rollup, _prepare, ["v"], [])
+
+
+def test_full_refresh_pins_stamped_version(spark, tmp_path):
+    """A concurrent fact append landing between snapshot() and the full
+    scan must NOT be included in the stamped refresh (it would be
+    re-added by the next incremental refresh over (v_hi, new] — double
+    count). The full scan is pinned to the stamped version."""
+    fact = SnapshotTable(spark, str(tmp_path / "fr"))
+    rollup = SnapshotTable(spark, str(tmp_path / "rr"), partition_by=["day"])
+    fact.create(_events(spark, 0, 10))
+    other = SnapshotTable(spark, str(tmp_path / "fr"))  # concurrent writer
+    orig_read = fact.read
+    fired = {"done": False}
+
+    def racy_read(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            other.append(_events(spark, 10, 14))  # lands mid-refresh
+        return orig_read(*a, **kw)
+
+    fact.read = racy_read
+    assert refresh_rollup(fact, rollup, _prepare, ["day"], ["v"]) == "full"
+    fact.read = orig_read
+    # the concurrent rows arrive exactly once, via the NEXT refresh
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental"
+    )
     assert _state(rollup) == _full(spark, fact)
 
 
