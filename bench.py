@@ -110,6 +110,23 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, not counted
     materialize(QUERIES[HEADLINE[0]](spark, sf_dir).limit(1))
 
+    # calibration anchor: a CONSTANT plan (fixed scan + hash-agg over
+    # lineitem, inline here so no engine code change can ever touch it)
+    # timed like a headline query. The judge band moved 33s -> 41s
+    # between r8 and r9 on UNTOUCHED plans — without an anchor a round
+    # cannot attribute that to environment vs regressions. Ratios
+    # normalized by calibration (see delta_vs_floor_pct_calibrated)
+    # cancel box/JVM/page-cache drift; raw deltas stay reported too.
+    calib_samples = []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(hash(l_orderkey, l_partkey, l_extendedprice)) AS h",
+            "count(*) AS n",
+        ).collect()
+        calib_samples.append(time.perf_counter() - t0)
+    calibration = round(sorted(calib_samples)[len(calib_samples) // 2], 3)
+
     # median of 3 runs per query: this box shows +/-50% noise under load,
     # and a single sample regularly misreports a query by seconds
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -143,6 +160,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "calibration_sec": calibration,
     }
     # contention annotation: 1-min load average BEFORE our own Spark
     # session spun up, and again at suite end. BENCH_r06 recorded a 45.7s
@@ -183,6 +201,7 @@ def main() -> None:
     # believing a single regression.
     floor_path = os.environ.get("SPARK_GRAFT_BENCH_FLOOR")
     fq: dict = {}
+    calib_floor: float | None = None
     if floor_path:
         # explicit override: use that single payload verbatim
         try:
@@ -190,6 +209,7 @@ def main() -> None:
                 floor = json.load(fh)
             # driver-recorded BENCH_r{N}.json wraps our line under "parsed"
             fq = floor.get("parsed", floor).get("queries", {})
+            calib_floor = floor.get("parsed", floor).get("calibration_sec")
             payload["floor"] = os.path.basename(floor_path)
         except (OSError, ValueError, KeyError):
             fq = {}
@@ -224,6 +244,9 @@ def main() -> None:
                 for name, t in (p.get("queries") or {}).items():
                     if t and (name not in fq or t < fq[name]):
                         fq[name] = t
+                c = p.get("calibration_sec")
+                if c and (calib_floor is None or c < calib_floor):
+                    calib_floor = c
                 used.append(f)
             except (OSError, ValueError):
                 continue
@@ -239,6 +262,19 @@ def main() -> None:
             for name, t in per_query.items()
             if name in fq and fq[name]
         }
+        # calibration-normalized deltas: divide this round's times by the
+        # environment drift ratio (calibration now vs its recorded floor)
+        # so an across-the-board +25% from a slower box/JVM cancels and
+        # only plan-shape regressions remain. Available once one prior
+        # round recorded calibration_sec (r10+).
+        if calib_floor and calibration:
+            drift = calibration / calib_floor
+            payload["calibration_drift_ratio"] = round(drift, 3)
+            payload["delta_vs_floor_pct_calibrated"] = {
+                name: round(100.0 * (t / drift - fq[name]) / fq[name], 1)
+                for name, t in per_query.items()
+                if name in fq and fq[name]
+            }
     print(json.dumps(payload))
     spark.stop()
 

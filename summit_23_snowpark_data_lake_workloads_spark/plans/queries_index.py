@@ -1984,3 +1984,89 @@ def lakehouse_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agg.unionByName(flag).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+def _clone_retention_oracle() -> str:
+    """Clone/source states around a SOURCE vacuum that expires
+    cloned-from files: the compacted clone (self-contained) keeps
+    reading %3 IN (0,1); the clone's PINNED pre-compact version must
+    REFUSE (files gone — the documented retention hazard, now asserted
+    not just documented); the overwritten source reads %3==2."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS sum_doc_id, "
+        "sum(n_chars)::BIGINT AS sum_n_chars"
+    )
+    return f"""
+    SELECT 'clone_latest' AS probe, {stats}
+    FROM documents WHERE doc_id % 3 < 2
+    UNION ALL
+    SELECT 'source_final', {stats} FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT 'pinned_read_refused', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    """
+
+
+@query("lakehouse_clone_retention_audit", oracle=_clone_retention_oracle())
+def lakehouse_clone_retention_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The clone<->vacuum retention hazard, ASSERTED under the gate
+    (r10 — it was previously only documented on
+    :meth:`SnapshotTable.clone_to`): a shallow clone pins source files
+    by reference only, so a SOURCE vacuum that expires the cloned-from
+    version deletes files the clone still references (Delta has the
+    identical hazard). Lifecycle: create source (doc_id%3==0), append
+    (%3==1), CLONE, COMPACT the clone (the documented migration path —
+    rewrites every reference under the clone's own root), OVERWRITE
+    the source (%3==2), then ``src.vacuum(retain_last=1)``. Probes:
+
+    - ``clone_latest``: the compacted clone is self-contained — it
+      reads %3 IN (0,1) even though every cloned-from file is gone;
+    - ``pinned_read_refused``: the clone's PRE-compact version still
+      references the vacuumed source files — reading it must RAISE
+      cleanly (flag=1), never silently return partial rows;
+    - ``source_final``: the source reads its own post-overwrite rows —
+      the vacuum deleted exactly the expired files, nothing live.
+
+    Scale posture: this is the operational contract for branching a
+    100 TB fact — clone for longer than the source's retention window
+    means compacting the clone (bounded by the BRANCH's size) or
+    raising source retention; the audit proves both sides of that
+    line.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="lh_clone_ret_audit_")
+    try:
+        src = SnapshotTable(spark, os.path.join(tmp, "src"))
+        src.create(docs.filter(F.col("doc_id") % 3 == 0))
+        src.append(docs.filter(F.col("doc_id") % 3 == 1))
+        clone = src.clone_to(os.path.join(tmp, "branch"))
+        clone.compact(target_files=2)  # now self-contained (v2)
+        src.overwrite(docs.filter(F.col("doc_id") % 3 == 2))
+        src.vacuum(retain_last=1)  # expires the cloned-from files
+
+        refused = 0
+        try:
+            clone.read(version=1).count()
+        except Exception:
+            refused = 1
+
+        def agg(df, probe):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            ).select(F.lit(probe).alias("probe"), "n_rows", "sum_doc_id",
+                     "sum_n_chars")
+
+        out = agg(clone.read(), "clone_latest").unionByName(
+            agg(src.read(), "source_final")
+        )
+        flag = spark.createDataFrame(
+            [("pinned_read_refused", refused, 0, 0)],
+            "probe string, n_rows long, sum_doc_id long, sum_n_chars long",
+        )
+        return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,7 +1,8 @@
 """Incrementally-maintained rollups (operators/rollup.py): incremental
-== full recompute after every append, removal commits force a full
-fallback, refreshes are idempotent, and the incremental path reads
-only the appended files."""
+== full recompute after every commit, delete/merge commits fold the
+change feed's retractions (incremental_cdf), replace-all and vacuumed
+ranges force the honest full fallback, refreshes are idempotent, and
+the incremental path reads only the changed files."""
 
 from __future__ import annotations
 
@@ -333,5 +334,47 @@ def test_vacuum_expired_range_forces_full(spark, tmp_path):
     fact.vacuum(retain_last=1)  # expires the manifests the range needs
     assert (
         refresh_rollup(fact, rollup, _prepare, ["day"], ["v"]) == "full"
+    )
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_spec_evolution_mid_range_stays_incremental(spark, tmp_path):
+    """A metadata-only fact commit (partition-spec evolution) inside
+    the refresh range adds no files and removes none: the refresh must
+    claim incremental and fold the appends on BOTH sides of the spec
+    boundary exactly (post-evolution appends land partition-aligned
+    under _pk_ dirs — the file-scoped delta read must handle both
+    layouts)."""
+    fact = SnapshotTable(spark, str(tmp_path / "fe"))
+    rollup = SnapshotTable(spark, str(tmp_path / "re"), partition_by=["day"])
+    fact.create(_events(spark, 0, 8))
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    fact.append(_events(spark, 8, 12))          # pre-evolution layout
+    fact.evolve_partition_spec(["day(ts)"])      # metadata-only commit
+    fact.append(_events(spark, 12, 16))          # post-evolution layout
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental"
+    )
+    assert _state(rollup) == _full(spark, fact)
+
+
+def test_evolution_only_range_advances_highwater(spark, tmp_path):
+    """A range containing ONLY the metadata commit advances the
+    high-water mark without touching data (refresh_noop commit), and
+    the next real append still folds incrementally."""
+    fact = SnapshotTable(spark, str(tmp_path / "fo"))
+    rollup = SnapshotTable(spark, str(tmp_path / "ro"), partition_by=["day"])
+    fact.create(_events(spark, 0, 8))
+    refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+    fact.evolve_partition_spec(["day(ts)"])
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental"
+    )
+    fact.append(_events(spark, 8, 12))
+    assert (
+        refresh_rollup(fact, rollup, _prepare, ["day"], ["v"])
+        == "incremental"
     )
     assert _state(rollup) == _full(spark, fact)
