@@ -1,0 +1,125 @@
+"""CDC APPLY — keep a downstream table row-identical to an upstream
+lakehouse table by consuming its CHANGE DATA FEED (the Delta Live
+Tables ``APPLY CHANGES INTO`` primitive, and the replication form of
+the reference's Processed-layer maintenance: where
+``operators/rollup.py`` folds the feed into AGGREGATES, this applies
+it at ROW granularity — downstream serving copies, region mirrors,
+conformed-layer tables).
+
+The 100 TB shape: a sync reads O(files the upstream commits touched)
+(``SnapshotTable.changes``), nets the per-key effect in one aggregate
+(a key inserted then deleted inside the range applies as nothing; the
+LAST image wins), and lands as at most one key-scoped DELETE plus one
+key-scoped MERGE on the target — both COW-rewrite only the files
+holding affected keys. Never O(table) — except when the range holds a
+replace-all commit (overwrite / rollback: table-sized by definition)
+or has been vacuumed past recovery, where the sync honestly falls
+back to a FULL resync pinned to the stamped upstream version.
+
+Idempotency: the sync high-water mark is the upstream VERSION, stored
+in the TARGET's txn stamps (``app_id``/``batch_id``); a crash between
+the delete and the merge re-runs the same range, and re-deleting
+absent keys / re-merging the same images is a no-op by construction.
+
+Requires key-unique upstream rows (the same contract MERGE itself
+has): two live rows sharing a key would make "the last image"
+ambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.lakehouse import SnapshotTable
+
+#: upstream operations whose change set is table-sized by definition
+_REPLACE_ALL_OPS = frozenset({"create", "overwrite", "rollback"})
+
+
+def net_changes(
+    chg: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse a multi-commit change feed to its NET per-key effect:
+    ``(upserts, deleted_keys)``. The winning image per key is the one
+    with the highest ``(_commit_version, insert-beats-delete)`` rank —
+    within one commit a MERGE emits delete(old)+insert(new) for the
+    same key, and the post-image must win; across commits the latest
+    wins. One aggregate, no window (``max(struct(...))`` carries the
+    whole winning row through the shuffle)."""
+    data_cols = [
+        c for c in chg.columns if c not in ("_change_type", "_commit_version")
+    ]
+    prio = F.col("_commit_version") * 2 + F.when(
+        F.col("_change_type") == "insert", 1
+    ).otherwise(0)
+    last = (
+        chg.withColumn("_prio", prio)
+        .groupBy(*key_cols)
+        .agg(F.max(F.struct("_prio", "_change_type", *data_cols)).alias("w"))
+    )
+    upserts = last.filter(F.col("w._change_type") == "insert").select(
+        *[F.col(f"w.{c}").alias(c) for c in data_cols]
+    )
+    deleted_keys = last.filter(F.col("w._change_type") == "delete").select(
+        *key_cols
+    )
+    return upserts, deleted_keys
+
+
+def replicate_changes(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    key_cols: list[str],
+    app_id: str = "cdc",
+) -> str:
+    """Bring ``dst`` row-identical to ``src``'s latest version. Returns
+    ``"noop"`` (already current), ``"incremental"`` (consumed the
+    change feed: netted per-key, applied as key-scoped delete+merge),
+    or ``"full"`` (first sync, replace-all commit in range, or the
+    range expired under vacuum — resync pinned to the stamped
+    version)."""
+    v_hi = src.snapshot().version
+    seen = dst.last_committed_batch(app_id) if dst._versions() else None
+    if seen is not None and v_hi <= seen:
+        return "noop"
+    txn = {"app_id": app_id, "batch_id": v_hi}
+
+    def full_resync() -> str:
+        snap_df = src.read(version=v_hi)
+        if dst._versions():
+            dst.overwrite(snap_df, txn=txn)
+        else:
+            dst.create(snap_df, txn=txn)
+        return "full"
+
+    if seen is None:
+        return full_resync()
+    try:
+        per_commit = src.file_changes(seen, v_hi)
+    except (FileNotFoundError, LookupError):
+        return full_resync()
+    if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r in per_commit):
+        return full_resync()
+    if not any(a or r for _v, _op, a, r in per_commit):
+        # metadata-only range: advance the high-water mark and stop
+        dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
+        return "incremental"
+    try:
+        chg = src.changes(seen, v_hi)
+    except FileNotFoundError:
+        return full_resync()  # pre-images vacuumed: the retention boundary
+    upserts, deleted_keys = net_changes(chg, key_cols)
+    have_dels = bool(deleted_keys.limit(1).count())
+    have_ups = bool(upserts.limit(1).count())
+    if have_dels:
+        # delete first; the merge carries the txn stamp, so a crash in
+        # between re-runs the range (both steps are key-idempotent)
+        dst.delete_keys(
+            deleted_keys, key_cols, txn=None if have_ups else txn
+        )
+    if have_ups:
+        dst.merge(upserts, key_cols, txn=txn)
+    if not have_dels and not have_ups:
+        dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
+    return "incremental"

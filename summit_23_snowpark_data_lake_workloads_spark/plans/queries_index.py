@@ -2070,3 +2070,112 @@ def lakehouse_clone_retention_audit(
         return out.unionByName(flag).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+def _cdc_replication_oracle() -> str:
+    """Replica state after each sync: k=1 full-syncs the created source
+    (event_id%3==0); k=2 consumes one feed range spanning an append
+    (%3==1), a merge (%5==0, value+1000) and a delete (%7==0) — the
+    replica equals the source's net live set (appended-then-deleted
+    keys like 7 net OUT); k=3 syncs across a compact (layout-only:
+    metadata sync, rows unchanged)."""
+    stats = (
+        "count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id, "
+        "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    )
+    live = """
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 5 = 0 THEN value + 1000
+                    ELSE value END AS value
+        FROM events
+        WHERE (event_id % 3 < 2 OR event_id % 5 = 0) AND event_id % 7 <> 0
+    """
+    return f"""
+    SELECT 1::BIGINT AS sync, 'full' AS mode, event_type, {stats}
+    FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 2, 'incremental', event_type, {stats}
+    FROM ({live}) GROUP BY event_type
+    UNION ALL
+    SELECT 3, 'incremental', event_type, {stats}
+    FROM ({live}) GROUP BY event_type
+    """
+
+
+@query("lakehouse_cdc_replication_audit", oracle=_cdc_replication_oracle())
+def lakehouse_cdc_replication_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC APPLY under the driver gate (operators/cdc.py — the Delta
+    Live Tables ``APPLY CHANGES INTO`` shape): a downstream replica is
+    kept row-identical to an upstream events table by consuming its
+    change feed, where ``rollup.py`` folds the same feed into
+    aggregates. Lifecycle: CREATE upstream (event_id%3==0) -> sync
+    (FULL first copy) -> one multi-commit range [APPEND %3==1, MERGE
+    %5==0 with value+1000, DELETE %7==0] -> sync (INCREMENTAL: nets
+    the per-key effect — keys appended then deleted inside the range,
+    e.g. event_id 7, apply as NOTHING; merge pairs apply as their
+    post-image — then lands as one key-scoped delete + one key-scoped
+    merge) -> COMPACT -> sync (incremental metadata-only: layout
+    commits emit no changes). Each sync's claimed mode and the FULL
+    replica state are hash-gated against the oracle's recompute of the
+    source's live set.
+
+    Scale: a sync reads O(files the upstream commits touched) and
+    rewrites O(replica files holding affected keys) — replicating a
+    day's upserts into a 100 TB serving copy never scans either
+    table. Replay-proof via the replica's own txn stamps.
+    """
+    from ..operators.cdc import replicate_changes
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_cdc_repl_audit_")
+    try:
+        src = SnapshotTable(spark, os.path.join(tmp, "src"))
+        dst = SnapshotTable(spark, os.path.join(tmp, "replica"))
+        stages = [
+            lambda: src.create(ev.filter(F.col("event_id") % 3 == 0)),
+            lambda: (
+                src.append(ev.filter(F.col("event_id") % 3 == 1)),
+                src.merge(
+                    ev.filter(F.col("event_id") % 5 == 0).withColumn(
+                        "value", F.col("value") + F.lit(1000.0)
+                    ),
+                    ["event_id"],
+                ),
+                src.delete(F.col("event_id") % 7 == 0),
+            ),
+            lambda: src.compact(target_files=2),
+        ]
+        out = None
+        for k, stage in enumerate(stages, start=1):
+            stage()
+            mode = replicate_changes(src, dst, ["event_id"], app_id="gate")
+            r = (
+                dst.read()
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("sum_event_id"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("sum_value"),
+                )
+                .select(
+                    F.lit(k).cast("long").alias("sync"),
+                    F.lit(mode).alias("mode"),
+                    "event_type",
+                    "n",
+                    "sum_event_id",
+                    "sum_value",
+                )
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

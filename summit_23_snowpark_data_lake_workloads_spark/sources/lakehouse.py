@@ -1176,6 +1176,39 @@ class SnapshotTable:
         new_files = self._write_batch(survivors) if survivors.limit(1).count() else []
         return self._commit("delete", prev.version, new_files, remove=touched_rel)
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key_cols: list[str],
+        txn: dict | None = None,
+    ) -> Snapshot:
+        """Row-level DELETE by KEY SET: rewrite only files holding
+        matching keys, dropping their matched rows (the bulk twin of
+        :meth:`delete` — a key set arrives as a DataFrame, never a
+        collected-in predicate, so a CDC apply that retracts 10^6 keys
+        stays distributed). Same COW file granularity as
+        :meth:`merge`; deleting keys that do not exist is a no-op."""
+        prev = self.snapshot()
+        cur = self.read()
+        kdf = keys.select(*key_cols)
+        touched_abs = self._touched_files(
+            cur, lambda d: d.join(F.broadcast(kdf), key_cols, "left_semi")
+        )
+        if not touched_abs:
+            return self._commit("delete", prev.version, [], txn=txn)
+        touched_rel = frozenset(self._relativize(p) for p in touched_abs)
+        survivors = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*touched_abs)
+            .join(kdf, key_cols, "left_anti")
+        )
+        new_files = (
+            self._write_batch(survivors) if survivors.limit(1).count() else []
+        )
+        return self._commit(
+            "delete", prev.version, new_files, remove=touched_rel, txn=txn
+        )
+
     def merge(
         self,
         source: DataFrame,

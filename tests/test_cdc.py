@@ -1,0 +1,141 @@
+"""CDC apply (operators/cdc.py): a downstream replica kept
+row-identical to an upstream table by consuming its change feed —
+net-effect per key, key-scoped delete+merge application, honest full
+resync on replace-all/vacuumed ranges, idempotent syncs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.cdc import (
+    net_changes,
+    replicate_changes,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi, grp=0):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit(grp).alias("grp"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+
+
+def _state(t):
+    return sorted((r.id, r.grp, r.v) for r in t.read().collect())
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.create(_df(spark, 0, 10))
+    return src, dst
+
+
+def test_first_sync_is_full_then_noop(spark, pair):
+    src, dst = pair
+    assert replicate_changes(src, dst, ["id"]) == "full"
+    assert _state(dst) == _state(src)
+    assert replicate_changes(src, dst, ["id"]) == "noop"
+
+
+def test_incremental_sync_applies_insert_update_delete(spark, pair):
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.append(_df(spark, 10, 13, grp=1))
+    src.merge(
+        spark.createDataFrame([(5, 9, 99.0)], "id int, grp int, v double"),
+        ["id"],
+    )
+    src.delete(F.col("id") % 4 == 0)
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    assert _state(dst) == _state(src)
+
+
+def test_net_effect_insert_then_delete_applies_nothing(spark, pair):
+    """A key inserted and deleted INSIDE the sync range must net out —
+    the replica never sees it, and the delete of a never-replicated key
+    is a no-op."""
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.append(_df(spark, 50, 55, grp=7))
+    src.delete(F.col("id") >= 50)
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    assert _state(dst) == _state(src)
+    assert all(r.id < 50 for r in dst.read().collect())
+
+
+def test_net_effect_delete_then_reinsert_keeps_last_image(spark, pair):
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.delete(F.col("id") == 3)
+    src.append(
+        spark.createDataFrame([(3, 9, -1.0)], "id int, grp int, v double")
+    )
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    assert _state(dst) == _state(src)
+    assert [(r.grp, r.v) for r in dst.read().filter("id = 3").collect()] == [
+        (9, -1.0)
+    ]
+
+
+def test_replace_all_in_range_forces_full_resync(spark, pair):
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.overwrite(_df(spark, 100, 105, grp=2))
+    assert replicate_changes(src, dst, ["id"]) == "full"
+    assert _state(dst) == _state(src)
+
+
+def test_vacuumed_range_forces_full_resync(spark, pair):
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    for i in range(3):
+        src.append(_df(spark, 20 + i, 21 + i))
+    src.vacuum(retain_last=1)
+    assert replicate_changes(src, dst, ["id"]) == "full"
+    assert _state(dst) == _state(src)
+
+
+def test_layout_only_range_is_metadata_sync(spark, pair):
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.compact(target_files=1)
+    files_before = set(dst.snapshot().files)
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    assert set(dst.snapshot().files) == files_before  # no data rewritten
+    assert replicate_changes(src, dst, ["id"]) == "noop"
+
+
+def test_delete_keys_rewrites_only_touched_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "dk"))
+    t.create(_df(spark, 0, 10, grp=0))
+    t.append(_df(spark, 10, 20, grp=1))
+    before = set(t.snapshot().files)
+    keys = spark.createDataFrame([(3,), (7,)], "id int")
+    t.delete_keys(keys, ["id"])
+    after = t.snapshot()
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(20) if i not in (3, 7)
+    ]
+    # the second batch (ids 10..19) holds no matched key: carried over
+    assert before & set(after.files)
+
+
+def test_net_changes_priority_insert_beats_delete_same_version(spark):
+    chg = spark.createDataFrame(
+        [
+            (1, "x", "delete", 2),
+            (1, "y", "insert", 2),  # same commit: MERGE pair, post wins
+            (2, "z", "delete", 3),  # later commit: delete wins
+        ],
+        "id int, val string, _change_type string, _commit_version long",
+    )
+    ups, dels = net_changes(chg, ["id"])
+    assert [(r.id, r.val) for r in ups.collect()] == [(1, "y")]
+    assert [r.id for r in dels.collect()] == [2]

@@ -1748,3 +1748,37 @@ class TestShallowClone:
         src.clone_to(str(tmp_path / "c2"))
         with pytest.raises((FileExistsError, ValueError)):
             src.clone_to(str(tmp_path / "c2"))
+
+
+def test_compact_racing_append_raises_append_wins(spark, tmp_path):
+    """Optimistic multi-writer rule, the compact side: an append landing
+    between compact's snapshot and its commit moves HEAD, and the
+    remove-carrying compact must abort (ConcurrentWriteError) with the
+    append's rows intact — never silently resurrect the pre-append
+    layout (Delta's logical-conflict rule: disjoint appends rebase,
+    overlapping rewrites fail)."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        SnapshotTable as ST,
+    )
+
+    t = ST(spark, str(tmp_path / "cr"))
+    t.create(spark.range(10).select("id", F.lit(0).alias("grp")))
+    racer = ST(spark, t.path)
+    orig_read = t.read
+    fired = {"done": False}
+
+    def racy_read(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            racer.append(spark.range(100, 105).select("id", F.lit(1).alias("grp")))
+        return orig_read(*a, **kw)
+
+    t.read = racy_read
+    with pytest.raises(ConcurrentWriteError):
+        t.compact(target_files=1)
+    t.read = orig_read
+    assert racer.read().count() == 15  # the concurrent append survived
+    # retry on fresh state succeeds and keeps every row
+    t.compact(target_files=1)
+    assert t.read().count() == 15
