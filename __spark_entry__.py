@@ -47,8 +47,10 @@ FORCE_REGATE: dict[str, int] = {
     "lakehouse_bucket_audit": 10,
     # r10: rollup refresh rewired (null-safe carry, version-pinned full,
     # partition-level carry, CDF-incremental path through removals) —
-    # the audit's plan and oracle both changed.
+    # the audit's plan and oracle both changed; the medallion capstone
+    # gained the GDPR-delete stage (plan + oracle changed too).
     "lakehouse_incremental_rollup_audit": 10,
+    "medallion_incremental_audit": 10,
 }
 
 

@@ -1276,9 +1276,11 @@ def _medallion_incremental_oracle() -> str:
     """Silver-rollup state after each refresh of the medallion loop:
     refresh 1 runs after the first stream drain landed batches 0-2
     (event_id % 4 in 0..2; FULL first build), refresh 2 after a late
-    file arrived and a second drain landed batch 3 (INCREMENTAL).
-    Gold = the top-3 days of the final silver by decimal-exact value
-    sum. Everything restated from raw events."""
+    file arrived and a second drain landed batch 3 (INCREMENTAL),
+    refresh 3 after a GDPR-style row DELETE on bronze (event_id%9==0;
+    INCREMENTAL_CDF — the change feed's retractions, r10). Gold =
+    the top-3 days of the final silver by decimal-exact value sum.
+    Everything restated from raw events."""
     stats = (
         "count(*)::BIGINT AS n_rows, "
         "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
@@ -1286,7 +1288,8 @@ def _medallion_incremental_oracle() -> str:
     day = "strftime(ts, '%Y-%m-%d')"
     return f"""
     WITH r1 AS (SELECT * FROM events WHERE event_id % 4 < 3),
-    r2 AS (SELECT * FROM events)
+    r2 AS (SELECT * FROM events),
+    r3 AS (SELECT * FROM events WHERE event_id % 9 <> 0)
     SELECT 'silver' AS tier, 1::BIGINT AS refresh, {day} AS day,
            {stats}, 'full' AS mode
     FROM r1 GROUP BY {day}
@@ -1294,9 +1297,12 @@ def _medallion_incremental_oracle() -> str:
     SELECT 'silver', 2, {day}, {stats}, 'incremental'
     FROM r2 GROUP BY {day}
     UNION ALL
-    SELECT 'gold', 2, day, n_rows, sum_value, 'top3' FROM (
+    SELECT 'silver', 3, {day}, {stats}, 'incremental_cdf'
+    FROM r3 GROUP BY {day}
+    UNION ALL
+    SELECT 'gold', 3, day, n_rows, sum_value, 'top3' FROM (
         SELECT {day} AS day, {stats}
-        FROM r2 GROUP BY {day}
+        FROM r3 GROUP BY {day}
         ORDER BY sum_value DESC, day LIMIT 3
     )
     """
@@ -1316,15 +1322,19 @@ def medallion_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a LATE file arrives (batch 3), a second drain of the SAME
     checkpoint lands exactly the unseen file, and the second refresh
     must take the INCREMENTAL path — aggregating only the late batch's
-    files and rewriting only the touched silver day-partitions. GOLD
-    is the top-3 revenue days off the final silver. Emits every silver
-    state with the refresh mode it claims plus the gold rows; the
-    oracle restates all of it from raw events.
+    files and rewriting only the touched silver day-partitions; then a
+    GDPR-style row DELETE hits bronze (event_id%9==0) and the third
+    refresh must take the INCREMENTAL_CDF path (r10): the change
+    feed's retractions fold the deleted rows OUT of silver without
+    rescanning bronze. GOLD is the top-3 revenue days off the final
+    silver. Emits every silver state with the refresh mode it claims
+    plus the gold rows; the oracle restates all of it from raw events.
 
     This is the reference's Ingest -> Raw -> Processed -> Curated loop
     (SURVEY §0) in the 100 TB layout: the fact lands partition-aligned
-    by transaction day, nightly silver cost is O(new data), gold reads
-    an aggregate table — no stage rescans the corpus.
+    by transaction day, nightly silver cost is O(new data), a
+    compliance delete costs O(its own footprint), gold reads an
+    aggregate table — no stage rescans the corpus.
     """
     from ..operators.rollup import refresh_rollup
     from ..sources.lakehouse import SnapshotTable
@@ -1354,19 +1364,38 @@ def medallion_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = None
         with _small_shuffle(spark):
-            for refresh_no, arriving in ((1, None), (2, late)):
+            for refresh_no, arriving, gdpr in (
+                (1, None, None),
+                (2, late, None),
+                (3, None, F.col("event_id") % 9 == 0),
+            ):
                 if arriving is not None:
                     _write_batch_files([arriving], src, start_at=3)
-                stream = (
-                    spark.readStream.schema(ev.schema)
-                    .option("maxFilesPerTrigger", "1")
-                    .parquet(src)
-                )
-                _drain(
-                    write_stream_to_snapshot_table(
-                        stream, bronze, "medallion", os.path.join(tmp, "ckpt")
+                    stream = (
+                        spark.readStream.schema(ev.schema)
+                        .option("maxFilesPerTrigger", "1")
+                        .parquet(src)
                     )
-                )
+                    _drain(
+                        write_stream_to_snapshot_table(
+                            stream, bronze, "medallion",
+                            os.path.join(tmp, "ckpt"),
+                        )
+                    )
+                elif gdpr is not None:
+                    bronze.delete(gdpr)
+                else:
+                    stream = (
+                        spark.readStream.schema(ev.schema)
+                        .option("maxFilesPerTrigger", "1")
+                        .parquet(src)
+                    )
+                    _drain(
+                        write_stream_to_snapshot_table(
+                            stream, bronze, "medallion",
+                            os.path.join(tmp, "ckpt"),
+                        )
+                    )
                 mode = refresh_rollup(
                     bronze, silver, prepare, ["day"], ["value"],
                     app_id="silver",
@@ -1386,7 +1415,7 @@ def medallion_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             silver.read()
             .select(
                 F.lit("gold").alias("tier"),
-                F.lit(2).cast("long").alias("refresh"),
+                F.lit(3).cast("long").alias("refresh"),
                 "day",
                 "n_rows",
                 F.round(F.col("sum_value").cast("double"), 4).alias(
