@@ -99,9 +99,9 @@ def replicate_changes(
         per_commit = src.file_changes(seen, v_hi)
     except (FileNotFoundError, LookupError):
         return full_resync()
-    if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r in per_commit):
+    if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r, _d in per_commit):
         return full_resync()
-    if not any(a or r for _v, _op, a, r in per_commit):
+    if not any(a or r or d for _v, _op, a, r, d in per_commit):
         # metadata-only range: advance the high-water mark and stop
         dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
         return "incremental"

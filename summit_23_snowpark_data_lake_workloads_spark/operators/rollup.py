@@ -63,10 +63,10 @@ def files_added_between(
     :meth:`SnapshotTable.file_changes` (pure manifest work)."""
     added: list[str] = []
     removed_any = False
-    for _v, _op, add, removed in fact.file_changes(v_lo, v_hi):
+    for _v, _op, add, removed, dv_delta in fact.file_changes(v_lo, v_hi):
         added += add
-        if removed:
-            removed_any = True
+        if removed or dv_delta:
+            removed_any = True  # DV commits remove ROWS without files
     return added, removed_any
 
 
@@ -157,9 +157,10 @@ def refresh_rollup(
         # the range's manifests expired under vacuum: the add/remove
         # lists are gone, so incremental is unprovable — recompute
         return full_refresh()
-    if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r in per_commit):
+    if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r, _d in per_commit):
         return full_refresh()
-    removed_any = any(r for _v, _op, _a, r in per_commit)
+    # removed files OR deletion-vector rows: either way rows retracted
+    removed_any = any(r or d for _v, _op, _a, r, d in per_commit)
 
     if removed_any:
         try:
@@ -171,7 +172,7 @@ def refresh_rollup(
         _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=True)
         return "incremental_cdf"
 
-    added = [f for _v, _op, a, _r in per_commit for f in a]
+    added = [f for _v, _op, a, _r, _d in per_commit for f in a]
     if not added:
         # metadata-only fact commits (e.g. spec evolution): advance the
         # high-water mark without touching data
@@ -284,6 +285,11 @@ def _apply_delta(
     combined = combine(existing.unionByName(delta))
     if signed:
         combined = combined.filter(F.col(N_ROWS) > 0)
+    # materialize once: three actions consume combined (vanished-
+    # partition collect, overwrite's touched-tuple collect, the write) —
+    # lazy, each would re-read the delta files and re-join. Aggregate-
+    # sized (touched partitions only), so the checkpoint is cheap.
+    combined = combined.localCheckpoint(eager=True)
     # partitions whose every group vanished would survive an overwrite
     # that never mentions them — drop them explicitly (exact: partition
     # tuples, not predicates). Bounded by the touched-partition count.

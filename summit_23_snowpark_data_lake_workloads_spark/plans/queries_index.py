@@ -2179,3 +2179,128 @@ def lakehouse_cdc_replication_audit(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+def _dv_audit_oracle() -> str:
+    """Table state per version around merge-on-read deletes: v1 all
+    events, v2 after delete_mor(%5==0), v3 after delete_mor(%7==0)
+    accumulates, v4 after compact (same rows, vectors purged). n_meta
+    mirrors n_rows at every version (metadata counts subtract DV runs
+    exactly). dv_feed restates the v2 change feed (the DV'd rows as
+    deletes); the flag rows pin metadata-only commits and the purge."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_meta, "
+        "sum(event_id)::BIGINT AS sum_event_id"
+    )
+    return f"""
+    SELECT 1::BIGINT AS version, 'state' AS probe, {stats} FROM events
+    UNION ALL
+    SELECT 2, 'state', {stats} FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT 3, 'state', {stats} FROM events
+    WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 4, 'state', {stats} FROM events
+    WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 2, 'dv_feed', count(*)::BIGINT, count(*)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events WHERE event_id % 5 = 0
+    UNION ALL
+    SELECT 2, 'metadata_only', 1, 1, 0
+    UNION ALL
+    SELECT 4, 'dv_purged', 1, 1, 0
+    """
+
+
+@query("lakehouse_dv_audit", oracle=_dv_audit_oracle())
+def lakehouse_dv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via DELETION VECTORS under the driver
+    gate (r10 — Delta DVs / Iceberg v2 position deletes):
+    ``delete_mor`` records the matched rows' row-index runs in the
+    manifest instead of rewriting files, so a GDPR-style delete
+    scattered across a 100 TB table costs one JSON write; readers
+    subtract the vectors through a codegen ``_metadata`` predicate
+    (no join — the scan stays whole-stage fused).
+
+    Lifecycle: CREATE events -> delete_mor(%5==0) — the
+    ``metadata_only`` flag pins that NO parquet file was written or
+    dropped by the commit -> delete_mor(%7==0) — vectors accumulate
+    (union of runs; already-dead rows cannot re-match because the
+    matching scan is itself DV-filtered) -> COMPACT — same rows, new
+    files, the ``dv_purged`` flag pins that rewritten files carry no
+    vectors. Probes per version: scan aggregates AND the
+    metadata-only ``row_count`` (``n_meta`` — DV runs subtract
+    exactly, never a scan); ``dv_feed`` gates the change feed of the
+    DV commit (exactly the soft-deleted rows, file-scoped, no
+    pre/post diff). Time travel across DV versions rides the same
+    manifest fold as everything else.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_dv_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        t.create(ev)
+
+        def live_parquet():
+            n = 0
+            for root, _d, names in os.walk(os.path.join(t.path, "data")):
+                n += sum(1 for f in names if f.endswith(".parquet"))
+            return n
+
+        files_before = live_parquet()
+        t.delete_mor(F.col("event_id") % 5 == 0)
+        metadata_only = int(
+            live_parquet() == files_before
+            and set(t.snapshot().files) == set(t.snapshot(version=1).files)
+        )
+        t.delete_mor(F.col("event_id") % 7 == 0)
+        t.compact(target_files=4)
+        dv_purged = int(not t.snapshot().dvs)
+
+        out = None
+        for v in (1, 2, 3, 4):
+            n_meta = t.row_count(version=v)
+            r = (
+                t.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("event_id").cast("long").alias("sum_event_id"),
+                )
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit("state").alias("probe"),
+                    "n_rows",
+                    F.lit(n_meta).cast("long").alias("n_meta"),
+                    "sum_event_id",
+                )
+            )
+            out = r if out is None else out.unionByName(r)
+        feed = (
+            t.changes(1, 2)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+            .select(
+                F.lit(2).cast("long").alias("version"),
+                F.lit("dv_feed").alias("probe"),
+                "n_rows",
+                F.col("n_rows").alias("n_meta"),
+                "sum_event_id",
+            )
+        )
+        flags = spark.createDataFrame(
+            [
+                (2, "metadata_only", metadata_only, metadata_only, 0),
+                (4, "dv_purged", dv_purged, dv_purged, 0),
+            ],
+            "version long, probe string, n_rows long, n_meta long,"
+            " sum_event_id long",
+        )
+        return out.unionByName(feed).unionByName(flags).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -179,6 +179,112 @@ class Snapshot:
     #: EXACT file→partition map that makes partition pruning a manifest
     #: filter and partition overwrite/drop a metadata operation
     parts: dict = None  # type: ignore[assignment]
+    #: DELETION VECTORS {relpath: [[start, end), ...]} — row-index
+    #: ranges soft-deleted from a live file (merge-on-read: Delta DVs /
+    #: Iceberg v2 position deletes). Readers subtract them; compaction
+    #: and COW rewrites purge them (a rewritten file's DV dies with it)
+    dvs: dict = None  # type: ignore[assignment]
+
+
+# ----------------------------------------------------- deletion vectors
+#
+# A DV is a sorted list of disjoint half-open [start, end) row-index
+# ranges over ONE data file's physical row order (parquet row_index —
+# stable because data files are immutable). Range-run encoding keeps
+# the manifest JSON proportional to the RUN count, which is what
+# clustered deletes (a day's rows inside a file, one user's contiguous
+# block) produce; a pathologically scattered delete produces many runs
+# and delete_mor falls back to copy-on-write past a run budget.
+
+
+def _ranges_from_indices(indices: list[int]) -> list[list[int]]:
+    """Sorted row indices -> minimal disjoint [start, end) runs."""
+    out: list[list[int]] = []
+    for i in sorted(indices):
+        if out and i == out[-1][1]:
+            out[-1][1] = i + 1
+        else:
+            out.append([i, i + 1])
+    return out
+
+
+def _ranges_union(a: list, b: list) -> list[list[int]]:
+    """Union of two run lists, normalized (merge-adjacent)."""
+    merged = sorted([list(r) for r in a] + [list(r) for r in b])
+    out: list[list[int]] = []
+    for s, e in merged:
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return out
+
+
+def _ranges_count(ranges: list) -> int:
+    return sum(e - s for s, e in ranges)
+
+
+def _ranges_subtract(a: list, b: list) -> list[list[int]]:
+    """Runs of ``a`` not covered by ``b`` — the per-commit DV delta
+    when only cumulative states are recorded (checkpoint manifests)."""
+    out: list[list[int]] = []
+    b = sorted([list(r) for r in b])
+    for s, e in sorted([list(r) for r in a]):
+        cur = s
+        for bs, be in b:
+            if be <= cur or bs >= e:
+                continue
+            if bs > cur:
+                out.append([cur, bs])
+            cur = max(cur, be)
+            if cur >= e:
+                break
+        if cur < e:
+            out.append([cur, e])
+    return out
+
+
+def _balanced_or(conds: list) -> "F.Column":
+    """OR-fold as a balanced tree: a left-deep chain of N terms is an
+    N-deep expression that overflows Catalyst's stack in the low
+    thousands; balanced depth is log2(N)."""
+    while len(conds) > 1:
+        conds = [
+            conds[i] if i + 1 >= len(conds) else (conds[i] | conds[i + 1])
+            for i in range(0, len(conds), 2)
+        ]
+    return conds[0]
+
+
+def _dv_not_deleted_expr(dvs_abs: dict) -> "F.Column":
+    """The read-path filter: TRUE for rows NOT covered by any DV.
+    Built over ``_metadata.file_path``/``_metadata.row_index``, so it
+    composes onto a raw parquet scan as a plain codegen predicate —
+    no join, and the scan's hidden ``_metadata`` stays addressable
+    downstream (DELETE/MERGE locate touched files through it).
+    ``dvs_abs`` keys are ABSOLUTE file paths.
+
+    Expression-size discipline (a scattered delete produces thousands
+    of runs): single-row runs collapse into ONE ``isin`` — a flat
+    In/InSet node, hash-probed per row, one py4j call — and only the
+    genuinely clustered multi-row runs become range terms, OR-folded
+    as a balanced tree (a left-deep chain overflows the JVM stack
+    around ~2k terms)."""
+    ri = F.col("_metadata.row_index")
+    conds = []
+    for abs_path, ranges in sorted(dvs_abs.items()):
+        singles = [int(s) for s, e in ranges if e - s == 1]
+        terms = [
+            (ri >= int(s)) & (ri < int(e)) for s, e in ranges if e - s > 1
+        ]
+        if singles:
+            terms.append(ri.isin(singles))
+        if terms:
+            conds.append(
+                (F.col("_metadata.file_path") == f"file:{abs_path}")
+                & _balanced_or(terms)
+            )
+    return F.lit(True) if not conds else ~_balanced_or(conds)
 
 
 def _parts_from_relpath(relpath: str) -> dict:
@@ -696,6 +802,7 @@ class SnapshotTable:
             stats: dict = {}
             blooms: dict = {}
             parts: dict = {}
+            dvs: dict = {}
             loaded = []
             for shard, vals in sorted(m["shard_index"].items()):
                 if partition_where and not _partition_match(
@@ -709,14 +816,16 @@ class SnapshotTable:
                 stats.update(s.get("stats", {}))
                 blooms.update(s.get("blooms", {}))
                 parts.update(s.get("parts", {}))
+                dvs.update(s.get("dvs", {}))
             self.last_shards_loaded = loaded
             return Snapshot(
                 m["version"], m["timestamp_ms"], m["operation"], sorted(files),
-                stats, m.get("txn"), blooms, parts,
+                stats, m.get("txn"), blooms, parts, dvs,
             )
         if "files" in m:
             files = m["files"]
             parts = m.get("parts", {})
+            dvs = m.get("dvs", {})
             if partition_where:
                 files = [
                     f
@@ -724,10 +833,11 @@ class SnapshotTable:
                     if _partition_match(parts.get(f, {}), partition_where)
                 ]
                 parts = {f: parts[f] for f in files if f in parts}
+                dvs = {f: dvs[f] for f in files if f in dvs}
             return Snapshot(
                 m["version"], m["timestamp_ms"], m["operation"], files,
                 m.get("stats", {}), m.get("txn"), m.get("blooms", {}),
-                parts,
+                parts, dvs,
             )
         base = self._load(m["base_version"], partition_where)
         removed = set(m.get("remove", []))
@@ -761,9 +871,15 @@ class SnapshotTable:
         parts.update(
             {f: p for f, p in m.get("add_parts", {}).items() if f in live}
         )
+        # DVs carry with their (immutable) file; a commit's add_dvs
+        # UNION onto whatever the base already soft-deleted there
+        dvs = {f: r for f, r in (base.dvs or {}).items() if f in live}
+        for f, r in m.get("add_dvs", {}).items():
+            if f in live:
+                dvs[f] = _ranges_union(dvs.get(f, []), r)
         return Snapshot(
             m["version"], m["timestamp_ms"], m["operation"], files,
-            stats, m.get("txn"), blooms, parts,
+            stats, m.get("txn"), blooms, parts, dvs,
         )
 
     def _full_manifest_body(self, snap: Snapshot) -> dict:
@@ -789,6 +905,7 @@ class SnapshotTable:
                 "stats": snap.stats,
                 **({"blooms": snap.blooms} if snap.blooms else {}),
                 **({"parts": snap.parts} if snap.parts else {}),
+                **({"dvs": snap.dvs} if snap.dvs else {}),
             }
         groups: dict = {}
         for f in snap.files:
@@ -819,6 +936,11 @@ class SnapshotTable:
                             "parts": {
                                 f: (snap.parts or {}).get(f, {}) for f in files
                             },
+                            "dvs": {
+                                f: (snap.dvs or {}).get(f)
+                                for f in files
+                                if f in (snap.dvs or {})
+                            },
                         }
                     )
                 )
@@ -833,16 +955,25 @@ class SnapshotTable:
         remove: frozenset[str] | None = None,
         replace_all: bool = False,
         txn: dict | None = None,
+        dv_add: dict | None = None,
     ) -> Snapshot:
         """Publish the next version as ``(base files - remove) + add``
         (or just ``add`` when ``replace_all``). Exclusive-create of the
         manifest makes the commit atomic; a racing writer makes one of
         the two retry. On retry against a moved HEAD, the file delta is
         re-applied to the NEW latest — sound only for operations that
-        commute (append, and no-op deltas); anything else raises
+        commute (append, and no-op deltas); anything else — removes,
+        replace-all, and ``dv_add`` (a deletion-vector commit REMOVES
+        ROWS, so it does not commute either) — raises
         :class:`ConcurrentWriteError` rather than silently dropping or
-        resurrecting the other writer's rows (the lost-update anomaly)."""
+        resurrecting the other writer's rows (the lost-update anomaly).
+
+        ``dv_add`` = ``{relpath: [[start, end), ...]}`` row-index runs
+        to soft-delete, unioned onto whatever the base already
+        soft-deleted in those files; a file in ``remove`` drops its DV
+        with it (COW rewrites and compaction PURGE deletion vectors)."""
         remove = remove or frozenset()
+        dv_add = dv_add or {}
         # partition tuples are recoverable from the paths themselves
         add_parts = (
             {f: _parts_from_relpath(f) for f in add} if self.partition_by else {}
@@ -851,7 +982,7 @@ class SnapshotTable:
         while True:
             versions = self._versions()
             latest = versions[-1] if versions else 0
-            if latest != base_version and (remove or replace_all):
+            if latest != base_version and (remove or replace_all or dv_add):
                 raise ConcurrentWriteError(
                     f"{operation} based on v{base_version}, but table is at "
                     f"v{latest}; re-read and retry"
@@ -859,12 +990,14 @@ class SnapshotTable:
             if replace_all or not latest:
                 base_files, base_stats, base_blooms = [], {}, {}
                 base_parts = {}
+                base_dvs = {}
             else:
                 base = self._load(latest)
                 base_files = base.files
                 base_stats = base.stats or {}
                 base_blooms = base.blooms or {}
                 base_parts = base.parts or {}
+                base_dvs = base.dvs or {}
             files = [f for f in base_files if f not in remove] + add
             # stats/blooms carry over with their file; new files get fresh
             stats = {f: base_stats[f] for f in base_files if f in base_stats}
@@ -881,6 +1014,9 @@ class SnapshotTable:
             stats = {f: s for f, s in stats.items() if f in live}
             blooms = {f: b for f, b in blooms.items() if f in live}
             parts = {f: p for f, p in parts.items() if f in live}
+            dvs = {f: r for f, r in base_dvs.items() if f in live}
+            for f, r in dv_add.items():
+                dvs[f] = _ranges_union(dvs.get(f, []), r)
             if txn is not None:
                 # re-check idempotency inside the commit loop: a replayed
                 # micro-batch racing its twin must not double-append
@@ -890,7 +1026,7 @@ class SnapshotTable:
             next_v = latest + 1
             snap = Snapshot(
                 next_v, int(time.time() * 1000), operation, sorted(files),
-                stats, txn, blooms, parts,
+                stats, txn, blooms, parts, dvs,
             )
             # DELTA manifest for incremental commits: metadata written is
             # proportional to the commit (add/remove lists + their stats),
@@ -919,6 +1055,7 @@ class SnapshotTable:
                     "add_stats": add_stats,
                     **({"add_blooms": add_blooms} if add_blooms else {}),
                     **({"add_parts": add_parts} if add_parts else {}),
+                    **({"add_dvs": dv_add} if dv_add else {}),
                 }
             if self.partition_by:
                 body_d["partition_by"] = self.partition_by
@@ -1044,8 +1181,28 @@ class SnapshotTable:
                 return self.read(version, as_of_ms).limit(0)  # empty, right schema
         if not files:
             raise ValueError(f"version {snap.version} is empty")
+        return self._scan(files, snap.dvs)
+
+    def _scan(self, files: list[str], dvs: dict | None) -> DataFrame:
+        """Plan a scan over ``files`` with DELETION VECTORS applied: a
+        codegen predicate over the scan's hidden ``_metadata``
+        (file_path + row_index) — no join, so ``_metadata`` stays
+        addressable downstream (DELETE/MERGE locate touched files
+        through it) and whole-stage codegen keeps the scan fused. Every
+        internal file-scoped read MUST route here: a raw
+        ``spark.read.parquet`` of a DV-carrying file would resurrect
+        its soft-deleted rows."""
+        live = set(files)
         paths = [os.path.join(self.path, f) for f in files]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        dvs_abs = {
+            os.path.join(self.path, f): r
+            for f, r in (dvs or {}).items()
+            if f in live and r
+        }
+        if dvs_abs:
+            df = df.filter(_dv_not_deleted_expr(dvs_abs))
+        return df
 
     def history(self) -> list[Snapshot]:
         return [self._load(v) for v in self._versions()]
@@ -1161,20 +1318,78 @@ class SnapshotTable:
     def delete(self, predicate) -> Snapshot:
         """Row-level DELETE: rewrite only files that contain matching
         rows; every other file carries over untouched (copy-on-write at
-        file granularity — Delta's exact DELETE strategy)."""
+        file granularity — Delta's exact DELETE strategy). Rewritten
+        files PURGE their deletion vectors (survivors come from the
+        DV-filtered scan, and the removed file's DV dies with it)."""
         prev = self.snapshot()
         cur = self.read()
         touched_abs = self._touched_files(cur, lambda d: d.filter(predicate))
         if not touched_abs:
             return self._commit("delete", prev.version, [])
         touched_rel = frozenset(self._relativize(p) for p in touched_abs)
-        survivors = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*touched_abs)
-            .filter(~predicate)
+        survivors = self._scan(sorted(touched_rel), prev.dvs).filter(
+            ~predicate
         )
         new_files = self._write_batch(survivors) if survivors.limit(1).count() else []
         return self._commit("delete", prev.version, new_files, remove=touched_rel)
+
+    def delete_mor(
+        self, predicate, max_deleted_rows: int = 100_000
+    ) -> Snapshot:
+        """Row-level DELETE, MERGE-ON-READ: instead of rewriting the
+        files that hold matching rows (:meth:`delete`'s copy-on-write),
+        record their row indices as DELETION VECTORS in the manifest —
+        a pure METADATA commit (Delta DVs / Iceberg v2 position
+        deletes). The 100 TB fit: a GDPR delete of one user's thousand
+        rows scattered across thousand 128 MB files costs one JSON
+        write instead of a 128 GB rewrite. Readers subtract DVs via a
+        codegen ``_metadata`` predicate; COW rewrites and
+        :meth:`compact` PURGE them (the accumulated-DV maintenance
+        story is exactly Delta's: OPTIMIZE re-materializes).
+
+        Honesty bounds, enforced not documented:
+
+        - a file whose live rows ALL match is removed from the
+          manifest outright (cheaper than a DV covering the file);
+        - more than ``max_deleted_rows`` matches falls back to
+          :meth:`delete` — DV runs live in the manifest JSON, so a
+          table-sized delete through DVs would turn the metadata into
+          the table; COW is the right tool there."""
+        prev = self.snapshot()
+        cur = self.read()  # DV-filtered: already-deleted rows can't re-match
+        matched = cur.filter(predicate).select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        rows = matched.limit(max_deleted_rows + 1).collect()
+        if len(rows) > max_deleted_rows:
+            return self.delete(predicate)
+        if not rows:
+            return self._commit("delete_mor", prev.version, [])
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            by_file.setdefault(self._relativize(r.fp), []).append(r.ri)
+        dv_add: dict = {}
+        fully_gone: set[str] = set()
+        prev_dvs = prev.dvs or {}
+        for f, idx in by_file.items():
+            nrows_stat = (prev.stats or {}).get(f, {}).get("_nrows")
+            live_rows = (
+                nrows_stat[0] - _ranges_count(prev_dvs.get(f, []))
+                if nrows_stat
+                else None
+            )
+            if live_rows is not None and len(idx) >= live_rows:
+                fully_gone.add(f)  # last live row gone: drop the file
+            else:
+                dv_add[f] = _ranges_from_indices(idx)
+        return self._commit(
+            "delete_mor",
+            prev.version,
+            [],
+            remove=frozenset(fully_gone),
+            dv_add=dv_add,
+        )
 
     def delete_keys(
         self,
@@ -1197,10 +1412,8 @@ class SnapshotTable:
         if not touched_abs:
             return self._commit("delete", prev.version, [], txn=txn)
         touched_rel = frozenset(self._relativize(p) for p in touched_abs)
-        survivors = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*touched_abs)
-            .join(kdf, key_cols, "left_anti")
+        survivors = self._scan(sorted(touched_rel), prev.dvs).join(
+            kdf, key_cols, "left_anti"
         )
         new_files = (
             self._write_batch(survivors) if survivors.limit(1).count() else []
@@ -1231,10 +1444,8 @@ class SnapshotTable:
         )
         touched_rel = frozenset(self._relativize(p) for p in touched_abs)
         if touched_abs:
-            survivors = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*touched_abs)
-                .join(keys, key_cols, "left_anti")
+            survivors = self._scan(sorted(touched_rel), prev.dvs).join(
+                keys, key_cols, "left_anti"
             )
             rewrite = survivors.unionByName(source, allowMissingColumns=True)
         else:
@@ -1287,6 +1498,7 @@ class SnapshotTable:
             None,
             {ab(f): b for f, b in (snap.blooms or {}).items()},
             {ab(f): p for f, p in (snap.parts or {}).items()},
+            {ab(f): r for f, r in (snap.dvs or {}).items()},
         )
         os.makedirs(os.path.join(dst.path, _MANIFEST_DIR), exist_ok=True)
         body = {
@@ -1423,7 +1635,8 @@ class SnapshotTable:
             nr = (snap.stats or {}).get(f, {}).get("_nrows")
             if nr is None:
                 return None
-            total += nr[0]
+            # deletion vectors subtract exactly (runs carry their size)
+            total += nr[0] - _ranges_count((snap.dvs or {}).get(f, []))
         return total
 
     def partitions(self, version: int | None = None) -> list[dict]:
@@ -1442,7 +1655,11 @@ class SnapshotTable:
             key = tuple((snap.parts or {}).get(f, {}).get(c) for c in names)
             nf, nr = counts.get(key, (0, 0))
             fr = (snap.stats or {}).get(f, {}).get("_nrows")
-            counts[key] = (nf + 1, None if nr is None or fr is None else nr + fr[0])
+            dv = _ranges_count((snap.dvs or {}).get(f, []))
+            counts[key] = (
+                nf + 1,
+                None if nr is None or fr is None else nr + fr[0] - dv,
+            )
         return [
             {**dict(zip(names, k)), "num_files": nf, "num_rows": nr}
             for k, (nf, nr) in sorted(
@@ -1537,12 +1754,16 @@ class SnapshotTable:
 
     def rollback(self, version: int) -> Snapshot:
         """Restore an old version AS A NEW COMMIT (history is never
-        rewritten — the bad versions stay auditable)."""
+        rewritten — the bad versions stay auditable). The target
+        version's deletion vectors are restored with its files —
+        without them the rollback would resurrect soft-deleted rows."""
+        tgt = self.snapshot(version)
         return self._commit(
             "rollback",
             self.snapshot().version,
-            list(self.snapshot(version).files),
+            list(tgt.files),
             replace_all=True,
+            dv_add={f: r for f, r in (tgt.dvs or {}).items()},
         )
 
     def compact(
@@ -1606,9 +1827,9 @@ class SnapshotTable:
             ]
             if len(small) < 2:
                 return prev  # nothing worth packing: no empty commit
-            packed_src = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in small]
-            )
+            # DV-aware: packing re-materializes only LIVE rows, and the
+            # removed files' deletion vectors die with them (the purge)
+            packed_src = self._scan(small, prev.dvs)
             remove, replace_all = frozenset(small), False
         packed = (
             packed_src.coalesce(target_files)
@@ -1696,32 +1917,52 @@ class SnapshotTable:
 
     def file_changes(
         self, v_lo: int, v_hi: int
-    ) -> list[tuple[int, str, list[str], list[str]]]:
-        """Per-commit ``(version, operation, added, removed)`` file
-        lists for versions ``(v_lo, v_hi]`` — pure manifest work, no
-        data reads. Delta manifests carry their add/remove lists
-        directly; FULL (checkpoint) manifests diff against the prior
-        version's resolved file set (bounded by the checkpoint
-        interval). Raises ``FileNotFoundError``/``LookupError`` when the
-        range's manifests expired under vacuum — the caller's signal
-        that incremental consumption is unprovable."""
-        out: list[tuple[int, str, list[str], list[str]]] = []
-        prev_files: set | None = None
+    ) -> list[tuple[int, str, list[str], list[str], dict]]:
+        """Per-commit ``(version, operation, added, removed, dv_delta)``
+        for versions ``(v_lo, v_hi]`` — pure manifest work, no data
+        reads. ``dv_delta`` = ``{relpath: [[start, end), ...]}`` row
+        runs NEWLY soft-deleted by that commit (merge-on-read deletes:
+        no file add/remove, but rows changed — consumers that treated
+        file lists as the whole story would silently skip them). Delta
+        manifests carry their add/remove/add_dvs directly; FULL
+        (checkpoint) manifests diff against the prior version's
+        resolved state (bounded by the checkpoint interval). Raises
+        ``FileNotFoundError``/``LookupError`` when the range's
+        manifests expired under vacuum — the caller's signal that
+        incremental consumption is unprovable."""
+        out: list[tuple[int, str, list[str], list[str], dict]] = []
+        prev_snap: Snapshot | None = None
         for v in range(v_lo + 1, v_hi + 1):
             raw = self._raw(v)
             op = raw.get("operation", "")
             if "files" in raw or "shard_index" in raw:
-                cur = set(self._load(v).files)
-                if prev_files is None:
-                    prev_files = set(self._load(v - 1).files) if v > 1 else set()
+                cur_snap = self._load(v)
+                if prev_snap is None:
+                    prev_snap = (
+                        self._load(v - 1)
+                        if v > 1
+                        else Snapshot(0, 0, "", [])
+                    )
+                cur = set(cur_snap.files)
+                prev_files = set(prev_snap.files)
                 added = sorted(cur - prev_files)
                 removed = sorted(prev_files - cur)
-                prev_files = cur
+                dv_delta = {}
+                prev_dvs = prev_snap.dvs or {}
+                for f, r in (cur_snap.dvs or {}).items():
+                    if f in added:
+                        continue  # re-added with DVs (rollback): the
+                        # file diff already carries its full state
+                    new = _ranges_subtract(r, prev_dvs.get(f, []))
+                    if new:
+                        dv_delta[f] = new
+                prev_snap = cur_snap
             else:
                 added = sorted(raw.get("add", []))
                 removed = sorted(raw.get("remove", []))
-                prev_files = None  # only needed ahead of a checkpoint diff
-            out.append((v, op, added, removed))
+                dv_delta = dict(raw.get("add_dvs", {}))
+                prev_snap = None  # only needed ahead of a checkpoint diff
+            out.append((v, op, added, removed, dv_delta))
         return out
 
     def _read_files(self, relpaths: list[str]) -> DataFrame:
@@ -1761,12 +2002,14 @@ class SnapshotTable:
             v_hi = self.snapshot().version
         per_commit = self.file_changes(v_lo, v_hi)
         out: DataFrame | None = None
-        for v, op, added, removed in per_commit:
-            if op in ("compact", "zorder") or (not added and not removed):
+        for v, op, added, removed, dv_delta in per_commit:
+            if op in ("compact", "zorder") or (
+                not added and not removed and not dv_delta
+            ):
                 continue  # layout-only / metadata-only: no row changes
             gone = [
                 f
-                for f in added + removed
+                for f in added + removed + sorted(dv_delta)
                 if not os.path.exists(os.path.join(self.path, f))
             ]
             if gone:
@@ -1774,13 +2017,18 @@ class SnapshotTable:
                     f"change feed at v{v} needs vacuumed data file(s), "
                     f"e.g. {gone[0]!r}"
                 )
-            post = self._read_files(added) if added else None
-            pre = self._read_files(removed) if removed else None
-            if pre is None:
+            # pre-images apply the PRIOR version's deletion vectors
+            # (already-dead rows are not deleted again); post-images
+            # apply this version's (a rollback re-adds files WITH DVs)
+            dvs_prev = self._load(v - 1).dvs if removed else None
+            dvs_cur = self._load(v).dvs if added else None
+            post = self._scan(added, dvs_cur) if added else None
+            pre = self._scan(removed, dvs_prev) if removed else None
+            if pre is None and post is not None:
                 delta = post.withColumn("_change_type", F.lit("insert"))
-            elif post is None:
+            elif post is None and pre is not None:
                 delta = pre.withColumn("_change_type", F.lit("delete"))
-            else:
+            elif pre is not None and post is not None:
                 pre, post = _align_columns(pre, post)
                 delta = (
                     post.exceptAll(pre)
@@ -1790,6 +2038,28 @@ class SnapshotTable:
                             "_change_type", F.lit("delete")
                         )
                     )
+                )
+            else:
+                delta = None
+            if dv_delta:
+                # merge-on-read deletes: emit exactly the newly-DV'd
+                # rows (read scoped to those files, filtered to the new
+                # runs — rows live at v-1 by construction)
+                sel = ~_dv_not_deleted_expr(
+                    {
+                        os.path.join(self.path, f): r
+                        for f, r in dv_delta.items()
+                    }
+                )
+                dv_rows = (
+                    self._read_files(sorted(dv_delta))
+                    .filter(sel)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                delta = (
+                    dv_rows
+                    if delta is None
+                    else delta.unionByName(dv_rows, allowMissingColumns=True)
                 )
             delta = delta.withColumn(
                 "_commit_version", F.lit(v).cast("long")
