@@ -232,3 +232,19 @@ def test_clone_carries_dvs(spark, table, tmp_path):
     table.delete_mor(F.col("id") % 5 == 0)
     clone = table.clone_to(str(tmp_path / "branch"))
     assert _ids(clone) == [i for i in range(20) if i % 5 != 0]
+
+
+def test_dv_commit_on_stale_base_raises(spark, table):
+    """A deletion-vector commit REMOVES ROWS, so it does not commute
+    with a concurrent writer: based on a stale HEAD it must raise, not
+    soft-delete rows of a table state it never saw."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+    )
+
+    stale = table.snapshot().version
+    table.append(_df(spark, 100, 105))
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(
+            "delete_mor", stale, [], dv_add={table.snapshot().files[0]: [[0, 1]]}
+        )

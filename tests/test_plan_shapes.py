@@ -720,3 +720,51 @@ def test_r7_query_plans_stay_jvm_side(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_dv_filter_keeps_pushdown_and_codegen(spark, tmp_path):
+    """The deletion-vector predicate composes ABOVE the scan without
+    breaking it: user predicates still push into the parquet reader,
+    and the DV filter itself runs inside whole-stage codegen (no join,
+    no python). If DVs ever became a join, _metadata would stop being
+    addressable and every COW path would silently break first."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dvp"))
+    t.create(
+        spark.range(0, 5000)
+        .coalesce(2)
+        .select(F.col("id").cast("int").alias("id"), (F.col("id") * 2.0).alias("v"))
+    )
+    t.delete_mor(F.col("id") % 97 == 0)
+    plan = plan_of(t.read().filter(F.col("id") > 2500))
+    assert "GreaterThan(id,2500)" in plan  # user predicate reaches the scan
+    assert "Join" not in plan  # DV application is a predicate, not a join
+    import re
+
+    assert re.search(r"\(\d+\) Filter \[codegen id", plan), plan
+
+
+def test_net_changes_is_one_aggregate_no_window(spark):
+    """CDC net-per-key effect must stay a single max(struct) aggregate:
+    a row_number window would funnel every key through a sort, and at
+    100 TB the sync's cost would stop being O(changed files)."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.cdc import (
+        net_changes,
+    )
+
+    chg = spark.createDataFrame(
+        [(1, "a", "insert", 2), (1, "a", "delete", 2), (2, "b", "delete", 3)],
+        "id int, val string, _change_type string, _commit_version long",
+    )
+    ups, dels = net_changes(chg, ["id"])
+    for df in (ups, dels):
+        plan = simple_plan_of(df)
+        assert "Window" not in plan
+        assert plan.count("Exchange") <= 1, plan
