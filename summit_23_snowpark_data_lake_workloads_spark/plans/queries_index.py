@@ -2304,3 +2304,110 @@ def lakehouse_dv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+def _constraints_audit_oracle() -> str:
+    """Final state = the two good batches (all events); every rejection
+    flag = 1 and the version counter proves nothing landed from the
+    three rejected writes / the invalid ADD CONSTRAINT."""
+    return """
+    SELECT 'state' AS probe, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS sum_event_id
+    FROM events
+    UNION ALL SELECT 'bad_append_rejected', 1, 0
+    UNION ALL SELECT 'version_unchanged_after_reject', 1, 0
+    UNION ALL SELECT 'invalid_add_constraint_rejected', 1, 0
+    UNION ALL SELECT 'new_constraint_enforced', 1, 0
+    """
+
+
+@query("lakehouse_constraints_audit", oracle=_constraints_audit_oracle())
+def lakehouse_constraints_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side CHECK constraints under the driver gate (r10 —
+    Delta's ``ALTER TABLE ADD CONSTRAINT`` / write-time enforcement;
+    the write-side twin of the read-side Deequ suites in
+    ``operators/validate.py``): constraints are TABLE state persisted
+    in every manifest, and a violating batch is rejected in ONE
+    aggregate pass BEFORE any file lands — a constraint that only
+    fires on read is a constraint the bad data already escaped.
+
+    Lifecycle: CREATE events (%2==0) with ``event_id IS NOT NULL`` /
+    ``value IS NOT NULL`` -> good append (%2==1) -> a NULL-id batch
+    is REJECTED (flag) with the version counter unchanged (flag) ->
+    ``add_constraint`` that EXISTING rows violate is rejected after
+    its validation scan (flag — Delta's ADD CONSTRAINT rule) ->
+    ``add_constraint(event_id >= 0)`` succeeds (existing data proves
+    it) -> a negated-id batch is rejected by the EVOLVED set (flag,
+    enforced through a FRESH handle: the constraint came from the
+    manifest, not the process). Final state hash-gates that exactly
+    the two good batches landed.
+
+    Scale: enforcement is one aggregate over the BATCH (all
+    constraints in a single job), zero cost on tables without
+    constraints; ADD CONSTRAINT is one scan of the table, then
+    metadata-only.
+    """
+    from ..sources.lakehouse import (
+        ConstraintViolationError,
+        SnapshotTable,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_cc_audit_")
+    try:
+        t = SnapshotTable(
+            spark,
+            os.path.join(tmp, "fact"),
+            check_constraints={
+                "id_nn": "event_id IS NOT NULL",
+                "val_nn": "value IS NOT NULL",
+            },
+        )
+        t.create(ev.filter(F.col("event_id") % 2 == 0))
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        v_before = t.snapshot().version
+
+        bad_rejected = 0
+        try:
+            t.append(
+                ev.limit(10).select(
+                    F.lit(None).cast("long").alias("event_id"), "ts", "value"
+                )
+            )
+        except ConstraintViolationError:
+            bad_rejected = 1
+        version_unchanged = int(t.snapshot().version == v_before)
+
+        invalid_add_rejected = 0
+        try:
+            t.add_constraint("ids_are_even", "event_id % 2 = 0")
+        except ConstraintViolationError:
+            invalid_add_rejected = 1
+        t.add_constraint("id_nonneg", "event_id >= 0")
+
+        fresh = SnapshotTable(spark, t.path)  # constraints from manifest
+        new_enforced = 0
+        try:
+            fresh.append(
+                ev.limit(10).select(
+                    (-F.col("event_id") - 1).alias("event_id"), "ts", "value"
+                )
+            )
+        except ConstraintViolationError:
+            new_enforced = 1
+
+        state = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        ).select(F.lit("state").alias("probe"), "n", "sum_event_id")
+        flags = spark.createDataFrame(
+            [
+                ("bad_append_rejected", bad_rejected, 0),
+                ("version_unchanged_after_reject", version_unchanged, 0),
+                ("invalid_add_constraint_rejected", invalid_add_rejected, 0),
+                ("new_constraint_enforced", new_enforced, 0),
+            ],
+            "probe string, n long, sum_event_id long",
+        )
+        return state.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -82,6 +82,13 @@ class ConcurrentWriteError(RuntimeError):
     state)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a table CHECK constraint —
+    rejected BEFORE any file landed (Delta's write-side enforcement:
+    a constraint that only fires on read is a constraint the bad data
+    already escaped)."""
+
+
 class CommitProtocol:
     """The atomic-visibility seam: how the next manifest becomes the one
     winner for its version number.
@@ -649,6 +656,7 @@ class SnapshotTable:
         bloom_cols: list[str] | None = None,
         commit_protocol: CommitProtocol | None = None,
         partition_by: list[str] | None = None,
+        check_constraints: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -689,6 +697,22 @@ class SnapshotTable:
                     f"handle requested {list(partition_by)}"
                 )
             self.partition_by = existing
+        #: write-side CHECK constraints {name: sql_expr} — TABLE state
+        #: (Delta's ALTER TABLE ADD CONSTRAINT): persisted in every
+        #: manifest, re-read when a handle opens without them, and a
+        #: handle opened with a CONFLICTING set fails fast. A row where
+        #: the expression is FALSE rejects the WHOLE write before any
+        #: file lands (NULL passes — the SQL-standard CHECK rule).
+        self.check_constraints = dict(check_constraints or {})
+        stored_cc = self._table_constraints()
+        if stored_cc is not None:
+            if check_constraints is not None and dict(check_constraints) != stored_cc:
+                raise ValueError(
+                    f"table at {self.path} has CHECK constraints "
+                    f"{stored_cc}; handle requested {check_constraints} "
+                    "(use add_constraint/drop_constraint to evolve)"
+                )
+            self.check_constraints = stored_cc
         #: resolved spec — identity fields plus Iceberg-style transforms
         #: (``day(ts)``, ``truncate(4, sku)``, …); field NAMES (``ts_day``)
         #: are what manifests record and partition predicates target
@@ -732,6 +756,85 @@ class SnapshotTable:
         if not versions:
             return None
         return list(self._raw(versions[-1]).get("partition_by") or [])
+
+    def _table_constraints(self) -> dict[str, str] | None:
+        """The committed table's CHECK constraints (None if no version
+        yet). Commit-local field like ``partition_by``."""
+        versions = self._versions()
+        if not versions:
+            return None
+        return dict(self._raw(versions[-1]).get("constraints") or {})
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Reject a write whose rows violate any CHECK constraint — ONE
+        aggregate pass over the batch (all constraints' violation
+        counts in a single job), run only when constraints exist.
+        Violation = expression strictly FALSE (NULL passes, the SQL
+        CHECK rule). Enforced on EVERY write path — appends, merges,
+        and internal COW rewrites alike (Delta's behavior: rewritten
+        rows re-prove the invariant)."""
+        if not self.check_constraints:
+            return
+        names = sorted(self.check_constraints)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(self.check_constraints[n]), F.lit(True)
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = {n: row[n] for n in names if row[n]}
+        if bad:
+            raise ConstraintViolationError(
+                f"write rejected: CHECK constraint violation counts {bad} "
+                f"(constraints: { {n: self.check_constraints[n] for n in bad} })"
+            )
+
+    def add_constraint(self, name: str, sql_expr: str) -> Snapshot:
+        """ADD a CHECK constraint: validates ALL existing rows first
+        (one scan — Delta's ADD CONSTRAINT does the same; an invariant
+        the current data already violates is a lie), then records it
+        as a metadata-only commit. Future writes enforce it."""
+        if name in self.check_constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        trial = dict(self.check_constraints)
+        trial[name] = sql_expr
+        old = self.check_constraints
+        if self._versions():
+            self.check_constraints = {name: sql_expr}
+            try:
+                self._enforce_constraints(self.read())
+            except BaseException:
+                self.check_constraints = old
+                raise
+        self.check_constraints = trial
+        try:
+            return self._commit("add_constraint", self.snapshot().version, [])
+        except BaseException:
+            self.check_constraints = old
+            raise
+
+    def drop_constraint(self, name: str) -> Snapshot:
+        """DROP a CHECK constraint — metadata-only commit."""
+        if name not in self.check_constraints:
+            raise ValueError(f"no constraint {name!r}")
+        old = self.check_constraints
+        self.check_constraints = {
+            k: v for k, v in old.items() if k != name
+        }
+        try:
+            return self._commit(
+                "drop_constraint", self.snapshot().version, []
+            )
+        except BaseException:
+            self.check_constraints = old
+            raise
 
     # ---------------------------------------------------------------- io
 
@@ -1059,6 +1162,8 @@ class SnapshotTable:
                 }
             if self.partition_by:
                 body_d["partition_by"] = self.partition_by
+            if self.check_constraints:
+                body_d["constraints"] = self.check_constraints
             if txn is not None:
                 body_d["txn"] = txn
             body = json.dumps(body_d)
@@ -1069,7 +1174,11 @@ class SnapshotTable:
     def _write_batch(self, df: DataFrame) -> list[str]:
         """Write ``df`` as a new immutable batch dir; return the parquet
         files created (relative paths). Partitioned tables route through
-        :meth:`_write_batch_parts` (alignment is a write-path invariant)."""
+        :meth:`_write_batch_parts` (alignment is a write-path invariant);
+        CHECK constraints are enforced here so EVERY write path —
+        user appends and internal COW rewrites alike — proves them
+        before any file lands."""
+        self._enforce_constraints(df)
         if self.partition_by:
             return list(self._write_batch_parts(df))
         batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
@@ -1511,11 +1620,17 @@ class SnapshotTable:
                 if self.partition_by
                 else {}
             ),
+            **(
+                {"constraints": self.check_constraints}
+                if self.check_constraints
+                else {}
+            ),
         }
         if not dst.commit_protocol.publish(
             dst._manifest_path(1), json.dumps(body)
         ):
             raise ConcurrentWriteError(f"clone race at {dst_path}")
+        dst.check_constraints = dict(self.check_constraints)
         return dst
 
     def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
@@ -2135,6 +2250,11 @@ class SnapshotTable:
                             **(
                                 {"partition_by": self.partition_by}
                                 if self.partition_by
+                                else {}
+                            ),
+                            **(
+                                {"constraints": self.check_constraints}
+                                if self.check_constraints
                                 else {}
                             ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),
