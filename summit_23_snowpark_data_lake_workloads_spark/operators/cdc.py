@@ -110,6 +110,13 @@ def replicate_changes(
     except FileNotFoundError:
         return full_resync()  # pre-images vacuumed: the retention boundary
     upserts, deleted_keys = net_changes(chg, key_cols)
+    # materialize once: each frame is consumed by several actions
+    # (existence probe, the key-scoped delete's file location, the
+    # merge's touched-file collect AND its write) — lazy, every action
+    # would re-read the feed's files and re-run the netting aggregate.
+    # Both are change-sized, so the checkpoint is cheap.
+    upserts = upserts.localCheckpoint(eager=True)
+    deleted_keys = deleted_keys.localCheckpoint(eager=True)
     have_dels = bool(deleted_keys.limit(1).count())
     have_ups = bool(upserts.limit(1).count())
     if have_dels:
