@@ -51,6 +51,9 @@ FORCE_REGATE: dict[str, int] = {
     # gained the GDPR-delete stage (plan + oracle changed too).
     "lakehouse_incremental_rollup_audit": 10,
     "medallion_incremental_audit": 10,
+    # r10: vacuum gained the in-flight orphan grace; the audit now
+    # backdates its planted orphan (plan changed).
+    "lakehouse_vacuum_audit": 10,
 }
 
 

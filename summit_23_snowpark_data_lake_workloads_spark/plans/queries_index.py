@@ -1483,6 +1483,11 @@ def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphan = _os.path.join(tmp, "data", "b-orphancrash", "part-0.parquet")
         _os.makedirs(_os.path.dirname(orphan), exist_ok=True)
         docs.limit(5).coalesce(1).toPandas().to_parquet(orphan)
+        # backdate past the in-flight grace: a crashed write is OLD by
+        # the time vacuum runs; a FRESH unreferenced file is treated as
+        # a possibly-in-flight commit and spared (r10 orphan grace)
+        _old = __import__("time").time() - 7200
+        _os.utime(orphan, (_old, _old))
         table.vacuum(retain_last=2)
 
         expired_gone = 1

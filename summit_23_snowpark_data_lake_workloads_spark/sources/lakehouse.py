@@ -2200,16 +2200,47 @@ class SnapshotTable:
             f"no data files in versions [{v_lo}, {v_hi}] to derive a schema"
         )
 
-    def vacuum(self, retain_last: int = 2) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 2, orphan_grace_ms: int = 3_600_000
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop
         the expired manifests. Time travel keeps working for the last
         ``retain_last`` versions; older versions are gone (the fail-safe
         retention boundary). Also collects orphans from crashed writes.
-        Returns the deleted data-file paths."""
+        Returns the deleted data-file paths.
+
+        ``orphan_grace_ms`` — the in-flight-commit guard: a WRITER's
+        data files land BEFORE its manifest publishes, so to a
+        concurrent vacuum they are indistinguishable from crash
+        orphans; deleting them would corrupt the commit the moment it
+        publishes. A file referenced by NO manifest at all (not even an
+        expired one) is therefore deleted only once it is older than
+        the grace (default 1 h — Delta's orphan-retention rule). Files
+        that EXPIRED manifests referenced are deleted regardless of
+        age: they are retention policy, not maybe-in-flight writes."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         keep_v = versions[-retain_last:]
+        # every file ANY manifest (retained or expired) ever resolved
+        # to — the set that separates "expired data" (delete now) from
+        # "true orphan" (grace-gated): folded BEFORE manifests drop
+        ever_ref = {f for v in versions for f in self._load(v).files}
+        ever_shards = {
+            s
+            for v in versions
+            for s in (self._raw(v).get("shard_index") or {})
+        }
+        now_ms = time.time() * 1000.0
+
+        def _orphan_expired(abs_path: str) -> bool:
+            try:
+                return (
+                    now_ms - os.path.getmtime(abs_path) * 1000.0
+                    >= orphan_grace_ms
+                )
+            except OSError:
+                return False
         # dropping expired manifests would also drop their txn stamps —
         # and last_committed_batch IS the streaming sinks' replay
         # detector, so a post-vacuum checkpoint replay would re-append
@@ -2264,8 +2295,10 @@ class SnapshotTable:
                 )
             os.replace(tmp, self._manifest_path(keep_v[0]))
         live = {f for v in keep_v for f in self._load(v).files}
-        # sweep shard sidecars referenced by NO retained manifest
-        # (expired checkpoints' shards + orphans from lost commit races)
+        # sweep shard sidecars referenced by NO retained manifest:
+        # expired checkpoints' shards go regardless of age; an UNKNOWN
+        # shard may belong to an in-flight commit (shards are plain
+        # writes before the manifest publishes) — grace-gated
         live_shards = {
             s
             for v in keep_v
@@ -2273,14 +2306,19 @@ class SnapshotTable:
         }
         sdir = os.path.join(self.path, _MANIFEST_DIR, "shards")
         for s in os.listdir(sdir) if os.path.isdir(sdir) else []:
-            if os.path.join("shards", s) not in live_shards:
+            rel_s = os.path.join("shards", s)
+            if rel_s in live_shards:
+                continue
+            if rel_s in ever_shards or _orphan_expired(
+                os.path.join(sdir, s)
+            ):
                 os.unlink(os.path.join(sdir, s))
         removed = []
         ddir = os.path.join(self.path, _DATA_DIR)
         for batch in os.listdir(ddir) if os.path.isdir(ddir) else []:
             bdir = os.path.join(ddir, batch)
             # bottom-up walk: partitioned batches nest _pk_<c>=<v> dirs
-            batch_live = False
+            keep_any = False
             for root, dirs, names in os.walk(bdir, topdown=False):
                 for f in names:
                     rel = os.path.normpath(
@@ -2288,11 +2326,15 @@ class SnapshotTable:
                     )
                     if f.endswith(".parquet"):
                         if rel in live:
-                            batch_live = True
-                        else:
+                            keep_any = True
+                        elif rel in ever_ref or _orphan_expired(
+                            os.path.join(root, f)
+                        ):
                             os.unlink(os.path.join(root, f))
                             removed.append(rel)
-            if not batch_live:
+                        else:
+                            keep_any = True  # maybe in-flight: spare dirs
+            if not keep_any:
                 # batch fully vacuumed; drop _SUCCESS/.crc sidecars + dirs
                 for root, dirs, names in os.walk(bdir, topdown=False):
                     for f in names:

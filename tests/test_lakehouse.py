@@ -181,12 +181,43 @@ def test_schema_evolution_append_new_column(spark, table):
 
 def test_crash_before_manifest_publishes_nothing(spark, table):
     """Orphan data files (a writer that died pre-commit) are invisible to
-    readers and collected by vacuum."""
+    readers and collected by vacuum ONCE OLD — a fresh unreferenced
+    file is indistinguishable from an IN-FLIGHT commit's pre-publish
+    batch, and deleting it would corrupt that commit the moment its
+    manifest lands (Delta's orphan-retention rule)."""
+    import time as _time
+
     orphan_dir = os.path.join(table.path, "data", "b-orphan")
     spark.range(5).write.parquet(orphan_dir)
     assert table.read().count() == 100  # reader sees only committed files
+    # fresh: spared by the grace (maybe in-flight)
+    removed = table.vacuum(retain_last=1)
+    assert not any("b-orphan" in f for f in removed)
+    # old: a genuine crash leftover — swept
+    old = _time.time() - 7200
+    for root, _d, names in os.walk(orphan_dir):
+        for f in names:
+            os.utime(os.path.join(root, f), (old, old))
     removed = table.vacuum(retain_last=1)
     assert any("b-orphan" in f for f in removed)
+
+
+def test_vacuum_spares_in_flight_commit(spark, table):
+    """The race the grace exists for, played out: a writer stages its
+    batch (files on disk, manifest not yet published), vacuum runs,
+    then the commit publishes — and must be fully readable."""
+    files = table._write_batch(
+        spark.range(500, 510).select("id", (F.col("id") % 5).alias("grp"))
+    )
+    base = table.snapshot().version
+    table.vacuum(retain_last=1)  # must NOT eat the staged batch
+    snap = table._commit("append", base, files)
+    assert table.read(version=snap.version).count() == 110
+    # expired-referenced files still vacuum regardless of age: delete
+    # then vacuum — the pre-delete version's rewritten files go young
+    table.delete(F.col("id") == 0)
+    removed = table.vacuum(retain_last=1)
+    assert removed  # the COW-replaced young files were swept
 
 
 def test_data_skipping_prunes_files(spark, tmp_path):
