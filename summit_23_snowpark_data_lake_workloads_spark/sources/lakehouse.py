@@ -263,34 +263,65 @@ def _balanced_or(conds: list) -> "F.Column":
     return conds[0]
 
 
-def _dv_not_deleted_expr(dvs_abs: dict) -> "F.Column":
+def _dv_not_deleted_expr(
+    dvs_abs: dict, fp_col: str = "_metadata.file_path",
+    ri_col: str = "_metadata.row_index",
+) -> "F.Column":
     """The read-path filter: TRUE for rows NOT covered by any DV.
-    Built over ``_metadata.file_path``/``_metadata.row_index``, so it
-    composes onto a raw parquet scan as a plain codegen predicate —
-    no join, and the scan's hidden ``_metadata`` stays addressable
-    downstream (DELETE/MERGE locate touched files through it).
-    ``dvs_abs`` keys are ABSOLUTE file paths.
+    Built over the scan's file path / row index (``_metadata`` fields,
+    or columns they were extracted into), so it composes onto a raw
+    parquet scan as a plain codegen predicate — no join, and the
+    scan's hidden ``_metadata`` stays addressable downstream
+    (DELETE/MERGE locate touched files through it). ``dvs_abs`` keys
+    are ABSOLUTE file paths.
 
     Expression-size discipline (a scattered delete produces thousands
-    of runs): single-row runs collapse into ONE ``isin`` — a flat
-    In/InSet node, hash-probed per row, one py4j call — and only the
-    genuinely clustered multi-row runs become range terms, OR-folded
-    as a balanced tree (a left-deep chain overflows the JVM stack
-    around ~2k terms)."""
-    ri = F.col("_metadata.row_index")
-    conds = []
+    of runs): single-row runs across ALL files collapse into ONE
+    ``isin`` over a combined ``file_id * 2^42 + row_index`` long key —
+    a single flat InSet, one hash probe per row, one py4j call — and
+    only the genuinely clustered multi-row runs become per-file range
+    terms, OR-folded as a balanced tree (a left-deep chain overflows
+    the JVM stack around ~2k terms). Callers hot enough to care
+    (``SnapshotTable._scan``) extract the two ``_metadata`` fields
+    into plain columns FIRST: every direct reference to a metadata
+    subfield re-materializes the struct per row, and with dozens of
+    references that was a measured 200x slowdown."""
+    fp, ri = F.col(fp_col), F.col(ri_col)
+    file_ids: list[tuple[str, int]] = []
+    combined: list[int] = []
+    range_conds = []
     for abs_path, ranges in sorted(dvs_abs.items()):
         singles = [int(s) for s, e in ranges if e - s == 1]
-        terms = [
-            (ri >= int(s)) & (ri < int(e)) for s, e in ranges if e - s > 1
-        ]
+        rngs = [(int(s), int(e)) for s, e in ranges if e - s > 1]
         if singles:
-            terms.append(ri.isin(singles))
-        if terms:
-            conds.append(
-                (F.col("_metadata.file_path") == f"file:{abs_path}")
-                & _balanced_or(terms)
+            fid = len(file_ids)
+            file_ids.append((abs_path, fid))
+            combined += [(fid << 42) | i for i in singles]
+        if rngs:
+            range_conds.append(
+                (fp == f"file:{abs_path}")
+                & _balanced_or([(ri >= s) & (ri < e) for s, e in rngs])
             )
+    conds = list(range_conds)
+    if combined:
+        # file id via ONE FLAT CASE on the extracted path column, then
+        # one InSet probe of the combined long key — emitted as a
+        # single SQL string parsed JVM-side: building a 50k-element
+        # .isin() Column-by-Column spent 41s in py4j Literal creation
+        # (the round-2 plan-build lesson, re-measured here); the same
+        # predicate as one F.expr parses in 0.4s. Non-DV files get id
+        # -1 -> negative key, which can never match (combined keys are
+        # all >= 0; row_index < 2^42 per file by construction).
+        case = " ".join(
+            "WHEN {} = 'file:{}' THEN {}".format(
+                fp_col, p.replace("'", "''"), fid
+            )
+            for p, fid in file_ids
+        )
+        key = f"((CASE {case} ELSE -1 END) * {1 << 42}L + {ri_col})"
+        conds.append(
+            F.expr(f"{key} IN ({','.join(map(str, sorted(combined)))})")
+        )
     return F.lit(True) if not conds else ~_balanced_or(conds)
 
 
@@ -1310,7 +1341,18 @@ class SnapshotTable:
             if f in live and r
         }
         if dvs_abs:
-            df = df.filter(_dv_not_deleted_expr(dvs_abs))
+            # extract the two _metadata fields ONCE: every direct
+            # reference to a metadata subfield re-materializes the
+            # whole struct per row (measured 200x on a 50k-run DV);
+            # projection + filter keep the scan's hidden _metadata
+            # addressable downstream, so COW file location still works
+            cols = df.columns
+            df = (
+                df.withColumn("__lh_fp", F.col("_metadata.file_path"))
+                .withColumn("__lh_ri", F.col("_metadata.row_index"))
+                .filter(_dv_not_deleted_expr(dvs_abs, "__lh_fp", "__lh_ri"))
+                .select(*cols)
+            )
         return df
 
     def history(self) -> list[Snapshot]:
@@ -2159,16 +2201,25 @@ class SnapshotTable:
             if dv_delta:
                 # merge-on-read deletes: emit exactly the newly-DV'd
                 # rows (read scoped to those files, filtered to the new
-                # runs — rows live at v-1 by construction)
+                # runs — rows live at v-1 by construction; metadata
+                # fields extracted once, same as _scan)
+                raw_rows = self._read_files(sorted(dv_delta))
+                cols = raw_rows.columns
                 sel = ~_dv_not_deleted_expr(
                     {
                         os.path.join(self.path, f): r
                         for f, r in dv_delta.items()
-                    }
+                    },
+                    "__lh_fp",
+                    "__lh_ri",
                 )
                 dv_rows = (
-                    self._read_files(sorted(dv_delta))
+                    raw_rows.withColumn(
+                        "__lh_fp", F.col("_metadata.file_path")
+                    )
+                    .withColumn("__lh_ri", F.col("_metadata.row_index"))
                     .filter(sel)
+                    .select(*cols)
                     .withColumn("_change_type", F.lit("delete"))
                 )
                 delta = (
