@@ -2416,3 +2416,95 @@ def lakehouse_constraints_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+def _rename_audit_oracle() -> str:
+    """Logical state per version around a rename: v1 create (%3==0),
+    v2 = the metadata-only rename commit (same rows), v3 appends %3==1
+    under the NEW name, v4 COW-deletes %7==0 through the map. All
+    versions present the logical view (the map is table metadata, so
+    time travel shows today's names — Delta column-mapping behavior)."""
+    stats = (
+        "count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id, "
+        "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_amount"
+    )
+    return f"""
+    SELECT 1::BIGINT AS version, 'state' AS probe, {stats}
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 2, 'state', {stats} FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 3, 'state', {stats} FROM events WHERE event_id % 3 < 2
+    UNION ALL
+    SELECT 4, 'state', {stats} FROM events
+    WHERE event_id % 3 < 2 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 2, 'metadata_only', 1, 1, 0.0
+    """
+
+
+@query("lakehouse_rename_audit", oracle=_rename_audit_oracle())
+def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN without rewrite under the driver gate (r10 —
+    Delta column mapping, one level: data files keep the physical
+    creation-time name forever; the manifest's logical->physical map
+    translates every read and write). Renaming a column of a 100 TB
+    table is ONE JSON commit.
+
+    Lifecycle: CREATE events(event_id, ts, value) (%3==0) -> RENAME
+    value -> amount (the ``metadata_only`` flag pins that the commit
+    moved NO data: identical file set) -> APPEND %3==1 writing the NEW
+    name (old and new files merge under one logical schema — no NULL
+    split) -> COW DELETE %7==0 (the rewrite path translates through
+    the map both ways). Probes: every version's logical-view
+    aggregates; the oracle recomputes them from raw events with the
+    new name aliased in SQL — a translation leak on either path breaks
+    the hash.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_rename_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        t.create(ev.filter(F.col("event_id") % 3 == 0))
+        files_before = set(t.snapshot().files)
+        snap = t.rename_column("value", "amount")
+        metadata_only = int(set(snap.files) == files_before)
+        t.append(
+            ev.filter(F.col("event_id") % 3 == 1).withColumnRenamed(
+                "value", "amount"
+            )
+        )
+        t.delete(F.col("event_id") % 7 == 0)
+
+        out = None
+        for v in (1, 2, 3, 4):
+            r = (
+                t.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("event_id").cast("long").alias("sum_event_id"),
+                    F.round(
+                        F.sum(F.col("amount").cast("decimal(28,9)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("sum_amount"),
+                )
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit("state").alias("probe"),
+                    "n",
+                    "sum_event_id",
+                    "sum_amount",
+                )
+            )
+            out = r if out is None else out.unionByName(r)
+        flag = spark.createDataFrame(
+            [(2, "metadata_only", metadata_only, metadata_only, 0.0)],
+            "version long, probe string, n long, sum_event_id long,"
+            " sum_amount double",
+        )
+        return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

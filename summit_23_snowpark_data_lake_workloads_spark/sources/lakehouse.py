@@ -735,6 +735,15 @@ class SnapshotTable:
         #: the expression is FALSE rejects the WHOLE write before any
         #: file lands (NULL passes — the SQL-standard CHECK rule).
         self.check_constraints = dict(check_constraints or {})
+        #: column mapping {logical: physical} — TABLE state enabling
+        #: RENAME COLUMN as a metadata-only commit (Delta column
+        #: mapping, one level: physical = the creation-time name,
+        #: forever). Data files ALWAYS store physical names; reads
+        #: present the logical view, writes translate back. Empty on
+        #: every table until the first rename (zero overhead).
+        self.column_map: dict[str, str] = dict(
+            self._table_column_map() or {}
+        )
         stored_cc = self._table_constraints()
         if stored_cc is not None:
             if check_constraints is not None and dict(check_constraints) != stored_cc:
@@ -795,6 +804,75 @@ class SnapshotTable:
         if not versions:
             return None
         return dict(self._raw(versions[-1]).get("constraints") or {})
+
+    def _table_column_map(self) -> dict[str, str] | None:
+        """The committed table's logical->physical column map (None if
+        no version yet). Commit-local field like ``partition_by``."""
+        versions = self._versions()
+        if not versions:
+            return None
+        return dict(self._raw(versions[-1]).get("column_map") or {})
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        """Physical file columns -> the table's logical view (no-op on
+        tables that never renamed)."""
+        for logical, physical in self.column_map.items():
+            if physical in df.columns:
+                df = df.withColumnRenamed(physical, logical)
+        return df
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Logical write frame -> the physical names files store."""
+        for logical, physical in self.column_map.items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, physical)
+        return df
+
+    def _physical_name(self, col: str) -> str:
+        return self.column_map.get(col, col)
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """RENAME COLUMN as a METADATA-ONLY commit (Delta column
+        mapping, one mapping level): data files keep the physical
+        (creation-time) name forever; every read presents ``new``,
+        every write accepts ``new`` and translates back. No data moves
+        — renaming a column of a 100 TB table is one JSON write.
+
+        Refusals, loud not silent: renaming a partition SOURCE column,
+        a bucket key, or a column a CHECK constraint mentions would
+        silently desynchronize derived state that stores the old name
+        — rewrite those definitions first."""
+        schema_cols = {f.name for f in self.table_schema().fields}
+        if old not in schema_cols:
+            raise ValueError(f"no column {old!r} to rename")
+        if new in schema_cols:
+            raise SchemaMismatchError(f"column {new!r} already exists")
+        blockers = [f.source for f in self._pfields if f.source == old]
+        if blockers:
+            raise ValueError(
+                f"cannot rename {old!r}: it is a partition source column"
+            )
+        if getattr(self, "bucket_col", None) == old:
+            raise ValueError(f"cannot rename {old!r}: it is the bucket key")
+        mentioned = [
+            n
+            for n, sql in self.check_constraints.items()
+            if re.search(rf"\b{re.escape(old)}\b", sql)
+        ]
+        if mentioned:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint(s) {mentioned} "
+                "mention it; drop and re-add them with the new name"
+            )
+        old_map = dict(self.column_map)
+        # chase through an earlier rename: physical stays the ORIGINAL
+        physical = self.column_map.pop(old, old)
+        self.column_map[new] = physical
+        try:
+            return self._commit("rename_column", self.snapshot().version, [])
+        except BaseException:
+            self.column_map = old_map
+            raise
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Reject a write whose rows violate any CHECK constraint — ONE
@@ -1195,6 +1273,8 @@ class SnapshotTable:
                 body_d["partition_by"] = self.partition_by
             if self.check_constraints:
                 body_d["constraints"] = self.check_constraints
+            if self.column_map:
+                body_d["column_map"] = self.column_map
             if txn is not None:
                 body_d["txn"] = txn
             body = json.dumps(body_d)
@@ -1208,8 +1288,11 @@ class SnapshotTable:
         :meth:`_write_batch_parts` (alignment is a write-path invariant);
         CHECK constraints are enforced here so EVERY write path —
         user appends and internal COW rewrites alike — proves them
-        before any file lands."""
+        before any file lands. Frames arrive in LOGICAL names
+        (constraints and partition sources speak logical) and are
+        translated to the files' PHYSICAL names last."""
         self._enforce_constraints(df)
+        df = self._to_physical(df)
         if self.partition_by:
             return list(self._write_batch_parts(df))
         batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
@@ -1309,6 +1392,10 @@ class SnapshotTable:
         if skip_where:
             stats = snap.stats or {}
             blooms = snap.blooms or {}
+            # footer stats/blooms are keyed by the files' PHYSICAL names
+            skip_where = [
+                (self._physical_name(c), op, v) for c, op, v in skip_where
+            ]
             files = [
                 f
                 for f in files
@@ -1353,7 +1440,8 @@ class SnapshotTable:
                 .filter(_dv_not_deleted_expr(dvs_abs, "__lh_fp", "__lh_ri"))
                 .select(*cols)
             )
-        return df
+        # files store PHYSICAL names; every consumer speaks LOGICAL
+        return self._to_logical(df)
 
     def history(self) -> list[Snapshot]:
         return [self._load(v) for v in self._versions()]
@@ -1395,6 +1483,16 @@ class SnapshotTable:
             raise SchemaMismatchError(
                 f"write adds new column(s) {new_cols}; pass "
                 "schema_evolution=True to evolve the table schema"
+            )
+        # a renamed column's PHYSICAL name stays reserved in the files:
+        # a new column reusing it would collide on the read path's
+        # physical->logical translation
+        reserved = set(self.column_map.values()) - set(self.column_map)
+        clash = [c for c in new_cols if c in reserved]
+        if clash:
+            raise SchemaMismatchError(
+                f"column name(s) {clash} are reserved physical names of "
+                f"renamed column(s) (column_map={self.column_map})"
             )
 
     # ------------------------------------------------------------ writes
@@ -1667,12 +1765,14 @@ class SnapshotTable:
                 if self.check_constraints
                 else {}
             ),
+            **({"column_map": self.column_map} if self.column_map else {}),
         }
         if not dst.commit_protocol.publish(
             dst._manifest_path(1), json.dumps(body)
         ):
             raise ConcurrentWriteError(f"clone race at {dst_path}")
         dst.check_constraints = dict(self.check_constraints)
+        dst.column_map = dict(self.column_map)
         return dst
 
     def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
@@ -1706,6 +1806,14 @@ class SnapshotTable:
         if missing:
             raise SchemaMismatchError(
                 f"partition spec names missing source column(s) {missing}"
+            )
+        renamed = [f.source for f in fields if f.source in self.column_map]
+        if renamed:
+            raise ValueError(
+                f"cannot partition by renamed column(s) {renamed}: data "
+                "files store the physical name, so the write-path "
+                "derivation would not resolve; partition by the "
+                "physical name or rewrite the table"
             )
         prev = self.snapshot()
         old_spec = self.partition_by
@@ -2213,15 +2321,14 @@ class SnapshotTable:
                     "__lh_fp",
                     "__lh_ri",
                 )
-                dv_rows = (
+                dv_rows = self._to_logical(
                     raw_rows.withColumn(
                         "__lh_fp", F.col("_metadata.file_path")
                     )
                     .withColumn("__lh_ri", F.col("_metadata.row_index"))
                     .filter(sel)
                     .select(*cols)
-                    .withColumn("_change_type", F.lit("delete"))
-                )
+                ).withColumn("_change_type", F.lit("delete"))
                 delta = (
                     dv_rows
                     if delta is None
@@ -2242,8 +2349,7 @@ class SnapshotTable:
             files = self._load(v).files
             if files:
                 return (
-                    self._read_files(files)
-                    .limit(0)
+                    self._to_logical(self._read_files(files).limit(0))
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(0).cast("long"))
                 )
@@ -2337,6 +2443,11 @@ class SnapshotTable:
                             **(
                                 {"constraints": self.check_constraints}
                                 if self.check_constraints
+                                else {}
+                            ),
+                            **(
+                                {"column_map": self.column_map}
+                                if self.column_map
                                 else {}
                             ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),

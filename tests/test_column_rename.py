@@ -1,0 +1,136 @@
+"""RENAME COLUMN without rewrite (sources/lakehouse.py column mapping,
+one level: physical = creation-time name forever): metadata-only
+commit, logical view on every read, writes translate back, derived
+state that stores the old name refuses the rename loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    SchemaMismatchError,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .coalesce(2)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2.0).alias("amount"),
+        )
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    return t
+
+
+def test_rename_is_metadata_only_and_reads_logical(spark, table):
+    files_before = set(table.snapshot().files)
+    snap = table.rename_column("amount", "price")
+    assert snap.operation == "rename_column"
+    assert set(snap.files) == files_before  # zero data movement
+    assert set(table.read().columns) == {"id", "price"}
+    assert table.read().agg(F.sum("price")).collect()[0][0] == 90.0
+
+
+def test_writes_accept_the_new_name(spark, table):
+    table.rename_column("amount", "price")
+    table.append(
+        spark.range(10, 13).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1.0).alias("price"),
+        )
+    )
+    got = table.read()
+    assert set(got.columns) == {"id", "price"}
+    assert got.count() == 13
+    # old and new files merge under one logical schema (no NULL split)
+    assert got.filter(F.col("price").isNull()).count() == 0
+
+
+def test_rename_survives_reopen_cow_and_clone(spark, table, tmp_path):
+    table.rename_column("amount", "price")
+    fresh = SnapshotTable(spark, table.path)  # map from the manifest
+    assert set(fresh.read().columns) == {"id", "price"}
+    fresh.delete(F.col("price") == 4.0)  # COW rewrite through the map
+    assert sorted(r.id for r in fresh.read().collect()) == [
+        i for i in range(10) if i != 2
+    ]
+    clone = fresh.clone_to(str(tmp_path / "branch"))
+    assert set(clone.read().columns) == {"id", "price"}
+
+
+def test_chained_rename_keeps_one_physical(spark, table):
+    table.rename_column("amount", "price")
+    table.rename_column("price", "total")
+    assert table.column_map == {"total": "amount"}
+    assert set(table.read().columns) == {"id", "total"}
+    v = table.snapshot().version
+    assert set(table.read(version=v).columns) == {"id", "total"}
+
+
+def test_skip_where_translates_to_physical(spark, table):
+    table.rename_column("amount", "price")
+    # stats are keyed by the physical name; the logical conjunct must
+    # still prune (and never wrongly drop) files
+    df = table.read(skip_where=[("price", ">=", 18.0)]).filter(
+        F.col("price") >= 18.0
+    )
+    assert sorted(r.id for r in df.collect()) == [9]
+
+
+def test_rename_refusals(spark, tmp_path):
+    part = SnapshotTable(spark, str(tmp_path / "p"), partition_by=["day(ts)"])
+    part.create(
+        spark.sql(
+            "SELECT id, timestamp'2024-01-02 03:00:00' AS ts FROM range(5)"
+        )
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        part.rename_column("ts", "event_ts")
+
+    cc = SnapshotTable(
+        spark,
+        str(tmp_path / "c"),
+        check_constraints={"pos": "amount >= 0"},
+    )
+    cc.create(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        cc.rename_column("amount", "price")
+
+    t = SnapshotTable(spark, str(tmp_path / "t2"))
+    t.create(_df(spark, 0, 5))
+    with pytest.raises(SchemaMismatchError, match="already exists"):
+        t.rename_column("amount", "id")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("ghost", "x")
+
+
+def test_reserved_physical_name_cannot_return(spark, table):
+    table.rename_column("amount", "price")
+    bad = spark.range(3).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit(1.0).alias("price"),
+        F.lit("x").alias("amount"),  # the reserved physical name
+    )
+    with pytest.raises(SchemaMismatchError, match="reserved physical"):
+        table.append(bad, schema_evolution=True)
+
+
+def test_rename_composes_with_dv_and_cdf(spark, table):
+    table.delete_mor(F.col("amount") >= 16.0)  # kills ids 8, 9
+    table.rename_column("amount", "price")
+    assert sorted(r.id for r in table.read().collect()) == list(range(8))
+    table.delete(F.col("price") == 0.0)  # COW through map + DV
+    chg = table.changes(3, 4).collect()
+    assert [(r._change_type, r.id, r.price) for r in chg] == [
+        ("delete", 0, 0.0)
+    ]
