@@ -2438,7 +2438,12 @@ def _rename_audit_oracle() -> str:
     SELECT 4, 'state', {stats} FROM events
     WHERE event_id % 3 < 2 AND event_id % 7 <> 0
     UNION ALL
+    SELECT 6, 'state', {stats} FROM events
+    WHERE (event_id % 3 < 2 AND event_id % 7 <> 0) OR event_id % 3 = 2
+    UNION ALL
     SELECT 2, 'metadata_only', 1, 1, 0.0
+    UNION ALL
+    SELECT 5, 'ts_dropped', 1, 1, 0.0
     """
 
 
@@ -2455,10 +2460,12 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved NO data: identical file set) -> APPEND %3==1 writing the NEW
     name (old and new files merge under one logical schema — no NULL
     split) -> COW DELETE %7==0 (the rewrite path translates through
-    the map both ways). Probes: every version's logical-view
-    aggregates; the oracle recomputes them from raw events with the
-    new name aliased in SQL — a translation leak on either path breaks
-    the hash.
+    the map both ways) -> DROP COLUMN ts (the drop twin, also
+    metadata-only: files keep the bytes, the ``ts_dropped`` flag pins
+    that readers never see them) -> APPEND %3==2 WITHOUT the dropped
+    column. Probes: every version's logical-view aggregates; the
+    oracle recomputes them from raw events with the new name aliased
+    in SQL — a translation leak on either path breaks the hash.
     """
     from ..sources.lakehouse import SnapshotTable
 
@@ -2476,9 +2483,16 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         t.delete(F.col("event_id") % 7 == 0)
+        t.drop_column("ts")
+        ts_dropped = int("ts" not in t.read().columns)
+        t.append(
+            ev.filter(F.col("event_id") % 3 == 2).select(
+                "event_id", F.col("value").alias("amount")
+            )
+        )
 
         out = None
-        for v in (1, 2, 3, 4):
+        for v in (1, 2, 3, 4, 6):
             r = (
                 t.read(version=v)
                 .agg(
@@ -2501,7 +2515,10 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = r if out is None else out.unionByName(r)
         flag = spark.createDataFrame(
-            [(2, "metadata_only", metadata_only, metadata_only, 0.0)],
+            [
+                (2, "metadata_only", metadata_only, metadata_only, 0.0),
+                (5, "ts_dropped", ts_dropped, ts_dropped, 0.0),
+            ],
             "version long, probe string, n long, sum_event_id long,"
             " sum_amount double",
         )

@@ -744,6 +744,13 @@ class SnapshotTable:
         self.column_map: dict[str, str] = dict(
             self._table_column_map() or {}
         )
+        #: physical column names DROPPED from the logical view — the
+        #: drop twin of ``column_map`` (metadata-only DROP COLUMN):
+        #: files keep the data, readers never see it, writers may not
+        #: reuse the name. TABLE state like the map.
+        self.dropped_cols: list[str] = list(
+            (self._table_dropped_cols() or [])
+        )
         stored_cc = self._table_constraints()
         if stored_cc is not None:
             if check_constraints is not None and dict(check_constraints) != stored_cc:
@@ -813,12 +820,21 @@ class SnapshotTable:
             return None
         return dict(self._raw(versions[-1]).get("column_map") or {})
 
+    def _table_dropped_cols(self) -> list[str] | None:
+        versions = self._versions()
+        if not versions:
+            return None
+        return list(self._raw(versions[-1]).get("dropped_cols") or [])
+
     def _to_logical(self, df: DataFrame) -> DataFrame:
         """Physical file columns -> the table's logical view (no-op on
-        tables that never renamed)."""
+        tables that never renamed or dropped)."""
         for logical, physical in self.column_map.items():
             if physical in df.columns:
                 df = df.withColumnRenamed(physical, logical)
+        gone = [c for c in self.dropped_cols if c in df.columns]
+        if gone:
+            df = df.drop(*gone)
         return df
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
@@ -872,6 +888,48 @@ class SnapshotTable:
             return self._commit("rename_column", self.snapshot().version, [])
         except BaseException:
             self.column_map = old_map
+            raise
+
+    def drop_column(self, col: str) -> Snapshot:
+        """DROP COLUMN as a METADATA-ONLY commit (the drop twin of
+        :meth:`rename_column`): files keep the bytes, the logical view
+        loses the column, writers may not reuse the name (it stays
+        reserved — the data is still in the files, and a new column
+        under the old name would resurrect it on translation).
+        Dropping the physical payload is what :meth:`compact` does
+        anyway — rewritten files are produced from the logical view.
+        Same refusal set as rename: partition sources, bucket keys,
+        and CHECK-constraint mentions must be rewritten first."""
+        schema_cols = {f.name for f in self.table_schema().fields}
+        if col not in schema_cols:
+            raise ValueError(f"no column {col!r} to drop")
+        if len(schema_cols) == 1:
+            raise ValueError("cannot drop the only column")
+        if any(f.source == col for f in self._pfields):
+            raise ValueError(
+                f"cannot drop {col!r}: it is a partition source column"
+            )
+        if getattr(self, "bucket_col", None) == col:
+            raise ValueError(f"cannot drop {col!r}: it is the bucket key")
+        mentioned = [
+            n
+            for n, sql in self.check_constraints.items()
+            if re.search(rf"\b{re.escape(col)}\b", sql)
+        ]
+        if mentioned:
+            raise ValueError(
+                f"cannot drop {col!r}: CHECK constraint(s) {mentioned} "
+                "mention it; drop them first"
+            )
+        old_map = dict(self.column_map)
+        old_dropped = list(self.dropped_cols)
+        physical = self.column_map.pop(col, col)
+        self.dropped_cols = sorted(set(old_dropped) | {physical})
+        try:
+            return self._commit("drop_column", self.snapshot().version, [])
+        except BaseException:
+            self.column_map = old_map
+            self.dropped_cols = old_dropped
             raise
 
     def _enforce_constraints(self, df: DataFrame) -> None:
@@ -1275,6 +1333,8 @@ class SnapshotTable:
                 body_d["constraints"] = self.check_constraints
             if self.column_map:
                 body_d["column_map"] = self.column_map
+            if self.dropped_cols:
+                body_d["dropped_cols"] = self.dropped_cols
             if txn is not None:
                 body_d["txn"] = txn
             body = json.dumps(body_d)
@@ -1484,15 +1544,20 @@ class SnapshotTable:
                 f"write adds new column(s) {new_cols}; pass "
                 "schema_evolution=True to evolve the table schema"
             )
-        # a renamed column's PHYSICAL name stays reserved in the files:
-        # a new column reusing it would collide on the read path's
+        # a renamed column's PHYSICAL name — and a DROPPED column's —
+        # stays reserved in the files: a new column reusing it would
+        # collide (or resurrect the dropped data) on the read path's
         # physical->logical translation
-        reserved = set(self.column_map.values()) - set(self.column_map)
+        reserved = (
+            set(self.column_map.values()) - set(self.column_map)
+        ) | set(self.dropped_cols)
         clash = [c for c in new_cols if c in reserved]
         if clash:
             raise SchemaMismatchError(
                 f"column name(s) {clash} are reserved physical names of "
-                f"renamed column(s) (column_map={self.column_map})"
+                f"renamed or dropped column(s) "
+                f"(column_map={self.column_map}, "
+                f"dropped={self.dropped_cols})"
             )
 
     # ------------------------------------------------------------ writes
@@ -1766,6 +1831,11 @@ class SnapshotTable:
                 else {}
             ),
             **({"column_map": self.column_map} if self.column_map else {}),
+            **(
+                {"dropped_cols": self.dropped_cols}
+                if self.dropped_cols
+                else {}
+            ),
         }
         if not dst.commit_protocol.publish(
             dst._manifest_path(1), json.dumps(body)
@@ -1773,6 +1843,7 @@ class SnapshotTable:
             raise ConcurrentWriteError(f"clone race at {dst_path}")
         dst.check_constraints = dict(self.check_constraints)
         dst.column_map = dict(self.column_map)
+        dst.dropped_cols = list(self.dropped_cols)
         return dst
 
     def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
@@ -2448,6 +2519,11 @@ class SnapshotTable:
                             **(
                                 {"column_map": self.column_map}
                                 if self.column_map
+                                else {}
+                            ),
+                            **(
+                                {"dropped_cols": self.dropped_cols}
+                                if self.dropped_cols
                                 else {}
                             ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),

@@ -134,3 +134,55 @@ def test_rename_composes_with_dv_and_cdf(spark, table):
     assert [(r._change_type, r.id, r.price) for r in chg] == [
         ("delete", 0, 0.0)
     ]
+
+def test_drop_column_metadata_only(spark, table):
+    files_before = set(table.snapshot().files)
+    snap = table.drop_column("amount")
+    assert snap.operation == "drop_column"
+    assert set(snap.files) == files_before  # files keep the bytes
+    assert set(table.read().columns) == {"id"}
+    # reopened handles see the drop (table state)
+    assert set(SnapshotTable(spark, table.path).read().columns) == {"id"}
+
+
+def test_dropped_name_is_reserved(spark, table):
+    table.drop_column("amount")
+    bad = spark.range(3).select(
+        F.col("id").cast("int").alias("id"), F.lit(9.0).alias("amount")
+    )
+    with pytest.raises(SchemaMismatchError, match="reserved physical"):
+        table.append(bad, schema_evolution=True)
+    # appends without it are fine, and merge under the logical schema
+    table.append(spark.range(20, 22).select(F.col("id").cast("int").alias("id")))
+    assert table.read().count() == 12
+
+
+def test_drop_renamed_column_and_compact_purges(spark, table):
+    table.rename_column("amount", "price")
+    table.drop_column("price")
+    assert table.column_map == {} and table.dropped_cols == ["amount"]
+    assert set(table.read().columns) == {"id"}
+    table.compact(target_files=1)
+    # rewritten files are produced from the logical view: payload gone
+    import pyarrow.parquet as pq
+    import os as _os
+
+    f = table.snapshot().files[0]
+    assert "amount" not in pq.ParquetFile(
+        _os.path.join(table.path, f)
+    ).schema_arrow.names
+
+
+def test_drop_refusals(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("ghost")
+    cc = SnapshotTable(
+        spark, str(tmp_path / "cc"),
+        check_constraints={"pos": "amount >= 0"},
+    )
+    cc.create(_df(spark, 0, 3))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        cc.drop_column("amount")
+    table.drop_column("amount")
+    with pytest.raises(ValueError, match="only column"):
+        table.drop_column("id")
