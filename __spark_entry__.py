@@ -38,22 +38,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    # r9 shipped these plan changes WITHOUT a regate (judge finding):
-    # pagerank moved to DECIMAL(38,0) contribution arithmetic (plan AND
-    # oracle); the exact-integer partition comparator sits on the
-    # partition/bucket audits' pruned-read path.
-    "pagerank_suppliers": 10,
-    "lakehouse_partition_audit": 10,
-    "lakehouse_bucket_audit": 10,
-    # r10: rollup refresh rewired (null-safe carry, version-pinned full,
-    # partition-level carry, CDF-incremental path through removals) —
-    # the audit's plan and oracle both changed; the medallion capstone
-    # gained the GDPR-delete stage (plan + oracle changed too).
-    "lakehouse_incremental_rollup_audit": 10,
-    "medallion_incremental_audit": 10,
-    # r10: vacuum gained the in-flight orphan grace; the audit now
-    # backdates its planted orphan (plan changed).
-    "lakehouse_vacuum_audit": 10,
+    # r9/r10 entries expired automatically (green r10 rows exist) and
+    # were pruned. r11 plan changes:
+    # - rollup's append-path delta read now routes through the fact's
+    #   LOGICAL scan (fact._scan — the rename-composition fix), and
+    #   the medallion capstone composes it;
+    "lakehouse_incremental_rollup_audit": 11,
+    "medallion_incremental_audit": 11,
+    # - file_changes/changes rewired: every manifest (full/checkpoint
+    #   included) records its own commit delta, changes() can serve
+    #   persisted sidecars, per-commit delta builder factored out —
+    #   the CDF/DV feeds and the CDC consumer all executed differently;
+    "lakehouse_cdf_audit": 11,
+    "lakehouse_dv_audit": 11,
+    "lakehouse_cdc_replication_audit": 11,
+    # - vacuum's oldest-retained rewrite preserves delta keys and the
+    #   sweep covers _changes sidecars;
+    "lakehouse_vacuum_audit": 11,
+    # - column mapping moved to one simultaneous projection
+    #   (_to_logical/_to_physical: the name-swap-chain fix);
+    "lakehouse_rename_audit": 11,
+    # - hour() transform refuses date OBJECTS (coarse-literal guard).
+    "lakehouse_partition_transform_audit": 11,
 }
 
 

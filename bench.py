@@ -268,7 +268,16 @@ def main() -> None:
         # only plan-shape regressions remain. Available once one prior
         # round recorded calibration_sec (r10+).
         if calib_floor and calibration:
-            drift = calibration / calib_floor
+            # Clamp drift at 1.0: the per-query floors are MINIMA across
+            # rounds (mostly recorded before calibration existed, on
+            # clean boxes), so a CURRENT box faster than the calibration
+            # floor's box must not INFLATE times by dividing by a <1
+            # ratio — that manufactured phantom regressions when the
+            # only recorded calibration anchor came from a contaminated
+            # round (r10, 0.944s vs ~0.4s clean; judge finding r10 #3).
+            # The min rule self-heals as clean rounds record anchors;
+            # the clamp protects the window until they do.
+            drift = max(1.0, calibration / calib_floor)
             payload["calibration_drift_ratio"] = round(drift, 3)
             payload["delta_vs_floor_pct_calibrated"] = {
                 name: round(100.0 * (t / drift - fq[name]) / fq[name], 1)

@@ -40,7 +40,6 @@ even across a crash between computing and committing.
 
 from __future__ import annotations
 
-import os
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -178,10 +177,14 @@ def refresh_rollup(
         # high-water mark without touching data
         rollup._commit("refresh_noop", rollup.snapshot().version, [], txn=txn)
         return "incremental"
-    spark = rollup.spark
-    delta = aggregate(
-        spark.read.parquet(*[os.path.join(fact.path, f) for f in added])
-    )
+    # read the delta through the fact's LOGICAL scan, never raw
+    # parquet: files store physical (creation-time) names, so after a
+    # rename_column a raw read would miss the renamed column — or, on
+    # a name-swap chain, silently aggregate the WRONG one. _scan also
+    # merges footers, so a mid-range schema evolution cannot drop a
+    # late-added sum column. Appended files carry no DVs at add time
+    # (this is the no-removals branch), hence dvs=None.
+    delta = aggregate(fact._scan(added, dvs=None))
     _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=False)
     return "incremental"
 

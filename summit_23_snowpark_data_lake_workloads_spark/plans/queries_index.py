@@ -2525,3 +2525,381 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.unionByName(flag).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _dv_merge_audit_oracle() -> str:
+    """Table state per version around a MERGE-ON-READ upsert: v1 =
+    events with event_id%3<2; v2 after merge_mor(source = %5==0 with
+    value+1000, key event_id) — matched old images DV'd, every source
+    row appended; v3 after delete_mor(%7==0) accumulating on top; v4
+    after compact (same rows, vectors purged). feed_* restates v2's
+    change feed: deletes = the matched keys' OLD images, inserts =
+    every source row (NEW images). n_meta mirrors n at every version
+    (metadata counts subtract DV runs exactly)."""
+    cur_val = (
+        "CASE WHEN event_id % 5 = 0 THEN value + 1000 ELSE value END"
+    )
+    stats_old = (
+        "count(*)::BIGINT AS n, count(*)::BIGINT AS n_meta, "
+        "sum(event_id)::BIGINT AS sum_event_id, "
+        "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    )
+    stats_cur = (
+        "count(*)::BIGINT, count(*)::BIGINT, sum(event_id)::BIGINT, "
+        f"round(sum(({cur_val})::DECIMAL(28,9))::DOUBLE, 4)"
+    )
+    return f"""
+    SELECT 1::BIGINT AS version, 'state' AS probe, {stats_old}
+    FROM events WHERE event_id % 3 < 2
+    UNION ALL
+    SELECT 2, 'state', {stats_cur}
+    FROM events WHERE event_id % 3 < 2 OR event_id % 5 = 0
+    UNION ALL
+    SELECT 3, 'state', {stats_cur}
+    FROM events
+    WHERE (event_id % 3 < 2 OR event_id % 5 = 0) AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 4, 'state', {stats_cur}
+    FROM events
+    WHERE (event_id % 3 < 2 OR event_id % 5 = 0) AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 2, 'feed_delete', {stats_old}
+    FROM events WHERE event_id % 5 = 0 AND event_id % 3 < 2
+    UNION ALL
+    SELECT 2, 'feed_insert', count(*)::BIGINT, count(*)::BIGINT,
+           sum(event_id)::BIGINT,
+           round(sum((value + 1000)::DECIMAL(28,9))::DOUBLE, 4)
+    FROM events WHERE event_id % 5 = 0
+    UNION ALL
+    SELECT 2, 'mor_no_rewrite', 1, 1, 0, 0.0
+    UNION ALL
+    SELECT 4, 'dv_purged', 1, 1, 0, 0.0
+    """
+
+
+@query("lakehouse_dv_merge_audit", oracle=_dv_merge_audit_oracle())
+def lakehouse_dv_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ upserts via DELETION VECTORS under the driver
+    gate (r11 — Delta's DV-backed MERGE, the upsert twin of
+    ``lakehouse_dv_audit``'s deletes): ``merge_mor`` soft-deletes the
+    matched target rows' positions and appends the source as new files
+    in ONE commit, instead of COW-rewriting every file that holds a
+    matched key. The 100 TB fit is the reference's continuously-
+    upserted enrichment feed (``04_sales_enrich_sp.sql:22``): a CDC
+    batch updating 10^4 keys scattered across 10^4 files costs one
+    source-sized write plus one JSON commit, not a ~1 TB rewrite.
+
+    Lifecycle: CREATE (event_id%3<2) -> merge_mor(%5==0, value+1000)
+    — the ``mor_no_rewrite`` flag pins that every pre-existing file
+    SURVIVED the commit (vectors, not rewrites) -> delete_mor(%7==0)
+    — delete vectors accumulate over merge vectors -> COMPACT — the
+    ``dv_purged`` flag pins re-materialization. Probes per version:
+    scan aggregates and metadata-only ``row_count`` (``n_meta``);
+    ``feed_delete``/``feed_insert`` gate the merge commit's change
+    feed — old images retract, new images insert, the exact
+    retraction-pair form rollup/CDC consumers fold.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_dv_merge_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        t.create(ev.filter(F.col("event_id") % 3 < 2))
+        files_v1 = set(t.snapshot().files)
+        t.merge_mor(
+            ev.filter(F.col("event_id") % 5 == 0).withColumn(
+                "value", F.col("value") + F.lit(1000.0)
+            ),
+            ["event_id"],
+        )
+        snap2 = t.snapshot()
+        mor_no_rewrite = int(
+            files_v1 <= set(snap2.files) and bool(snap2.dvs)
+        )
+        t.delete_mor(F.col("event_id") % 7 == 0)
+        t.compact(target_files=4)
+        dv_purged = int(not t.snapshot().dvs)
+
+        def agg(df, v, probe, n_meta=None):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("sum_value"),
+            )
+            return r.select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(probe).alias("probe"),
+                "n",
+                (
+                    F.lit(n_meta).cast("long")
+                    if n_meta is not None
+                    else F.col("n")
+                ).alias("n_meta"),
+                "sum_event_id",
+                "sum_value",
+            )
+
+        out = None
+        for v in (1, 2, 3, 4):
+            r = agg(t.read(version=v), v, "state", n_meta=t.row_count(version=v))
+            out = r if out is None else out.unionByName(r)
+        chg = t.changes(1, 2)
+        for ctype in ("delete", "insert"):
+            r = agg(
+                chg.filter(F.col("_change_type") == ctype),
+                2,
+                f"feed_{ctype}",
+            )
+            out = out.unionByName(r)
+        flags = spark.createDataFrame(
+            [
+                (2, "mor_no_rewrite", mor_no_rewrite, mor_no_rewrite, 0, 0.0),
+                (4, "dv_purged", dv_purged, dv_purged, 0, 0.0),
+            ],
+            "version long, probe string, n long, n_meta long,"
+            " sum_event_id long, sum_value double",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cdf_persisted_audit_oracle() -> str:
+    """Per-commit change feed served AFTER the pre-image files were
+    vacuumed: v2 COW delete (%6==0) — its pre-images expire under
+    vacuum(retain_last=3), so only the persisted sidecars can answer;
+    v3 append (%2==1); v4 merge (%9==0, value+500) over the live set.
+    state_final re-reads the table after everything."""
+    return """
+    SELECT 2::BIGINT AS version, 'delete' AS change,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id,
+           round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value
+    FROM events WHERE event_id % 6 = 0
+    UNION ALL
+    SELECT 3, 'insert', count(*)::BIGINT, sum(event_id)::BIGINT,
+           round(sum(value::DECIMAL(28,9))::DOUBLE, 4)
+    FROM events WHERE event_id % 2 = 1
+    UNION ALL
+    SELECT 4, 'delete', count(*)::BIGINT, sum(event_id)::BIGINT,
+           round(sum(value::DECIMAL(28,9))::DOUBLE, 4)
+    FROM events
+    WHERE event_id % 9 = 0 AND NOT (event_id % 2 = 0 AND event_id % 6 = 0)
+    UNION ALL
+    SELECT 4, 'insert', count(*)::BIGINT, sum(event_id)::BIGINT,
+           round(sum((value + 500)::DECIMAL(28,9))::DOUBLE, 4)
+    FROM events WHERE event_id % 9 = 0
+    UNION ALL
+    SELECT 0, 'state_final', count(*)::BIGINT, sum(event_id)::BIGINT,
+           round(sum((CASE WHEN event_id % 9 = 0 THEN value + 500
+                           ELSE value END)::DECIMAL(28,9))::DOUBLE, 4)
+    FROM events
+    WHERE NOT (event_id % 2 = 0 AND event_id % 6 = 0) OR event_id % 9 = 0
+    UNION ALL
+    SELECT 0, 'preimages_swept', 1, 0, 0.0
+    UNION ALL
+    SELECT 0, 'served_from_sidecars', 1, 0, 0.0
+    """
+
+
+@query("lakehouse_cdf_persisted_audit", oracle=_cdf_persisted_audit_oracle())
+def lakehouse_cdf_persisted_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSISTED change-data-feed mode under the driver gate (r11 —
+    Delta's ``delta.enableChangeDataFeed`` / ``_change_data``
+    directory): a ``cdf=True`` table writes every row-removing
+    commit's change rows as ``_changes/`` parquet sidecars BEFORE its
+    manifest publishes, so :meth:`SnapshotTable.changes` keeps serving
+    the commit after its pre-image data files are VACUUMED — the
+    feed's retention boundary moves from file retention to manifest
+    retention (compute-on-read raises there; r10's documented gap,
+    closed).
+
+    Lifecycle: CREATE events %2==0 (cdf on) -> COW DELETE %6==0 ->
+    APPEND %2==1 -> MERGE %9==0 (value+500; re-inserts the %18==0 rows
+    the delete removed) -> ``vacuum(retain_last=3)``: the delete's
+    pre-image files expire (``preimages_swept`` pins that files really
+    died), THEN the full feed ``changes(1, 4)`` is read and gated
+    per-commit — the delete/merge commits can only answer from their
+    sidecars (``served_from_sidecars`` pins that both manifests carry
+    ``change_files``). ``state_final`` proves the table itself is
+    intact. Scale: sidecar cost is O(each commit's change set), paid
+    once at write time; the read side also skips the pre/post
+    ``exceptAll`` recompute entirely.
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_cdf_persist_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "fact"), cdf=True)
+        t.create(ev.filter(F.col("event_id") % 2 == 0))
+        t.delete(F.col("event_id") % 6 == 0)
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        t.merge_mor(
+            ev.filter(F.col("event_id") % 9 == 0).withColumn(
+                "value", F.col("value") + F.lit(500.0)
+            ),
+            ["event_id"],
+        )
+        swept = t.vacuum(retain_last=3, orphan_grace_ms=0)
+        preimages_swept = int(bool(swept))
+        served_from_sidecars = int(
+            bool(t._raw(2).get("change_files"))
+            and bool(t._raw(4).get("change_files"))
+        )
+        chg = t.changes(1, 4)
+        agg = (
+            chg.groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("_commit_version").alias("version"),
+                F.col("_change_type").alias("change"),
+                "n",
+                "sum_event_id",
+                "sum_value",
+            )
+        )
+        final = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,9)")).cast("double"),
+                4,
+            ).alias("sum_value"),
+        ).select(
+            F.lit(0).cast("long").alias("version"),
+            F.lit("state_final").alias("change"),
+            "n",
+            "sum_event_id",
+            "sum_value",
+        )
+        flags = spark.createDataFrame(
+            [
+                (0, "preimages_swept", preimages_swept, 0, 0.0),
+                (0, "served_from_sidecars", served_from_sidecars, 0, 0.0),
+            ],
+            "version long, change string, n long, sum_event_id long,"
+            " sum_value double",
+        )
+        return agg.unionByName(final).unionByName(flags).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cdf_stream_audit_oracle() -> str:
+    """Silver state after each stream drain: drain 1 bootstraps from
+    the fact's full history (%3==0); drain 2 folds a row DELETE
+    (%7==0) and an APPEND (%3==1) per-commit. The flags pin the
+    micro-batch count of drain 2 and the crash-replay no-op."""
+    stats = (
+        "count(*)::BIGINT AS n_rows, "
+        "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    )
+    return f"""
+    SELECT 1::BIGINT AS drain, event_type AS probe, {stats}
+    FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 2, event_type, {stats}
+    FROM events
+    WHERE (event_id % 3 = 0 AND event_id % 7 <> 0) OR event_id % 3 = 1
+    GROUP BY event_type
+    UNION ALL
+    SELECT 0, 'micro_batches_drain2', 2, 0.0
+    UNION ALL
+    SELECT 0, 'replay_noop', 1, 0.0
+    """
+
+
+@query("streaming_cdf_silver_audit", oracle=_cdf_stream_audit_oracle())
+def streaming_cdf_silver_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE-FEED source under the driver gate (r11 —
+    ``streaming/cdf_source.py``): silver is maintained by DRAINING the
+    fact's change stream (micro-batch per commit, checkpointed
+    high-water offset) instead of a DAG-cadence batch refresh — the
+    last step toward the reference's always-on dynamic table
+    (architecture PNG; ``04_sales_enrich_sp.sql:22``).
+
+    Lifecycle: fact CREATE (event_id%3==0) -> drain 1 (bootstraps from
+    version 0: the whole history replays as inserts, like a Delta CDF
+    stream at startingVersion=0) -> fact row DELETE (%7==0) + APPEND
+    (%3==1) -> drain 2 (TWO micro-batches — the delete folds as
+    retractions, the append as additions; ``micro_batches_drain2``
+    pins the per-commit granularity). Then the stream's checkpoint is
+    DELETED and the drain re-run: the sink's txn stamps absorb the
+    replay (``replay_noop`` pins that silver's version did not move —
+    exactly-once through an at-least-once stream layer, the
+    Structured-Streaming two-layer contract). Both drains' full silver
+    states are hash-gated against the oracle's recompute.
+    """
+    from ..streaming.cdf_source import maintain_rollup_stream
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def prepare(df):
+        return df.select(
+            "event_type",
+            F.col("value").cast("decimal(28,9)").alias("value"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="lh_cdf_stream_audit_")
+    try:
+        fact = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        silver = SnapshotTable(spark, os.path.join(tmp, "silver"))
+        ckpt = os.path.join(tmp, "ckpt")
+        fact.create(ev.filter(F.col("event_id") % 3 == 0))
+        maintain_rollup_stream(
+            fact, silver, prepare, ["event_type"], ["value"], ckpt
+        )
+
+        def state(drain):
+            return silver.read().select(
+                F.lit(drain).cast("long").alias("drain"),
+                F.col("event_type").alias("probe"),
+                "n_rows",
+                F.round(F.col("sum_value").cast("double"), 4).alias(
+                    "sum_value"
+                ),
+            )
+
+        out = state(1)
+        fact.delete(F.col("event_id") % 7 == 0)
+        fact.append(ev.filter(F.col("event_id") % 3 == 1))
+        ranges = maintain_rollup_stream(
+            fact, silver, prepare, ["event_type"], ["value"], ckpt
+        )
+        out = out.unionByName(state(2))
+        v_before = silver.snapshot().version
+        os.unlink(os.path.join(ckpt, "offset.json"))  # lose the checkpoint
+        maintain_rollup_stream(
+            fact, silver, prepare, ["event_type"], ["value"], ckpt
+        )
+        replay_noop = int(silver.snapshot().version == v_before)
+        flags = spark.createDataFrame(
+            [
+                (0, "micro_batches_drain2", len(ranges), 0.0),
+                (0, "replay_noop", replay_noop, 0.0),
+            ],
+            "drain long, probe string, n_rows long, sum_value double",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -54,6 +54,12 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+#: persisted change-data-feed sidecar parquet lands here (one
+#: ``c-<uuid>`` dir per commit), written BEFORE the manifest publishes
+#: and referenced by the manifest's ``change_files`` list — Delta's
+#: ``_change_data`` directory, same visibility rule (unreferenced =
+#: invisible; a losing writer's sidecars are grace-gated orphans)
+_CHANGES_DIR = "_changes"
 #: a FULL manifest (complete file list) is checkpointed at every
 #: multiple of this version number; commits in between write DELTA
 #: manifests (add/remove only), so commit metadata stays proportional
@@ -65,6 +71,25 @@ _CHECKPOINT_EVERY = 8
 #: the sharded layout on real data; at 100 TB the constant is
 #: irrelevant — every table is far past it)
 _SHARD_CHECKPOINT_FILES = 64
+#: operations that CHANGE table metadata (constraints / column map /
+#: dropped columns / partition spec / CDF mode). They commit with the
+#: handle's updated cache as the intended new table state, so they must
+#: be based on the CURRENT head (a metadata commit racing anything is a
+#: lost update one way or the other), and every OTHER commit must prove
+#: its cached metadata still matches the head before persisting it —
+#: Delta replays metadata actions cumulatively from the log for exactly
+#: this reason; with commit-local metadata the equivalent is
+#: divergence = abort (ConcurrentWriteError), never silent overwrite.
+_META_OPS = frozenset(
+    {
+        "rename_column",
+        "drop_column",
+        "add_constraint",
+        "drop_constraint",
+        "evolve_partition_spec",
+        "enable_cdf",
+    }
+)
 
 
 class SchemaMismatchError(ValueError):
@@ -439,6 +464,17 @@ def _transform_literal(field: PartitionField, v):
         return v
     if field.transform in _TIME_FMT:
         if isinstance(v, (_dt.datetime, _dt.date)):
+            # a date OBJECT is day-granular: on an hour() table it is
+            # exactly the coarse literal the string branch refuses —
+            # strftime'ing %H would silently name the midnight
+            # partition instead (the r10 guard covered strings only)
+            if field.transform == "hour" and not isinstance(
+                v, _dt.datetime
+            ):
+                raise ValueError(
+                    f"literal {v!r} is coarser than the hour() partition "
+                    "transform; supply a datetime with hour granularity"
+                )
             py_fmt = {
                 "day": "%Y-%m-%d",
                 "month": "%Y-%m",
@@ -688,6 +724,7 @@ class SnapshotTable:
         commit_protocol: CommitProtocol | None = None,
         partition_by: list[str] | None = None,
         check_constraints: dict[str, str] | None = None,
+        cdf: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -760,6 +797,14 @@ class SnapshotTable:
                     "(use add_constraint/drop_constraint to evolve)"
                 )
             self.check_constraints = stored_cc
+        #: persisted CHANGE DATA FEED mode — TABLE state (Delta's
+        #: ``delta.enableChangeDataFeed``): when on, every commit that
+        #: removes rows (COW delete/merge, DV commits, partition drops)
+        #: also writes its change rows as parquet sidecars under
+        #: ``_changes/``, so :meth:`changes` survives the pre-image
+        #: files being vacuumed (within manifest retention). Off by
+        #: default: compute-on-read costs nothing at write time.
+        self.cdf = bool(cdf) or bool(self._table_cdf())
         #: resolved spec — identity fields plus Iceberg-style transforms
         #: (``day(ts)``, ``truncate(4, sku)``, …); field NAMES (``ts_day``)
         #: are what manifests record and partition predicates target
@@ -826,23 +871,87 @@ class SnapshotTable:
             return None
         return list(self._raw(versions[-1]).get("dropped_cols") or [])
 
+    def _table_cdf(self) -> bool:
+        versions = self._versions()
+        if not versions:
+            return False
+        return bool(self._raw(versions[-1]).get("cdf"))
+
+    def refresh_metadata(self) -> None:
+        """Re-read TABLE metadata (partition spec / CHECK constraints /
+        column map / dropped columns / CDF mode) from the latest
+        manifest into this handle — the recovery step after a
+        concurrent metadata commit made this handle's cache stale
+        (:meth:`_commit` aborts a data commit whose cached metadata
+        diverged from the head rather than silently erasing the other
+        writer's rename/constraint/drop)."""
+        if not self._versions():
+            return
+        self.partition_by = self._table_partition_by() or []
+        self._pfields = _parse_partition_spec(self.partition_by)
+        self.check_constraints = self._table_constraints() or {}
+        self.column_map = self._table_column_map() or {}
+        self.dropped_cols = self._table_dropped_cols() or []
+        self.cdf = self._table_cdf()
+
+    def _meta_base(self) -> int:
+        """Validate that this handle's cached table metadata matches the
+        committed HEAD, and return that head version — the commit base
+        every METADATA op must pin. A metadata op from a handle whose
+        cache is stale (another handle renamed / constrained / dropped
+        since it was opened) would otherwise persist the stale cache
+        and silently erase the other writer's metadata commit; pinning
+        the validated version also closes the window between this check
+        and the publish (``_commit`` aborts metadata ops whose base is
+        no longer the head)."""
+        head_v = self._versions()[-1]
+        head = self._raw(head_v)
+        if (
+            dict(head.get("constraints") or {}) != self.check_constraints
+            or dict(head.get("column_map") or {}) != self.column_map
+            or sorted(head.get("dropped_cols") or [])
+            != sorted(self.dropped_cols)
+            or list(head.get("partition_by") or []) != list(self.partition_by)
+            or bool(head.get("cdf")) != bool(self.cdf)
+        ):
+            raise ConcurrentWriteError(
+                "table metadata changed since this handle's snapshot "
+                f"(table at v{head_v}); call refresh_metadata() and retry"
+            )
+        return head_v
+
     def _to_logical(self, df: DataFrame) -> DataFrame:
         """Physical file columns -> the table's logical view (no-op on
-        tables that never renamed or dropped)."""
-        for logical, physical in self.column_map.items():
-            if physical in df.columns:
-                df = df.withColumnRenamed(physical, logical)
-        gone = [c for c in self.dropped_cols if c in df.columns]
-        if gone:
-            df = df.drop(*gone)
-        return df
+        tables that never renamed or dropped). One SIMULTANEOUS
+        projection, never column-at-a-time renames: a name-swap chain
+        (rename a->x then b->a) maps physical ``a``->``x`` and
+        ``b``->``a`` — sequential renames would transit a duplicate
+        column name and fail (or worse, mis-bind)."""
+        if not self.column_map and not self.dropped_cols:
+            return df
+        inv = {p: l for l, p in self.column_map.items()}
+        dropped = set(self.dropped_cols)
+        return df.select(
+            *[
+                F.col(c).alias(inv[c]) if c in inv else F.col(c)
+                for c in df.columns
+                if c not in dropped
+            ]
+        )
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
-        """Logical write frame -> the physical names files store."""
-        for logical, physical in self.column_map.items():
-            if logical in df.columns:
-                df = df.withColumnRenamed(logical, physical)
-        return df
+        """Logical write frame -> the physical names files store (the
+        same simultaneous-projection discipline as
+        :meth:`_to_logical`)."""
+        if not self.column_map:
+            return df
+        m = self.column_map
+        return df.select(
+            *[
+                F.col(c).alias(m[c]) if c in m else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     def _physical_name(self, col: str) -> str:
         return self.column_map.get(col, col)
@@ -858,6 +967,12 @@ class SnapshotTable:
         a bucket key, or a column a CHECK constraint mentions would
         silently desynchronize derived state that stores the old name
         — rewrite those definitions first."""
+        if not self._versions():
+            raise ValueError(
+                f"table at {self.path} has no committed version yet — "
+                "there is no schema to rename a column of; create() "
+                "the table first (or just name the column differently)"
+            )
         schema_cols = {f.name for f in self.table_schema().fields}
         if old not in schema_cols:
             raise ValueError(f"no column {old!r} to rename")
@@ -873,19 +988,25 @@ class SnapshotTable:
         mentioned = [
             n
             for n, sql in self.check_constraints.items()
-            if re.search(rf"\b{re.escape(old)}\b", sql)
+            # identifiers are case-insensitive in Spark SQL and may be
+            # backtick-quoted — match both or the rename silently
+            # desynchronizes the constraint
+            if re.search(
+                rf"(\b|`){re.escape(old)}(`|\b)", sql, re.IGNORECASE
+            )
         ]
         if mentioned:
             raise ValueError(
                 f"cannot rename {old!r}: CHECK constraint(s) {mentioned} "
                 "mention it; drop and re-add them with the new name"
             )
+        base_v = self._meta_base()
         old_map = dict(self.column_map)
         # chase through an earlier rename: physical stays the ORIGINAL
         physical = self.column_map.pop(old, old)
         self.column_map[new] = physical
         try:
-            return self._commit("rename_column", self.snapshot().version, [])
+            return self._commit("rename_column", base_v, [])
         except BaseException:
             self.column_map = old_map
             raise
@@ -900,6 +1021,12 @@ class SnapshotTable:
         anyway — rewritten files are produced from the logical view.
         Same refusal set as rename: partition sources, bucket keys,
         and CHECK-constraint mentions must be rewritten first."""
+        if not self._versions():
+            raise ValueError(
+                f"table at {self.path} has no committed version yet — "
+                "there is no schema to drop a column from; create() "
+                "the table first (or just omit the column)"
+            )
         schema_cols = {f.name for f in self.table_schema().fields}
         if col not in schema_cols:
             raise ValueError(f"no column {col!r} to drop")
@@ -914,19 +1041,22 @@ class SnapshotTable:
         mentioned = [
             n
             for n, sql in self.check_constraints.items()
-            if re.search(rf"\b{re.escape(col)}\b", sql)
+            if re.search(
+                rf"(\b|`){re.escape(col)}(`|\b)", sql, re.IGNORECASE
+            )
         ]
         if mentioned:
             raise ValueError(
                 f"cannot drop {col!r}: CHECK constraint(s) {mentioned} "
                 "mention it; drop them first"
             )
+        base_v = self._meta_base()
         old_map = dict(self.column_map)
         old_dropped = list(self.dropped_cols)
         physical = self.column_map.pop(col, col)
         self.dropped_cols = sorted(set(old_dropped) | {physical})
         try:
-            return self._commit("drop_column", self.snapshot().version, [])
+            return self._commit("drop_column", base_v, [])
         except BaseException:
             self.column_map = old_map
             self.dropped_cols = old_dropped
@@ -968,8 +1098,15 @@ class SnapshotTable:
         (one scan — Delta's ADD CONSTRAINT does the same; an invariant
         the current data already violates is a lie), then records it
         as a metadata-only commit. Future writes enforce it."""
+        if not self._versions():
+            raise ValueError(
+                f"table at {self.path} has no committed version yet — "
+                "pass check_constraints={...} to the constructor so the "
+                "first create() persists (and enforces) them"
+            )
         if name in self.check_constraints:
             raise ValueError(f"constraint {name!r} already exists")
+        base_v = self._meta_base()
         trial = dict(self.check_constraints)
         trial[name] = sql_expr
         old = self.check_constraints
@@ -982,25 +1119,55 @@ class SnapshotTable:
                 raise
         self.check_constraints = trial
         try:
-            return self._commit("add_constraint", self.snapshot().version, [])
+            return self._commit("add_constraint", base_v, [])
         except BaseException:
             self.check_constraints = old
             raise
 
     def drop_constraint(self, name: str) -> Snapshot:
         """DROP a CHECK constraint — metadata-only commit."""
+        if not self._versions():
+            raise ValueError(
+                f"table at {self.path} has no committed version yet — "
+                "edit the constructor's check_constraints instead"
+            )
         if name not in self.check_constraints:
             raise ValueError(f"no constraint {name!r}")
+        base_v = self._meta_base()
         old = self.check_constraints
         self.check_constraints = {
             k: v for k, v in old.items() if k != name
         }
         try:
-            return self._commit(
-                "drop_constraint", self.snapshot().version, []
-            )
+            return self._commit("drop_constraint", base_v, [])
         except BaseException:
             self.check_constraints = old
+            raise
+
+    def enable_cdf(self) -> Snapshot:
+        """Turn ON persisted change-data-feed mode as a metadata-only
+        commit (Delta's ``delta.enableChangeDataFeed``): every LATER
+        commit that removes rows also writes its change rows as
+        ``_changes/`` parquet sidecars, so :meth:`changes` keeps
+        serving those commits after their pre-image files are vacuumed
+        — the feed's retention boundary moves from file retention to
+        manifest retention. Commits BEFORE this one stay
+        compute-on-read (their pre-images were never persisted —
+        exactly Delta's rule: CDF starts at the enabling version)."""
+        if not self._versions():
+            raise ValueError(
+                f"table at {self.path} has no committed version yet — "
+                "pass cdf=True to the constructor so the table starts "
+                "in persisted-CDF mode"
+            )
+        if self.cdf:
+            raise ValueError("persisted CDF is already enabled")
+        base_v = self._meta_base()
+        self.cdf = True
+        try:
+            return self._commit("enable_cdf", base_v, [])
+        except BaseException:
+            self.cdf = False
             raise
 
     # ---------------------------------------------------------------- io
@@ -1226,6 +1393,8 @@ class SnapshotTable:
         replace_all: bool = False,
         txn: dict | None = None,
         dv_add: dict | None = None,
+        change_files: list[str] | None = None,
+        commute_ok=None,
     ) -> Snapshot:
         """Publish the next version as ``(base files - remove) + add``
         (or just ``add`` when ``replace_all``). Exclusive-create of the
@@ -1233,17 +1402,55 @@ class SnapshotTable:
         the two retry. On retry against a moved HEAD, the file delta is
         re-applied to the NEW latest — sound only for operations that
         commute (append, and no-op deltas); anything else — removes,
-        replace-all, and ``dv_add`` (a deletion-vector commit REMOVES
-        ROWS, so it does not commute either) — raises
+        replace-all, metadata commits, and ``dv_add`` (a deletion-vector
+        commit REMOVES ROWS, so it does not commute either) — raises
         :class:`ConcurrentWriteError` rather than silently dropping or
         resurrecting the other writer's rows (the lost-update anomaly).
+        EXCEPT: a caller that can prove its delta logically commutes
+        with the intervening commits passes ``commute_ok`` — a predicate
+        over :meth:`file_changes` tuples for ``(base_version, latest]``
+        — and the commit REBASES onto the new head instead of aborting
+        (Delta's logical-conflict check: two DV deletes on disjoint
+        files, partition-disjoint dynamic overwrites).
+
+        Metadata safety (the lost-update twin): every manifest carries
+        the table metadata (constraints / column map / dropped columns /
+        partition spec / CDF mode). Metadata commits (``_META_OPS``)
+        persist the handle's updated cache and therefore require the
+        head not to have moved AT ALL; every DATA commit proves its
+        cached metadata still MATCHES the head's before persisting it —
+        a stale handle's append can never silently erase a concurrent
+        rename/constraint/drop (call :meth:`refresh_metadata` and retry
+        instead).
 
         ``dv_add`` = ``{relpath: [[start, end), ...]}`` row-index runs
         to soft-delete, unioned onto whatever the base already
         soft-deleted in those files; a file in ``remove`` drops its DV
-        with it (COW rewrites and compaction PURGE deletion vectors)."""
+        with it (COW rewrites and compaction PURGE deletion vectors).
+
+        ``change_files`` — persisted CDF sidecar parquet (relative
+        paths, already written) recording this commit's change rows;
+        recorded in the manifest body so :meth:`changes` can serve the
+        commit after its pre-image files are vacuumed."""
         remove = remove or frozenset()
         dv_add = dv_add or {}
+        if (
+            self.cdf
+            and change_files is None
+            and not replace_all
+            and operation not in ("compact", "zorder")
+            and (remove or dv_add)
+        ):
+            # persisted-CDF mode: write this commit's change rows as
+            # sidecar parquet BEFORE publishing. Computed against
+            # base_version — still valid after a commute rebase, whose
+            # precondition is that no intervening commit touched our
+            # files. Appends persist nothing (their change set IS the
+            # added files); replace-all persists nothing (table-sized
+            # by definition — consumers full-recompute those).
+            change_files = self._persist_changes(
+                base_version, add, remove, dv_add
+            )
         # partition tuples are recoverable from the paths themselves
         add_parts = (
             {f: _parts_from_relpath(f) for f in add} if self.partition_by else {}
@@ -1252,11 +1459,45 @@ class SnapshotTable:
         while True:
             versions = self._versions()
             latest = versions[-1] if versions else 0
-            if latest != base_version and (remove or replace_all or dv_add):
-                raise ConcurrentWriteError(
-                    f"{operation} based on v{base_version}, but table is at "
-                    f"v{latest}; re-read and retry"
-                )
+            if latest != base_version and (
+                remove or replace_all or dv_add or operation in _META_OPS
+            ):
+                rebased = False
+                if (
+                    commute_ok is not None
+                    and not replace_all
+                    and operation not in _META_OPS
+                ):
+                    try:
+                        intervening = self.file_changes(base_version, latest)
+                    except (FileNotFoundError, LookupError):
+                        intervening = None
+                    if intervening is not None and commute_ok(intervening):
+                        base_version = latest
+                        rebased = True
+                if not rebased:
+                    raise ConcurrentWriteError(
+                        f"{operation} based on v{base_version}, but table "
+                        f"is at v{latest}; re-read and retry"
+                    )
+            if latest and operation not in _META_OPS:
+                head = self._raw(latest)
+                if (
+                    dict(head.get("constraints") or {})
+                    != self.check_constraints
+                    or dict(head.get("column_map") or {}) != self.column_map
+                    or sorted(head.get("dropped_cols") or [])
+                    != sorted(self.dropped_cols)
+                    or list(head.get("partition_by") or [])
+                    != list(self.partition_by)
+                    or bool(head.get("cdf")) != bool(self.cdf)
+                ):
+                    raise ConcurrentWriteError(
+                        f"{operation}: table metadata (constraints / column "
+                        "map / dropped columns / partition spec / CDF mode) "
+                        f"changed since this handle's snapshot (table at "
+                        f"v{latest}); call refresh_metadata() and retry"
+                    )
             if replace_all or not latest:
                 base_files, base_stats, base_blooms = [], {}, {}
                 base_parts = {}
@@ -1308,10 +1549,26 @@ class SnapshotTable:
             add_stats = {f: stats[f] for f in add if f in stats}
             add_blooms = {f: blooms[f] for f in add if f in blooms}
             if replace_all or not latest or next_v % _CHECKPOINT_EVERY == 0:
+                # FULL manifests also record their own commit delta
+                # (diffed for replace-all: a rollback re-adds files
+                # that never left) so file_changes/changes never need
+                # the PRIOR manifest — which vacuum may have expired
+                # (the persisted-CDF retention story) and whose fold
+                # a checkpoint-boundary diff would otherwise pay twice.
+                if replace_all and latest:
+                    prior = set(self._load(latest).files)
+                    add_rec = sorted(set(files) - prior)
+                    remove_rec = sorted(prior - set(files))
+                else:
+                    add_rec = sorted(add)
+                    remove_rec = sorted(remove)
                 body_d = {
                     "version": snap.version,
                     "timestamp_ms": snap.timestamp_ms,
                     "operation": snap.operation,
+                    "add": add_rec,
+                    "remove": remove_rec,
+                    **({"add_dvs": dv_add} if dv_add else {}),
                     **self._full_manifest_body(snap),
                 }
             else:
@@ -1335,6 +1592,10 @@ class SnapshotTable:
                 body_d["column_map"] = self.column_map
             if self.dropped_cols:
                 body_d["dropped_cols"] = self.dropped_cols
+            if self.cdf:
+                body_d["cdf"] = True
+            if change_files:
+                body_d["change_files"] = sorted(change_files)
             if txn is not None:
                 body_d["txn"] = txn
             body = json.dumps(body_d)
@@ -1697,12 +1958,29 @@ class SnapshotTable:
                 fully_gone.add(f)  # last live row gone: drop the file
             else:
                 dv_add[f] = _ranges_from_indices(idx)
+        # Logical-conflict granularity (Delta's check, not a blanket
+        # abort): two DV deletes whose touched FILES are disjoint
+        # commute — the final live set is identical in either order —
+        # so a concurrent delete_mor on other files rebases instead of
+        # raising. Anything else intervening (appends the predicate
+        # never saw, COW rewrites, compaction) still aborts.
+        mine = frozenset(dv_add) | fully_gone
+
+        def _dv_commutes(intervening) -> bool:
+            for _v, op, added, removed, dvd in intervening:
+                if op != "delete_mor" or added:
+                    return False
+                if (set(removed) | set(dvd)) & mine:
+                    return False
+            return True
+
         return self._commit(
             "delete_mor",
             prev.version,
             [],
             remove=frozenset(fully_gone),
             dv_add=dv_add,
+            commute_ok=_dv_commutes,
         )
 
     def delete_keys(
@@ -1772,6 +2050,87 @@ class SnapshotTable:
             txn=txn,
         )
 
+    def merge_mor(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        txn: dict | None = None,
+        schema_evolution: bool = False,
+        max_updated_rows: int = 100_000,
+    ) -> Snapshot:
+        """Row-level MERGE (upsert-by-key), MERGE-ON-READ: instead of
+        COW-rewriting every file that holds a matched key
+        (:meth:`merge`), soft-delete the matched target rows via
+        DELETION VECTORS and append the source as new files — old image
+        retracted and new image landed in ONE atomic commit (Delta's
+        DV-backed MERGE). The 100 TB fit is the upsert twin of
+        :meth:`delete_mor`: a CDC batch updating 10^4 keys scattered
+        across 10^4 128 MB files costs one source-sized write plus one
+        JSON commit, instead of a ~1 TB copy-on-write rewrite — exactly
+        the shape of the reference's continuously-upserted enrichment
+        feed (``04_sales_enrich_sp.sql:22``).
+
+        Honesty bounds, enforced not documented (same as delete_mor):
+
+        - a file whose live rows ALL matched is removed from the
+          manifest outright (cheaper than a DV covering the file);
+        - more than ``max_updated_rows`` matches falls back to
+          :meth:`merge` — DV runs live in the manifest JSON, so a
+          table-sized update through DVs would turn the metadata into
+          the table; COW is the right tool there.
+
+        Change-feed semantics: the commit surfaces as delete(old image)
+        rows (from the DV delta / removed files) plus insert(new image)
+        rows (the added source files) — the retraction-pair form
+        :meth:`changes` consumers (rollup, CDC) already fold. One
+        documented divergence from COW merge: a NO-OP update (source
+        row byte-identical to the target row) still emits its
+        delete+insert pair here — the pair nets to zero for every
+        additive consumer — whereas COW merge's ``exceptAll`` diff
+        emits nothing."""
+        prev = self.snapshot()
+        self._validate_write_schema(source, schema_evolution)
+        cur = self.read()  # DV-filtered: dead rows can't re-match
+        keys = source.select(*key_cols)
+        # extract the metadata fields BEFORE the semi-join so the plan
+        # keeps them addressable (same discipline as _touched_files)
+        matched = (
+            cur.withColumn("_lh_fp", F.col("_metadata.file_path"))
+            .withColumn("_lh_ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .select(F.col("_lh_fp").alias("fp"), F.col("_lh_ri").alias("ri"))
+        )
+        rows = matched.limit(max_updated_rows + 1).collect()
+        if len(rows) > max_updated_rows:
+            return self.merge(
+                source, key_cols, txn=txn, schema_evolution=schema_evolution
+            )
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            by_file.setdefault(self._relativize(r.fp), []).append(r.ri)
+        dv_add: dict = {}
+        fully_gone: set[str] = set()
+        prev_dvs = prev.dvs or {}
+        for f, idx in by_file.items():
+            nrows_stat = (prev.stats or {}).get(f, {}).get("_nrows")
+            live_rows = (
+                nrows_stat[0] - _ranges_count(prev_dvs.get(f, []))
+                if nrows_stat
+                else None
+            )
+            if live_rows is not None and len(idx) >= live_rows:
+                fully_gone.add(f)  # last live row replaced: drop the file
+            else:
+                dv_add[f] = _ranges_from_indices(idx)
+        return self._commit(
+            "merge_mor",
+            prev.version,
+            self._write_batch(source),
+            remove=frozenset(fully_gone),
+            dv_add=dv_add,
+            txn=txn,
+        )
+
     # ------------------------------------------------------- partitions
 
     def clone_to(self, dst_path: str) -> "SnapshotTable":
@@ -1836,6 +2195,7 @@ class SnapshotTable:
                 if self.dropped_cols
                 else {}
             ),
+            **({"cdf": True} if self.cdf else {}),
         }
         if not dst.commit_protocol.publish(
             dst._manifest_path(1), json.dumps(body)
@@ -1844,6 +2204,7 @@ class SnapshotTable:
         dst.check_constraints = dict(self.check_constraints)
         dst.column_map = dict(self.column_map)
         dst.dropped_cols = list(self.dropped_cols)
+        dst.cdf = self.cdf
         return dst
 
     def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
@@ -1886,12 +2247,12 @@ class SnapshotTable:
                 "derivation would not resolve; partition by the "
                 "physical name or rewrite the table"
             )
-        prev = self.snapshot()
+        base_v = self._meta_base()
         old_spec = self.partition_by
         self.partition_by = list(new_spec)
         self._pfields = fields
         try:
-            return self._commit("evolve_partition_spec", prev.version, [])
+            return self._commit("evolve_partition_spec", base_v, [])
         except BaseException:
             self.partition_by = old_spec
             self._pfields = _parse_partition_spec(old_spec)
@@ -2038,12 +2399,35 @@ class SnapshotTable:
             if tuple((prev.parts or {}).get(f, {}).get(n) for n in names)
             in touched
         )
+
+        # Logical-conflict granularity: commits that provably touched
+        # ONLY other partitions commute with this overwrite — a
+        # concurrent backfill of 2024-01-02 must not abort the backfill
+        # of 2024-01-03 (Delta's partition-disjoint replaceWhere rule).
+        # Every intervening added file must carry a recorded partition
+        # tuple OUTSIDE the touched set, and no intervening commit may
+        # have removed or DV'd a file this overwrite is replacing.
+        def _parts_commute(intervening) -> bool:
+            for _v, op, added, removed, dvd in intervening:
+                if op in ("overwrite", "rollback", "create"):
+                    return False  # replace-all: table-sized by definition
+                if (set(removed) | set(dvd)) & remove:
+                    return False
+                for f in added:
+                    vals = _parts_from_relpath(f)
+                    if any(n not in vals for n in names):
+                        return False  # pre-evolution / unknown layout
+                    if tuple(vals.get(n) for n in names) in touched:
+                        return False
+            return True
+
         return self._commit(
             "overwrite_partitions",
             prev.version,
             self._write_batch(df),
             remove=remove,
             txn=txn,
+            commute_ok=_parts_commute,
         )
 
     def drop_partitions(self, partition_where: list[tuple]) -> Snapshot:
@@ -2259,19 +2643,36 @@ class SnapshotTable:
         reads. ``dv_delta`` = ``{relpath: [[start, end), ...]}`` row
         runs NEWLY soft-deleted by that commit (merge-on-read deletes:
         no file add/remove, but rows changed — consumers that treated
-        file lists as the whole story would silently skip them). Delta
-        manifests carry their add/remove/add_dvs directly; FULL
-        (checkpoint) manifests diff against the prior version's
-        resolved state (bounded by the checkpoint interval). Raises
-        ``FileNotFoundError``/``LookupError`` when the range's
-        manifests expired under vacuum — the caller's signal that
-        incremental consumption is unprovable."""
+        file lists as the whole story would silently skip them). EVERY
+        manifest records its own commit delta (full/checkpoint
+        manifests included — diffed at commit time for replace-all
+        ops), so this never resolves a PRIOR version: vacuum may have
+        expired it, and that must not strand the change feed of a
+        retained commit (the persisted-CDF retention contract). A
+        snapshot-diff fallback covers manifests written before the
+        delta keys existed. Raises ``FileNotFoundError``/``LookupError``
+        when the range's manifests expired under vacuum — the caller's
+        signal that incremental consumption is unprovable."""
         out: list[tuple[int, str, list[str], list[str], dict]] = []
         prev_snap: Snapshot | None = None
         for v in range(v_lo + 1, v_hi + 1):
             raw = self._raw(v)
             op = raw.get("operation", "")
-            if "files" in raw or "shard_index" in raw:
+            if "add" in raw or "remove" in raw:
+                added = sorted(raw.get("add", []))
+                removed = sorted(raw.get("remove", []))
+                # DVs recorded ON a re-added file (rollback restores
+                # files WITH their vectors) are post-image state, not
+                # newly-deleted rows — the add already carries them
+                dv_delta = {
+                    f: r
+                    for f, r in raw.get("add_dvs", {}).items()
+                    if f not in set(added)
+                }
+                prev_snap = None  # only needed ahead of a legacy diff
+            elif "files" in raw or "shard_index" in raw:
+                # legacy full manifest without delta keys: diff against
+                # the prior version's resolved state
                 cur_snap = self._load(v)
                 if prev_snap is None:
                     prev_snap = (
@@ -2287,8 +2688,7 @@ class SnapshotTable:
                 prev_dvs = prev_snap.dvs or {}
                 for f, r in (cur_snap.dvs or {}).items():
                     if f in added:
-                        continue  # re-added with DVs (rollback): the
-                        # file diff already carries its full state
+                        continue  # re-added with DVs: see above
                     new = _ranges_subtract(r, prev_dvs.get(f, []))
                     if new:
                         dv_delta[f] = new
@@ -2297,7 +2697,7 @@ class SnapshotTable:
                 added = sorted(raw.get("add", []))
                 removed = sorted(raw.get("remove", []))
                 dv_delta = dict(raw.get("add_dvs", {}))
-                prev_snap = None  # only needed ahead of a checkpoint diff
+                prev_snap = None
             out.append((v, op, added, removed, dv_delta))
         return out
 
@@ -2305,6 +2705,106 @@ class SnapshotTable:
         return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in relpaths]
         )
+
+    def _persist_changes(
+        self,
+        base_version: int,
+        add: list[str],
+        remove: frozenset[str],
+        dv_add: dict,
+    ) -> list[str] | None:
+        """Materialize one commit's change rows as parquet sidecars
+        under ``_changes/`` (persisted CDF — Delta's ``_change_data``):
+        written before the manifest publishes, referenced by its
+        ``change_files`` list, so :meth:`changes` can serve the commit
+        AFTER its pre-image data files are vacuumed (the feed's
+        retention becomes manifest retention, not file retention).
+        Stored under PHYSICAL column names like any data file — later
+        renames keep old sidecars readable through the column map.
+        Cost: O(this commit's change set), paid once at write time —
+        the read side then skips the pre/post ``exceptAll`` entirely."""
+        base = self._load(base_version) if base_version else None
+        delta = self._delta_rows(
+            sorted(add),
+            sorted(remove),
+            dv_add,
+            (base.dvs if base else None),
+            {},  # freshly-added files never carry DVs
+        )
+        if delta is None:
+            return None
+        cdir = os.path.join(_CHANGES_DIR, f"c-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, cdir)
+        self._to_physical(delta).write.mode("error").parquet(out)
+        return [
+            os.path.join(cdir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    def _delta_rows(
+        self,
+        added: list[str],
+        removed: list[str],
+        dv_delta: dict,
+        dvs_prev: dict | None,
+        dvs_cur: dict | None,
+    ) -> DataFrame | None:
+        """LOGICAL change rows (with ``_change_type``) of ONE commit —
+        the multiset diff of its pre-image (removed files under the
+        PRIOR version's deletion vectors) vs its post-image (added
+        files under the commit's own), plus the rows its ``dv_delta``
+        newly soft-deleted. Shared by :meth:`changes` (compute-on-read)
+        and the persisted-CDF write path (:meth:`_persist_changes`),
+        so the two modes are the same arithmetic by construction."""
+        post = self._scan(added, dvs_cur) if added else None
+        pre = self._scan(removed, dvs_prev) if removed else None
+        if pre is None and post is not None:
+            delta = post.withColumn("_change_type", F.lit("insert"))
+        elif post is None and pre is not None:
+            delta = pre.withColumn("_change_type", F.lit("delete"))
+        elif pre is not None and post is not None:
+            pre, post = _align_columns(pre, post)
+            delta = (
+                post.exceptAll(pre)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    pre.exceptAll(post).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            )
+        else:
+            delta = None
+        if dv_delta:
+            # merge-on-read deletes: emit exactly the newly-DV'd
+            # rows (read scoped to those files, filtered to the new
+            # runs — rows live at the prior version by construction;
+            # metadata fields extracted once, same as _scan)
+            raw_rows = self._read_files(sorted(dv_delta))
+            cols = raw_rows.columns
+            sel = ~_dv_not_deleted_expr(
+                {
+                    os.path.join(self.path, f): r
+                    for f, r in dv_delta.items()
+                },
+                "__lh_fp",
+                "__lh_ri",
+            )
+            dv_rows = self._to_logical(
+                raw_rows.withColumn(
+                    "__lh_fp", F.col("_metadata.file_path")
+                )
+                .withColumn("__lh_ri", F.col("_metadata.row_index"))
+                .filter(sel)
+                .select(*cols)
+            ).withColumn("_change_type", F.lit("delete"))
+            delta = (
+                dv_rows
+                if delta is None
+                else delta.unionByName(dv_rows, allowMissingColumns=True)
+            )
+        return delta
 
     def changes(self, v_lo: int, v_hi: int | None = None) -> DataFrame:
         """Row-level CHANGE DATA FEED for versions ``(v_lo, v_hi]`` —
@@ -2343,68 +2843,49 @@ class SnapshotTable:
                 not added and not removed and not dv_delta
             ):
                 continue  # layout-only / metadata-only: no row changes
-            gone = [
-                f
-                for f in added + removed + sorted(dv_delta)
-                if not os.path.exists(os.path.join(self.path, f))
-            ]
-            if gone:
-                raise FileNotFoundError(
-                    f"change feed at v{v} needs vacuumed data file(s), "
-                    f"e.g. {gone[0]!r}"
-                )
-            # pre-images apply the PRIOR version's deletion vectors
-            # (already-dead rows are not deleted again); post-images
-            # apply this version's (a rollback re-adds files WITH DVs)
-            dvs_prev = self._load(v - 1).dvs if removed else None
-            dvs_cur = self._load(v).dvs if added else None
-            post = self._scan(added, dvs_cur) if added else None
-            pre = self._scan(removed, dvs_prev) if removed else None
-            if pre is None and post is not None:
-                delta = post.withColumn("_change_type", F.lit("insert"))
-            elif post is None and pre is not None:
-                delta = pre.withColumn("_change_type", F.lit("delete"))
-            elif pre is not None and post is not None:
-                pre, post = _align_columns(pre, post)
-                delta = (
-                    post.exceptAll(pre)
-                    .withColumn("_change_type", F.lit("insert"))
-                    .unionByName(
-                        pre.exceptAll(post).withColumn(
-                            "_change_type", F.lit("delete")
-                        )
+            cf = self._raw(v).get("change_files")
+            if cf:
+                # persisted CDF sidecars (table had cdf on at commit
+                # time): serve the commit's change rows from them —
+                # the pre-image data files may be vacuumed by now, and
+                # even when they are not, reading the sidecar skips
+                # the exceptAll recompute. Stored under PHYSICAL names
+                # so later renames translate like any data file.
+                missing = [
+                    f
+                    for f in cf
+                    if not os.path.exists(os.path.join(self.path, f))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed at v{v} needs vacuumed change "
+                        f"file(s), e.g. {missing[0]!r} (CDF retention "
+                        "= manifest retention; raise retain_last)"
                     )
-                )
+                delta = self._to_logical(self._read_files(cf))
             else:
-                delta = None
-            if dv_delta:
-                # merge-on-read deletes: emit exactly the newly-DV'd
-                # rows (read scoped to those files, filtered to the new
-                # runs — rows live at v-1 by construction; metadata
-                # fields extracted once, same as _scan)
-                raw_rows = self._read_files(sorted(dv_delta))
-                cols = raw_rows.columns
-                sel = ~_dv_not_deleted_expr(
-                    {
-                        os.path.join(self.path, f): r
-                        for f, r in dv_delta.items()
-                    },
-                    "__lh_fp",
-                    "__lh_ri",
-                )
-                dv_rows = self._to_logical(
-                    raw_rows.withColumn(
-                        "__lh_fp", F.col("_metadata.file_path")
+                gone = [
+                    f
+                    for f in added + removed + sorted(dv_delta)
+                    if not os.path.exists(os.path.join(self.path, f))
+                ]
+                if gone:
+                    raise FileNotFoundError(
+                        f"change feed at v{v} needs vacuumed data file(s), "
+                        f"e.g. {gone[0]!r}"
                     )
-                    .withColumn("__lh_ri", F.col("_metadata.row_index"))
-                    .filter(sel)
-                    .select(*cols)
-                ).withColumn("_change_type", F.lit("delete"))
-                delta = (
-                    dv_rows
-                    if delta is None
-                    else delta.unionByName(dv_rows, allowMissingColumns=True)
+                # pre-images apply the PRIOR version's deletion vectors
+                # (already-dead rows are not deleted again); post-images
+                # apply this version's (a rollback re-adds files WITH DVs)
+                delta = self._delta_rows(
+                    added,
+                    removed,
+                    dv_delta,
+                    self._load(v - 1).dvs if removed else None,
+                    self._load(v).dvs if added else None,
                 )
+            if delta is None:
+                continue
             delta = delta.withColumn(
                 "_commit_version", F.lit(v).cast("long")
             )
@@ -2459,6 +2940,18 @@ class SnapshotTable:
             for v in versions
             for s in (self._raw(v).get("shard_index") or {})
         }
+        # persisted-CDF sidecars referenced by any / by retained
+        # manifests — folded BEFORE manifests drop, like ever_ref
+        ever_cf = {
+            f
+            for v in versions
+            for f in (self._raw(v).get("change_files") or [])
+        }
+        live_cf = {
+            f
+            for v in keep_v
+            for f in (self._raw(v).get("change_files") or [])
+        }
         now_ms = time.time() * 1000.0
 
         def _orphan_expired(abs_path: str) -> bool:
@@ -2505,6 +2998,25 @@ class SnapshotTable:
                             "version": snap.version,
                             "timestamp_ms": snap.timestamp_ms,
                             "operation": snap.operation,
+                            # the commit's own delta identity survives
+                            # the rewrite: file_changes/changes of this
+                            # RETAINED version must not need the
+                            # about-to-expire prior manifest
+                            **(
+                                {"add": raw["add"]}
+                                if raw.get("add") is not None
+                                else {}
+                            ),
+                            **(
+                                {"remove": raw["remove"]}
+                                if raw.get("remove") is not None
+                                else {}
+                            ),
+                            **(
+                                {"add_dvs": raw["add_dvs"]}
+                                if raw.get("add_dvs")
+                                else {}
+                            ),
                             **self._full_manifest_body(snap),
                             **(
                                 {"partition_by": self.partition_by}
@@ -2524,6 +3036,12 @@ class SnapshotTable:
                             **(
                                 {"dropped_cols": self.dropped_cols}
                                 if self.dropped_cols
+                                else {}
+                            ),
+                            **({"cdf": True} if self.cdf else {}),
+                            **(
+                                {"change_files": raw["change_files"]}
+                                if raw.get("change_files")
                                 else {}
                             ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),
@@ -2551,6 +3069,33 @@ class SnapshotTable:
                 os.path.join(sdir, s)
             ):
                 os.unlink(os.path.join(sdir, s))
+        # sweep persisted-CDF sidecars exactly like data files: expired
+        # manifests' sidecars go with them (they are retention policy);
+        # sidecars referenced by NO manifest may belong to an in-flight
+        # commit (written before its manifest publishes) — grace-gated
+        cdir_root = os.path.join(self.path, _CHANGES_DIR)
+        for cbatch in os.listdir(cdir_root) if os.path.isdir(cdir_root) else []:
+            cbdir = os.path.join(cdir_root, cbatch)
+            keep_any = False
+            for root, _dirs, names in os.walk(cbdir, topdown=False):
+                for f in names:
+                    rel = os.path.normpath(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+                    if f.endswith(".parquet"):
+                        if rel in live_cf:
+                            keep_any = True
+                        elif rel in ever_cf or _orphan_expired(
+                            os.path.join(root, f)
+                        ):
+                            os.unlink(os.path.join(root, f))
+                        else:
+                            keep_any = True  # maybe in-flight: spare
+            if not keep_any:
+                for root, _dirs, names in os.walk(cbdir, topdown=False):
+                    for f in names:
+                        os.unlink(os.path.join(root, f))
+                    os.rmdir(root)
         removed = []
         ddir = os.path.join(self.path, _DATA_DIR)
         for batch in os.listdir(ddir) if os.path.isdir(ddir) else []:

@@ -1,0 +1,165 @@
+"""Streaming CHANGE-DATA-FEED source — a ``readStream``-shaped
+incremental consumer of a :class:`SnapshotTable`'s change feed, the
+last step toward the reference's always-on dynamic table (architecture
+PNG; the enrich step at ``04_sales_enrich_sp.sql:22`` consumes a
+continuously-maintained table). Where ``operators/rollup.py`` is the
+scheduled-DAG batch refresh ("bring silver up to date NOW, in one
+fold"), this is the stream form: micro-batch per commit range, a
+checkpointed high-water offset, and exactly-once end-to-end when the
+sink stamps the range's upper version as its ``txn`` batch id — the
+identical contract Structured Streaming's file source + Delta sink
+pair gives (offset log + idempotent sink), rebuilt on the table's own
+commit log because Spark has no DataSource V2 hook for a custom
+manifest format without a JVM plugin.
+
+The 100 TB shape: a drain reads O(files the pending commits touched)
+— per-commit cost is the change feed's cost model
+(``SnapshotTable.changes``), never O(table) except replace-all
+commits, whose change set is table-sized by definition and which the
+signed fold still applies CORRECTLY (the feed of an overwrite is the
+exact old->new multiset diff, so retraction folding survives even
+that; it is merely not cheap — schedule compaction-sized maintenance
+around replace-alls, or let the batch ``refresh_rollup`` take them
+with its pinned full recompute).
+
+Crash story, stated not hidden: the offset advances AFTER the
+processor returns, so a crash in between replays the micro-batch —
+at-least-once at this layer. A processor that writes through a
+lakehouse ``txn`` stamp (``maintain_rollup_stream`` below) makes the
+replay a metadata no-op: exactly-once end-to-end, the same two-layer
+design as Structured Streaming checkpoints + idempotent sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.rollup import N_ROWS, _apply_delta, _signed_delta
+from ..sources.lakehouse import SnapshotTable
+
+_OFFSET_FILE = "offset.json"
+
+
+class ChangeFeedStream:
+    """Checkpointed micro-batch reader over ``table.changes``.
+
+    ``drain(process)`` delivers every commit committed since the
+    stored offset as ``process(chg_df, v_lo, v_hi)`` calls —
+    ``availableNow`` semantics: one drain processes the backlog and
+    returns; call again on the next trigger. ``max_commits_per_batch``
+    bounds how many commits one micro-batch spans (default 1: the
+    per-commit granularity a latency-sensitive consumer wants; raise
+    it to amortize tiny commits). A fresh checkpoint starts at version
+    0, so the FIRST drain replays the table's whole history as inserts
+    — the stream is self-bootstrapping, exactly like starting a Delta
+    CDF stream at ``startingVersion = 0``."""
+
+    def __init__(
+        self,
+        table: SnapshotTable,
+        checkpoint_dir: str,
+        max_commits_per_batch: int = 1,
+    ):
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.max_commits_per_batch = max(1, int(max_commits_per_batch))
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _offset_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, _OFFSET_FILE)
+
+    def last_version(self) -> int:
+        """High-water mark: the newest table version already delivered
+        (0 = nothing yet)."""
+        try:
+            with open(self._offset_path()) as fh:
+                return int(json.load(fh)["last_version"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _store(self, version: int) -> None:
+        # temp + atomic rename: a crash mid-write can't corrupt the
+        # offset into a half-written JSON that parses as garbage
+        tmp = self._offset_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_version": version}, fh)
+        os.replace(tmp, self._offset_path())
+
+    def pending(self) -> tuple[int, int]:
+        """``(delivered_through, table_head)`` — equal means caught up."""
+        return self.last_version(), self.table.snapshot().version
+
+    def drain(self, process) -> list[tuple[int, int]]:
+        """Deliver all pending commits as micro-batches; return the
+        ``(v_lo, v_hi]`` ranges processed. The offset advances after
+        each ``process`` call returns (at-least-once here; see the
+        module docstring for the exactly-once composition)."""
+        lo, hi = self.pending()
+        out: list[tuple[int, int]] = []
+        v = lo
+        while v < hi:
+            w_hi = min(v + self.max_commits_per_batch, hi)
+            process(self.table.changes(v, w_hi), v, w_hi)
+            self._store(w_hi)
+            out.append((v, w_hi))
+            v = w_hi
+        return out
+
+
+def maintain_rollup_stream(
+    fact: SnapshotTable,
+    silver: SnapshotTable,
+    prepare,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    app_id: str = "cdf_stream",
+    max_commits_per_batch: int = 1,
+) -> list[tuple[int, int]]:
+    """Continuously-maintained silver rollup over ``fact``'s change
+    stream — the streaming twin of
+    :func:`..operators.rollup.refresh_rollup`: each drained
+    micro-batch folds its SIGNED per-group delta (inserts ``+``,
+    deletes ``-``) into ``silver``, stamped with the range's upper
+    fact version, so a crash-replayed batch is a metadata no-op
+    (exactly-once through the at-least-once stream layer). Returns the
+    ranges this drain processed.
+
+    ``prepare``/``group_cols``/``sum_cols`` contract is
+    ``refresh_rollup``'s. Additive aggregates only — the same
+    soundness boundary, because it is the same arithmetic."""
+    stream = ChangeFeedStream(
+        fact, checkpoint_dir, max_commits_per_batch=max_commits_per_batch
+    )
+
+    def process(chg: DataFrame, _v_lo: int, v_hi: int) -> None:
+        seen = (
+            silver.last_committed_batch(app_id)
+            if silver._versions()
+            else None
+        )
+        if seen is not None and v_hi <= seen:
+            return  # crash-replayed micro-batch: already folded
+        txn = {"app_id": app_id, "batch_id": v_hi}
+        delta = _signed_delta(
+            chg, prepare, group_cols, sum_cols
+        ).localCheckpoint(eager=True)
+        if not delta.limit(1).count():
+            # layout-/metadata-only range: advance the stamp without
+            # rewriting a single silver row
+            if silver._versions():
+                silver._commit(
+                    "refresh_noop", silver.snapshot().version, [], txn=txn
+                )
+            return
+        if not silver._versions():
+            # a multi-commit first batch can net a group to zero
+            silver.create(delta.filter(F.col(N_ROWS) > 0), txn=txn)
+            return
+        _apply_delta(silver, delta, group_cols, sum_cols, txn, signed=True)
+
+    return stream.drain(process)

@@ -1,0 +1,490 @@
+"""Round-11 lakehouse features: merge-on-read UPDATEs via deletion
+vectors (merge_mor), persisted change-data-feed mode (cdf=True /
+enable_cdf: change rows survive pre-image vacuum), finer multi-writer
+conflict granularity (disjoint DV deletes and partition-disjoint
+overwrites commute; overlaps still abort), and the metadata
+lost-update fix (a stale handle's data commit can no longer silently
+erase a concurrent rename/constraint — ConcurrentWriteError +
+refresh_metadata instead)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.rollup import (
+    refresh_rollup,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    ConcurrentWriteError,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi, grp=0):
+    # coalesce(2): multi-row files so partial updates exercise DVs
+    return (
+        spark.range(lo, hi)
+        .coalesce(2)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(grp).alias("grp"),
+            (F.col("id") * 2).cast("double").alias("v"),
+        )
+    )
+
+
+def _rows(t, **kw):
+    return sorted(
+        (r.id, r.grp, r.v) for r in t.read(**kw).collect()
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 20))
+    return t
+
+
+# --------------------------------------------------- merge-on-read UPDATE
+
+
+def test_merge_mor_upserts_without_rewriting(spark, table):
+    before_files = set(table.snapshot().files)
+    src = _df(spark, 15, 25, grp=9)  # 15..19 update, 20..24 insert
+    table.merge_mor(src, ["id"])
+    snap = table.snapshot()
+    # every pre-existing file survived (no COW rewrite); DVs carry the
+    # old images of the 5 updated keys
+    assert before_files <= set(snap.files)
+    assert snap.dvs and sum(
+        e - s for runs in snap.dvs.values() for s, e in runs
+    ) == 5
+    expect = [(i, 0, float(i * 2)) for i in range(15)] + [
+        (i, 9, float(i * 2)) for i in range(15, 25)
+    ]
+    assert _rows(table) == sorted(expect)
+
+
+def test_merge_mor_matches_cow_merge_result(spark, tmp_path):
+    a = SnapshotTable(spark, str(tmp_path / "cow"))
+    b = SnapshotTable(spark, str(tmp_path / "mor"))
+    a.create(_df(spark, 0, 20))
+    b.create(_df(spark, 0, 20))
+    src = _df(spark, 10, 30, grp=7)
+    a.merge(src, ["id"])
+    b.merge_mor(src, ["id"])
+    assert _rows(a) == _rows(b)
+    # and the metadata row counts agree with the data
+    assert b.row_count() == a.row_count() == 30
+
+
+def test_merge_mor_time_travel_and_rollback(spark, table):
+    table.merge_mor(_df(spark, 18, 22, grp=5), ["id"])
+    assert _rows(table, version=1) == [
+        (i, 0, float(i * 2)) for i in range(20)
+    ]
+    table.rollback(1)
+    assert _rows(table) == [(i, 0, float(i * 2)) for i in range(20)]
+
+
+def test_merge_mor_falls_back_to_cow_past_budget(spark, table):
+    before_files = set(table.snapshot().files)
+    table.merge_mor(_df(spark, 0, 20, grp=3), ["id"], max_updated_rows=5)
+    snap = table.snapshot()
+    # COW merge: matched files rewritten, no DVs
+    assert snap.operation == "merge"
+    assert not snap.dvs
+    assert not (before_files & set(snap.files))
+    assert _rows(table) == [(i, 3, float(i * 2)) for i in range(20)]
+
+
+def test_merge_mor_fully_replaced_file_is_removed(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(4).coalesce(1).select(F.col("id").cast("int").alias("id"), F.lit(0).alias("grp"), F.lit(1.0).alias("v")))
+    old = set(t.snapshot().files)
+    t.merge_mor(
+        spark.range(4).select(F.col("id").cast("int").alias("id"), F.lit(1).alias("grp"), F.lit(2.0).alias("v")),
+        ["id"],
+    )
+    snap = t.snapshot()
+    # every live row of the single old file matched: file dropped, no DV
+    assert not (old & set(snap.files)) and not snap.dvs
+    assert _rows(t) == [(i, 1, 2.0) for i in range(4)]
+
+
+def test_merge_mor_changes_emit_retraction_pairs(spark, table):
+    table.merge_mor(_df(spark, 18, 22, grp=5), ["id"])
+    chg = table.changes(1, 2)
+    dels = sorted(
+        r.id for r in chg.filter(F.col("_change_type") == "delete").collect()
+    )
+    ins = sorted(
+        r.id for r in chg.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert dels == [18, 19]  # old images of matched keys
+    assert ins == [18, 19, 20, 21]  # every source row
+
+
+def test_merge_mor_feeds_rollup_incrementally(spark, tmp_path):
+    fact = SnapshotTable(spark, str(tmp_path / "fact"))
+    rollup = SnapshotTable(spark, str(tmp_path / "roll"))
+    fact.create(_df(spark, 0, 20))
+    prep = lambda df: df.select("grp", "v")
+    assert refresh_rollup(fact, rollup, prep, ["grp"], ["v"]) == "full"
+    fact.merge_mor(_df(spark, 10, 25, grp=4), ["id"])
+    assert (
+        refresh_rollup(fact, rollup, prep, ["grp"], ["v"])
+        == "incremental_cdf"
+    )
+    expect = sorted(
+        (r.grp, r.n_rows, r.sum_v)
+        for r in prep(fact.read())
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+        )
+        .collect()
+    )
+    got = sorted((r.grp, r.n_rows, r.sum_v) for r in rollup.read().collect())
+    assert got == expect
+
+
+# ----------------------------------------------------------- persisted CDF
+
+
+def _change_state(chg):
+    return sorted(
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in chg.select("_commit_version", "_change_type", "id", "v")
+        .collect()
+    )
+
+
+def test_persisted_cdf_survives_preimage_vacuum(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 12))
+    t.delete(F.col("id") % 3 == 0)  # v2: COW — pre-image files die
+    t.append(_df(spark, 12, 15, grp=1))  # v3
+    before = _change_state(t.changes(1, 3))
+    # retain v2..v3 only: v1's files (v2's pre-images) are swept
+    swept = t.vacuum(retain_last=2, orphan_grace_ms=0)
+    assert swept, "the COW pre-image files should expire"
+    after = _change_state(t.changes(1, 3))
+    assert after == before
+    # sanity: without persisted CDF the same lifecycle raises
+    u = SnapshotTable(spark, str(tmp_path / "u"))
+    u.create(_df(spark, 0, 12))
+    u.delete(F.col("id") % 3 == 0)
+    u.append(_df(spark, 12, 15, grp=1))
+    u.vacuum(retain_last=2, orphan_grace_ms=0)
+    with pytest.raises(FileNotFoundError):
+        u.changes(1, 3).collect()
+
+
+def test_persisted_cdf_equals_compute_on_read(spark, tmp_path):
+    a = SnapshotTable(spark, str(tmp_path / "a"), cdf=True)
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    for t in (a, b):
+        t.create(_df(spark, 0, 20))
+        t.merge(_df(spark, 15, 25, grp=9), ["id"])
+        t.delete_mor(F.col("id") % 7 == 0)
+    assert _change_state(a.changes(1, 3)) == _change_state(b.changes(1, 3))
+    # a's delete/merge commits actually carry sidecars
+    assert a._raw(2).get("change_files") and a._raw(3).get("change_files")
+    assert not b._raw(2).get("change_files")
+
+
+def test_enable_cdf_is_table_state_and_starts_at_enabling_version(
+    spark, tmp_path
+):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.delete(F.col("id") == 0)  # v2: before enabling — no sidecar
+    t.enable_cdf()  # v3
+    t.delete(F.col("id") == 1)  # v4: persisted
+    assert not t._raw(2).get("change_files")
+    assert t._raw(4).get("change_files")
+    # a fresh handle adopts the stored flag
+    t2 = SnapshotTable(spark, t.path)
+    assert t2.cdf is True
+    t2.delete(F.col("id") == 2)
+    assert t2._raw(5).get("change_files")
+    with pytest.raises(ValueError):
+        t2.enable_cdf()
+
+
+def test_persisted_cdf_rollup_stays_incremental_past_vacuum(
+    spark, tmp_path
+):
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), cdf=True)
+    rollup = SnapshotTable(spark, str(tmp_path / "roll"))
+    fact.create(_df(spark, 0, 20))
+    prep = lambda df: df.select("grp", "v")
+    refresh_rollup(fact, rollup, prep, ["grp"], ["v"])
+    fact.delete(F.col("id") % 4 == 0)
+    fact.vacuum(retain_last=1, orphan_grace_ms=0)  # pre-images gone
+    assert (
+        refresh_rollup(fact, rollup, prep, ["grp"], ["v"])
+        == "incremental_cdf"
+    )
+    expect = sorted(
+        (r.grp, r.n_rows, r.sum_v)
+        for r in prep(fact.read())
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+        )
+        .collect()
+    )
+    got = sorted((r.grp, r.n_rows, r.sum_v) for r in rollup.read().collect())
+    assert got == expect
+
+
+def test_vacuum_sweeps_expired_cdf_sidecars_keeps_retained(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 12))
+    t.delete(F.col("id") == 0)  # v2 sidecar
+    t.delete(F.col("id") == 1)  # v3 sidecar
+    t.append(_df(spark, 20, 22))  # v4
+    t.append(_df(spark, 22, 24))  # v5
+    cf_v2 = t._raw(2)["change_files"]
+    cf_v3 = t._raw(3)["change_files"]
+    t.vacuum(retain_last=3, orphan_grace_ms=0)  # keeps v3..v5
+    assert all(
+        not os.path.exists(os.path.join(t.path, f)) for f in cf_v2
+    ), "expired sidecars are retention policy — swept"
+    assert all(os.path.exists(os.path.join(t.path, f)) for f in cf_v3)
+    assert _change_state(t.changes(3, 5))  # retained range still serves
+
+
+def test_unreferenced_cdf_sidecar_respects_orphan_grace(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 8))
+    t.delete(F.col("id") == 0)
+    # plant an in-flight-looking orphan sidecar (fresh mtime)
+    orphan_dir = os.path.join(t.path, "_changes", "c-orphan")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"x")
+    t.vacuum(retain_last=2, orphan_grace_ms=3_600_000)
+    assert os.path.exists(orphan), "fresh orphan spared (maybe in-flight)"
+    t.vacuum(retain_last=2, orphan_grace_ms=0)
+    assert not os.path.exists(orphan), "expired orphan swept"
+
+
+# ------------------------------------------------- conflict granularity
+
+
+def test_disjoint_dv_deletes_both_land(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # two single-file batches: predicates touch disjoint files
+    t.create(_df(spark, 0, 10).coalesce(1))
+    t.append(_df(spark, 10, 20, grp=1).coalesce(1))
+    racer = SnapshotTable(spark, t.path)
+    orig_read = t.read
+    fired = {"done": False}
+
+    def racy_read(*a, **kw):
+        out = orig_read(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            racer.delete_mor(F.col("id") == 15)  # grp=1 file only
+        return out
+
+    t.read = racy_read
+    t.delete_mor(F.col("id") == 3)  # grp=0 file only — must REBASE
+    t.read = orig_read
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(20) if i not in (3, 15)
+    ]
+
+
+def test_overlapping_dv_deletes_abort(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10).coalesce(1))  # ONE file: must conflict
+    racer = SnapshotTable(spark, t.path)
+    orig_read = t.read
+    fired = {"done": False}
+
+    def racy_read(*a, **kw):
+        out = orig_read(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            racer.delete_mor(F.col("id") == 7)
+        return out
+
+    t.read = racy_read
+    with pytest.raises(ConcurrentWriteError):
+        t.delete_mor(F.col("id") == 3)
+    t.read = orig_read
+    # retry on fresh state succeeds
+    t.delete_mor(F.col("id") == 3)
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(10) if i not in (3, 7)
+    ]
+
+
+def test_dv_delete_racing_append_still_aborts(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10).coalesce(1))
+    racer = SnapshotTable(spark, t.path)
+    orig_read = t.read
+    fired = {"done": False}
+
+    def racy_read(*a, **kw):
+        out = orig_read(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            racer.append(_df(spark, 10, 15, grp=1))
+        return out
+
+    t.read = racy_read
+    with pytest.raises(ConcurrentWriteError):
+        t.delete_mor(F.col("id") == 3)
+    t.read = orig_read
+    assert t.read().count() == 15  # the append survived
+
+
+def _day_df(spark, day, lo, hi):
+    return spark.createDataFrame(
+        [(i, dt.date(2024, 1, day), float(i)) for i in range(lo, hi)],
+        "id int, d date, v double",
+    )
+
+
+def test_partition_disjoint_overwrites_both_land(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["d"])
+    t.create(
+        _day_df(spark, 1, 0, 5)
+        .unionAll(_day_df(spark, 2, 5, 10))
+        .unionAll(_day_df(spark, 3, 10, 15))
+    )
+    racer = SnapshotTable(spark, t.path)
+    orig = t._write_batch
+    fired = {"done": False}
+
+    def racy_write(df):
+        if not fired["done"]:
+            fired["done"] = True
+            racer.overwrite_partitions(_day_df(spark, 2, 100, 103))
+        return orig(df)
+
+    t._write_batch = racy_write
+    t.overwrite_partitions(_day_df(spark, 3, 200, 204))  # disjoint: rebase
+    t._write_batch = orig
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(5)) + [100, 101, 102] + [200, 201, 202, 203]
+
+
+def test_same_partition_overwrites_abort(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["d"])
+    t.create(_day_df(spark, 1, 0, 5).unionAll(_day_df(spark, 2, 5, 10)))
+    racer = SnapshotTable(spark, t.path)
+    orig = t._write_batch
+    fired = {"done": False}
+
+    def racy_write(df):
+        if not fired["done"]:
+            fired["done"] = True
+            racer.overwrite_partitions(_day_df(spark, 2, 100, 103))
+        return orig(df)
+
+    t._write_batch = racy_write
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite_partitions(_day_df(spark, 2, 200, 204))
+    t._write_batch = orig
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(5)) + [100, 101, 102]  # racer's backfill won
+
+
+def test_append_into_overwritten_partition_aborts(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["d"])
+    t.create(_day_df(spark, 1, 0, 5).unionAll(_day_df(spark, 2, 5, 10)))
+    racer = SnapshotTable(spark, t.path)
+    orig = t._write_batch
+    fired = {"done": False}
+
+    def racy_write(df):
+        if not fired["done"]:
+            fired["done"] = True
+            racer.append(_day_df(spark, 2, 100, 102))  # INTO my partition
+        return orig(df)
+
+    t._write_batch = racy_write
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite_partitions(_day_df(spark, 2, 200, 204))
+    t._write_batch = orig
+    assert 100 in {r.id for r in t.read().collect()}  # append survived
+
+
+# ------------------------------------------------ metadata lost-update
+
+
+def test_stale_handle_append_cannot_erase_constraint(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    stale = SnapshotTable(spark, t.path)  # opened before the constraint
+    t.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        stale.append(_df(spark, 10, 15))
+    stale.refresh_metadata()
+    stale.append(_df(spark, 10, 15))  # now validated AND preserved
+    assert SnapshotTable(spark, t.path).check_constraints == {
+        "v_nonneg": "v >= 0"
+    }
+
+
+def test_stale_handle_append_cannot_revert_rename(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    stale = SnapshotTable(spark, t.path)
+    t.rename_column("v", "amount")
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        stale.append(_df(spark, 10, 15))
+    stale.refresh_metadata()
+    stale.append(
+        _df(spark, 10, 15).withColumnRenamed("v", "amount")
+    )
+    assert "amount" in SnapshotTable(spark, t.path).read().columns
+
+
+def test_concurrent_metadata_commits_conflict(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    other = SnapshotTable(spark, t.path)
+    t.rename_column("v", "amount")
+    with pytest.raises(ConcurrentWriteError):
+        other.add_constraint("v_nonneg", "v >= 0")
+
+
+def test_metadata_ops_on_empty_table_raise_cleanly(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no committed version"):
+        t.add_constraint("c", "v >= 0")
+    with pytest.raises(ValueError, match="no committed version"):
+        t.rename_column("v", "x")
+    with pytest.raises(ValueError, match="no committed version"):
+        t.drop_column("v")
+    with pytest.raises(ValueError, match="no committed version"):
+        t.enable_cdf()
+
+
+def test_rename_guard_is_case_and_backtick_insensitive(spark, tmp_path):
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "t"),
+        check_constraints={"c1": "`v` >= 0", "c2": "GRP IS NOT NULL"},
+    )
+    t.create(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("v", "x")  # backtick-quoted mention
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("grp", "g2")  # case-insensitive mention

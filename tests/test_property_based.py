@@ -292,6 +292,19 @@ def test_transform_literal_refuses_coarser_granularity():
     # at-or-finer literals still pass
     assert _transform_literal(fd, "2024-01-05 07:00:00") == "2024-01-05"
     assert _transform_literal(fh, "2024-01-05 07") == "2024-01-05-07"
+    # a date OBJECT is day-granular: same refusal on an hour() table
+    # (the r10 guard covered strings only — a datetime.date silently
+    # named the midnight partition via strftime '%H' == '00')
+    import datetime as dt
+
+    with pytest.raises(ValueError, match="coarser"):
+        _transform_literal(fh, dt.date(2024, 1, 5))
+    # datetime objects and date-on-day stay fine
+    assert (
+        _transform_literal(fh, dt.datetime(2024, 1, 5, 7))
+        == "2024-01-05-07"
+    )
+    assert _transform_literal(fd, dt.date(2024, 1, 5)) == "2024-01-05"
 
 
 @given(

