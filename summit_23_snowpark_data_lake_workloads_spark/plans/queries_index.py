@@ -2903,3 +2903,122 @@ def streaming_cdf_silver_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _update_audit_oracle() -> str:
+    """Table state per version around row-level UPDATEs: v2 = COW
+    update (value+100 where %4==0), v3 = MoR update (value*2 where
+    %6==0, applied on TOP of v2's values — %12==0 rows compose both).
+    feed_* restates v3's change feed: old images out, new images in."""
+    v2 = "CASE WHEN event_id % 4 = 0 THEN value + 100 ELSE value END"
+    v3 = f"CASE WHEN event_id % 6 = 0 THEN ({v2}) * 2 ELSE ({v2}) END"
+
+    def stats(expr):
+        return (
+            "count(*)::BIGINT, count(*)::BIGINT, sum(event_id)::BIGINT, "
+            f"round(sum(({expr})::DECIMAL(28,9))::DOUBLE, 4)"
+        )
+
+    return f"""
+    SELECT 1::BIGINT AS version, 'state' AS probe,
+           count(*)::BIGINT AS n, count(*)::BIGINT AS n_meta,
+           sum(event_id)::BIGINT AS sum_event_id,
+           round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value
+    FROM events
+    UNION ALL
+    SELECT 2, 'state', {stats(v2)} FROM events
+    UNION ALL
+    SELECT 3, 'state', {stats(v3)} FROM events
+    UNION ALL
+    SELECT 3, 'feed_delete', {stats(v2)} FROM events WHERE event_id % 6 = 0
+    UNION ALL
+    SELECT 3, 'feed_insert', {stats(f"({v2}) * 2")}
+    FROM events WHERE event_id % 6 = 0
+    UNION ALL
+    SELECT 3, 'mor_no_rewrite', 1, 1, 0, 0.0
+    """
+
+
+@query("lakehouse_update_audit", oracle=_update_audit_oracle())
+def lakehouse_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE under the driver gate (r11 — the remaining DML
+    verb: delete/merge landed r7-r10): ``UPDATE ... SET col = expr
+    WHERE pred`` in both strategies. COW rewrites only the files
+    holding matching rows (matched rows transformed, file-mates
+    carried in the same write — Delta's UPDATE); MoR soft-deletes the
+    matched positions via deletion vectors and appends the transformed
+    rows — one JSON commit for an update scattered across a 100 TB
+    table, the ``mor_no_rewrite`` flag pinning that every v2 file
+    SURVIVED the v3 commit.
+
+    Lifecycle: CREATE events -> COW update (value+100 where %4==0) ->
+    MoR update (value*2 where %6==0 — composes on top of v2's values
+    for %12==0 rows, proving updates read the CURRENT state, not the
+    original). Probes: per-version scan aggregates + metadata-only row
+    counts (DV runs subtract exactly), and the MoR commit's change
+    feed (old images retract, new images insert — the pair rollup/CDC
+    consumers fold; gated in pytest through both).
+    """
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_update_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        t.create(ev)
+        t.update(F.col("event_id") % 4 == 0, {"value": F.col("value") + 100.0})
+        files_v2 = set(t.snapshot().files)
+        t.update(
+            F.col("event_id") % 6 == 0,
+            {"value": F.col("value") * 2.0},
+            strategy="mor",
+        )
+        snap3 = t.snapshot()
+        mor_no_rewrite = int(files_v2 <= set(snap3.files) and bool(snap3.dvs))
+
+        def agg(df, v, probe, n_meta=None):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("sum_value"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(probe).alias("probe"),
+                "n",
+                (
+                    F.lit(n_meta).cast("long")
+                    if n_meta is not None
+                    else F.col("n")
+                ).alias("n_meta"),
+                "sum_event_id",
+                "sum_value",
+            )
+
+        out = None
+        for v in (1, 2, 3):
+            r = agg(
+                t.read(version=v), v, "state", n_meta=t.row_count(version=v)
+            )
+            out = r if out is None else out.unionByName(r)
+        chg = t.changes(2, 3)
+        for ctype in ("delete", "insert"):
+            out = out.unionByName(
+                agg(
+                    chg.filter(F.col("_change_type") == ctype),
+                    3,
+                    f"feed_{ctype}",
+                )
+            )
+        flag = spark.createDataFrame(
+            [(3, "mor_no_rewrite", mor_no_rewrite, mor_no_rewrite, 0, 0.0)],
+            "version long, probe string, n long, n_meta long,"
+            " sum_event_id long, sum_value double",
+        )
+        return out.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

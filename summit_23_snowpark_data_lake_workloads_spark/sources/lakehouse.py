@@ -2131,6 +2131,106 @@ class SnapshotTable:
             txn=txn,
         )
 
+    def update(
+        self,
+        predicate,
+        set_exprs: dict,
+        strategy: str = "cow",
+        max_updated_rows: int = 100_000,
+        txn: dict | None = None,
+    ) -> Snapshot:
+        """Row-level UPDATE (``UPDATE ... SET col = expr WHERE pred``).
+        All SET expressions see the row's OLD values (one simultaneous
+        projection — standard SQL UPDATE semantics, so swapping two
+        columns works). Updating a partition SOURCE column is legal:
+        the write path re-derives partition tuples from the new
+        values, so updated rows migrate to their new partitions.
+
+        ``strategy="cow"`` (default) rewrites only the files holding
+        matching rows — matched rows transformed, their file-mates
+        carried through the same write (Delta's UPDATE). ``"mor"``
+        soft-deletes the matched positions via DELETION VECTORS and
+        appends the transformed rows — one JSON commit for an update
+        scattered across a 100 TB table, with the same honesty bounds
+        as :meth:`delete_mor`/:meth:`merge_mor` (fully-updated files
+        removed outright; more than ``max_updated_rows`` matches falls
+        back to COW). Either way the change feed sees delete(old) +
+        insert(new) pairs; a no-op update cancels under COW's
+        ``exceptAll`` and nets to zero for additive consumers under
+        MoR (the documented merge_mor divergence)."""
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown update strategy {strategy!r}")
+        schema_cols = [f.name for f in self.table_schema().fields]
+        missing = [c for c in set_exprs if c not in schema_cols]
+        if missing:
+            raise SchemaMismatchError(
+                f"UPDATE sets unknown column(s) {missing}; UPDATE never "
+                "adds columns — use schema-evolving append/merge"
+            )
+        prev = self.snapshot()
+        cur = self.read()  # DV-filtered: dead rows can't match
+
+        if strategy == "mor":
+            matched = (
+                cur.withColumn("_lh_fp", F.col("_metadata.file_path"))
+                .withColumn("_lh_ri", F.col("_metadata.row_index"))
+                .filter(predicate)
+                .select(
+                    F.col("_lh_fp").alias("fp"), F.col("_lh_ri").alias("ri")
+                )
+            )
+            rows = matched.limit(max_updated_rows + 1).collect()
+            if len(rows) <= max_updated_rows:
+                if not rows:
+                    return self._commit("update", prev.version, [], txn=txn)
+                by_file: dict[str, list[int]] = {}
+                for r in rows:
+                    by_file.setdefault(self._relativize(r.fp), []).append(
+                        r.ri
+                    )
+                dv_add: dict = {}
+                fully_gone: set[str] = set()
+                prev_dvs = prev.dvs or {}
+                for f, idx in by_file.items():
+                    nrows_stat = (prev.stats or {}).get(f, {}).get("_nrows")
+                    live = (
+                        nrows_stat[0] - _ranges_count(prev_dvs.get(f, []))
+                        if nrows_stat
+                        else None
+                    )
+                    if live is not None and len(idx) >= live:
+                        fully_gone.add(f)
+                    else:
+                        dv_add[f] = _ranges_from_indices(idx)
+                new_rows = cur.filter(predicate).withColumns(set_exprs)
+                return self._commit(
+                    "update_mor",
+                    prev.version,
+                    self._write_batch(new_rows),
+                    remove=frozenset(fully_gone),
+                    dv_add=dv_add,
+                    txn=txn,
+                )
+            # fall through to COW past the run budget
+
+        touched_abs = self._touched_files(cur, lambda d: d.filter(predicate))
+        if not touched_abs:
+            return self._commit("update", prev.version, [], txn=txn)
+        touched_rel = frozenset(self._relativize(p) for p in touched_abs)
+        rewritten = self._scan(sorted(touched_rel), prev.dvs).withColumns(
+            {
+                c: F.when(predicate, e).otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+        )
+        return self._commit(
+            "update",
+            prev.version,
+            self._write_batch(rewritten),
+            remove=touched_rel,
+            txn=txn,
+        )
+
     # ------------------------------------------------------- partitions
 
     def clone_to(self, dst_path: str) -> "SnapshotTable":
@@ -2556,12 +2656,32 @@ class SnapshotTable:
             if preserve_order
             else packed_src.repartition(target_files)
         )
+
+        # Logical-conflict granularity for the DELTA path (Delta's
+        # OPTIMIZE rule: compaction does not conflict with appends):
+        # bin-packing a fixed set of small files commutes with any
+        # intervening commit that neither removed nor DV'd one of them
+        # — appends land untouched, disjoint rewrites land, a
+        # concurrent compaction of OTHER partitions lands. Replace-all
+        # ops still abort: a rollback could re-add the very files this
+        # pack replaces, and rebasing would duplicate their rows. The
+        # whole-table replace_all pack conflicts with everything by
+        # construction (no commute hook — _commit aborts on head move).
+        def _pack_commutes(intervening) -> bool:
+            for _v, op, _added, removed_i, dvd in intervening:
+                if op in ("overwrite", "rollback", "create"):
+                    return False
+                if (set(removed_i) | set(dvd)) & remove:
+                    return False
+            return True
+
         return self._commit(
             "compact",
             prev.version,
             self._write_batch(packed),
             remove=remove,
             replace_all=replace_all,
+            commute_ok=None if replace_all else _pack_commutes,
         )
 
     def cluster_zorder(

@@ -488,3 +488,162 @@ def test_rename_guard_is_case_and_backtick_insensitive(spark, tmp_path):
         t.rename_column("v", "x")  # backtick-quoted mention
     with pytest.raises(ValueError, match="constraint"):
         t.rename_column("grp", "g2")  # case-insensitive mention
+
+
+# ------------------------------------------------------- row-level UPDATE
+
+
+def test_update_cow_transforms_matched_rows_only(spark, table):
+    old_files = set(table.snapshot().files)
+    table.update(F.col("id") % 4 == 0, {"v": F.col("v") + 100.0})
+    expect = [
+        (i, 0, float(i * 2) + (100.0 if i % 4 == 0 else 0.0))
+        for i in range(20)
+    ]
+    assert _rows(table) == sorted(expect)
+    # COW: every touched file replaced, no DVs
+    snap = table.snapshot()
+    assert not snap.dvs and not (old_files & set(snap.files))
+
+
+def test_update_set_exprs_see_old_values(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10.0, 20.0)], "id int, a double, b double"
+        )
+    )
+    # the column swap: both SET expressions must read OLD values
+    t.update(F.lit(True), {"a": F.col("b"), "b": F.col("a")})
+    [r] = t.read().collect()
+    assert (r.a, r.b) == (20.0, 10.0)
+
+
+def test_update_mor_is_dv_plus_append(spark, table):
+    old_files = set(table.snapshot().files)
+    table.update(
+        F.col("id") % 4 == 0, {"v": F.col("v") + 100.0}, strategy="mor"
+    )
+    snap = table.snapshot()
+    assert snap.operation == "update_mor"
+    assert old_files <= set(snap.files)  # nothing rewritten
+    assert snap.dvs and sum(
+        e - s for runs in snap.dvs.values() for s, e in runs
+    ) == 5  # ids 0,4,8,12,16
+    expect = [
+        (i, 0, float(i * 2) + (100.0 if i % 4 == 0 else 0.0))
+        for i in range(20)
+    ]
+    assert _rows(table) == sorted(expect)
+    assert table.row_count() == 20  # metadata counts stay exact
+
+
+def test_update_mor_falls_back_to_cow_past_budget(spark, table):
+    table.update(
+        F.lit(True), {"v": F.col("v") * 2}, strategy="mor",
+        max_updated_rows=3,
+    )
+    snap = table.snapshot()
+    assert snap.operation == "update" and not snap.dvs
+    assert _rows(table) == [(i, 0, float(i * 4)) for i in range(20)]
+
+
+def test_update_unknown_column_raises(spark, table):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SchemaMismatchError,
+    )
+
+    with pytest.raises(SchemaMismatchError, match="unknown column"):
+        table.update(F.lit(True), {"nope": F.lit(1)})
+
+
+def test_update_partition_source_migrates_partitions(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["d"])
+    t.create(_day_df(spark, 1, 0, 4).unionAll(_day_df(spark, 2, 4, 8)))
+    t.update(F.col("id") < 2, {"d": F.lit(dt.date(2024, 1, 3))})
+    parts = {p["d"]: p["num_rows"] for p in t.partitions()}
+    assert parts == {"2024-01-01": 2, "2024-01-02": 4, "2024-01-03": 2}
+
+
+def test_update_feeds_cdf_and_rollup(spark, tmp_path):
+    fact = SnapshotTable(spark, str(tmp_path / "fact"))
+    rollup = SnapshotTable(spark, str(tmp_path / "roll"))
+    fact.create(_df(spark, 0, 20))
+    prep = lambda df: df.select("grp", "v")
+    refresh_rollup(fact, rollup, prep, ["grp"], ["v"])
+    fact.update(
+        F.col("id") % 3 == 0, {"v": F.col("v") + 7.0}, strategy="mor"
+    )
+    chg = fact.changes(1, 2)
+    dels = sorted(
+        r.id for r in chg.filter(F.col("_change_type") == "delete").collect()
+    )
+    ins = sorted(
+        (r.id, r.v)
+        for r in chg.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert dels == [i for i in range(20) if i % 3 == 0]
+    assert ins == [
+        (i, float(i * 2) + 7.0) for i in range(20) if i % 3 == 0
+    ]
+    assert (
+        refresh_rollup(fact, rollup, prep, ["grp"], ["v"])
+        == "incremental_cdf"
+    )
+    [row] = rollup.read().collect()
+    want = sum(
+        i * 2 + (7.0 if i % 3 == 0 else 0.0) for i in range(20)
+    )
+    assert (row.n_rows, row.sum_v) == (20, want)
+
+
+def test_scoped_compact_racing_append_both_land(spark, tmp_path):
+    """Delta's OPTIMIZE rule: bin-packing a fixed set of small files
+    commutes with a concurrent append (the whole-table replace-all
+    pack still aborts — covered by test_lakehouse's race test)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4).coalesce(1))
+    for lo in (4, 8, 12):
+        t.append(_df(spark, lo, lo + 4).coalesce(1))
+    racer = SnapshotTable(spark, t.path)
+    orig = t._write_batch
+    fired = {"done": False}
+
+    def racy_write(df):
+        if not fired["done"]:
+            fired["done"] = True
+            racer.append(_df(spark, 100, 105, grp=1).coalesce(1))
+        return orig(df)
+
+    t._write_batch = racy_write
+    t.compact(target_files=1, small_file_bytes=1 << 30)  # delta path
+    t._write_batch = orig
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(16)) + list(range(100, 105))
+
+
+def test_streaming_merge_sink_mor_strategy(spark, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        merge_stream_into_snapshot_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cdc"))
+    t.create(_df(spark, 0, 10).coalesce(2))
+    files_before = set(t.snapshot().files)
+    src = tmp_path / "updates"
+    src.mkdir()
+    (src / "u1.json").write_text(
+        '{"id": 3, "grp": 9, "v": 33.0}\n{"id": 20, "grp": 9, "v": 44.0}\n'
+    )
+    stream = spark.readStream.schema("id int, grp int, v double").json(
+        str(src)
+    )
+    q = merge_stream_into_snapshot_table(
+        stream, t, ["id"], "cdc-mor", str(tmp_path / "ck"), strategy="mor"
+    )
+    q.awaitTermination(120)
+    assert t.snapshot().operation == "merge_mor"
+    assert files_before <= set(t.snapshot().files)  # DVs, not rewrites
+    got = {(r.id, r.grp, r.v) for r in t.read().collect()}
+    assert (3, 9, 33.0) in got and (20, 9, 44.0) in got
+    assert len(got) == 11
