@@ -2160,13 +2160,23 @@ class SnapshotTable:
         MoR (the documented merge_mor divergence)."""
         if strategy not in ("cow", "mor"):
             raise ValueError(f"unknown update strategy {strategy!r}")
-        schema_cols = [f.name for f in self.table_schema().fields]
-        missing = [c for c in set_exprs if c not in schema_cols]
+        fields = {f.name: f.dataType for f in self.table_schema().fields}
+        missing = [c for c in set_exprs if c not in fields]
         if missing:
             raise SchemaMismatchError(
                 f"UPDATE sets unknown column(s) {missing}; UPDATE never "
                 "adds columns — use schema-evolving append/merge"
             )
+        from pyspark.sql import Column
+
+        # implicit cast to the column's EXISTING type (Delta's UPDATE
+        # rule): a widening SET expression (int col + double literal)
+        # must not silently rewrite files under a new schema. Plain
+        # Python literals are accepted for convenience.
+        set_exprs = {
+            c: (e if isinstance(e, Column) else F.lit(e)).cast(fields[c])
+            for c, e in set_exprs.items()
+        }
         prev = self.snapshot()
         cur = self.read()  # DV-filtered: dead rows can't match
 

@@ -647,3 +647,19 @@ def test_streaming_merge_sink_mor_strategy(spark, tmp_path):
     got = {(r.id, r.grp, r.v) for r in t.read().collect()}
     assert (3, 9, 33.0) in got and (20, 9, 44.0) in got
     assert len(got) == 11
+
+
+def test_update_casts_set_exprs_to_existing_type(spark, tmp_path):
+    """SET expressions implicitly cast to the column's EXISTING type
+    (Delta's UPDATE rule): a widening expression or a plain Python
+    literal must not rewrite files under a new schema."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, n int")
+    )
+    t.update(F.col("id") == 1, {"n": F.col("n") + 0.9})  # double expr
+    t.update(F.col("id") == 2, {"n": 99})  # plain literal
+    schema = {f.name: f.dataType.simpleString() for f in t.table_schema().fields}
+    assert schema["n"] == "int"
+    got = sorted((r.id, r.n) for r in t.read().collect())
+    assert got == [(1, 10), (2, 99)]  # 10.9 cast back to int -> 10

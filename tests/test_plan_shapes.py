@@ -768,3 +768,47 @@ def test_net_changes_is_one_aggregate_no_window(spark):
         plan = simple_plan_of(df)
         assert "Window" not in plan
         assert plan.count("Exchange") <= 1, plan
+
+
+def test_mor_update_read_path_keeps_pushdown_and_codegen(spark, tmp_path):
+    """merge_mor / update(strategy='mor') reads ride the same pinned
+    DV machinery as delete_mor: one scan over old (DV-filtered) and
+    new files, user predicates pushed to parquet, vector subtraction a
+    codegen filter — never a join. And the matched-position probe
+    inside the write path must broadcast the (small) key side, not
+    sort-merge the corpus."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "morp"))
+    t.create(
+        spark.range(0, 5000)
+        .coalesce(2)
+        .select(F.col("id").cast("int").alias("id"), (F.col("id") * 2.0).alias("v"))
+    )
+    t.merge_mor(
+        spark.range(0, 5000, 97).select(
+            F.col("id").cast("int").alias("id"), F.lit(-1.0).alias("v")
+        ),
+        ["id"],
+    )
+    t.update(F.col("id") % 89 == 0, {"v": F.col("v") + 1.0}, strategy="mor")
+    plan = plan_of(t.read().filter(F.col("id") > 2500))
+    assert "GreaterThan(id,2500)" in plan  # pushdown intact through DVs
+    assert "Join" not in plan  # vectors are a predicate, not a join
+    import re
+
+    assert re.search(r"\(\d+\) Filter \[codegen id", plan), plan
+    # write-path probe: matched positions via broadcast semi join
+    keys = spark.range(0, 100).select(F.col("id").cast("int").alias("id"))
+    probe = (
+        t.read()
+        .withColumn("_lh_fp", F.col("_metadata.file_path"))
+        .join(F.broadcast(keys), ["id"], "left_semi")
+    )
+    pplan = plan_of(probe)
+    assert "BroadcastHashJoin" in pplan
+    assert "SortMergeJoin" not in pplan
