@@ -2602,6 +2602,7 @@ class SnapshotTable:
         preserve_order: bool = True,
         small_file_bytes: int | None = None,
         partition_where: list[tuple] | None = None,
+        dv_fraction: float | None = None,
     ) -> Snapshot:
         """Small-file compaction. Pure metadata swap for readers — same
         rows, new layout.
@@ -2631,7 +2632,17 @@ class SnapshotTable:
         streamed in, never the table. Conservative translation applies
         (a source-column conjunct may scope in the boundary partition —
         harmless: compaction never changes rows). Forces the
-        add/remove-delta commit path even without a size threshold."""
+        add/remove-delta commit path even without a size threshold.
+
+        ``dv_fraction`` additionally selects files whose DELETION-
+        VECTOR'd row fraction is at or above the threshold (Delta's
+        heavily-deleted-file purge policy): merge-on-read deletes and
+        updates accumulate vectors, and a file that is mostly dead
+        rows pays full scan cost for few live ones — rewriting it
+        re-materializes the survivors and drops the vectors. Composes
+        with ``small_file_bytes`` as a union of candidates; a SINGLE
+        dv-heavy file is worth rewriting alone (size-only packing
+        still needs two)."""
         prev = self.snapshot()
         scope: frozenset | None = None
         if partition_where:
@@ -2643,19 +2654,46 @@ class SnapshotTable:
             if not scoped.files:
                 return prev
             scope = frozenset(scoped.files)
-        if small_file_bytes is None and scope is None:
+        if small_file_bytes is None and scope is None and dv_fraction is None:
             packed_src = self.read()
             remove, replace_all = None, True
         else:
             candidates = sorted(scope) if scope is not None else prev.files
-            small = [
-                f
-                for f in candidates
-                if small_file_bytes is None
-                or os.path.getsize(os.path.join(self.path, f))
-                < small_file_bytes
-            ]
-            if len(small) < 2:
+            prev_dvs = prev.dvs or {}
+
+            def _dv_frac(f: str) -> float:
+                runs = prev_dvs.get(f)
+                if not runs:
+                    return 0.0
+                nr = (prev.stats or {}).get(f, {}).get("_nrows")
+                # no row stats: treat a DV-carrying file as rewrite-worthy
+                return _ranges_count(runs) / nr[0] if nr else 1.0
+
+            if small_file_bytes is None and dv_fraction is None:
+                small = list(candidates)  # scoped full pack
+            else:
+                small = [
+                    f
+                    for f in candidates
+                    if (
+                        small_file_bytes is not None
+                        and os.path.getsize(os.path.join(self.path, f))
+                        < small_file_bytes
+                    )
+                    or (
+                        dv_fraction is not None
+                        and _dv_frac(f) >= dv_fraction
+                    )
+                ]
+            # a single dv-heavy file is worth rewriting alone (the
+            # purge); size-only packing needs at least two
+            min_pack = (
+                1
+                if dv_fraction is not None
+                and any(_dv_frac(f) >= dv_fraction for f in small)
+                else 2
+            )
+            if len(small) < min_pack:
                 return prev  # nothing worth packing: no empty commit
             # DV-aware: packing re-materializes only LIVE rows, and the
             # removed files' deletion vectors die with them (the purge)

@@ -663,3 +663,30 @@ def test_update_casts_set_exprs_to_existing_type(spark, tmp_path):
     assert schema["n"] == "int"
     got = sorted((r.id, r.n) for r in t.read().collect())
     assert got == [(1, 10), (2, 99)]  # 10.9 cast back to int -> 10
+
+
+def test_compact_dv_fraction_purges_heavy_files_only(spark, tmp_path):
+    """OPTIMIZE's heavily-deleted-file policy: dv_fraction selects
+    files whose soft-deleted row share crosses the threshold — a
+    mostly-dead file pays full scan cost for few live rows. Untouched
+    and lightly-DV'd files carry over by reference; a SINGLE dv-heavy
+    file is rewritten alone."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10).coalesce(1))        # file A: ids 0..9
+    t.append(_df(spark, 10, 20, grp=1).coalesce(1))  # file B: ids 10..19
+    t.delete_mor((F.col("id") < 8))                # A: 8/10 dead
+    t.delete_mor(F.col("id") == 15)                # B: 1/10 dead
+    before = set(t.snapshot().files)
+    snap = t.compact(target_files=1, dv_fraction=0.5)
+    after = set(snap.files)
+    # file A rewritten (80% dead >= 50%), file B untouched (10%)
+    assert len(before - after) == 1 and len(after - before) == 1
+    kept = (before & after).pop()
+    assert snap.dvs and set(snap.dvs) == {kept}  # B keeps its light DV
+    assert sorted(r.id for r in t.read().collect()) == [8, 9] + [
+        i for i in range(10, 20) if i != 15
+    ]
+    # below-threshold-only state: no-op, no empty commit
+    v = t.snapshot().version
+    t.compact(target_files=1, dv_fraction=0.5)
+    assert t.snapshot().version == v
