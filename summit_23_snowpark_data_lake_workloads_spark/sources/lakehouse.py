@@ -1556,19 +1556,35 @@ class SnapshotTable:
                 # (the persisted-CDF retention story) and whose fold
                 # a checkpoint-boundary diff would otherwise pay twice.
                 if replace_all and latest:
-                    prior = set(self._load(latest).files)
+                    prior_snap = self._load(latest)
+                    prior = set(prior_snap.files)
                     add_rec = sorted(set(files) - prior)
                     remove_rec = sorted(prior - set(files))
+                    # recorded dv delta = rows NEWLY dead relative to
+                    # the prior version (a rollback restores files WITH
+                    # their vectors; re-recording the full runs would
+                    # make changes() re-emit long-dead rows as deletes);
+                    # DVs on files in add_rec ride the add itself
+                    prior_dvs = prior_snap.dvs or {}
+                    added_set = set(add_rec)
+                    dv_rec = {}
+                    for f, r in dvs.items():
+                        if f in added_set:
+                            continue
+                        new_runs = _ranges_subtract(r, prior_dvs.get(f, []))
+                        if new_runs:
+                            dv_rec[f] = new_runs
                 else:
                     add_rec = sorted(add)
                     remove_rec = sorted(remove)
+                    dv_rec = dv_add
                 body_d = {
                     "version": snap.version,
                     "timestamp_ms": snap.timestamp_ms,
                     "operation": snap.operation,
                     "add": add_rec,
                     "remove": remove_rec,
-                    **({"add_dvs": dv_add} if dv_add else {}),
+                    **({"add_dvs": dv_rec} if dv_rec else {}),
                     **self._full_manifest_body(snap),
                 }
             else:

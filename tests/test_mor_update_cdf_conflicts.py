@@ -690,3 +690,27 @@ def test_compact_dv_fraction_purges_heavy_files_only(spark, tmp_path):
     v = t.snapshot().version
     t.compact(target_files=1, dv_fraction=0.5)
     assert t.snapshot().version == v
+
+
+def test_rollback_dv_delta_reports_only_newly_dead_rows(spark, tmp_path):
+    """A rollback restores files WITH their vectors; its recorded dv
+    delta must be relative to the PRIOR version, or changes()/
+    file_changes would re-emit long-dead rows as fresh deletes."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10).coalesce(1))   # v1
+    t.delete_mor(F.col("id") == 3)            # v2: DV {3}
+    t.delete_mor(F.col("id") == 5)            # v3: DVs {3,5}
+    t.rollback(2)                             # v4: back to DV {3}
+    # v4 relative to v3: nothing newly dead (row 5 RESURRECTED —
+    # consumers treat rollback as replace-all and full-recompute)
+    (v, op, added, removed, dvd) = t.file_changes(3, 4)[0]
+    assert op == "rollback" and not added and not removed and not dvd
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(10) if i != 3
+    ]
+    # and a rollback that ADDS dead rows relative to prior reports them
+    t.rollback(3)                             # v5: DVs {3,5} again
+    (_v, op, added, removed, dvd) = t.file_changes(4, 5)[0]
+    assert op == "rollback" and dvd and sum(
+        e - s for runs in dvd.values() for s, e in runs
+    ) == 1  # row 5 newly dead vs v4
