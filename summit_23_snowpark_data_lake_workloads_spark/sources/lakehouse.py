@@ -2564,7 +2564,14 @@ class SnapshotTable:
         costs one JSON write). Contrast :meth:`delete`, which scans and
         rewrites because a row predicate can straddle files. Raises on a
         predicate naming non-partition columns — silently treating it as
-        row-level would drop rows the caller didn't select."""
+        row-level would drop rows the caller didn't select.
+
+        Persisted-CDF cost note: on a ``cdf=True`` table this commit is
+        no longer metadata-only — the dropped rows are read once and
+        written as change sidecars (a feed cannot survive the files'
+        vacuum otherwise; Delta pays the same for DELETE with CDF on).
+        Retention sweeps that don't need to surface in the feed belong
+        on tables with CDF off, or accept the one extra read."""
         if not self.partition_by:
             raise ValueError("table is not partitioned")
         names = set(self.partition_field_names)

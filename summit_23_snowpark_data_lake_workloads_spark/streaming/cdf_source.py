@@ -163,3 +163,61 @@ def maintain_rollup_stream(
         _apply_delta(silver, delta, group_cols, sum_cols, txn, signed=True)
 
     return stream.drain(process)
+
+
+def maintain_replica_stream(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    app_id: str = "cdc_stream",
+    max_commits_per_batch: int = 1,
+) -> list[tuple[int, int]]:
+    """Continuously-maintained ROW-LEVEL replica over ``src``'s change
+    stream — the streaming twin of
+    :func:`..operators.cdc.replicate_changes` the same way
+    :func:`maintain_rollup_stream` is the streaming twin of the batch
+    rollup refresh: each drained micro-batch is netted per key (one
+    ``max(struct)`` aggregate — insert-then-delete inside the batch
+    applies as nothing, the last image wins) and landed as a
+    key-scoped delete + key-scoped merge stamped with the range's
+    upper source version. A crash-replayed batch is a metadata no-op.
+
+    Same contract as the batch form: key-unique upstream rows; a
+    replace-all source commit's feed is table-sized (correct, not
+    cheap); a vacuumed range raises unless the source persists its CDF
+    (``cdf=True``) — the composition that makes an always-on replica
+    survive source retention."""
+    from ..operators.cdc import net_changes
+
+    stream = ChangeFeedStream(
+        src, checkpoint_dir, max_commits_per_batch=max_commits_per_batch
+    )
+
+    def process(chg: DataFrame, _v_lo: int, v_hi: int) -> None:
+        seen = (
+            dst.last_committed_batch(app_id) if dst._versions() else None
+        )
+        if seen is not None and v_hi <= seen:
+            return  # crash-replayed micro-batch: already applied
+        txn = {"app_id": app_id, "batch_id": v_hi}
+        upserts, deleted = net_changes(chg, key_cols)
+        # materialize once: both frames feed multiple actions
+        upserts = upserts.localCheckpoint(eager=True)
+        deleted = deleted.localCheckpoint(eager=True)
+        have_u = bool(upserts.limit(1).count())
+        have_d = bool(deleted.limit(1).count())
+        if not dst._versions():
+            if have_u:
+                dst.create(upserts, txn=txn)
+            return  # nothing to create yet; replay re-derives this batch
+        if have_d:
+            # delete first; the merge carries the stamp (both steps are
+            # key-idempotent, so a crash in between replays safely)
+            dst.delete_keys(deleted, key_cols, txn=None if have_u else txn)
+        if have_u:
+            dst.merge(upserts, key_cols, txn=txn)
+        if not have_d and not have_u:
+            dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
+
+    return stream.drain(process)

@@ -149,3 +149,47 @@ def test_metadata_only_commit_advances_stamp_cheaply(spark, tmp_path):
     assert set(silver.snapshot().files) == files_before
     assert silver.snapshot().operation == "refresh_noop"
     assert _silver_state(silver) == _batch_state(fact)
+
+
+def test_replica_stream_tracks_source_row_identically(spark, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.cdf_source import (
+        maintain_replica_stream,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+    src.create(_df(spark, 0, 20))
+    maintain_replica_stream(src, dst, ["id"], ckpt)
+    rows = lambda t: sorted((r.id, r.grp, r.v) for r in t.read().collect())
+    assert rows(dst) == rows(src)
+    src.delete(F.col("id") % 5 == 0)
+    src.merge_mor(_df(spark, 15, 25, grp=8), ["id"])
+    ranges = maintain_replica_stream(src, dst, ["id"], ckpt)
+    assert ranges == [(1, 2), (2, 3)]
+    assert rows(dst) == rows(src)
+    # replayed drain (lost checkpoint) is absorbed by the txn stamps
+    v = dst.snapshot().version
+    os.unlink(os.path.join(ckpt, "offset.json"))
+    maintain_replica_stream(src, dst, ["id"], ckpt)
+    assert dst.snapshot().version == v and rows(dst) == rows(src)
+
+
+def test_replica_stream_survives_source_vacuum_with_persisted_cdf(
+    spark, tmp_path
+):
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.cdf_source import (
+        maintain_replica_stream,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"), cdf=True)
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+    src.create(_df(spark, 0, 20))
+    maintain_replica_stream(src, dst, ["id"], ckpt)
+    src.delete(F.col("id") % 4 == 0)  # v2
+    src.append(_df(spark, 20, 25, grp=1))  # v3
+    src.vacuum(retain_last=2, orphan_grace_ms=0)  # v2 pre-images die
+    maintain_replica_stream(src, dst, ["id"], ckpt)
+    rows = lambda t: sorted((r.id, r.grp, r.v) for r in t.read().collect())
+    assert rows(dst) == rows(src)

@@ -714,3 +714,37 @@ def test_rollback_dv_delta_reports_only_newly_dead_rows(spark, tmp_path):
     assert op == "rollback" and dvd and sum(
         e - s for runs in dvd.values() for s, e in runs
     ) == 1  # row 5 newly dead vs v4
+
+
+def test_threaded_disjoint_dv_deletes_all_land(spark, tmp_path):
+    """REAL concurrency (not a staged interleave): four threads fire
+    delete_mor at four disjoint single-file batches simultaneously.
+    Publish races make losers retry; the commute check must rebase
+    every retry (disjoint files) so ALL deletes land, exactly once."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10).coalesce(1))
+    for lo in (10, 20, 30):
+        t.append(_df(spark, lo, lo + 10, grp=lo // 10).coalesce(1))
+    errs = []
+
+    def deleter(target):
+        try:
+            # each handle owns its own snapshot resolution
+            SnapshotTable(spark, t.path).delete_mor(F.col("id") == target)
+        except Exception as e:  # pragma: no cover
+            errs.append((target, repr(e)))
+
+    threads = [
+        threading.Thread(target=deleter, args=(x,)) for x in (3, 13, 23, 33)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(40) if i not in (3, 13, 23, 33)
+    ]
+    assert t.row_count() == 36  # metadata counts agree
