@@ -3022,3 +3022,107 @@ def lakehouse_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.unionByName(flag).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cdc_stream_audit_oracle() -> str:
+    """Replica state after each stream drain: drain 1 bootstraps the
+    full source (%3<2); drain 2 folds a COW delete (%7==0) and a
+    merge-on-read upsert (%5==0, value+1000) commit by commit. The
+    flags pin drain 2's micro-batch count and the crash-replay no-op."""
+    stats = (
+        "count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id, "
+        "round(sum((CASE WHEN event_id %% 5 = 0 THEN value + 1000 "
+        "ELSE value END)::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    ).replace("%%", "%")
+    return f"""
+    SELECT 1::BIGINT AS drain, 'state' AS probe,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id,
+           round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value
+    FROM events WHERE event_id % 3 < 2
+    UNION ALL
+    SELECT 2, 'state', {stats}
+    FROM events
+    WHERE (event_id % 3 < 2 AND event_id % 7 <> 0) OR event_id % 5 = 0
+    UNION ALL
+    SELECT 0, 'micro_batches_drain2', 2, 0, 0.0
+    UNION ALL
+    SELECT 0, 'replay_noop', 1, 0, 0.0
+    """
+
+
+@query("streaming_cdc_replica_audit", oracle=_cdc_stream_audit_oracle())
+def streaming_cdc_replica_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROW-LEVEL replication under the driver gate (r11 —
+    ``maintain_replica_stream``, the stream form of
+    ``lakehouse_cdc_replication_audit``'s batch sync): a downstream
+    replica is kept row-identical by DRAINING the source's change
+    stream, netting each micro-batch per key and landing it as a
+    key-scoped delete + merge stamped with the range's upper source
+    version.
+
+    Lifecycle: source CREATE (event_id%3<2) -> drain 1 (bootstrap) ->
+    COW DELETE (%7==0) + merge_mor upsert (%5==0, value+1000 — the
+    DV-backed MERGE flowing through the stream) -> drain 2 as TWO
+    per-commit micro-batches (count pinned). The stream checkpoint is
+    then DELETED and re-drained: the replica's version must not move
+    (``replay_noop`` — exactly-once through the at-least-once stream
+    layer). Note the upsert is applied to the replica even though the
+    deleted %7 rows matching %5 were retracted a commit earlier — the
+    per-key netting across commit boundaries is exactly what the
+    oracle's final-state recompute checks.
+    """
+    from ..streaming.cdf_source import maintain_replica_stream
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="lh_cdc_stream_audit_")
+    try:
+        src = SnapshotTable(spark, os.path.join(tmp, "src"))
+        dst = SnapshotTable(spark, os.path.join(tmp, "dst"))
+        ckpt = os.path.join(tmp, "ckpt")
+        src.create(ev.filter(F.col("event_id") % 3 < 2))
+        maintain_replica_stream(src, dst, ["event_id"], ckpt)
+
+        def state(drain):
+            return dst.read().agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("sum_value"),
+            ).select(
+                F.lit(drain).cast("long").alias("drain"),
+                F.lit("state").alias("probe"),
+                "n",
+                "sum_event_id",
+                "sum_value",
+            )
+
+        out = state(1)
+        src.delete(F.col("event_id") % 7 == 0)
+        src.merge_mor(
+            ev.filter(F.col("event_id") % 5 == 0).withColumn(
+                "value", F.col("value") + F.lit(1000.0)
+            ),
+            ["event_id"],
+        )
+        ranges = maintain_replica_stream(src, dst, ["event_id"], ckpt)
+        out = out.unionByName(state(2))
+        v_before = dst.snapshot().version
+        os.unlink(os.path.join(ckpt, "offset.json"))
+        maintain_replica_stream(src, dst, ["event_id"], ckpt)
+        replay_noop = int(dst.snapshot().version == v_before)
+        flags = spark.createDataFrame(
+            [
+                (0, "micro_batches_drain2", len(ranges), 0, 0.0),
+                (0, "replay_noop", replay_noop, 0, 0.0),
+            ],
+            "drain long, probe string, n long, sum_event_id long,"
+            " sum_value double",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
