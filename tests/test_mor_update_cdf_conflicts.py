@@ -748,3 +748,47 @@ def test_threaded_disjoint_dv_deletes_all_land(spark, tmp_path):
         i for i in range(40) if i not in (3, 13, 23, 33)
     ]
     assert t.row_count() == 36  # metadata counts agree
+
+
+def test_stale_handle_append_cannot_revert_spec_evolution(spark, tmp_path):
+    """The metadata divergence check covers the partition spec too: a
+    stale handle's append after a concurrent evolve_partition_spec
+    would otherwise write files laid out under the OLD spec and
+    persist the old spec back into the manifest."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, dt.date(2024, 1, 1 + i % 3), float(i)) for i in range(9)],
+            "id int, d date, v double",
+        )
+    )
+    stale = SnapshotTable(spark, t.path)
+    t.evolve_partition_spec(["d"])
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        stale.append(
+            spark.createDataFrame(
+                [(9, dt.date(2024, 1, 9), 9.0)], "id int, d date, v double"
+            )
+        )
+    stale.refresh_metadata()
+    assert stale.partition_by == ["d"]
+    stale.append(
+        spark.createDataFrame(
+            [(9, dt.date(2024, 1, 9), 9.0)], "id int, d date, v double"
+        )
+    )
+    assert SnapshotTable(spark, t.path).partition_by == ["d"]
+    assert t.read().count() == 10
+
+
+def test_stale_handle_append_cannot_disable_cdf(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    stale = SnapshotTable(spark, t.path)
+    t.enable_cdf()
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        stale.append(_df(spark, 10, 12))
+    stale.refresh_metadata()
+    assert stale.cdf is True
+    stale.delete(F.col("id") == 0)  # persisted through the refreshed handle
+    assert stale._raw(stale.snapshot().version).get("change_files")
