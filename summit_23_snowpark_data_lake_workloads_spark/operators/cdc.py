@@ -72,13 +72,21 @@ def replicate_changes(
     dst: SnapshotTable,
     key_cols: list[str],
     app_id: str = "cdc",
+    strategy: str = "cow",
 ) -> str:
     """Bring ``dst`` row-identical to ``src``'s latest version. Returns
     ``"noop"`` (already current), ``"incremental"`` (consumed the
     change feed: netted per-key, applied as key-scoped delete+merge),
     or ``"full"`` (first sync, replace-all commit in range, or the
     range expired under vacuum — resync pinned to the stamped
-    version)."""
+    version).
+
+    ``strategy="mor"`` applies the net effect through
+    ``delete_keys_mor`` + ``merge_mor`` (deletion vectors + append,
+    one JSON commit each) instead of copy-on-write — the right default
+    once the replica is large relative to each sync's change set."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown apply strategy {strategy!r}")
     v_hi = src.snapshot().version
     seen = dst.last_committed_batch(app_id) if dst._versions() else None
     if seen is not None and v_hi <= seen:
@@ -122,11 +130,13 @@ def replicate_changes(
     if have_dels:
         # delete first; the merge carries the txn stamp, so a crash in
         # between re-runs the range (both steps are key-idempotent)
-        dst.delete_keys(
-            deleted_keys, key_cols, txn=None if have_ups else txn
+        apply_delete = (
+            dst.delete_keys_mor if strategy == "mor" else dst.delete_keys
         )
+        apply_delete(deleted_keys, key_cols, txn=None if have_ups else txn)
     if have_ups:
-        dst.merge(upserts, key_cols, txn=txn)
+        apply_merge = dst.merge_mor if strategy == "mor" else dst.merge
+        apply_merge(upserts, key_cols, txn=txn)
     if not have_dels and not have_ups:
         dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
     return "incremental"

@@ -3126,3 +3126,138 @@ def streaming_cdc_replica_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _dedup_retention_oracle() -> str:
+    """Corpus states around a dedup-maintenance pass: pre_dedup = the
+    documents table plus a re-id'd copy of doc_id%4==0 (the planted
+    duplicates); post_dedup / silver = exactly the originals (every
+    copy's content hash collides with its source, and min-doc_id keeps
+    the original). Flags pin the merge-on-read application and the
+    rollup's incremental_cdf claim."""
+    stats = "count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_n_chars"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, lang, n_chars
+        FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT 'pre_dedup' AS stage, lang, {stats}
+    FROM corpus GROUP BY lang
+    UNION ALL
+    SELECT 'post_dedup', lang, {stats} FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'silver', lang, {stats} FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'flags', 'mor_no_rewrite', 1, 0
+    UNION ALL
+    SELECT 'flags', 'mode_incremental_cdf', 1, 0
+    """
+
+
+@query("lakehouse_dedup_retention_audit", oracle=_dedup_retention_oracle())
+def lakehouse_dedup_retention_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-MAINTENANCE over the lakehouse under the driver gate (r11
+    — the composition that makes the LLM-pipeline dedup tier
+    OPERATIONAL at 100 TB): exact near-copies are found with the same
+    hash-group discipline as the batch dedup operators, retracted from
+    the corpus table via ``delete_keys_mor`` (the loser keys arrive as
+    a DataFrame; matched positions become deletion vectors — ONE JSON
+    commit for losers scattered across the whole corpus, never a
+    rewrite), and the downstream per-language rollup refreshes from
+    the change feed's retractions (``incremental_cdf``) — the corpus
+    is never rescanned by any stage.
+
+    Lifecycle: CREATE corpus = documents plus a re-id'd copy of
+    doc_id%4==0 (content hashes collide with their sources by
+    construction) -> FULL rollup build -> dedup pass: keeper =
+    min(doc_id) per content_md5 (one aggregate + one join, both
+    bounded by the corpus's group count), losers -> delete_keys_mor
+    (``mor_no_rewrite`` pins that every data file survived) -> rollup
+    refresh must CLAIM incremental_cdf and equal the oracle's
+    originals-only recompute.
+    """
+    from ..operators.rollup import refresh_rollup
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_md5")
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_dedup_retention_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "corpus"))
+        silver = SnapshotTable(spark, os.path.join(tmp, "silver"))
+        t.create(corpus)
+
+        def prepare(df):
+            return df.select("lang", F.col("n_chars").cast("long"))
+
+        refresh_rollup(t, silver, prepare, ["lang"], ["n_chars"], app_id="g")
+
+        def state(df, stage):
+            return (
+                df.groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("n_chars").cast("long").alias("sum_n_chars"),
+                )
+                .select(
+                    F.lit(stage).alias("stage"), "lang", "n", "sum_n_chars"
+                )
+            )
+
+        out = state(t.read(), "pre_dedup")
+        cur = t.read()
+        keepers = cur.groupBy("content_md5").agg(
+            F.min("doc_id").alias("_keep_id")
+        )
+        losers = (
+            cur.join(keepers, "content_md5")
+            .filter(F.col("doc_id") != F.col("_keep_id"))
+            .select("doc_id")
+        )
+        files_before = set(t.snapshot().files)
+        t.delete_keys_mor(losers, ["doc_id"])
+        snap = t.snapshot()
+        # merge-on-read = the commit WROTE no parquet: losers became
+        # vectors, and a file whose live rows ALL lost is removed
+        # outright (also metadata-only — cheaper than a full-file DV)
+        mor_no_rewrite = int(
+            not (set(snap.files) - files_before)
+            and bool(snap.dvs or (files_before - set(snap.files)))
+        )
+        out = out.unionByName(state(t.read(), "post_dedup"))
+        mode = refresh_rollup(
+            t, silver, prepare, ["lang"], ["n_chars"], app_id="g"
+        )
+        out = out.unionByName(
+            silver.read().select(
+                F.lit("silver").alias("stage"),
+                "lang",
+                F.col("n_rows").alias("n"),
+                F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+            )
+        )
+        flags = spark.createDataFrame(
+            [
+                ("flags", "mor_no_rewrite", mor_no_rewrite, 0),
+                (
+                    "flags",
+                    "mode_incremental_cdf",
+                    int(mode == "incremental_cdf"),
+                    0,
+                ),
+            ],
+            "stage string, lang string, n long, sum_n_chars long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -2030,6 +2030,77 @@ class SnapshotTable:
             "delete", prev.version, new_files, remove=touched_rel, txn=txn
         )
 
+    def delete_keys_mor(
+        self,
+        keys: DataFrame,
+        key_cols: list[str],
+        txn: dict | None = None,
+        max_deleted_rows: int = 100_000,
+    ) -> Snapshot:
+        """Row-level DELETE by KEY SET, MERGE-ON-READ: the DV twin of
+        :meth:`delete_keys` the same way :meth:`delete_mor` twins
+        :meth:`delete` — matched rows' positions become deletion
+        vectors in one JSON commit instead of COW-rewriting every file
+        that holds a matched key. The natural retraction shape for a
+        dedup-maintenance or GDPR pass over a 100 TB corpus: the loser
+        keys arrive as a DataFrame (never a collected-in predicate),
+        the matched positions are bounded by the actual match count,
+        and more than ``max_deleted_rows`` matches falls back to the
+        COW :meth:`delete_keys` (a table-sized delete through DVs
+        would turn the metadata into the table). Deleting absent keys
+        is a no-op. Same commute rule as :meth:`delete_mor`: a
+        concurrent DV delete on disjoint files rebases."""
+        prev = self.snapshot()
+        cur = self.read()  # DV-filtered: dead rows can't re-match
+        kdf = keys.select(*key_cols)
+        matched = (
+            cur.withColumn("_lh_fp", F.col("_metadata.file_path"))
+            .withColumn("_lh_ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(kdf), key_cols, "left_semi")
+            .select(F.col("_lh_fp").alias("fp"), F.col("_lh_ri").alias("ri"))
+        )
+        rows = matched.limit(max_deleted_rows + 1).collect()
+        if len(rows) > max_deleted_rows:
+            return self.delete_keys(keys, key_cols, txn=txn)
+        if not rows:
+            return self._commit("delete_mor", prev.version, [], txn=txn)
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            by_file.setdefault(self._relativize(r.fp), []).append(r.ri)
+        dv_add: dict = {}
+        fully_gone: set[str] = set()
+        prev_dvs = prev.dvs or {}
+        for f, idx in by_file.items():
+            nrows_stat = (prev.stats or {}).get(f, {}).get("_nrows")
+            live_rows = (
+                nrows_stat[0] - _ranges_count(prev_dvs.get(f, []))
+                if nrows_stat
+                else None
+            )
+            if live_rows is not None and len(idx) >= live_rows:
+                fully_gone.add(f)
+            else:
+                dv_add[f] = _ranges_from_indices(idx)
+        mine = frozenset(dv_add) | fully_gone
+
+        def _dv_commutes(intervening) -> bool:
+            for _v, op, added, removed, dvd in intervening:
+                if op != "delete_mor" or added:
+                    return False
+                if (set(removed) | set(dvd)) & mine:
+                    return False
+            return True
+
+        return self._commit(
+            "delete_mor",
+            prev.version,
+            [],
+            remove=frozenset(fully_gone),
+            dv_add=dv_add,
+            txn=txn,
+            commute_ok=_dv_commutes,
+        )
+
     def merge(
         self,
         source: DataFrame,

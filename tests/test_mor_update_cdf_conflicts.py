@@ -792,3 +792,53 @@ def test_stale_handle_append_cannot_disable_cdf(spark, tmp_path):
     assert stale.cdf is True
     stale.delete(F.col("id") == 0)  # persisted through the refreshed handle
     assert stale._raw(stale.snapshot().version).get("change_files")
+
+
+# --------------------------------------------------- key-set MoR deletes
+
+
+def test_delete_keys_mor_matches_cow_twin(spark, tmp_path):
+    a = SnapshotTable(spark, str(tmp_path / "cow"))
+    b = SnapshotTable(spark, str(tmp_path / "mor"))
+    keys = spark.createDataFrame([(3,), (7,), (99,)], "id int")
+    for t in (a, b):
+        t.create(_df(spark, 0, 20))
+    a.delete_keys(keys, ["id"])
+    before = set(b.snapshot().files)
+    b.delete_keys_mor(keys, ["id"])
+    assert _rows(a) == _rows(b)
+    assert before <= set(b.snapshot().files)  # vectors, not rewrites
+    assert b.row_count() == 18
+    # absent-key deletes are a no-op commit
+    b.delete_keys_mor(spark.createDataFrame([(500,)], "id int"), ["id"])
+    assert b.read().count() == 18
+
+
+def test_delete_keys_mor_falls_back_to_cow_past_budget(spark, table):
+    keys = spark.range(0, 15).select(F.col("id").cast("int").alias("id"))
+    table.delete_keys_mor(keys, ["id"], max_deleted_rows=5)
+    snap = table.snapshot()
+    assert snap.operation == "delete" and not snap.dvs  # COW path took it
+    assert sorted(r.id for r in table.read().collect()) == list(range(15, 20))
+
+
+def test_cdc_replication_mor_strategy(spark, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.operators.cdc import (
+        replicate_changes,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.create(_df(spark, 0, 20))
+    assert replicate_changes(src, dst, ["id"], strategy="mor") == "full"
+    src.delete(F.col("id") % 5 == 0)
+    src.merge(_df(spark, 15, 25, grp=6), ["id"])
+    files_before = set(dst.snapshot().files)
+    assert (
+        replicate_changes(src, dst, ["id"], strategy="mor") == "incremental"
+    )
+    # the replica applied deletes as vectors and upserts as DV+append
+    assert files_before <= set(dst.snapshot().files)
+    assert dst.snapshot().dvs
+    rows = lambda t: sorted((r.id, r.grp, r.v) for r in t.read().collect())
+    assert rows(dst) == rows(src)
