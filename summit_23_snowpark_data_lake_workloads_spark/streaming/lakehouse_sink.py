@@ -66,6 +66,8 @@ def merge_stream_into_snapshot_table(
     checkpoint: str,
     processing_time: str | None = None,
     strategy: str = "cow",
+    compact_every: int | None = None,
+    vacuum_retain_last: int | None = None,
 ):
     """Streaming UPSERT (CDC apply): each micro-batch row-level-MERGEs
     into ``table`` by ``key_cols`` — later batches overwrite matching
@@ -79,9 +81,12 @@ def merge_stream_into_snapshot_table(
     (deletion vectors + append, one JSON commit) instead of
     copy-on-write — the right default once the table is large relative
     to each micro-batch: a 10^4-row CDC batch scattered over 10^4
-    files stops rewriting them every trigger. Pair with the sink's
-    periodic compaction so vectors re-materialize on the OPTIMIZE
-    cadence."""
+    files stops rewriting them every trigger. ``compact_every`` adds
+    the maintenance cadence that makes MoR sustainable: every N-th
+    batch bin-packs micro-batch fragments and PURGES files past 30%
+    soft-deleted rows (vectors re-materialize on the OPTIMIZE
+    cadence); ``vacuum_retain_last`` opts into reclaiming what
+    maintenance orphaned."""
     if strategy not in ("cow", "mor"):
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
@@ -94,6 +99,13 @@ def merge_stream_into_snapshot_table(
             table.merge_mor(batch_df, key_cols, txn=txn)
         else:
             table.merge(batch_df, key_cols, txn=txn)
+        _maybe_compact(
+            [table],
+            batch_id,
+            compact_every,
+            vacuum_retain_last=vacuum_retain_last,
+            dv_fraction=0.3 if strategy == "mor" else None,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)
@@ -113,6 +125,7 @@ def _maybe_compact(
     compact_every: int | None,
     target_files: int = 8,
     vacuum_retain_last: int | None = None,
+    dv_fraction: float | None = None,
 ) -> None:
     """Periodic small-file maintenance for micro-batch-append sinks:
     every ``compact_every``-th batch, rewrite each table whose live
@@ -131,8 +144,16 @@ def _maybe_compact(
             # threshold form: only sub-32MB fragments are bin-packed, so
             # the rewrite is proportional to the fragmentation the
             # micro-batches created — never a full-table rewrite on a
-            # standing 100 TB corpus
-            t.compact(target_files, small_file_bytes=32 << 20)
+            # standing 100 TB corpus. MoR sinks also pass dv_fraction:
+            # accumulated deletion vectors purge on the same cadence.
+            t.compact(
+                target_files,
+                small_file_bytes=32 << 20,
+                dv_fraction=dv_fraction,
+            )
+        elif dv_fraction is not None and t._versions() and t.snapshot().dvs:
+            # under the file-count bar but carrying vectors: still purge
+            t.compact(target_files, dv_fraction=dv_fraction)
         if vacuum_retain_last is not None and t._versions():
             # reclaim the files compaction (and late-detected replays)
             # orphaned. EXPLICIT opt-in: vacuum trades time-travel depth

@@ -842,3 +842,40 @@ def test_cdc_replication_mor_strategy(spark, tmp_path):
     assert dst.snapshot().dvs
     rows = lambda t: sorted((r.id, r.grp, r.v) for r in t.read().collect())
     assert rows(dst) == rows(src)
+
+
+def test_streaming_mor_sink_maintenance_purges_vectors(spark, tmp_path):
+    """The MoR sink's compaction cadence: with compact_every set, the
+    maintenance pass purges accumulated vectors (dv_fraction) so a
+    long-running CDC stream doesn't decay into mostly-dead files."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        merge_stream_into_snapshot_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cdc"))
+    t.create(_df(spark, 0, 8).coalesce(1))
+    src = tmp_path / "updates"
+    src.mkdir()
+    # one json file => one micro-batch updating most of the table
+    (src / "u1.json").write_text(
+        "\n".join(
+            f'{{"id": {i}, "grp": 9, "v": {float(i)}}}' for i in range(6)
+        )
+    )
+    stream = spark.readStream.schema("id int, grp int, v double").json(
+        str(src)
+    )
+    q = merge_stream_into_snapshot_table(
+        stream,
+        t,
+        ["id"],
+        "cdc-maint",
+        str(tmp_path / "ck"),
+        strategy="mor",
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+    snap = t.snapshot()
+    assert snap.operation == "compact" and not snap.dvs  # purged
+    got = sorted((r.id, r.grp) for r in t.read().collect())
+    assert got == [(i, 9 if i < 6 else 0) for i in range(8)]
