@@ -879,3 +879,49 @@ def test_streaming_mor_sink_maintenance_purges_vectors(spark, tmp_path):
     assert snap.operation == "compact" and not snap.dvs  # purged
     got = sorted((r.id, r.grp) for r in t.read().collect())
     assert got == [(i, 9 if i < 6 else 0) for i in range(8)]
+
+
+def test_merge_mor_and_changes_compose_with_rename(spark, tmp_path):
+    """Column mapping x MoR upsert x change feed: after a rename, the
+    source arrives in LOGICAL names, files keep physical names, and
+    the feed (including pre-rename commits) presents the CURRENT
+    logical view."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.delete(F.col("id") == 0)  # v2: pre-rename change commit
+    t.rename_column("v", "amount")  # v3
+    t.merge_mor(
+        _df(spark, 8, 12, grp=5).withColumnRenamed("v", "amount"), ["id"]
+    )  # v4
+    assert sorted(
+        (r.id, r.amount) for r in t.read().select("id", "amount").collect()
+    ) == [(i, float(i * 2)) for i in range(1, 12)]
+    chg = t.changes(1, 4)
+    assert "amount" in chg.columns and "v" not in chg.columns
+    v2_dels = chg.filter(
+        (F.col("_commit_version") == 2) & (F.col("_change_type") == "delete")
+    )
+    assert [r.id for r in v2_dels.collect()] == [0]
+    v4_ins = sorted(
+        r.id
+        for r in chg.filter(
+            (F.col("_commit_version") == 4)
+            & (F.col("_change_type") == "insert")
+        ).collect()
+    )
+    assert v4_ins == [8, 9, 10, 11]
+
+
+def test_persisted_sidecars_survive_later_rename(spark, tmp_path):
+    """Sidecars store PHYSICAL names: a rename AFTER the sidecar was
+    written must not strand it — the feed translates through the
+    current column map like any data file."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 10))
+    t.delete(F.col("id") % 3 == 0)  # v2: sidecar written pre-rename
+    t.rename_column("v", "amount")  # v3
+    t.append(_df(spark, 10, 12).withColumnRenamed("v", "amount"))  # v4
+    t.vacuum(retain_last=3, orphan_grace_ms=0)  # v2 pre-images die
+    chg = t.changes(1, 2)  # served from the sidecar, post-rename
+    assert "amount" in chg.columns and "v" not in chg.columns
+    assert sorted(r.id for r in chg.collect()) == [0, 3, 6, 9]
