@@ -1783,6 +1783,39 @@ class SnapshotTable:
     def history(self) -> list[Snapshot]:
         return [self._load(v) for v in self._versions()]
 
+    def describe_detail(self) -> dict:
+        """One-call ops summary of the table's current state (Delta's
+        ``DESCRIBE DETAIL``): version, file count and on-disk bytes,
+        partition spec, constraints, column map, dropped columns, CDF
+        mode, and the deletion-vector burden (files carrying vectors +
+        total soft-deleted rows — the inputs to a ``compact(
+        dv_fraction=...)`` decision). Metadata + one ``stat`` per live
+        file; no Spark job, no data read."""
+        snap = self.snapshot()
+        size = 0
+        for f in snap.files:
+            try:
+                size += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                pass  # a concurrently-vacuumed clone reference
+        dvs = snap.dvs or {}
+        return {
+            "path": self.path,
+            "version": snap.version,
+            "operation": snap.operation,
+            "timestamp_ms": snap.timestamp_ms,
+            "num_files": len(snap.files),
+            "size_bytes": size,
+            "num_rows": self.row_count(),
+            "partition_by": list(self.partition_by),
+            "check_constraints": dict(self.check_constraints),
+            "column_map": dict(self.column_map),
+            "dropped_cols": list(self.dropped_cols),
+            "cdf": bool(self.cdf),
+            "dv_files": len(dvs),
+            "dv_rows": sum(_ranges_count(r) for r in dvs.values()),
+        }
+
     def table_schema(self, version: int | None = None):
         """The table's (merged) Spark schema at a version — footer-only
         work, no data scan. After an evolved append, the merged schema
@@ -3172,7 +3205,10 @@ class SnapshotTable:
         )
 
     def vacuum(
-        self, retain_last: int = 2, orphan_grace_ms: int = 3_600_000
+        self,
+        retain_last: int = 2,
+        orphan_grace_ms: int = 3_600_000,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop
         the expired manifests. Time travel keeps working for the last
@@ -3188,7 +3224,13 @@ class SnapshotTable:
         expired one) is therefore deleted only once it is older than
         the grace (default 1 h — Delta's orphan-retention rule). Files
         that EXPIRED manifests referenced are deleted regardless of
-        age: they are retention policy, not maybe-in-flight writes."""
+        age: they are retention policy, not maybe-in-flight writes.
+
+        ``dry_run=True`` returns the data files a real vacuum WOULD
+        delete and changes NOTHING — no file, shard, or sidecar is
+        removed, no manifest is rewritten or dropped. The ops
+        pre-flight every destructive retention pass deserves (Delta's
+        ``VACUUM ... DRY RUN``)."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
@@ -3247,7 +3289,11 @@ class SnapshotTable:
         # when there are txn stamps to fold. Content is logically
         # identical (same resolved snapshot + high-water txn facts), so
         # the immutability contract readers rely on is preserved.
-        if keep_v and ("files" not in self._raw(keep_v[0]) or folded):
+        if (
+            not dry_run
+            and keep_v
+            and ("files" not in self._raw(keep_v[0]) or folded)
+        ):
             snap = self._load(keep_v[0])
             tmp = self._manifest_path(keep_v[0]) + ".ckpt"
             raw = self._raw(keep_v[0])
@@ -3323,7 +3369,9 @@ class SnapshotTable:
             for s in (self._raw(v).get("shard_index") or {})
         }
         sdir = os.path.join(self.path, _MANIFEST_DIR, "shards")
-        for s in os.listdir(sdir) if os.path.isdir(sdir) else []:
+        for s in (
+            os.listdir(sdir) if not dry_run and os.path.isdir(sdir) else []
+        ):
             rel_s = os.path.join("shards", s)
             if rel_s in live_shards:
                 continue
@@ -3336,7 +3384,11 @@ class SnapshotTable:
         # sidecars referenced by NO manifest may belong to an in-flight
         # commit (written before its manifest publishes) — grace-gated
         cdir_root = os.path.join(self.path, _CHANGES_DIR)
-        for cbatch in os.listdir(cdir_root) if os.path.isdir(cdir_root) else []:
+        for cbatch in (
+            os.listdir(cdir_root)
+            if not dry_run and os.path.isdir(cdir_root)
+            else []
+        ):
             cbdir = os.path.join(cdir_root, cbatch)
             keep_any = False
             for root, _dirs, names in os.walk(cbdir, topdown=False):
@@ -3375,16 +3427,19 @@ class SnapshotTable:
                         elif rel in ever_ref or _orphan_expired(
                             os.path.join(root, f)
                         ):
-                            os.unlink(os.path.join(root, f))
+                            if not dry_run:
+                                os.unlink(os.path.join(root, f))
                             removed.append(rel)
                         else:
                             keep_any = True  # maybe in-flight: spare dirs
-            if not keep_any:
+            if not keep_any and not dry_run:
                 # batch fully vacuumed; drop _SUCCESS/.crc sidecars + dirs
                 for root, dirs, names in os.walk(bdir, topdown=False):
                     for f in names:
                         os.unlink(os.path.join(root, f))
                     os.rmdir(root)
+        if dry_run:
+            return removed
         for v in versions[:-retain_last]:
             os.unlink(self._manifest_path(v))
         return removed

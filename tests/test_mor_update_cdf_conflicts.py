@@ -925,3 +925,46 @@ def test_persisted_sidecars_survive_later_rename(spark, tmp_path):
     chg = t.changes(1, 2)  # served from the sidecar, post-rename
     assert "amount" in chg.columns and "v" not in chg.columns
     assert sorted(r.id for r in chg.collect()) == [0, 3, 6, 9]
+
+
+# ------------------------------------------------------------ ops surfaces
+
+
+def test_vacuum_dry_run_changes_nothing(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 12))
+    t.delete(F.col("id") % 3 == 0)
+    t.append(_df(spark, 12, 15, grp=1))
+    before_manifests = sorted(os.listdir(os.path.join(t.path, "_manifests")))
+    would = t.vacuum(retain_last=2, orphan_grace_ms=0, dry_run=True)
+    assert would, "the COW pre-images would expire"
+    # nothing moved: every candidate still on disk, manifests untouched,
+    # every version still readable
+    assert all(os.path.exists(os.path.join(t.path, f)) for f in would)
+    assert (
+        sorted(os.listdir(os.path.join(t.path, "_manifests")))
+        == before_manifests
+    )
+    assert t.read(version=1).count() == 12
+    # the real vacuum then deletes exactly the predicted set
+    assert sorted(t.vacuum(retain_last=2, orphan_grace_ms=0)) == sorted(would)
+
+
+def test_describe_detail(spark, tmp_path):
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "t"),
+        check_constraints={"v_nonneg": "v >= 0"},
+        cdf=True,
+    )
+    t.create(_df(spark, 0, 20))
+    t.delete_mor(F.col("id") % 4 == 0)
+    t.rename_column("grp", "segment")
+    d = t.describe_detail()
+    assert d["version"] == 3 and d["operation"] == "rename_column"
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["num_rows"] == 15
+    assert d["check_constraints"] == {"v_nonneg": "v >= 0"}
+    assert d["column_map"] == {"segment": "grp"}
+    assert d["cdf"] is True
+    assert d["dv_files"] >= 1 and d["dv_rows"] == 5
