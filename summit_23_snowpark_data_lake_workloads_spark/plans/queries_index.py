@@ -1879,10 +1879,18 @@ def _cdf_audit_oracle() -> str:
     old rows (%5==0 AND %3<2) and inserts every source row; v4 DELETE
     (event_id%7==0) deletes the matching rows LIVE at v3 (values
     already merged); v5 compact is layout-only — zero changes, gated
-    via the literal probe row."""
+    via the literal probe row. ``mode='labeled'`` replays the same
+    feed through ``update_labels=True``: the v3 merge splits into
+    update_preimage (matched old rows), update_postimage (their new
+    images) and insert (unmatched source keys, %3==2); appends and
+    deletes keep their coarse labels."""
     stats = (
         "count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_event_id, "
         "round(sum(value::DECIMAL(28,9))::DOUBLE, 4) AS sum_value"
+    )
+    stats_plus = (
+        "count(*)::BIGINT, sum(event_id)::BIGINT, "
+        "round(sum((value + 1000)::DECIMAL(28,9))::DOUBLE, 4)"
     )
     return f"""
     WITH t3 AS (
@@ -1891,22 +1899,40 @@ def _cdf_audit_oracle() -> str:
                     ELSE value END AS value
         FROM events WHERE event_id % 3 < 2 OR event_id % 5 = 0
     )
-    SELECT 2::BIGINT AS version, 'insert' AS change, event_type, {stats}
+    SELECT 'plain' AS mode, 2::BIGINT AS version, 'insert' AS change,
+           event_type, {stats}
     FROM events WHERE event_id % 3 = 1 GROUP BY event_type
     UNION ALL
-    SELECT 3, 'delete', event_type, {stats}
+    SELECT 'plain', 3, 'delete', event_type, {stats}
     FROM events WHERE event_id % 5 = 0 AND event_id % 3 < 2
     GROUP BY event_type
     UNION ALL
-    SELECT 3, 'insert', event_type, count(*)::BIGINT,
-           sum(event_id)::BIGINT,
-           round(sum((value + 1000)::DECIMAL(28,9))::DOUBLE, 4)
+    SELECT 'plain', 3, 'insert', event_type, {stats_plus}
     FROM events WHERE event_id % 5 = 0 GROUP BY event_type
     UNION ALL
-    SELECT 4, 'delete', event_type, {stats}
+    SELECT 'plain', 4, 'delete', event_type, {stats}
     FROM t3 WHERE event_id % 7 = 0 GROUP BY event_type
     UNION ALL
-    SELECT 5, 'layout_only', 'all', 0::BIGINT, 0::BIGINT, 0.0::DOUBLE
+    SELECT 'plain', 5, 'layout_only', 'all', 0::BIGINT, 0::BIGINT,
+           0.0::DOUBLE
+    UNION ALL
+    SELECT 'labeled', 2, 'insert', event_type, {stats}
+    FROM events WHERE event_id % 3 = 1 GROUP BY event_type
+    UNION ALL
+    SELECT 'labeled', 3, 'update_preimage', event_type, {stats}
+    FROM events WHERE event_id % 5 = 0 AND event_id % 3 < 2
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'labeled', 3, 'update_postimage', event_type, {stats_plus}
+    FROM events WHERE event_id % 5 = 0 AND event_id % 3 < 2
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'labeled', 3, 'insert', event_type, {stats_plus}
+    FROM events WHERE event_id % 5 = 0 AND event_id % 3 = 2
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'labeled', 4, 'delete', event_type, {stats}
+    FROM t3 WHERE event_id % 7 = 0 GROUP BY event_type
     """
 
 
@@ -1938,6 +1964,13 @@ def lakehouse_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the table. Downstream, ``operators/rollup.py`` folds exactly
     this feed to keep rollups incremental through deletes
     (``lakehouse_incremental_rollup_audit`` gates that composition).
+
+    ``mode='labeled'`` replays the feed with ``update_labels=True``
+    (Delta's four-way ``_change_type``): the merge commit's recorded
+    ``merge_keys`` split its delta into update_preimage/postimage
+    pairs vs true inserts — a consumer can now distinguish "a row
+    changed" from insert/delete churn, at a cost of two commit-scoped
+    key projections plus one broadcast join, only when asked.
     """
     from ..sources.lakehouse import SnapshotTable
 
@@ -1958,35 +1991,42 @@ def lakehouse_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete(F.col("event_id") % 7 == 0)
         t.compact(target_files=2)
 
-        chg = t.changes(1, 5)
-        agg = (
-            chg.groupBy("_commit_version", "_change_type", "event_type")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("event_id").cast("long").alias("sum_event_id"),
-                F.round(
-                    F.sum(F.col("value").cast("decimal(28,9)")).cast(
-                        "double"
-                    ),
-                    4,
-                ).alias("sum_value"),
+        def agg(chg, mode):
+            return (
+                chg.groupBy("_commit_version", "_change_type", "event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("sum_event_id"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(28,9)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("sum_value"),
+                )
+                .select(
+                    F.lit(mode).alias("mode"),
+                    F.col("_commit_version").alias("version"),
+                    F.col("_change_type").alias("change"),
+                    "event_type",
+                    "n",
+                    "sum_event_id",
+                    "sum_value",
+                )
             )
-            .select(
-                F.col("_commit_version").alias("version"),
-                F.col("_change_type").alias("change"),
-                "event_type",
-                "n",
-                "sum_event_id",
-                "sum_value",
-            )
-        )
+
         n_compact = t.changes(4, 5).count()  # layout-only: must be 0
         flag = spark.createDataFrame(
-            [(5, "layout_only", "all", n_compact, 0, 0.0)],
-            "version long, change string, event_type string, n long,"
-            " sum_event_id long, sum_value double",
+            [("plain", 5, "layout_only", "all", n_compact, 0, 0.0)],
+            "mode string, version long, change string, event_type string,"
+            " n long, sum_event_id long, sum_value double",
         )
-        return agg.unionByName(flag).localCheckpoint(eager=True)
+        return (
+            agg(t.changes(1, 5), "plain")
+            .unionByName(agg(t.changes(1, 5, update_labels=True), "labeled"))
+            .unionByName(flag)
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

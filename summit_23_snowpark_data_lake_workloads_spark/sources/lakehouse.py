@@ -1395,6 +1395,7 @@ class SnapshotTable:
         dv_add: dict | None = None,
         change_files: list[str] | None = None,
         commute_ok=None,
+        merge_keys: list[str] | None = None,
     ) -> Snapshot:
         """Publish the next version as ``(base files - remove) + add``
         (or just ``add`` when ``replace_all``). Exclusive-create of the
@@ -1431,7 +1432,13 @@ class SnapshotTable:
         ``change_files`` — persisted CDF sidecar parquet (relative
         paths, already written) recording this commit's change rows;
         recorded in the manifest body so :meth:`changes` can serve the
-        commit after its pre-image files are vacuumed."""
+        commit after its pre-image files are vacuumed.
+
+        ``merge_keys`` — the PHYSICAL names of an upsert commit's key
+        columns, recorded so ``changes(update_labels=True)`` can split
+        the commit's delete/insert pairs into Delta's four-way
+        ``update_preimage``/``update_postimage`` labels (the key pairing
+        is unrecoverable from file diffs alone)."""
         remove = remove or frozenset()
         dv_add = dv_add or {}
         if (
@@ -1610,6 +1617,8 @@ class SnapshotTable:
                 body_d["dropped_cols"] = self.dropped_cols
             if self.cdf:
                 body_d["cdf"] = True
+            if merge_keys:
+                body_d["merge_keys"] = list(merge_keys)
             if change_files:
                 body_d["change_files"] = sorted(change_files)
             if txn is not None:
@@ -2168,6 +2177,7 @@ class SnapshotTable:
             self._write_batch(rewrite),
             remove=touched_rel,
             txn=txn,
+            merge_keys=[self._physical_name(c) for c in key_cols],
         )
 
     def merge_mor(
@@ -2249,6 +2259,7 @@ class SnapshotTable:
             remove=frozenset(fully_gone),
             dv_add=dv_add,
             txn=txn,
+            merge_keys=[self._physical_name(c) for c in key_cols],
         )
 
     def update(
@@ -3101,7 +3112,77 @@ class SnapshotTable:
             )
         return delta
 
-    def changes(self, v_lo: int, v_hi: int | None = None) -> DataFrame:
+    def _label_updates(
+        self, delta: DataFrame, op: str, merge_keys_phys: list | None
+    ) -> DataFrame:
+        """Relabel one commit's ``insert``/``delete`` change rows into
+        Delta CDF's four-way labels where the OPERATION proves the
+        pairing (``changes(update_labels=True)``):
+
+        - ``update``/``update_mor`` commits contain ONLY rewrites by
+          construction (``UPDATE ... SET``), so every delete row is an
+          ``update_preimage`` and every insert an ``update_postimage``
+          — a pure relabel, no data work;
+        - ``merge``/``merge_mor`` commits mix matched rewrites with
+          genuine inserts; the manifest's recorded ``merge_keys`` split
+          them: a key present on BOTH sides of the commit's delta is an
+          update pair, an insert-only key is a true insert (and a
+          delete-only key — impossible for our upsert merge, but the
+          rule is net-safe — stays a delete). Cost: two key-projections
+          + one broadcast join, all scoped to THIS commit's delta.
+
+        Commits from before ``merge_keys`` recording (or any other
+        operation) pass through unlabeled — insert/delete is never
+        wrong, just coarser (Delta consumers already treat
+        ``update_preimage`` as removal and ``update_postimage`` as
+        addition). NULL key values never pair (SQL join semantics) and
+        therefore keep their coarse labels."""
+        ct = F.col("_change_type")
+        if op in ("update", "update_mor"):
+            return delta.withColumn(
+                "_change_type",
+                F.when(ct == "delete", F.lit("update_preimage")).otherwise(
+                    F.lit("update_postimage")
+                ),
+            )
+        if op in ("merge", "merge_mor") and merge_keys_phys:
+            inv = {p: l for l, p in self.column_map.items()}
+            keys = [inv.get(k, k) for k in merge_keys_phys]
+            upd_keys = (
+                delta.filter(ct == "delete")
+                .select(*keys)
+                .distinct()
+                .join(
+                    delta.filter(ct == "insert").select(*keys).distinct(),
+                    keys,
+                    "inner",
+                )
+                .withColumn("__lh_upd", F.lit(1))
+            )
+            return (
+                delta.join(F.broadcast(upd_keys), keys, "left")
+                .withColumn(
+                    "_change_type",
+                    F.when(
+                        F.col("__lh_upd").isNotNull() & (ct == "delete"),
+                        F.lit("update_preimage"),
+                    )
+                    .when(
+                        F.col("__lh_upd").isNotNull() & (ct == "insert"),
+                        F.lit("update_postimage"),
+                    )
+                    .otherwise(ct),
+                )
+                .drop("__lh_upd")
+            )
+        return delta
+
+    def changes(
+        self,
+        v_lo: int,
+        v_hi: int | None = None,
+        update_labels: bool = False,
+    ) -> DataFrame:
         """Row-level CHANGE DATA FEED for versions ``(v_lo, v_hi]`` —
         Delta CDF's compute-on-read mode, recovered entirely from the
         commit manifests: the change rows of a commit are the multiset
@@ -3112,7 +3193,12 @@ class SnapshotTable:
         as delete+insert pairs — exactly the retraction form an
         additive incremental consumer (``operators/rollup.py``) folds;
         a MERGE that rewrote a row to an identical value emits nothing
-        (a no-op update IS no change).
+        (a no-op update IS no change). ``update_labels=True`` upgrades
+        the pairs to Delta's four-way labels where the operation proves
+        the pairing (``update``/``update_mor`` commits relabel
+        outright; ``merge``/``merge_mor`` split by their recorded
+        ``merge_keys`` — see :meth:`_label_updates`); the default stays
+        two-way so additive consumers keep their exact fold.
 
         Cost model, the reason this exists: a commit's change set reads
         O(files THAT COMMIT touched) — for append it is the added files
@@ -3181,6 +3267,10 @@ class SnapshotTable:
                 )
             if delta is None:
                 continue
+            if update_labels:
+                delta = self._label_updates(
+                    delta, op, self._raw(v).get("merge_keys")
+                )
             delta = delta.withColumn(
                 "_commit_version", F.lit(v).cast("long")
             )

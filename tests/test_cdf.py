@@ -134,3 +134,124 @@ def test_checkpoint_manifest_in_range(spark, table):
     got = table.changes(1, table.snapshot().version)
     assert got.filter(F.col("_change_type") == "delete").count() == 0
     assert got.count() == 8
+
+
+# ---------------------------------------------------------------- labels
+
+
+def _lrows(chg):
+    return sorted(
+        (r._commit_version, r._change_type, r.id, r.grp, r.v)
+        for r in chg.collect()
+    )
+
+
+def test_merge_labels_split_updates_from_inserts(spark, table):
+    """``update_labels=True`` splits a MERGE commit's delta by its
+    recorded merge_keys: matched keys become update_pre/postimage
+    pairs, unmatched source rows stay plain inserts."""
+    src = spark.createDataFrame(
+        [(5, 1, 99.0), (42, 1, 84.0)], "id int, grp int, v double"
+    )
+    table.merge(src, ["id"])
+    got = _lrows(table.changes(1, 2, update_labels=True))
+    assert got == [
+        (2, "insert", 42, 1, 84.0),
+        (2, "update_postimage", 5, 1, 99.0),
+        (2, "update_preimage", 5, 0, 10.0),
+    ]
+    # default mode is untouched two-way
+    plain = {r[1] for r in _lrows(table.changes(1, 2))}
+    assert plain == {"insert", "delete"}
+
+
+def test_merge_mor_labels(spark, table):
+    src = spark.createDataFrame(
+        [(5, 1, 99.0), (42, 1, 84.0)], "id int, grp int, v double"
+    )
+    table.merge_mor(src, ["id"])
+    got = _lrows(table.changes(1, 2, update_labels=True))
+    assert got == [
+        (2, "insert", 42, 1, 84.0),
+        (2, "update_postimage", 5, 1, 99.0),
+        (2, "update_preimage", 5, 0, 10.0),
+    ]
+
+
+def test_update_labels_cow_and_mor(spark, table):
+    """UPDATE commits contain only rewrites by construction — every
+    delete is an update_preimage, every insert an update_postimage."""
+    table.update(F.col("id") == 3, {"v": F.col("v") + 100})
+    table.update(
+        F.col("id") == 4, {"v": F.col("v") + 100}, strategy="mor"
+    )
+    got = _lrows(table.changes(1, 3, update_labels=True))
+    assert got == [
+        (2, "update_postimage", 3, 0, 106.0),
+        (2, "update_preimage", 3, 0, 6.0),
+        (3, "update_postimage", 4, 0, 108.0),
+        (3, "update_preimage", 4, 0, 8.0),
+    ]
+
+
+def test_labels_leave_append_and_delete_alone(spark, table):
+    table.append(_df(spark, 10, 12, grp=1))
+    table.delete(F.col("id") == 0)
+    got = _lrows(table.changes(1, 3, update_labels=True))
+    assert got == [
+        (2, "insert", 10, 1, 20.0),
+        (2, "insert", 11, 1, 22.0),
+        (3, "delete", 0, 0, 0.0),
+    ]
+
+
+def test_legacy_merge_without_keys_passes_through(spark, table, tmp_path):
+    """A merge manifest written before merge_keys recording cannot be
+    split — the feed keeps the coarse (never wrong) two-way labels."""
+    import json
+    import os
+
+    src = spark.createDataFrame([(5, 1, 99.0)], "id int, grp int, v double")
+    table.merge(src, ["id"])
+    mdir = os.path.join(table.path, "_manifests")
+    (mf,) = [f for f in os.listdir(mdir) if "2" in f and f.endswith(".json")]
+    p = os.path.join(mdir, mf)
+    with open(p) as fh:
+        body = json.load(fh)
+    body.pop("merge_keys")
+    with open(p, "w") as fh:
+        json.dump(body, fh)
+    got = {r[1] for r in _lrows(table.changes(1, 2, update_labels=True))}
+    assert got == {"insert", "delete"}
+
+
+def test_labels_survive_rename_and_persisted_cdf(spark, tmp_path):
+    """merge_keys are recorded under PHYSICAL names; after a rename the
+    label split translates them through the column map. With cdf=True
+    the relabel applies identically to sidecar-served commits — even
+    after the pre-image data files are vacuumed."""
+    t = SnapshotTable(spark, str(tmp_path / "t2"), cdf=True)
+    t.create(_df(spark, 0, 10))
+    t.rename_column("id", "row_id")
+    src = spark.createDataFrame(
+        [(5, 1, 99.0), (42, 1, 84.0)], "row_id int, grp int, v double"
+    )
+    t.merge(src, ["row_id"])
+    want = [
+        (3, "insert", 42, 1, 84.0),
+        (3, "update_postimage", 5, 1, 99.0),
+        (3, "update_preimage", 5, 0, 10.0),
+    ]
+
+    def rows(chg):
+        return sorted(
+            (r._commit_version, r._change_type, r.row_id, r.grp, r.v)
+            for r in chg.collect()
+        )
+
+    assert rows(t.changes(2, 3, update_labels=True)) == want
+    # expire the merge's pre-image files; the sidecar still serves it
+    t.compact(target_files=1)
+    t.compact(target_files=2)
+    t.vacuum(retain_last=10, orphan_grace_ms=0)
+    assert rows(t.changes(2, 3, update_labels=True)) == want
