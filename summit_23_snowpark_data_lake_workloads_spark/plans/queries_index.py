@@ -3301,3 +3301,103 @@ def lakehouse_dedup_retention_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _auto_maintenance_oracle() -> str:
+    """Post-maintenance state = documents minus the MoR-deleted keys
+    (doc_id%5==0); everything else is decision/invariant flags the
+    policy engine must hit exactly."""
+    return """
+    SELECT 'post_maintenance' AS probe,
+           count(*)::BIGINT AS n,
+           sum(doc_id)::BIGINT AS sum_doc_id,
+           sum(n_chars)::BIGINT AS sum_n_chars
+    FROM documents WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT 'plan_flags', 1::BIGINT, 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'post_flags', 1::BIGINT, 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_auto_maintenance_audit", oracle=_auto_maintenance_oracle())
+def lakehouse_auto_maintenance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-driven AUTO-MAINTENANCE under the driver gate
+    (``operators/maintenance.py``): the policy engine inspects a
+    table's state via manifest/footer metadata only and triggers
+    exactly the maintenance the state calls for — Delta's
+    auto-optimize/auto-compact shape, complementing the streaming
+    sinks' every-N-batches cadence.
+
+    Lifecycle: a documents table fragmented across 16 one-file commits
+    (create %16==0, append each other residue), then a merge-on-read
+    delete of doc_id%5==0 (every file ends up ~20% soft-deleted).
+    ``plan_maintenance`` must trip ALL THREE triggers — fragmentation
+    (16 small files), DV burden (>=15% dead rows), history (17
+    versions > 3) — gated by ``plan_flags``. ``auto_maintain`` then
+    compacts (vectors purged, file count down) and vacuums (orphaned
+    pre-compact files swept), gated by ``post_flags``; the surviving
+    rows must equal the oracle's recomputation exactly.
+
+    Scale: the DECISION is one ``stat`` per live file plus manifest
+    reads — runnable every orchestrator tick on a 10^6-file table; the
+    REWRITE is proportional to fragmentation + DV burden, never the
+    table. This is the nightly-maintenance loop a 100 TB self-managed
+    lakehouse needs (the reference delegates it to Snowflake's
+    auto-clustering behind ``04_sales_enrich_sp.sql``'s overwrite).
+    """
+    from ..operators.maintenance import (
+        MaintenancePolicy,
+        auto_maintain,
+        plan_maintenance,
+    )
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="lh_auto_maint_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.create(docs.filter(F.col("doc_id") % 16 == 0).coalesce(1))
+        for i in range(1, 16):
+            t.append(docs.filter(F.col("doc_id") % 16 == i).coalesce(1))
+        t.delete_mor(F.col("doc_id") % 5 == 0)
+
+        policy = MaintenancePolicy(
+            small_file_bytes=32 << 20,
+            min_small_files=8,
+            dv_fraction=0.15,
+            max_history=3,
+            vacuum_retain_last=1,
+            orphan_grace_ms=0,
+        )
+        plan = plan_maintenance(t, policy)
+        plan_flags = (
+            int(plan["compact"] is not None),
+            int(any("dv burden" in r for r in plan["reasons"])),
+            int(plan["vacuum"] is not None),
+        )
+        files_before = len(t.snapshot().files)
+        report = auto_maintain(t, policy)
+        snap = t.snapshot()
+        post_flags = (
+            int(not snap.dvs),  # vectors purged by the rewrite
+            int(len(snap.files) < files_before),
+            int(report.get("vacuumed_files", 0) > 0),
+        )
+        out = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        ).select(
+            F.lit("post_maintenance").alias("probe"),
+            "n", "sum_doc_id", "sum_n_chars",
+        )
+        flags = spark.createDataFrame(
+            [("plan_flags", *plan_flags), ("post_flags", *post_flags)],
+            "probe string, n long, sum_doc_id long, sum_n_chars long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
