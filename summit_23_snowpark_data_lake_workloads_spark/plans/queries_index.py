@@ -2481,9 +2481,21 @@ def _rename_audit_oracle() -> str:
     SELECT 6, 'state', {stats} FROM events
     WHERE (event_id % 3 < 2 AND event_id % 7 <> 0) OR event_id % 3 = 2
     UNION ALL
+    SELECT 8, 'state', {stats} FROM (
+        SELECT event_id, value FROM events
+        WHERE (event_id % 3 < 2 AND event_id % 7 <> 0)
+           OR event_id % 3 = 2
+        UNION ALL
+        SELECT event_id, value FROM events WHERE event_id % 21 = 5
+    )
+    UNION ALL
     SELECT 2, 'metadata_only', 1, 1, 0.0
     UNION ALL
     SELECT 5, 'ts_dropped', 1, 1, 0.0
+    UNION ALL
+    SELECT 7, 'ts_readded_meta_only', 1, 1, 0.0
+    UNION ALL
+    SELECT 8, 'ts_fresh_identity', 1, 1, 0.0
     """
 
 
@@ -2503,7 +2515,12 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map both ways) -> DROP COLUMN ts (the drop twin, also
     metadata-only: files keep the bytes, the ``ts_dropped`` flag pins
     that readers never see them) -> APPEND %3==2 WITHOUT the dropped
-    column. Probes: every version's logical-view aggregates; the
+    column -> (r11) READD COLUMN ts under a FRESH physical identity
+    (Delta's id-based mapping: drop-then-recreate no longer refuses)
+    -> APPEND %21==5 carrying ts again. ``ts_fresh_identity`` pins
+    that the dropped bytes never resurrect: pre-readd rows read NULL
+    ts, only the new append's rows carry values.
+    Probes: every version's logical-view aggregates; the
     oracle recomputes them from raw events with the new name aliased
     in SQL — a translation leak on either path breaks the hash.
     """
@@ -2530,9 +2547,23 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id", F.col("value").alias("amount")
             )
         )
+        files_pre_readd = set(t.snapshot().files)
+        readd_snap = t.readd_column("ts")
+        readd_meta_only = int(set(readd_snap.files) == files_pre_readd)
+        n_prev = t.read().count()
+        new_rows = ev.filter(F.col("event_id") % 21 == 5).select(
+            "event_id", "ts", F.col("value").alias("amount")
+        )
+        n_new = new_rows.count()
+        t.append(new_rows, schema_evolution=True)
+        final = t.read()
+        fresh_identity = int(
+            final.filter(F.col("ts").isNotNull()).count() == n_new
+            and final.filter(F.col("ts").isNull()).count() == n_prev
+        )
 
         out = None
-        for v in (1, 2, 3, 4, 6):
+        for v in (1, 2, 3, 4, 6, 8):
             r = (
                 t.read(version=v)
                 .agg(
@@ -2558,6 +2589,14 @@ def lakehouse_rename_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 (2, "metadata_only", metadata_only, metadata_only, 0.0),
                 (5, "ts_dropped", ts_dropped, ts_dropped, 0.0),
+                (
+                    7,
+                    "ts_readded_meta_only",
+                    readd_meta_only,
+                    readd_meta_only,
+                    0.0,
+                ),
+                (8, "ts_fresh_identity", fresh_identity, fresh_identity, 0.0),
             ],
             "version long, probe string, n long, sum_event_id long,"
             " sum_amount double",

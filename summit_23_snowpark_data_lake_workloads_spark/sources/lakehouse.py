@@ -84,6 +84,7 @@ _META_OPS = frozenset(
     {
         "rename_column",
         "drop_column",
+        "readd_column",
         "add_constraint",
         "drop_constraint",
         "evolve_partition_spec",
@@ -1062,6 +1063,62 @@ class SnapshotTable:
             self.dropped_cols = old_dropped
             raise
 
+    def readd_column(self, name: str) -> Snapshot:
+        """Re-introduce a column NAME whose physical identity is
+        reserved — previously dropped, or left behind by a rename —
+        under a FRESH physical identity (Delta's id-based column
+        mapping, expressed as a uuid-suffixed physical name): old
+        files' bytes stay hidden behind the old physical name, new
+        writes land under the fresh one, and the logical schema regains
+        ``name`` with the first evolving write (schemas derive from
+        file footers here, so the column surfaces — NULL on old rows —
+        once data arrives; Delta, which records types in its log, shows
+        it immediately). This closes the drop-then-recreate gap the
+        one-level map refused:
+        ``drop_column('v')`` then ``readd_column('v')`` then an
+        evolving append with ``v`` never resurrects the dropped bytes.
+
+        Metadata-only commit, any number of levels deep (a re-added
+        column can be dropped and re-added again — each cycle reserves
+        one more physical name). A name that is NOT reserved needs no
+        ceremony: a plain ``schema_evolution=True`` append already
+        introduces it, and this method says so rather than minting a
+        pointless mapping."""
+        if not self._versions():
+            raise ValueError(
+                f"table at {self.path} has no committed version yet — "
+                "create() the table first (or just include the column)"
+            )
+        schema_cols = {f.name for f in self.table_schema().fields}
+        if name in schema_cols:
+            raise SchemaMismatchError(f"column {name!r} already exists")
+        reserved = (
+            set(self.column_map.values()) - set(self.column_map)
+        ) | set(self.dropped_cols)
+        if name not in reserved:
+            raise ValueError(
+                f"column name {name!r} is not reserved by any prior "
+                "rename/drop — a schema_evolution=True write introduces "
+                "it directly"
+            )
+        taken = (
+            reserved
+            | schema_cols
+            | set(self.column_map)
+            | set(self.column_map.values())
+        )
+        fresh = f"{name}__{uuid.uuid4().hex[:8]}"
+        while fresh in taken:  # vanishingly unlikely; loop for principle
+            fresh = f"{name}__{uuid.uuid4().hex[:8]}"
+        base_v = self._meta_base()
+        old_map = dict(self.column_map)
+        self.column_map[name] = fresh
+        try:
+            return self._commit("readd_column", base_v, [])
+        except BaseException:
+            self.column_map = old_map
+            raise
+
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Reject a write whose rows violate any CHECK constraint — ONE
         aggregate pass over the batch (all constraints' violation
@@ -1866,17 +1923,23 @@ class SnapshotTable:
         # a renamed column's PHYSICAL name — and a DROPPED column's —
         # stays reserved in the files: a new column reusing it would
         # collide (or resurrect the dropped data) on the read path's
-        # physical->logical translation
+        # physical->logical translation. Columns with an explicit map
+        # entry are exempt — they land under their OWN assigned
+        # identity, which readd_column minted collision-free.
         reserved = (
             set(self.column_map.values()) - set(self.column_map)
         ) | set(self.dropped_cols)
-        clash = [c for c in new_cols if c in reserved]
+        clash = [
+            c for c in new_cols
+            if c not in self.column_map and c in reserved
+        ]
         if clash:
             raise SchemaMismatchError(
                 f"column name(s) {clash} are reserved physical names of "
                 f"renamed or dropped column(s) "
                 f"(column_map={self.column_map}, "
-                f"dropped={self.dropped_cols})"
+                f"dropped={self.dropped_cols}) — readd_column() mints a "
+                "fresh identity for a reserved name"
             )
 
     # ------------------------------------------------------------ writes

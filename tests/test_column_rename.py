@@ -186,3 +186,115 @@ def test_drop_refusals(spark, table, tmp_path):
     table.drop_column("amount")
     with pytest.raises(ValueError, match="only column"):
         table.drop_column("id")
+
+
+# ------------------------------------------------- readd (fresh identity)
+
+
+def test_readd_after_drop_does_not_resurrect(spark, table):
+    """drop 'amount' -> readd 'amount' -> evolving append: the dropped
+    bytes stay hidden; old rows read NULL, new rows carry fresh data."""
+    table.drop_column("amount")
+    snap = table.readd_column("amount")
+    assert snap.operation == "readd_column"
+    table.append(
+        spark.range(10, 13).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(777.0).alias("amount"),
+        ),
+        schema_evolution=True,
+    )
+    rows = {r.id: r.amount for r in table.read().collect()}
+    assert len(rows) == 13
+    assert all(rows[i] is None for i in range(10))  # never 2*i again
+    assert all(rows[i] == 777.0 for i in (10, 11, 12))
+    # the physical layout really is a fresh name, not the reserved one
+    assert table.column_map["amount"] != "amount"
+    assert "amount" in table.dropped_cols
+
+
+def test_readd_cycles_stack(spark, table):
+    """drop/readd twice: each cycle reserves one more physical name and
+    the newest identity wins."""
+    table.drop_column("amount")
+    table.readd_column("amount")
+    table.append(
+        spark.range(10, 11).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1.0).alias("amount"),
+        ),
+        schema_evolution=True,
+    )
+    first_phys = table.column_map["amount"]
+    table.drop_column("amount")
+    assert first_phys in table.dropped_cols
+    table.readd_column("amount")
+    assert table.column_map["amount"] != first_phys
+    table.append(
+        spark.range(11, 12).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(2.0).alias("amount"),
+        ),
+        schema_evolution=True,
+    )
+    rows = {r.id: r.amount for r in table.read().collect()}
+    assert rows[10] is None and rows[11] == 2.0
+
+
+def test_readd_name_left_behind_by_rename(spark, table):
+    """rename amount->price, then readd 'amount': physical 'amount'
+    still serves PRICE; the new logical 'amount' lands elsewhere."""
+    table.rename_column("amount", "price")
+    table.readd_column("amount")
+    table.append(
+        spark.range(10, 11).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(5.0).alias("price"),
+            F.lit(-5.0).alias("amount"),
+        ),
+        schema_evolution=True,
+    )
+    rows = {r.id: (r.price, r.amount) for r in table.read().collect()}
+    assert rows[0] == (0.0, None)  # old row: price from physical amount
+    assert rows[10] == (5.0, -5.0)
+
+
+def test_readd_refusals(spark, table):
+    with pytest.raises(SchemaMismatchError):
+        table.readd_column("amount")  # still exists
+    with pytest.raises(ValueError, match="not reserved"):
+        table.readd_column("brand_new")  # plain evolution suffices
+    table.drop_column("amount")
+    # without readd, the reserved name still cannot return (regression)
+    with pytest.raises(SchemaMismatchError, match="reserved"):
+        table.append(
+            spark.range(10, 11).select(
+                F.col("id").cast("int").alias("id"),
+                F.lit(1.0).alias("amount"),
+            ),
+            schema_evolution=True,
+        )
+
+
+def test_readd_composes_with_compact_rename_and_cdf(spark, table):
+    """COW rewrites produce files from the LOGICAL view: after a
+    compact, the readded column persists under its fresh identity and
+    the dropped bytes are physically gone; the change feed and a
+    follow-on rename keep working."""
+    table.drop_column("amount")
+    table.readd_column("amount")
+    table.append(
+        spark.range(10, 12).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(9.0).alias("amount"),
+        ),
+        schema_evolution=True,
+    )
+    table.compact(target_files=1)
+    rows = {r.id: r.amount for r in table.read().collect()}
+    assert rows[0] is None and rows[10] == 9.0
+    table.rename_column("amount", "amt")
+    assert {c for c in table.read().columns} == {"id", "amt"}
+    chg = table.changes(3, 4)  # the evolving append
+    got = {(r.id, r.amt) for r in chg.collect()}
+    assert got == {(10, 9.0), (11, 9.0)}
