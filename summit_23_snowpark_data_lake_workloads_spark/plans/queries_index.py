@@ -3440,3 +3440,131 @@ def lakehouse_auto_maintenance_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _multi_table_txn_oracle() -> str:
+    """Catalog states around a two-table transaction: pre = fact holds
+    events %2==0 and summary its per-type rollup; post = both moved to
+    the full-events state in ONE catalog commit. Flags pin mid-stage
+    invisibility, the conflict refusal, and post-conflict stability."""
+    return """
+    SELECT 'pre_fact' AS probe,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS agg
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'pre_summary',
+           count(DISTINCT event_type)::BIGINT, count(*)::BIGINT
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'post_fact', count(*)::BIGINT, sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'post_summary',
+           count(DISTINCT event_type)::BIGINT, count(*)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'staged_invisible', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'conflict_refused', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_multi_table_txn_audit", oracle=_multi_table_txn_oracle())
+def lakehouse_multi_table_txn_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-TABLE TRANSACTIONS under the driver gate
+    (``sources/txn_catalog.py``): cross-table atomicity via a pinned
+    catalog — writers stage real table versions (durable, unpinned),
+    one catalog CAS swaps every touched pin, readers resolving through
+    the pins see all of a transaction or none of it. This is the
+    Iceberg REST-catalog multi-table commit design; neither Delta nor
+    Iceberg table logs alone provide it.
+
+    Lifecycle: fact (events %2==0) + summary (its per-type rollup)
+    registered in a catalog; a transaction appends %2==1 to fact AND
+    overwrites summary with the full-events rollup. ``staged_invisible``
+    pins that after BOTH stages land in the table logs, catalog reads
+    still serve the old pins (fact count and summary total unchanged);
+    the post-commit states must hash-match DuckDB. A second transaction
+    that staged on the fact meanwhile must refuse at commit
+    (``conflict_refused``) with both its tables' pins unmoved.
+
+    Scale: the transaction pays its own staged writes plus ONE extra
+    JSON publish (the catalog CAS, O(#tables) bytes) — cross-table
+    atomicity at 100 TB costs metadata, not data. The reference's DAG
+    refreshes CUSTOMER + PRODUCT_SALES as separate overwrites
+    (``05_task_DAG.sql:9-19``) and relies on Snowflake transactions to
+    keep dashboards consistent; this catalog is that guarantee,
+    self-managed.
+    """
+    from ..sources.lakehouse import SnapshotTable
+    from ..sources.txn_catalog import PinnedCatalog, TransactionConflict
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    rollup = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_txn_audit_")
+    try:
+        cat = PinnedCatalog(spark, os.path.join(tmp, "cat"))
+        fact = SnapshotTable(spark, os.path.join(tmp, "fact"))
+        fact.create(ev.filter(F.col("event_id") % 2 == 0))
+        summ = SnapshotTable(spark, os.path.join(tmp, "summary"))
+        summ.create(rollup(ev.filter(F.col("event_id") % 2 == 0)))
+        cat.register("fact", fact.path)
+        cat.register("summary", summ.path)
+
+        def fact_stats(df, probe):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        def summ_stats(df, probe):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cnt").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        out = fact_stats(cat.read("fact"), "pre_fact").unionByName(
+            summ_stats(cat.read("summary"), "pre_summary")
+        )
+
+        pre_n_fact = cat.read("fact").count()
+        pre_total = (
+            cat.read("summary").agg(F.sum("cnt")).collect()[0][0]
+        )
+        txn = cat.transaction()
+        txn.table("fact").append(ev.filter(F.col("event_id") % 2 == 1))
+        txn.table("summary").overwrite(rollup(ev))
+        staged_invisible = int(
+            cat.read("fact").count() == pre_n_fact
+            and cat.read("summary").agg(F.sum("cnt")).collect()[0][0]
+            == pre_total
+        )
+        # a rival stages on fact while txn holds the old pins
+        rival = cat.transaction()
+        txn.commit()
+        rival.table("fact").append(ev.limit(1))
+        conflict_refused = 0
+        try:
+            rival.commit()
+        except TransactionConflict:
+            conflict_refused = int(
+                cat.read("fact").count() == ev.count()
+            )  # and the committed state did not move
+
+        out = out.unionByName(
+            fact_stats(cat.read("fact"), "post_fact")
+        ).unionByName(summ_stats(cat.read("summary"), "post_summary"))
+        flags = spark.createDataFrame(
+            [
+                ("staged_invisible", staged_invisible, staged_invisible),
+                ("conflict_refused", conflict_refused, conflict_refused),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,312 @@
+"""Multi-table TRANSACTIONS via a pinned catalog (single-CAS commit).
+
+No public lakehouse format gives cross-table atomicity from the table
+logs alone — Delta and Iceberg both scope their optimistic commit to
+one log. The production answer (Iceberg's REST-catalog multi-table
+commit) moves atomicity UP one level: a catalog maps each table name to
+a PINNED version, readers resolve through the pins, and a transaction
+commits by compare-and-swapping the whole pin set in ONE catalog
+commit. Writers stage real table versions first (durable, but
+invisible through the catalog); the pin swap then exposes every staged
+version at once — or none, on conflict.
+
+This module is that design over :class:`SnapshotTable`:
+
+- :class:`PinnedCatalog` — a versioned ``name -> (path, pin)`` map,
+  committed through the same one-winner :class:`CommitProtocol` as
+  table manifests (``_catalog/v{N}.json``, exclusive create). Catalog
+  states are full snapshots (catalogs are metadata-small), so reads
+  resolve from the latest file alone.
+- :class:`MultiTableTransaction` — snapshot-isolated writes across any
+  number of catalog tables. ``txn.table(name)`` hands out a normal
+  table handle; every staged commit lands in that table's own log
+  immediately (crash-durable, vacuum-reclaimable), and ``txn.commit()``
+  swaps all touched pins in one catalog CAS. First-committer-wins: a
+  concurrent transaction that moved any touched table's pin since this
+  transaction began raises :class:`TransactionConflict` and NOTHING
+  moves — the staged table versions become orphans the table-level
+  vacuum reclaims.
+
+Contract the caller keeps: tables registered in a pinned catalog are
+READ through it (``catalog.read``) and WRITTEN through transactions —
+a direct ``SnapshotTable.read`` of the same path sees staged,
+not-yet-committed versions (exactly as a raw file read under any
+lakehouse sees data files before their commit publishes). And
+table-level ``vacuum`` is PIN-UNAWARE (same hazard class as
+``clone_to``): retention must cover the pinned version — a pin is
+usually at or near the head, but a long-staging transaction holds it
+back, and ``vacuum(retain_last=1)`` during that window would expire
+the manifest the catalog still serves.
+
+Scale: a transaction over two 100 TB tables costs its own staged
+writes plus TWO JSON publishes (one per-table manifest each was paying
+anyway, one catalog CAS); the catalog file is O(#tables), independent
+of data volume. Reference anchor: the task DAG's curated refresh
+(``04_sales_enrich_sp.sql:61`` + ``05_task_DAG.sql``) overwrites
+PRODUCT_SALES while dashboards read it — Snowflake hides that behind
+transactional DDL; self-managed tables need this catalog to offer the
+same read-never-torn guarantee across MULTIPLE tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .lakehouse import (
+    _MANIFEST_DIR,
+    CommitProtocol,
+    PosixCommit,
+    SnapshotTable,
+)
+
+_CATALOG_DIR = "_catalog"
+
+
+class TransactionConflict(RuntimeError):
+    """A concurrent transaction moved a touched table's pin first."""
+
+
+class PinnedCatalog:
+    """Versioned ``name -> (path, pinned_version)`` map with CAS commits.
+
+    ``commit_protocol`` supplies the same at-most-one-winner publish
+    property table manifests rely on (POSIX ``O_EXCL`` by default;
+    conditional PUT or a lock service on object stores)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        commit_protocol: CommitProtocol | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.commit_protocol = commit_protocol or PosixCommit()
+        os.makedirs(os.path.join(path, _CATALOG_DIR), exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def _cat_path(self, version: int) -> str:
+        return os.path.join(self.path, _CATALOG_DIR, f"v{version:012d}.json")
+
+    def _versions(self) -> list[int]:
+        d = os.path.join(self.path, _CATALOG_DIR)
+        out = []
+        for f in os.listdir(d):
+            m = re.fullmatch(r"v(\d{12})\.json", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def state(self) -> dict:
+        """Latest committed catalog state: ``{"version": N, "tables":
+        {name: {"path": str, "pin": int}}}`` (version 0, no tables,
+        before the first commit)."""
+        versions = self._versions()
+        if not versions:
+            return {"version": 0, "tables": {}}
+        with open(self._cat_path(versions[-1])) as fh:
+            return json.load(fh)
+
+    def _cas(self, base_version: int, tables: dict) -> int:
+        """Publish ``tables`` as the next catalog state iff the catalog
+        is still at ``base_version``; returns the new version or raises
+        :class:`TransactionConflict` (the caller re-reads and decides)."""
+        next_v = base_version + 1
+        body = json.dumps(
+            {
+                "version": next_v,
+                "timestamp_ms": int(time.time() * 1000),
+                "tables": tables,
+            }
+        )
+        if not self.commit_protocol.publish(self._cat_path(next_v), body):
+            raise TransactionConflict(
+                f"catalog moved past v{base_version}; re-read and retry"
+            )
+        return next_v
+
+    # ----------------------------------------------------------- tables
+
+    def register(self, name: str, table_path: str, **table_kwargs) -> int:
+        """Add ``name`` at ``table_path``, pinned to the table's current
+        version (0 for a not-yet-created table — the pin moves when the
+        first transaction commits it). Retries its CAS against catalog
+        commits that did not already register the name."""
+        while True:
+            cur = self.state()
+            if name in cur["tables"]:
+                raise ValueError(f"table {name!r} already registered")
+            t = SnapshotTable(self.spark, table_path, **table_kwargs)
+            vs = t._versions()
+            tables = dict(cur["tables"])
+            tables[name] = {"path": table_path, "pin": vs[-1] if vs else 0}
+            try:
+                return self._cas(cur["version"], tables)
+            except TransactionConflict:
+                continue  # somebody registered another table; re-read
+
+    def pin(self, name: str) -> int:
+        entry = self.state()["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"table {name!r} not registered")
+        return entry["pin"]
+
+    def table(self, name: str, **table_kwargs) -> SnapshotTable:
+        """A handle on the UNDERLYING table (current head, not the pin)
+        — for maintenance (vacuum/compact). Reads that want the
+        catalog's transactional view go through :meth:`read`."""
+        entry = self.state()["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"table {name!r} not registered")
+        return SnapshotTable(self.spark, entry["path"], **table_kwargs)
+
+    def read(self, name: str) -> DataFrame:
+        """The table AT ITS PIN — the only read that participates in
+        cross-table atomicity. Staged-but-uncommitted transaction
+        writes are invisible here by construction."""
+        entry = self.state()["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"table {name!r} not registered")
+        if entry["pin"] == 0:
+            raise ValueError(
+                f"table {name!r} has no committed transaction yet"
+            )
+        return SnapshotTable(self.spark, entry["path"]).read(
+            version=entry["pin"]
+        )
+
+    def transaction(self) -> "MultiTableTransaction":
+        return MultiTableTransaction(self)
+
+
+class _RecordingProtocol(CommitProtocol):
+    """Wrap a table's commit protocol and remember which manifest
+    versions THIS wrapper successfully published — the transaction's
+    own lineage, distinguishable from foreign commits that land in the
+    same table log while the transaction stages."""
+
+    def __init__(self, inner: CommitProtocol, manifest_dir: str):
+        self.inner = inner
+        self.manifest_dir = manifest_dir
+        self.produced: list[int] = []
+
+    def publish(self, path: str, body: str) -> bool:
+        ok = self.inner.publish(path, body)
+        if ok and os.path.dirname(path) == self.manifest_dir:
+            m = re.fullmatch(r"v(\d+)\.json", os.path.basename(path))
+            if m:
+                self.produced.append(int(m.group(1)))
+        return ok
+
+
+class MultiTableTransaction:
+    """Snapshot-isolated multi-table writes, committed by one catalog CAS.
+
+    Lifecycle: ``txn.table(name)`` opens (and remembers) a handle; any
+    number of normal table operations follow (append / merge /
+    delete_mor / update — each lands in the table's own log, durable
+    but unpinned, with the versions this transaction produced recorded
+    via its commit protocol); ``commit()`` moves every touched pin to
+    the HIGHEST VERSION THIS TRANSACTION PRODUCED in one CAS — never
+    the raw log head, which may contain another transaction's staged
+    commits.
+
+    Conflict rules (first-committer-wins, per touched table):
+
+    - another transaction committed a pin move on a touched table since
+      this transaction began -> :class:`TransactionConflict`, no pins
+      move, staged versions orphan (aged out by later commits + table
+      vacuum);
+    - this transaction's lineage is ROOTED on unpinned foreign commits
+      (the table log had advanced past the pin when this transaction
+      first wrote it — pinning our head would expose the foreign
+      stager's uncommitted rows) -> :class:`TransactionConflict`;
+    - catalog commits touching only OTHER tables (registrations,
+      disjoint transactions) never conflict — the CAS retries over
+      them, re-validating the touched pins each time;
+    - table-log-level races (two stagers writing the same table)
+      surface earlier as the table's own ConcurrentWriteError /
+      auto-rebase, exactly as outside transactions.
+    """
+
+    def __init__(self, catalog: PinnedCatalog):
+        self.catalog = catalog
+        self._base = catalog.state()
+        self._handles: dict[str, SnapshotTable] = {}
+        self._recorders: dict[str, _RecordingProtocol] = {}
+        self._stage_base: dict[str, int] = {}
+        self._done = False
+
+    def table(self, name: str, **table_kwargs) -> SnapshotTable:
+        if self._done:
+            raise RuntimeError("transaction already committed/abandoned")
+        if name in self._handles:
+            return self._handles[name]
+        entry = self._base["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"table {name!r} not registered")
+        inner = table_kwargs.pop("commit_protocol", None) or PosixCommit()
+        rec = _RecordingProtocol(
+            inner, os.path.join(entry["path"].rstrip("/"), _MANIFEST_DIR)
+        )
+        t = SnapshotTable(
+            self.catalog.spark,
+            entry["path"],
+            commit_protocol=rec,
+            **table_kwargs,
+        )
+        vs = t._versions()
+        self._handles[name] = t
+        self._recorders[name] = rec
+        self._stage_base[name] = vs[-1] if vs else 0
+        return t
+
+    def commit(self) -> int:
+        """Swap every touched pin in one catalog CAS; returns the new
+        catalog version. Touched = tables this transaction actually
+        committed versions to (a handle that staged nothing carries its
+        pin unchanged)."""
+        if self._done:
+            raise RuntimeError("transaction already committed/abandoned")
+        touched: dict[str, int] = {}
+        for name, rec in self._recorders.items():
+            if rec.produced:
+                touched[name] = max(rec.produced)
+        while True:
+            cur = self.catalog.state()
+            for name in touched:
+                base_pin = self._base["tables"][name]["pin"]
+                if self._stage_base[name] != base_pin:
+                    raise TransactionConflict(
+                        f"{name!r}: this transaction staged on top of "
+                        f"unpinned version(s) (log at "
+                        f"v{self._stage_base[name]}, pin at v{base_pin}) "
+                        "— committing would expose another stager's "
+                        "uncommitted rows; nothing committed"
+                    )
+                if cur["tables"][name]["pin"] != base_pin:
+                    raise TransactionConflict(
+                        f"pin of {name!r} moved "
+                        f"{base_pin} -> {cur['tables'][name]['pin']} "
+                        "since this transaction began; nothing committed"
+                    )
+            tables = {n: dict(e) for n, e in cur["tables"].items()}
+            for name, head in touched.items():
+                tables[name]["pin"] = head
+            try:
+                v = self.catalog._cas(cur["version"], tables)
+            except TransactionConflict:
+                continue  # lost the publish race; re-read, re-validate
+            self._done = True
+            return v
+
+    def abandon(self) -> None:
+        """Drop the transaction: no pins move; staged table versions
+        stay in their logs as orphans until the table vacuums."""
+        self._done = True

@@ -1,0 +1,165 @@
+"""Multi-table transactions via the pinned catalog
+(sources/txn_catalog.py): staged table versions are invisible through
+catalog reads until ONE catalog CAS exposes every touched pin at once;
+first-committer-wins on conflicting pins; disjoint transactions and
+registrations never conflict."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    SnapshotTable,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+    MultiTableTransaction,
+    PinnedCatalog,
+    TransactionConflict,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .coalesce(1)
+        .select(F.col("id").cast("int").alias("id"))
+    )
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = PinnedCatalog(spark, str(tmp_path / "cat"))
+    for name in ("orders", "totals"):
+        t = SnapshotTable(spark, str(tmp_path / name))
+        t.create(_df(spark, 0, 10))
+        c.register(name, t.path)
+    return c
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_staged_writes_invisible_until_one_cas(spark, cat):
+    txn = cat.transaction()
+    txn.table("orders").append(_df(spark, 10, 12))
+    txn.table("totals").delete(F.col("id") >= 5)
+    # staged in the table logs, invisible through the catalog
+    assert _ids(cat.read("orders")) == list(range(10))
+    assert _ids(cat.read("totals")) == list(range(10))
+    txn.commit()
+    # both changes appear atomically
+    assert _ids(cat.read("orders")) == list(range(12))
+    assert _ids(cat.read("totals")) == list(range(5))
+
+
+def test_conflict_moves_nothing(spark, cat):
+    a = cat.transaction()
+    b = cat.transaction()
+    a.table("orders").append(_df(spark, 100, 101))
+    b.table("orders").append(_df(spark, 200, 201))
+    b.table("totals").append(_df(spark, 300, 301))
+    a.commit()
+    with pytest.raises(TransactionConflict):
+        b.commit()
+    # b staged real table versions, but NEITHER pin moved for it
+    assert _ids(cat.read("orders")) == list(range(10)) + [100]
+    assert _ids(cat.read("totals")) == list(range(10))
+
+
+def test_disjoint_transactions_both_commit(spark, cat):
+    a = cat.transaction()
+    b = cat.transaction()
+    a.table("orders").append(_df(spark, 100, 101))
+    b.table("totals").append(_df(spark, 200, 201))
+    a.commit()
+    b.commit()  # retries over a's catalog commit, no shared pins
+    assert 100 in _ids(cat.read("orders"))
+    assert 200 in _ids(cat.read("totals"))
+
+
+def test_registration_between_stage_and_commit(spark, cat, tmp_path):
+    txn = cat.transaction()
+    txn.table("orders").append(_df(spark, 100, 101))
+    t3 = SnapshotTable(spark, str(tmp_path / "third"))
+    t3.create(_df(spark, 0, 3))
+    cat.register("third", t3.path)
+    txn.commit()  # CAS retried over the registration; both survive
+    assert 100 in _ids(cat.read("orders"))
+    assert _ids(cat.read("third")) == [0, 1, 2]
+
+
+def test_create_through_transaction(spark, cat, tmp_path):
+    cat.register("fresh", str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="no committed transaction"):
+        cat.read("fresh")
+    txn = cat.transaction()
+    txn.table("fresh").create(_df(spark, 0, 4))
+    txn.commit()
+    assert _ids(cat.read("fresh")) == [0, 1, 2, 3]
+
+
+def test_untouched_handle_keeps_pin(spark, cat):
+    txn = cat.transaction()
+    txn.table("orders")  # opened, never written
+    txn.table("totals").append(_df(spark, 50, 51))
+    pin_before = cat.pin("orders")
+    txn.commit()
+    assert cat.pin("orders") == pin_before
+
+
+def test_abandon_and_reuse_guard(spark, cat):
+    txn = cat.transaction()
+    txn.table("orders").append(_df(spark, 100, 101))
+    txn.abandon()
+    assert _ids(cat.read("orders")) == list(range(10))
+    with pytest.raises(RuntimeError):
+        txn.commit()
+    with pytest.raises(RuntimeError):
+        txn.table("orders")
+
+
+def test_duplicate_registration_refused(spark, cat, tmp_path):
+    with pytest.raises(ValueError, match="already registered"):
+        cat.register("orders", str(tmp_path / "elsewhere"))
+
+
+def test_threaded_disjoint_commits_race_the_cas(spark, cat):
+    """Two transactions on disjoint tables publish concurrently: the
+    CAS loser retries over the winner's catalog version and both land."""
+    a = cat.transaction()
+    b = cat.transaction()
+    a.table("orders").append(_df(spark, 100, 101))
+    b.table("totals").append(_df(spark, 200, 201))
+    errs = []
+
+    def run(t):
+        try:
+            t.commit()
+        except Exception as e:  # noqa: BLE001 - collected for assertion
+            errs.append(e)
+
+    th = [threading.Thread(target=run, args=(t,)) for t in (a, b)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert 100 in _ids(cat.read("orders"))
+    assert 200 in _ids(cat.read("totals"))
+
+
+def test_snapshot_isolation_against_direct_reads(spark, cat):
+    """The catalog read is the transactional view; a direct table read
+    legitimately sees staged versions (documented) — this pins the
+    difference so it stays deliberate."""
+    txn = cat.transaction()
+    h = txn.table("orders")
+    h.append(_df(spark, 100, 101))
+    assert 100 in _ids(h.read())  # direct: staged data visible
+    assert 100 not in _ids(cat.read("orders"))  # catalog: invisible
+    txn.commit()
+    assert 100 in _ids(cat.read("orders"))
