@@ -60,6 +60,8 @@ _DATA_DIR = "data"
 #: ``_change_data`` directory, same visibility rule (unreferenced =
 #: invisible; a losing writer's sidecars are grace-gated orphans)
 _CHANGES_DIR = "_changes"
+#: named-ref sidecars (Iceberg-style TAGS) under ``_manifests/tags/``
+_TAGS_DIR = "tags"
 #: a FULL manifest (complete file list) is checkpointed at every
 #: multiple of this version number; commits in between write DELTA
 #: manifests (add/remove only), so commit metadata stays proportional
@@ -147,15 +149,28 @@ class CommitProtocol:
 
 
 class PosixCommit(CommitProtocol):
-    """Exclusive create — atomic on POSIX filesystems and HDFS."""
+    """Exclusive create — atomic on POSIX filesystems and HDFS.
+
+    Publish must be atomic in CONTENT, not just in name: a reader
+    listing the log directory between a winner's ``open(O_EXCL)`` and
+    its ``write()`` would parse a torn manifest (observed as a rare
+    JSONDecodeError under the threaded catalog-CAS race). Write the
+    body to a uniquely-named temp file first, then ``os.link`` it to
+    the target — the link is the exclusive-create (EEXIST = lost the
+    race) and the file appears with its full content or not at all,
+    the same all-or-nothing a conditional PUT gives on object stores."""
 
     def publish(self, path: str, body: str) -> bool:
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(body)
         try:
-            with open(path, "x") as fh:
-                fh.write(body)
+            os.link(tmp, path)
             return True
         except FileExistsError:
             return False
+        finally:
+            os.unlink(tmp)
 
 
 class OverwritingCommit(CommitProtocol):
@@ -1758,9 +1773,15 @@ class SnapshotTable:
         as_of_ms: int | None = None,
         skip_where: list[tuple] | None = None,
         partition_where: list[tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """The table at a version (default latest). ``mergeSchema`` makes
         added-column evolution transparent: old files surface NULLs.
+
+        ``tag`` — read the version a named ref (:meth:`create_tag`)
+        pins; mutually exclusive with ``version``/``as_of_ms``. Tagged
+        versions are vacuum-proof, so this read cannot hit the
+        retention boundary the way a raw ``version=`` pin can.
 
         ``skip_where`` — ``[(col, op, value), ...]`` conjuncts — prunes
         files whose manifest [min, max] stats prove they hold no
@@ -1782,6 +1803,12 @@ class SnapshotTable:
         conjunct is rewritten conservatively — ``ts >= X`` prunes to
         days ``>= day(X)`` — and the row filter is REQUIRED to trim the
         boundary partition."""
+        if tag is not None:
+            if version is not None or as_of_ms is not None:
+                raise ValueError(
+                    "tag= is mutually exclusive with version=/as_of_ms="
+                )
+            version = self._tag_version(tag)
         if partition_where:
             snap = self._load(
                 self._resolve_v(version, as_of_ms),
@@ -3357,11 +3384,89 @@ class SnapshotTable:
             f"no data files in versions [{v_lo}, {v_hi}] to derive a schema"
         )
 
+    # ------------------------------------------------------------- tags
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Name a committed version (Iceberg TAG): a durable retention
+        REF that :meth:`vacuum` honors — tagged versions and their
+        files survive any ``retain_last`` horizon until the tag is
+        dropped. ``read(tag=...)`` resolves through it. Tags are
+        published through the commit protocol (exclusive create), so a
+        racing double-create has exactly one winner; a tag is immutable
+        — drop and re-create to move it (the Iceberg semantic, which
+        keeps "what did ``release-2026-08`` mean" answerable forever).
+
+        Why this exists at 100 TB: time travel bounded by
+        ``retain_last`` is an OPS dial, but audits/repro pins
+        ("the snapshot model v7 trained on") need named, vacuum-proof
+        anchors — Delta solves this with full CLONEs (table-sized
+        metadata), Iceberg with refs (one small file). This is the ref
+        design: O(1) bytes per tag, zero data copies."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+            raise ValueError(
+                f"tag name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]*"
+                " (<= 64 chars)"
+            )
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError("no committed version to tag")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise LookupError(f"version {v} not in {versions}")
+        tdir = os.path.join(self.path, _MANIFEST_DIR, _TAGS_DIR)
+        os.makedirs(tdir, exist_ok=True)
+        body = json.dumps(
+            {
+                "name": name,
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+            }
+        )
+        if not self.commit_protocol.publish(
+            os.path.join(tdir, f"{name}.json"), body
+        ):
+            raise FileExistsError(
+                f"tag {name!r} already exists (drop_tag to move it)"
+            )
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the version it pinned becomes subject to the
+        normal ``retain_last`` horizon at the NEXT vacuum (nothing is
+        deleted here — dropping a ref is metadata-only)."""
+        p = os.path.join(self.path, _MANIFEST_DIR, _TAGS_DIR, f"{name}.json")
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        """``{tag_name: version}`` for every live tag."""
+        tdir = os.path.join(self.path, _MANIFEST_DIR, _TAGS_DIR)
+        out: dict[str, int] = {}
+        for f in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(tdir, f)) as fh:
+                    t = json.load(fh)
+                out[t["name"]] = int(t["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # half-written loser of a publish race
+        return out
+
+    def _tag_version(self, name: str) -> int:
+        v = self.tags().get(name)
+        if v is None:
+            raise KeyError(f"no tag {name!r}")
+        return v
+
     def vacuum(
         self,
         retain_last: int = 2,
         orphan_grace_ms: int = 3_600_000,
         dry_run: bool = False,
+        keep_versions: list[int] | None = None,
     ) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop
         the expired manifests. Time travel keeps working for the last
@@ -3383,11 +3488,31 @@ class SnapshotTable:
         delete and changes NOTHING — no file, shard, or sidecar is
         removed, no manifest is rewritten or dropped. The ops
         pre-flight every destructive retention pass deserves (Delta's
-        ``VACUUM ... DRY RUN``)."""
+        ``VACUUM ... DRY RUN``).
+
+        ``keep_versions`` — extra versions to retain BEYOND the
+        ``retain_last`` horizon (a pinned-catalog pin, an external
+        audit hold). Tagged versions (:meth:`create_tag`) are always
+        retained. Retention may therefore be NON-CONTIGUOUS: a kept
+        version whose delta-manifest base is dropped is first
+        materialized as its equivalent full manifest, so every
+        retained version keeps resolving without the dropped links."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
-        keep_v = versions[-retain_last:]
+        keep = set(versions[-retain_last:])
+        for v in list(keep_versions or []) + list(self.tags().values()):
+            if v == 0:
+                continue  # a catalog pin of 0 = not-yet-committed table
+            if v not in versions:
+                raise LookupError(
+                    f"keep version {v} not in {versions} — already "
+                    "expired (a ref was created after its target was "
+                    "vacuumed?)"
+                )
+            keep.add(v)
+        keep_v = sorted(keep)
+        dropped = [v for v in versions if v not in keep]
         # every file ANY manifest (retained or expired) ever resolved
         # to — the set that separates "expired data" (delete now) from
         # "true orphan" (grace-gated): folded BEFORE manifests drop
@@ -3427,7 +3552,7 @@ class SnapshotTable:
         # manifest (Delta keeps the same appId->version map in its
         # checkpoints for exactly this reason).
         folded: dict[str, int] = {}
-        for v in versions[: len(versions) - retain_last]:
+        for v in dropped:
             raw_v = self._raw(v)
             for app, b in (raw_v.get("txn_seen") or {}).items():
                 folded[app] = max(folded.get(app, b), b)
@@ -3436,22 +3561,29 @@ class SnapshotTable:
                 folded[t["app_id"]] = max(
                     folded.get(t["app_id"], t["batch_id"]), t["batch_id"]
                 )
-        # the oldest retained manifest may be a DELTA whose base is about
-        # to expire: materialize it as a FULL manifest so retained
-        # history never folds past the retention boundary; rewrite also
-        # when there are txn stamps to fold. Content is logically
-        # identical (same resolved snapshot + high-water txn facts), so
-        # the immutability contract readers rely on is preserved.
-        if (
-            not dry_run
-            and keep_v
-            and ("files" not in self._raw(keep_v[0]) or folded)
-        ):
-            snap = self._load(keep_v[0])
-            tmp = self._manifest_path(keep_v[0]) + ".ckpt"
-            raw = self._raw(keep_v[0])
-            for app, b in (raw.get("txn_seen") or {}).items():
-                folded[app] = max(folded.get(app, b), b)
+        # a retained manifest may be a DELTA whose base is about to
+        # expire: materialize it as a FULL manifest so retained history
+        # never folds past a dropped link — the oldest retained always
+        # (it also absorbs the folded txn stamps), and any GAP-kept
+        # version (tag / pin) whose base is being dropped. Content is
+        # logically identical (same resolved snapshot + high-water txn
+        # facts), so the immutability contract readers rely on holds.
+        def _needs_full(v: int, oldest: bool) -> bool:
+            raw = self._raw(v)
+            if oldest:
+                return "files" not in raw or bool(folded)
+            return "base_version" in raw and raw["base_version"] not in keep
+
+        for kv in keep_v if not dry_run else []:
+            oldest = kv == keep_v[0]
+            if not _needs_full(kv, oldest):
+                continue
+            snap = self._load(kv)
+            tmp = self._manifest_path(kv) + ".ckpt"
+            raw = self._raw(kv)
+            if oldest:
+                for app, b in (raw.get("txn_seen") or {}).items():
+                    folded[app] = max(folded.get(app, b), b)
             with open(tmp, "w") as fh:
                 fh.write(
                     json.dumps(
@@ -3506,11 +3638,19 @@ class SnapshotTable:
                                 else {}
                             ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),
-                            **({"txn_seen": folded} if folded else {}),
+                            **(
+                                {"txn_seen": folded}
+                                if oldest and folded
+                                else (
+                                    {"txn_seen": raw["txn_seen"]}
+                                    if raw.get("txn_seen")
+                                    else {}
+                                )
+                            ),
                         }
                     )
                 )
-            os.replace(tmp, self._manifest_path(keep_v[0]))
+            os.replace(tmp, self._manifest_path(kv))
         live = {f for v in keep_v for f in self._load(v).files}
         # sweep shard sidecars referenced by NO retained manifest:
         # expired checkpoints' shards go regardless of age; an UNKNOWN
@@ -3593,7 +3733,7 @@ class SnapshotTable:
                     os.rmdir(root)
         if dry_run:
             return removed
-        for v in versions[:-retain_last]:
+        for v in dropped:
             os.unlink(self._manifest_path(v))
         return removed
 

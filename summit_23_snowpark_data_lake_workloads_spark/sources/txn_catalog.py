@@ -32,11 +32,16 @@ READ through it (``catalog.read``) and WRITTEN through transactions —
 a direct ``SnapshotTable.read`` of the same path sees staged,
 not-yet-committed versions (exactly as a raw file read under any
 lakehouse sees data files before their commit publishes). And
-table-level ``vacuum`` is PIN-UNAWARE (same hazard class as
-``clone_to``): retention must cover the pinned version — a pin is
-usually at or near the head, but a long-staging transaction holds it
-back, and ``vacuum(retain_last=1)`` during that window would expire
-the manifest the catalog still serves.
+retention runs through :meth:`PinnedCatalog.vacuum`, which unions the
+table's CURRENT pin into the keep set — a pin is usually at or near
+the head, but a long-staging transaction holds it back, and a raw
+table-level ``vacuum(retain_last=1)`` during that window would expire
+the manifest the catalog still serves (the same hazard class as
+``clone_to``, closed here the way table tags close it:
+``keep_versions``). Historical catalog states (:meth:`state` with
+``version=``) pin OLDER table versions that only ``retain_last`` or a
+table tag protects — cross-table time travel reaches exactly as far
+as table retention, stated not hidden.
 
 Scale: a transaction over two 100 TB tables costs its own staged
 writes plus TWO JSON publishes (one per-table manifest each was paying
@@ -103,26 +108,54 @@ class PinnedCatalog:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def state(self) -> dict:
-        """Latest committed catalog state: ``{"version": N, "tables":
+    def state(self, version: int | None = None) -> dict:
+        """Committed catalog state: ``{"version": N, "tables":
         {name: {"path": str, "pin": int}}}`` (version 0, no tables,
-        before the first commit)."""
+        before the first commit). ``version=`` time-travels the
+        CATALOG: because every transaction moves all its pins in one
+        catalog commit, a historical state is a CROSS-TABLE-consistent
+        snapshot — "the warehouse as of catalog v7" — something no
+        per-table log can offer. Reaches as far back as the catalog
+        files exist and the pinned table versions survive table
+        retention (:meth:`vacuum` keeps only CURRENT pins)."""
         versions = self._versions()
         if not versions:
+            if version is not None and version != 0:
+                raise LookupError(f"catalog version {version} not in []")
             return {"version": 0, "tables": {}}
-        with open(self._cat_path(versions[-1])) as fh:
+        if version is not None and version not in versions:
+            raise LookupError(
+                f"catalog version {version} not in {versions}"
+            )
+        with open(self._cat_path(version or versions[-1])) as fh:
             return json.load(fh)
 
-    def _cas(self, base_version: int, tables: dict) -> int:
+    def _cas(
+        self,
+        cur: dict,
+        tables: dict,
+        stamps: dict[str, int] | None = None,
+    ) -> int:
         """Publish ``tables`` as the next catalog state iff the catalog
-        is still at ``base_version``; returns the new version or raises
-        :class:`TransactionConflict` (the caller re-reads and decides)."""
+        is still at ``cur["version"]``; returns the new version or
+        raises :class:`TransactionConflict` (the caller re-reads and
+        decides). ``stamps`` fold into the state's ``txn_seen``
+        high-water map (app_id -> batch_id) — the CATALOG-level replay
+        detector: a transaction's effect is committed exactly when its
+        pin swap lands, so idempotency stamps for transactional
+        refreshes belong here, not in the table logs, where a staged-
+        but-never-pinned commit would leave a stamp that lies."""
+        base_version = cur["version"]
+        seen = dict(cur.get("txn_seen") or {})
+        for app, b in (stamps or {}).items():
+            seen[app] = max(seen.get(app, b), b)
         next_v = base_version + 1
         body = json.dumps(
             {
                 "version": next_v,
                 "timestamp_ms": int(time.time() * 1000),
                 "tables": tables,
+                **({"txn_seen": seen} if seen else {}),
             }
         )
         if not self.commit_protocol.publish(self._cat_path(next_v), body):
@@ -130,6 +163,13 @@ class PinnedCatalog:
                 f"catalog moved past v{base_version}; re-read and retry"
             )
         return next_v
+
+    def last_committed_batch(self, app_id: str) -> int | None:
+        """Highest ``batch_id`` committed under ``app_id`` through a
+        transaction's pin swap (None if never) — read from the latest
+        catalog state only (states are full snapshots; ``_cas`` folds
+        the map forward on every commit)."""
+        return (self.state().get("txn_seen") or {}).get(app_id)
 
     # ----------------------------------------------------------- tables
 
@@ -147,7 +187,7 @@ class PinnedCatalog:
             tables = dict(cur["tables"])
             tables[name] = {"path": table_path, "pin": vs[-1] if vs else 0}
             try:
-                return self._cas(cur["version"], tables)
+                return self._cas(cur, tables)
             except TransactionConflict:
                 continue  # somebody registered another table; re-read
 
@@ -166,11 +206,15 @@ class PinnedCatalog:
             raise KeyError(f"table {name!r} not registered")
         return SnapshotTable(self.spark, entry["path"], **table_kwargs)
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, catalog_version: int | None = None) -> DataFrame:
         """The table AT ITS PIN — the only read that participates in
         cross-table atomicity. Staged-but-uncommitted transaction
-        writes are invisible here by construction."""
-        entry = self.state()["tables"].get(name)
+        writes are invisible here by construction.
+        ``catalog_version=`` reads the pin a HISTORICAL catalog state
+        recorded (cross-table time travel); raises FileNotFoundError /
+        LookupError if table retention already expired that version —
+        the honest boundary, same as any pinned read."""
+        entry = self.state(catalog_version)["tables"].get(name)
         if entry is None:
             raise KeyError(f"table {name!r} not registered")
         if entry["pin"] == 0:
@@ -180,6 +224,68 @@ class PinnedCatalog:
         return SnapshotTable(self.spark, entry["path"]).read(
             version=entry["pin"]
         )
+
+    def vacuum(self, name: str, retain_last: int = 2, **kw) -> list[str]:
+        """Table-level vacuum that RESPECTS the catalog: the table's
+        current pin is unioned into the keep set, so a long-staging
+        transaction (pin held back while the log head advances) can
+        never have the manifest the catalog still serves swept out
+        from under it. All other ``vacuum`` kwargs pass through.
+        Historical catalog states' pins are NOT kept — cross-table
+        time travel is bounded by table retention by design (keep a
+        table tag on versions that must outlive it)."""
+        entry = self.state()["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"table {name!r} not registered")
+        keeps = list(kw.pop("keep_versions", None) or [])
+        if entry["pin"]:
+            keeps.append(entry["pin"])
+        return self.table(name).vacuum(
+            retain_last=retain_last, keep_versions=keeps, **kw
+        )
+
+    def repair(self, name: str) -> int | None:
+        """Un-wedge a table whose LOG HEAD ran past its pin — the state
+        an abandoned or conflicted transaction leaves behind (its
+        staged commits are durable orphans, and every later transaction
+        on the table would hit the foreign-staged-lineage refusal).
+        Rolls the table log back to the pin's CONTENT (a normal
+        ``rollback`` commit — nothing is deleted, the orphan versions
+        age out under vacuum) and moves the pin to that rollback
+        version in one CAS. Readers see byte-identical content
+        throughout. Returns the new pin, or None if the table was
+        clean (head == pin) — safe to call unconditionally.
+
+        Racing a LIVE stager: repair cannot distinguish a crashed
+        transaction's orphans from one still staging; rolling back
+        under a live stager aborts it at ITS commit (the pin moved) —
+        the correct first-committer-wins outcome, but run repair from
+        the orchestrator that owns the table's refresh cadence, not
+        from ad-hoc sessions."""
+        while True:
+            cur = self.state()
+            entry = cur["tables"].get(name)
+            if entry is None:
+                raise KeyError(f"table {name!r} not registered")
+            t = SnapshotTable(self.spark, entry["path"])
+            vs = t._versions()
+            head = vs[-1] if vs else 0
+            if head == entry["pin"]:
+                return None
+            if entry["pin"] == 0:
+                raise ValueError(
+                    f"table {name!r} has orphan staged commits but no "
+                    "committed pin to roll back to; drop and re-create "
+                    "the table, or commit a first transaction"
+                )
+            new_head = t.rollback(entry["pin"]).version
+            tables = {n: dict(e) for n, e in cur["tables"].items()}
+            tables[name]["pin"] = new_head
+            try:
+                self._cas(cur, tables)
+                return new_head
+            except TransactionConflict:
+                continue  # catalog moved (another registration); retry
 
     def transaction(self) -> "MultiTableTransaction":
         return MultiTableTransaction(self)
@@ -267,11 +373,14 @@ class MultiTableTransaction:
         self._stage_base[name] = vs[-1] if vs else 0
         return t
 
-    def commit(self) -> int:
+    def commit(self, stamps: dict[str, int] | None = None) -> int:
         """Swap every touched pin in one catalog CAS; returns the new
         catalog version. Touched = tables this transaction actually
         committed versions to (a handle that staged nothing carries its
-        pin unchanged)."""
+        pin unchanged). ``stamps`` (app_id -> batch_id) fold into the
+        catalog's ``txn_seen`` map IN THE SAME CAS — the atomic
+        stamp+publish a transactional refresh needs for exactly-once
+        (:meth:`PinnedCatalog.last_committed_batch`)."""
         if self._done:
             raise RuntimeError("transaction already committed/abandoned")
         touched: dict[str, int] = {}
@@ -300,7 +409,7 @@ class MultiTableTransaction:
             for name, head in touched.items():
                 tables[name]["pin"] = head
             try:
-                v = self.catalog._cas(cur["version"], tables)
+                v = self.catalog._cas(cur, tables, stamps=stamps)
             except TransactionConflict:
                 continue  # lost the publish race; re-read, re-validate
             self._done = True

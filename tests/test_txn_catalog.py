@@ -163,3 +163,55 @@ def test_snapshot_isolation_against_direct_reads(spark, cat):
     assert 100 not in _ids(cat.read("orders"))  # catalog: invisible
     txn.commit()
     assert 100 in _ids(cat.read("orders"))
+
+
+def test_publish_is_content_atomic_under_contention(tmp_path):
+    """A reader polling the catalog directory during a publish storm
+    must never parse a torn file: PosixCommit links the finished body
+    into place (all-or-nothing), it never writes in place."""
+    import json
+    import threading
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        PosixCommit,
+    )
+
+    proto = PosixCommit()
+    d = tmp_path / "log"
+    d.mkdir()
+    body = json.dumps({"payload": "x" * 65536})
+    stop = threading.Event()
+    torn = []
+
+    def reader():
+        while not stop.is_set():
+            for f in d.iterdir():
+                if f.suffix != ".json":
+                    continue
+                try:
+                    assert json.loads(f.read_text())["payload"]
+                except Exception as e:  # noqa: BLE001 - the torn read
+                    torn.append((f.name, repr(e)))
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    try:
+        for i in range(50):
+            path = str(d / f"v{i:012d}.json")
+            wins = []
+            ws = [
+                threading.Thread(
+                    target=lambda: wins.append(proto.publish(path, body))
+                )
+                for _ in range(4)
+            ]
+            for w in ws:
+                w.start()
+            for w in ws:
+                w.join()
+            assert sum(wins) == 1  # exactly one winner per version
+    finally:
+        stop.set()
+        rt.join()
+    assert torn == []
+    assert not [f for f in d.iterdir() if f.name.endswith(".tmp")]
