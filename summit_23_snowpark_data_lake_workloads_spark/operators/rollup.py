@@ -86,6 +86,8 @@ def refresh_rollup(
     group_cols: list[str],
     sum_cols: list[str],
     app_id: str = "rollup",
+    since: int | str = "auto",
+    through: int | None = None,
 ) -> str:
     """Bring ``rollup`` up to date with ``fact``. Returns how:
 
@@ -110,7 +112,25 @@ def refresh_rollup(
     carries every existing group of a touched partition, so sibling
     groups the delta never mentioned survive the partition overwrite.
     Unpartitioned rollups fall back to a whole-table overwrite (they
-    are aggregate-sized — still cheap, just not partition-local)."""
+    are aggregate-sized — still cheap, just not partition-local).
+
+    ``since`` — where the refresh's high-water mark comes from.
+    ``"auto"`` (default): the rollup table's own txn stamps, correct
+    whenever a committed rollup version IS the applied truth. An
+    explicit int (or None for "never refreshed": full recompute) is
+    for callers whose commit point lies ABOVE the table log — the
+    transactional medallion (``plans/txn_refresh.py``) stages rollup
+    commits that only count once a catalog pin swap lands, so it feeds
+    the CATALOG's stamp here; trusting the log's stamps there would
+    let an abandoned transaction's orphan commit masquerade as
+    applied and wedge the refresh into ``noop`` forever.
+
+    ``through`` — refresh through exactly this fact version instead of
+    the head read at call time. Callers that record the high-water
+    mark OUTSIDE this function (the transactional medallion stamps it
+    in the catalog CAS) must pin it here too, or a fact commit racing
+    in between would be folded-but-stamped-over (skipped forever) or
+    stamped-but-never-folded (double-counted next tick)."""
     if rollup.partition_by:
         bad = [
             f.source for f in rollup._pfields if f.source not in group_cols
@@ -121,13 +141,25 @@ def refresh_rollup(
                 f"group_cols {group_cols}; the refresh could not even "
                 "derive the touched partitions"
             )
-    v_hi = fact.snapshot().version
-    seen = (
-        rollup.last_committed_batch(app_id) if rollup._versions() else None
-    )
+    v_hi = fact.snapshot().version if through is None else through
+    if since == "auto":
+        seen = (
+            rollup.last_committed_batch(app_id)
+            if rollup._versions()
+            else None
+        )
+    else:
+        seen = since
     if seen is not None and v_hi <= seen:
         return "noop"
-    txn = {"app_id": app_id, "batch_id": v_hi}
+    # table-log txn stamps only in "auto" mode. Under an external
+    # high-water (the transactional medallion), staging stamps in the
+    # table would ARM `_commit`'s replay guard with uncommitted truth:
+    # an abandoned transaction's orphan commit carries the same
+    # (app_id, batch_id) the retry would use, and the retry's write
+    # would silently no-op against it. The external caller's commit
+    # point (the catalog CAS) is the only stamp that may exist.
+    txn = {"app_id": app_id, "batch_id": v_hi} if since == "auto" else None
 
     def aggregate(df: DataFrame) -> DataFrame:
         return (
@@ -175,7 +207,10 @@ def refresh_rollup(
     if not added:
         # metadata-only fact commits (e.g. spec evolution): advance the
         # high-water mark without touching data
-        rollup._commit("refresh_noop", rollup.snapshot().version, [], txn=txn)
+        if txn is not None:  # external-stamp mode advances at ITS commit
+            rollup._commit(
+                "refresh_noop", rollup.snapshot().version, [], txn=txn
+            )
         return "incremental"
     # read the delta through the fact's LOGICAL scan, never raw
     # parquet: files store physical (creation-time) names, so after a
@@ -314,8 +349,9 @@ def _apply_delta(
         )
     if combined_parts:
         rollup.overwrite_partitions(combined, txn=txn)
-    else:
+    elif txn is not None:
         # every touched partition vanished: advance the high-water mark
+        # (external-stamp callers advance at THEIR commit instead)
         rollup._commit(
             "refresh_noop", rollup.snapshot().version, [], txn=txn
         )

@@ -1,0 +1,166 @@
+"""Transaction-scoped medallion refresh (plans/txn_refresh.py):
+silver + gold move in one catalog CAS, idempotency stamps ride the
+same CAS (catalog-level, not table-log-level), orphan staged commits
+are repaired instead of wedging or lying, and ``through=`` pins the
+fold and the stamp to the same fact version."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.operators.rollup import (
+    refresh_rollup,
+)
+from summit_23_snowpark_data_lake_workloads_spark.plans.txn_refresh import (
+    RollupSpec,
+    refresh_medallion_txn,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    SnapshotTable,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+    PinnedCatalog,
+    TransactionConflict,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k string, v long").coalesce(1)
+
+
+SILVER = RollupSpec(prepare=lambda df: df, group_cols=["k"], sum_cols=["v"])
+# gold: one global row over silver's (k, n_rows, sum_v)
+GOLD = RollupSpec(
+    prepare=lambda df: df.select(
+        F.lit("all").alias("g"), F.col("sum_v").alias("sv")
+    ),
+    group_cols=["g"],
+    sum_cols=["sv"],
+)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    bronze = SnapshotTable(spark, str(tmp_path / "bronze"))
+    bronze.create(_rows(spark, [("a", 1), ("a", 2), ("b", 10)]))
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("silver", str(tmp_path / "silver"))
+    cat.register("gold", str(tmp_path / "gold"))
+    return cat, bronze
+
+
+def _silver_map(cat):
+    return {
+        r.k: (r.n_rows, r.sum_v) for r in cat.read("silver").collect()
+    }
+
+
+def _gold_total(cat):
+    return cat.read("gold").collect()[0].sum_sv
+
+
+def test_first_tick_full_then_incremental_then_noop(spark, env):
+    cat, bronze = env
+    r1 = refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    assert (r1["silver"], r1["gold"]) == ("full", "full")
+    assert _silver_map(cat) == {"a": (2, 3), "b": (1, 10)}
+    assert _gold_total(cat) == 13
+
+    bronze.append(_rows(spark, [("b", 5), ("c", 7)]))
+    r2 = refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    assert r2["silver"] == "incremental"
+    assert _silver_map(cat) == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
+    assert _gold_total(cat) == 25
+
+    v = cat.state()["version"]
+    r3 = refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    assert (r3["silver"], r3["gold"]) == ("noop", "noop")
+    assert r3["catalog_version"] is None
+    assert cat.state()["version"] == v  # no CAS spent on a no-op tick
+
+
+def test_delete_flows_as_cdf_and_pair_stays_consistent(spark, env):
+    cat, bronze = env
+    refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    bronze.delete_mor(F.col("k") == "a")
+    r = refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    assert r["silver"] == "incremental_cdf"
+    assert _silver_map(cat) == {"b": (1, 10)}
+    assert _gold_total(cat) == 10
+
+
+def test_staged_pair_invisible_until_cas(spark, env):
+    """Mid-transaction, catalog reads serve the OLD consistent pair —
+    the never-torn guarantee the module exists for."""
+    cat, bronze = env
+    refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    bronze.append(_rows(spark, [("z", 100)]))
+    # stage the same refresh by hand, but don't commit
+    txn = cat.transaction()
+    silver = txn.table("silver")
+    refresh_rollup(
+        bronze, silver, SILVER.prepare, ["k"], ["v"],
+        app_id="medallion_txn:silver",
+        since=cat.last_committed_batch("medallion_txn:silver"),
+    )
+    # silver staged in its log; catalog still serves the old pair
+    assert "z" not in _silver_map(cat)
+    assert _gold_total(cat) == 13
+    txn.abandon()
+    # the orphan staged commit neither shows up nor wedges the next
+    # tick (auto_repair), and its table-log stamp does not fake a noop
+    r = refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    assert r["silver"] in ("incremental", "full")
+    assert _silver_map(cat)["z"] == (1, 100)
+    assert _gold_total(cat) == 113
+
+
+def test_orphans_wedge_without_repair(spark, env):
+    cat, bronze = env
+    refresh_medallion_txn(cat, bronze, "silver", "gold", SILVER, GOLD)
+    ghost = cat.transaction()
+    ghost.table("silver").append(
+        spark.createDataFrame(
+            [("zz", 1, 1)], "k string, n_rows long, sum_v long"
+        )
+    )
+    ghost.abandon()
+    bronze.append(_rows(spark, [("q", 4)]))
+    with pytest.raises(TransactionConflict):
+        refresh_medallion_txn(
+            cat, bronze, "silver", "gold", SILVER, GOLD, auto_repair=False
+        )
+    # catalog pair untouched by the refusal
+    assert "q" not in _silver_map(cat)
+    # repair un-wedges; content identical through the repair. The
+    # refused attempt orphaned staged commits on BOTH layers (silver's
+    # fold and the gold built on it) — both logs need the rollback.
+    assert cat.repair("silver") is not None
+    assert cat.repair("silver") is None  # idempotent once clean
+    assert cat.repair("gold") is not None
+    assert "zz" not in _silver_map(cat)
+    r = refresh_medallion_txn(
+        cat, bronze, "silver", "gold", SILVER, GOLD, auto_repair=False
+    )
+    assert _silver_map(cat)["q"] == (1, 4)
+    assert r["catalog_version"] is not None
+
+
+def test_through_pins_fold_and_stamp_together(spark, tmp_path):
+    """refresh_rollup(through=v) folds exactly (since, v] — the racing
+    bronze commit belongs to the next tick."""
+    bronze = SnapshotTable(spark, str(tmp_path / "b"))
+    bronze.create(_rows(spark, [("a", 1)]))          # v1
+    bronze.append(_rows(spark, [("b", 2)]))          # v2
+    silver = SnapshotTable(spark, str(tmp_path / "s"))
+    mode = refresh_rollup(
+        bronze, silver, lambda df: df, ["k"], ["v"], since=None, through=1
+    )
+    assert mode == "full"
+    assert {r.k for r in silver.read().collect()} == {"a"}
+    mode = refresh_rollup(
+        bronze, silver, lambda df: df, ["k"], ["v"], since=1, through=2
+    )
+    assert mode == "incremental"
+    assert {r.k for r in silver.read().collect()} == {"a", "b"}
