@@ -37,34 +37,88 @@ from ..sources.lakehouse import SnapshotTable
 _REPLACE_ALL_OPS = frozenset({"create", "overwrite", "rollback"})
 
 
+#: feed labels that assert a row IMAGE the key should end up with
+_UPSERT_IMAGES = ("insert", "update_postimage")
+#: feed labels that retract a previously-live image of the key
+_RETRACTIONS = ("delete", "update_preimage")
+
+
+def _netted(chg: DataFrame, key_cols: list[str]):
+    """One ``max(struct)`` aggregate over the feed: per key, the
+    winning image (highest ``(_commit_version, image-beats-
+    retraction)`` rank) plus a ``_retract`` flag — did ANY event in
+    the range retract a pre-existing image of this key? Label-aware:
+    handles both the default two-way feed (insert/delete) and the
+    four-way ``changes(update_labels=True)`` form (an
+    ``update_postimage`` is an upsert image, its ``update_preimage``
+    a retraction)."""
+    data_cols = [
+        c for c in chg.columns if c not in ("_change_type", "_commit_version")
+    ]
+    prio = F.col("_commit_version") * 2 + F.when(
+        F.col("_change_type").isin(*_UPSERT_IMAGES), 1
+    ).otherwise(0)
+    last = (
+        chg.withColumn("_prio", prio)
+        .groupBy(*key_cols)
+        .agg(
+            F.max(F.struct("_prio", "_change_type", *data_cols)).alias("w"),
+            F.max(
+                F.when(
+                    F.col("_change_type").isin(*_RETRACTIONS), 1
+                ).otherwise(0)
+            ).alias("_retract"),
+        )
+    )
+    return last, data_cols
+
+
 def net_changes(
     chg: DataFrame, key_cols: list[str]
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse a multi-commit change feed to its NET per-key effect:
     ``(upserts, deleted_keys)``. The winning image per key is the one
-    with the highest ``(_commit_version, insert-beats-delete)`` rank —
-    within one commit a MERGE emits delete(old)+insert(new) for the
-    same key, and the post-image must win; across commits the latest
-    wins. One aggregate, no window (``max(struct(...))`` carries the
-    whole winning row through the shuffle)."""
-    data_cols = [
-        c for c in chg.columns if c not in ("_change_type", "_commit_version")
-    ]
-    prio = F.col("_commit_version") * 2 + F.when(
-        F.col("_change_type") == "insert", 1
-    ).otherwise(0)
-    last = (
-        chg.withColumn("_prio", prio)
-        .groupBy(*key_cols)
-        .agg(F.max(F.struct("_prio", "_change_type", *data_cols)).alias("w"))
-    )
-    upserts = last.filter(F.col("w._change_type") == "insert").select(
-        *[F.col(f"w.{c}").alias(c) for c in data_cols]
-    )
+    with the highest ``(_commit_version, image-beats-retraction)``
+    rank — within one commit a MERGE emits delete(old)+insert(new)
+    (or preimage/postimage under four-way labels) for the same key,
+    and the post-image must win; across commits the latest wins. One
+    aggregate, no window (``max(struct(...))`` carries the whole
+    winning row through the shuffle)."""
+    last, data_cols = _netted(chg, key_cols)
+    upserts = last.filter(
+        F.col("w._change_type").isin(*_UPSERT_IMAGES)
+    ).select(*[F.col(f"w.{c}").alias(c) for c in data_cols])
     deleted_keys = last.filter(F.col("w._change_type") == "delete").select(
         *key_cols
     )
     return upserts, deleted_keys
+
+
+def net_changes_routed(
+    chg: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`net_changes` split for APPLY-side routing:
+    ``(fresh_inserts, upserts, deleted_keys)``.
+
+    ``fresh_inserts`` — keys whose ONLY events in the range are upsert
+    images (no delete / no update_preimage anywhere in the range).
+    Under the feed's key-uniqueness contract such a key was not live
+    upstream at the range start, so — replica in sync — it is absent
+    downstream too, and the apply may LAND IT AS A PLAIN APPEND: no
+    key-probe scan of the target at all. This is the churn-skip that
+    makes an append-mostly feed (the common fact-table shape) apply at
+    O(new rows) instead of O(files holding matched keys); a key that
+    was deleted-then-reinserted, updated, or merge-matched inside the
+    range has a retraction event and stays on the delete+merge path."""
+    last, data_cols = _netted(chg, key_cols)
+    img = F.col("w._change_type").isin(*_UPSERT_IMAGES)
+    sel = [F.col(f"w.{c}").alias(c) for c in data_cols]
+    fresh = last.filter(img & (F.col("_retract") == 0)).select(*sel)
+    upserts = last.filter(img & (F.col("_retract") == 1)).select(*sel)
+    deleted_keys = last.filter(F.col("w._change_type") == "delete").select(
+        *key_cols
+    )
+    return fresh, upserts, deleted_keys
 
 
 def replicate_changes(
@@ -73,6 +127,7 @@ def replicate_changes(
     key_cols: list[str],
     app_id: str = "cdc",
     strategy: str = "cow",
+    route_inserts: bool = True,
 ) -> str:
     """Bring ``dst`` row-identical to ``src``'s latest version. Returns
     ``"noop"`` (already current), ``"incremental"`` (consumed the
@@ -84,7 +139,13 @@ def replicate_changes(
     ``strategy="mor"`` applies the net effect through
     ``delete_keys_mor`` + ``merge_mor`` (deletion vectors + append,
     one JSON commit each) instead of copy-on-write — the right default
-    once the replica is large relative to each sync's change set."""
+    once the replica is large relative to each sync's change set.
+
+    ``route_inserts`` (default on) — keys with no retraction event in
+    the range land as ONE plain append (:func:`net_changes_routed`):
+    an insert-only sync never scans the replica for key matches at
+    all. Sound under the feed's key-uniqueness contract; turn off for
+    upstreams that append duplicate keys outside MERGE discipline."""
     if strategy not in ("cow", "mor"):
         raise ValueError(f"unknown apply strategy {strategy!r}")
     v_hi = src.snapshot().version
@@ -117,26 +178,55 @@ def replicate_changes(
         chg = src.changes(seen, v_hi)
     except FileNotFoundError:
         return full_resync()  # pre-images vacuumed: the retention boundary
-    upserts, deleted_keys = net_changes(chg, key_cols)
+    if route_inserts:
+        fresh, upserts, deleted_keys = net_changes_routed(chg, key_cols)
+    else:
+        upserts, deleted_keys = net_changes(chg, key_cols)
+        fresh = upserts.limit(0)
     # materialize once: each frame is consumed by several actions
     # (existence probe, the key-scoped delete's file location, the
     # merge's touched-file collect AND its write) — lazy, every action
     # would re-read the feed's files and re-run the netting aggregate.
-    # Both are change-sized, so the checkpoint is cheap.
+    # All are change-sized, so the checkpoint is cheap.
+    fresh = fresh.localCheckpoint(eager=True)
     upserts = upserts.localCheckpoint(eager=True)
     deleted_keys = deleted_keys.localCheckpoint(eager=True)
+    _apply_netted(dst, fresh, upserts, deleted_keys, key_cols, strategy, txn)
+    return "incremental"
+
+
+def _apply_netted(
+    dst: SnapshotTable,
+    fresh: DataFrame,
+    upserts: DataFrame,
+    deleted_keys: DataFrame,
+    key_cols: list[str],
+    strategy: str,
+    txn: dict,
+) -> None:
+    """Land a netted change set: key-scoped delete, key-scoped merge,
+    then the fresh-insert append. Step order is the replay story: the
+    txn stamp rides the LAST step taken, every earlier step is
+    key-idempotent, and the append — the one non-idempotent step — is
+    the stamp carrier itself, so a crash anywhere replays the range
+    and re-runs only idempotent work before the stamped step lands
+    exactly once."""
     have_dels = bool(deleted_keys.limit(1).count())
     have_ups = bool(upserts.limit(1).count())
+    have_fresh = bool(fresh.limit(1).count())
     if have_dels:
-        # delete first; the merge carries the txn stamp, so a crash in
-        # between re-runs the range (both steps are key-idempotent)
         apply_delete = (
             dst.delete_keys_mor if strategy == "mor" else dst.delete_keys
         )
-        apply_delete(deleted_keys, key_cols, txn=None if have_ups else txn)
+        apply_delete(
+            deleted_keys,
+            key_cols,
+            txn=None if (have_ups or have_fresh) else txn,
+        )
     if have_ups:
         apply_merge = dst.merge_mor if strategy == "mor" else dst.merge
-        apply_merge(upserts, key_cols, txn=txn)
-    if not have_dels and not have_ups:
+        apply_merge(upserts, key_cols, txn=None if have_fresh else txn)
+    if have_fresh:
+        dst.append(fresh, txn=txn)
+    if not have_dels and not have_ups and not have_fresh:
         dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
-    return "incremental"

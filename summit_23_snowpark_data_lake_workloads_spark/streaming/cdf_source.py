@@ -172,6 +172,8 @@ def maintain_replica_stream(
     checkpoint_dir: str,
     app_id: str = "cdc_stream",
     max_commits_per_batch: int = 1,
+    strategy: str = "cow",
+    route_inserts: bool = True,
 ) -> list[tuple[int, int]]:
     """Continuously-maintained ROW-LEVEL replica over ``src``'s change
     stream — the streaming twin of
@@ -179,16 +181,24 @@ def maintain_replica_stream(
     :func:`maintain_rollup_stream` is the streaming twin of the batch
     rollup refresh: each drained micro-batch is netted per key (one
     ``max(struct)`` aggregate — insert-then-delete inside the batch
-    applies as nothing, the last image wins) and landed as a
-    key-scoped delete + key-scoped merge stamped with the range's
-    upper source version. A crash-replayed batch is a metadata no-op.
+    applies as nothing, the last image wins) and landed as at most a
+    key-scoped delete + key-scoped merge + fresh-insert append, the
+    txn stamp riding the last step taken (the replay story of
+    ``operators.cdc._apply_netted``). A crash-replayed batch is a
+    metadata no-op.
+
+    ``route_inserts`` (default on) — the churn-skip: keys with no
+    retraction event in the micro-batch land as ONE plain append, so
+    the append-mostly phases of a feed never key-probe the replica at
+    all (``net_changes_routed``). ``strategy="mor"`` applies
+    retractions through deletion vectors instead of copy-on-write.
 
     Same contract as the batch form: key-unique upstream rows; a
     replace-all source commit's feed is table-sized (correct, not
     cheap); a vacuumed range raises unless the source persists its CDF
     (``cdf=True``) — the composition that makes an always-on replica
     survive source retention."""
-    from ..operators.cdc import net_changes
+    from ..operators.cdc import _apply_netted, net_changes, net_changes_routed
 
     stream = ChangeFeedStream(
         src, checkpoint_dir, max_commits_per_batch=max_commits_per_batch
@@ -201,23 +211,20 @@ def maintain_replica_stream(
         if seen is not None and v_hi <= seen:
             return  # crash-replayed micro-batch: already applied
         txn = {"app_id": app_id, "batch_id": v_hi}
-        upserts, deleted = net_changes(chg, key_cols)
-        # materialize once: both frames feed multiple actions
+        if route_inserts:
+            fresh, upserts, deleted = net_changes_routed(chg, key_cols)
+        else:
+            upserts, deleted = net_changes(chg, key_cols)
+            fresh = upserts.limit(0)
+        # materialize once: each frame feeds multiple actions
+        fresh = fresh.localCheckpoint(eager=True)
         upserts = upserts.localCheckpoint(eager=True)
         deleted = deleted.localCheckpoint(eager=True)
-        have_u = bool(upserts.limit(1).count())
-        have_d = bool(deleted.limit(1).count())
         if not dst._versions():
-            if have_u:
-                dst.create(upserts, txn=txn)
+            first = upserts.unionByName(fresh)
+            if first.limit(1).count():
+                dst.create(first, txn=txn)
             return  # nothing to create yet; replay re-derives this batch
-        if have_d:
-            # delete first; the merge carries the stamp (both steps are
-            # key-idempotent, so a crash in between replays safely)
-            dst.delete_keys(deleted, key_cols, txn=None if have_u else txn)
-        if have_u:
-            dst.merge(upserts, key_cols, txn=txn)
-        if not have_d and not have_u:
-            dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)
+        _apply_netted(dst, fresh, upserts, deleted, key_cols, strategy, txn)
 
     return stream.drain(process)

@@ -139,3 +139,104 @@ def test_net_changes_priority_insert_beats_delete_same_version(spark):
     ups, dels = net_changes(chg, ["id"])
     assert [(r.id, r.val) for r in ups.collect()] == [(1, "y")]
     assert [r.id for r in dels.collect()] == [2]
+
+
+def test_net_changes_handles_four_way_labels(spark):
+    """update_postimage is an upsert image, update_preimage a
+    retraction — the four-way ``changes(update_labels=True)`` feed
+    nets identically to its two-way form."""
+    chg = spark.createDataFrame(
+        [
+            (1, "old", "update_preimage", 2),
+            (1, "new", "update_postimage", 2),
+            (2, "born", "insert", 2),
+            (3, "gone", "delete", 3),
+        ],
+        "id int, val string, _change_type string, _commit_version long",
+    )
+    ups, dels = net_changes(chg, ["id"])
+    assert sorted((r.id, r.val) for r in ups.collect()) == [
+        (1, "new"),
+        (2, "born"),
+    ]
+    assert [r.id for r in dels.collect()] == [3]
+
+
+def test_net_changes_routed_classification(spark):
+    """fresh = upsert images with NO retraction in range; an updated,
+    merge-matched, or deleted-then-reinserted key stays on the
+    delete+merge path."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.cdc import (
+        net_changes_routed,
+    )
+
+    chg = spark.createDataFrame(
+        [
+            (1, "a1", "insert", 2),          # plain append -> fresh
+            (2, "b0", "delete", 2),          # MERGE matched pair ->
+            (2, "b1", "insert", 2),          #   retracted, not fresh
+            (3, "c1", "insert", 2),          # merge's TRUE insert -> fresh
+            (4, "d0", "delete", 3),          # deleted then reinserted ->
+            (4, "d1", "insert", 4),          #   retracted, not fresh
+            (5, "e0", "delete", 3),          # net delete
+        ],
+        "id int, val string, _change_type string, _commit_version long",
+    )
+    fresh, ups, dels = net_changes_routed(chg, ["id"])
+    assert sorted((r.id, r.val) for r in fresh.collect()) == [
+        (1, "a1"),
+        (3, "c1"),
+    ]
+    assert sorted((r.id, r.val) for r in ups.collect()) == [
+        (2, "b1"),
+        (4, "d1"),
+    ]
+    assert [r.id for r in dels.collect()] == [5]
+
+
+def test_insert_only_sync_lands_as_single_append(spark, pair):
+    """The churn-skip: an append-only source range applies as ONE
+    plain append commit on the replica — no merge, no key probe."""
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    v0 = dst.snapshot().version
+    src.append(_df(spark, 20, 25, grp=3))
+    src.append(_df(spark, 25, 30, grp=4))
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    assert dst.snapshot().version == v0 + 1
+    assert dst._raw(v0 + 1)["operation"] == "append"
+    assert _state(dst) == _state(src)
+    assert replicate_changes(src, dst, ["id"]) == "noop"  # stamp rode it
+
+
+def test_route_inserts_off_goes_through_merge(spark, pair):
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    v0 = dst.snapshot().version
+    src.append(_df(spark, 40, 42, grp=5))
+    replicate_changes(src, dst, ["id"], route_inserts=False)
+    assert dst._raw(dst.snapshot().version)["operation"] == "merge"
+    assert _state(dst) == _state(src)
+    assert dst.snapshot().version == v0 + 1
+
+
+def test_routed_mixed_batch_state_and_stamp(spark, pair):
+    """Mixed range (delete + update + fresh insert): delete and merge
+    apply unstamped, the append carries the stamp — the replayable
+    order of operators.cdc._apply_netted."""
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.delete(F.col("id") == 0)
+    src.merge(
+        spark.createDataFrame([(5, 9, 99.0)], "id int, grp int, v double"),
+        ["id"],
+    )
+    src.append(_df(spark, 70, 72, grp=6))
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    assert _state(dst) == _state(src)
+    head = dst.snapshot().version
+    assert dst._raw(head)["operation"] == "append"
+    assert dst._raw(head)["txn"]["batch_id"] == src.snapshot().version
+    assert dst._raw(head - 1)["operation"] == "merge"
+    assert dst._raw(head - 1).get("txn") is None
+    assert replicate_changes(src, dst, ["id"]) == "noop"
