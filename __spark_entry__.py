@@ -62,6 +62,21 @@ FORCE_REGATE: dict[str, int] = {
     "lakehouse_partition_transform_audit": 11,
 }
 
+#: Queries registered AFTER this round's gate-slot budget was spent.
+#: The r10 verdict's #1 priority: rotate the 34-query r7-stale tier,
+#: which fits the 50-row window only if new+forced entries stay at 16
+#: — already exactly full. Rather than silently bumping stale greens
+#: out of the window, these late registrations sort BEHIND every
+#: green-tier query until the named round's CORRECTNESS file exists,
+#: then expire automatically into tier-0 (never-gated) for the next
+#: round. They are still covered THIS round by the full pytest
+#: differential (tests/test_queries_oracle.py runs every declared
+#: query against DuckDB).
+DEFER_GATE: dict[str, int] = {
+    "lakehouse_tag_retention_audit": 11,
+    "lakehouse_txn_medallion_audit": 11,
+}
+
 
 def _gate_priority_order() -> list[str]:
     """Order queries so the driver's 50-row correctness gate rotates
@@ -87,9 +102,11 @@ def _gate_order_from(history_dir: "pathlib.Path", names: list[str]) -> list[str]
     the CORRECTNESS_r*.json history found in ``history_dir``."""
     last_green: dict[str, int] = {}
     last_any: dict[str, int] = {}
+    max_round = 0
     for f in sorted(history_dir.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         rnd = int(m.group(1)) if m else 0
+        max_round = max(max_round, rnd)
         try:
             rows = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -107,6 +124,11 @@ def _gate_order_from(history_dir: "pathlib.Path", names: list[str]) -> list[str]
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     def key(n: str) -> tuple[int, int]:
+        if DEFER_GATE.get(n, 0) > max_round:
+            # late registration in the CURRENT round: hold behind the
+            # stale-green rotation until this round's gate has run,
+            # then fall through to tier-0 as never-gated
+            return (2, names.index(n))
         forced = last_green.get(n, -1) < FORCE_REGATE.get(n, -1)
         if forced or n not in last_any or last_any[n] > last_green.get(n, -1):
             # never gated, last row not green, or plan changed and no

@@ -3568,3 +3568,265 @@ def lakehouse_multi_table_txn_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _tag_retention_oracle() -> str:
+    """Tag-pinned snapshot (events %3 in (0,1)) + post-overwrite head
+    (%5=0 slice) survive a retain_last=1 vacuum; flags pin the expired
+    neighbors' refusal, the gap-kept delta's materialization, and the
+    release-on-drop."""
+    return """
+    SELECT 'tag_read' AS probe,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS agg
+    FROM events WHERE event_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'head_read', count(*)::BIGINT, sum(event_id)::BIGINT
+    FROM events WHERE event_id % 5 = 0
+    UNION ALL
+    SELECT 'expired_refused', 2::BIGINT, 2::BIGINT
+    UNION ALL
+    SELECT 'gap_materialized', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'released_after_drop', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_tag_retention_audit", oracle=_tag_retention_oracle())
+def lakehouse_tag_retention_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Named TAGS (Iceberg-style refs) under the driver gate
+    (``sources/lakehouse.py:create_tag`` / ``vacuum(keep_versions)``):
+    a tagged version and every file it references survive ANY
+    ``retain_last`` horizon — the vacuum-proof audit/repro anchor a
+    100 TB table needs ("the snapshot model v7 trained on") at O(1)
+    metadata instead of Delta's table-sized CLONE.
+
+    Lifecycle: create (%3==0) -> append (%3==1) -> append (%3==2) ->
+    overwrite (%5==0), tag v2, ``vacuum(retain_last=1)``. The tagged
+    read must equal DuckDB's recomputation of the first two loads;
+    both untagged neighbors (v1, v3) must refuse; v2 — a DELTA
+    manifest whose base v1 dropped — must have been materialized full
+    (``gap_materialized``: resolvable with its commit delta intact);
+    dropping the tag releases the hold at the next vacuum
+    (``released_after_drop``: only the head remains).
+
+    Scale: the tag is one JSON sidecar; vacuum's keep-set union is
+    O(#tags) metadata. Reference anchor: the reference's permanent
+    vs transient table tiers (``1_env_setup.sql:7-14``) — retention
+    policy as a first-class, named object."""
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    tmp = tempfile.mkdtemp(prefix="lh_tag_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.create(ev.filter(F.col("event_id") % 3 == 0))
+        t.append(ev.filter(F.col("event_id") % 3 == 1))   # v2 (delta)
+        t.append(ev.filter(F.col("event_id") % 3 == 2))   # v3
+        t.overwrite(ev.filter(F.col("event_id") % 5 == 0))  # v4
+        t.create_tag("audit-hold", version=2)
+        t.vacuum(retain_last=1, orphan_grace_ms=0)
+
+        def agg(df, probe):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        # materialize the probes BEFORE the tag drop: the second vacuum
+        # deletes v2's files, and a lazy plan would re-read them
+        out = (
+            agg(t.read(tag="audit-hold"), "tag_read")
+            .unionByName(agg(t.read(), "head_read"))
+            .localCheckpoint(eager=True)
+        )
+        refused = 0
+        for v in (1, 3):
+            try:
+                t.read(version=v)
+            except LookupError:
+                refused += 1
+        raw2 = t._raw(2)
+        gap_ok = int(
+            "base_version" not in raw2
+            and bool(raw2.get("files"))
+            and bool(raw2.get("add"))  # commit delta survived the rewrite
+        )
+        t.drop_tag("audit-hold")
+        t.vacuum(retain_last=1, orphan_grace_ms=0)
+        released = int(t._versions() == [4])
+        flags = spark.createDataFrame(
+            [
+                ("expired_refused", refused, refused),
+                ("gap_materialized", gap_ok, gap_ok),
+                ("released_after_drop", released, released),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _txn_medallion_oracle() -> str:
+    """Silver (per-type rollup of events) and gold (its one-row total)
+    after each transactional tick; ticks never tear the pair. t1 =
+    %2==0 bronze; t2 = all events (through an abandoned-stager repair);
+    t3 = after a GDPR delete of user_id % 7 == 3 rows."""
+    return """
+    SELECT 't1_silver' AS probe,
+           count(DISTINCT event_type)::BIGINT AS n,
+           sum(event_id)::BIGINT AS agg
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 't1_gold', 1::BIGINT, sum(event_id)::BIGINT
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 't2_silver', count(DISTINCT event_type)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 't2_gold', 1::BIGINT, sum(event_id)::BIGINT FROM events
+    UNION ALL
+    SELECT 't3_silver', count(DISTINCT event_type)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events WHERE user_id % 7 <> 3
+    UNION ALL
+    SELECT 't3_gold', 1::BIGINT, sum(event_id)::BIGINT
+    FROM events WHERE user_id % 7 <> 3
+    UNION ALL
+    SELECT 'history_silver', count(DISTINCT event_type)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'staged_invisible', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'modes_claimed', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_txn_medallion_audit", oracle=_txn_medallion_oracle())
+def lakehouse_txn_medallion_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSACTION-SCOPED medallion refresh under the driver gate
+    (``plans/txn_refresh.py``): silver and gold move in ONE catalog
+    CAS — a reader can never pair a new silver with a stale gold. The
+    reference's DAG refreshes its processed tables as separate
+    Snowflake statements and leans on Snowflake's catalog for
+    consistency (``05_task_DAG.sql:9-25``); this is that guarantee,
+    self-managed, with the idempotency stamps riding the SAME CAS
+    (catalog-level ``txn_seen``, because a staged-but-unpinned table
+    stamp is not committed truth).
+
+    Lifecycle: tick1 (bronze = events %2==0, full/full) -> bronze
+    grows to all events, a rival stager stages silver and ABANDONS
+    (``staged_invisible``: catalog still serves the t1 pair) -> tick2
+    auto-repairs the wedged log and folds incrementally -> a GDPR
+    delete (``delete_mor`` of user_id%7==3) flows through tick3 as
+    ``incremental_cdf`` (``modes_claimed`` pins every tick's claimed
+    mode). ``history_silver`` reads the t2 silver through CATALOG
+    time travel after t3 committed — cross-table-consistent history
+    no per-table log can give.
+
+    Scale: each tick costs the incremental-rollup model (O(files the
+    range touched)) + one O(#tables) CAS; repair is one rollback
+    commit + one CAS."""
+    from ..plans.txn_refresh import RollupSpec, refresh_medallion_txn
+    from ..sources.lakehouse import SnapshotTable
+    from ..sources.txn_catalog import PinnedCatalog
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    silver_spec = RollupSpec(
+        prepare=lambda df: df.select("event_type", "event_id"),
+        group_cols=["event_type"],
+        sum_cols=["event_id"],
+    )
+    gold_spec = RollupSpec(
+        prepare=lambda df: df.select(
+            F.lit("all").alias("g"), F.col("sum_event_id").alias("sv")
+        ),
+        group_cols=["g"],
+        sum_cols=["sv"],
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_txn_med_")
+    try:
+        bronze = SnapshotTable(spark, os.path.join(tmp, "bronze"))
+        bronze.create(ev.filter(F.col("event_id") % 2 == 0))
+        cat = PinnedCatalog(spark, os.path.join(tmp, "cat"))
+        cat.register("silver", os.path.join(tmp, "silver"))
+        cat.register("gold", os.path.join(tmp, "gold"))
+
+        def silver_probe(probe, catalog_version=None):
+            return cat.read("silver", catalog_version).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_event_id").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        def gold_probe(probe):
+            return cat.read("gold").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_sv").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        r1 = refresh_medallion_txn(
+            cat, bronze, "silver", "gold", silver_spec, gold_spec
+        )
+        out = silver_probe("t1_silver").unionByName(gold_probe("t1_gold"))
+        t1_total = cat.read("gold").collect()[0].sum_sv
+
+        bronze.append(ev.filter(F.col("event_id") % 2 == 1))
+        ghost = cat.transaction()
+        from ..operators.rollup import refresh_rollup
+
+        refresh_rollup(
+            bronze,
+            ghost.table("silver"),
+            silver_spec.prepare,
+            silver_spec.group_cols,
+            silver_spec.sum_cols,
+            app_id="medallion_txn:silver",
+            since=cat.last_committed_batch("medallion_txn:silver"),
+        )
+        staged_invisible = int(
+            cat.read("gold").collect()[0].sum_sv == t1_total
+        )
+        ghost.abandon()
+        r2 = refresh_medallion_txn(
+            cat, bronze, "silver", "gold", silver_spec, gold_spec
+        )
+        out = out.unionByName(silver_probe("t2_silver")).unionByName(
+            gold_probe("t2_gold")
+        )
+        cat_v2 = cat.state()["version"]
+
+        bronze.delete_mor(F.col("user_id") % 7 == 3)
+        r3 = refresh_medallion_txn(
+            cat, bronze, "silver", "gold", silver_spec, gold_spec
+        )
+        out = (
+            out.unionByName(silver_probe("t3_silver"))
+            .unionByName(gold_probe("t3_gold"))
+            .unionByName(
+                silver_probe("history_silver", catalog_version=cat_v2)
+            )
+        )
+        modes_ok = int(
+            (r1["silver"], r1["gold"]) == ("full", "full")
+            and r2["silver"] == "incremental"
+            and r3["silver"] == "incremental_cdf"
+            and r3["catalog_version"] is not None
+        )
+        flags = spark.createDataFrame(
+            [
+                ("staged_invisible", staged_invisible, staged_invisible),
+                ("modes_claimed", modes_ok, modes_ok),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -121,3 +121,35 @@ def test_gate_order_stalest_green_first(tmp_path):
     finally:
         entry.FORCE_REGATE.pop("c", None)
         entry.FORCE_REGATE.pop("b", None)
+
+
+def test_gate_order_defers_late_registrations(tmp_path):
+    """DEFER_GATE holds a mid-round late registration BEHIND the
+    stale-green rotation until the named round's CORRECTNESS file
+    exists, then expires it into tier-0 (never-gated)."""
+    import json
+    import pathlib
+
+    import __spark_entry__ as entry
+    from __spark_entry__ import _gate_order_from
+
+    names = ["a", "b", "late"]
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": g, "b": g})
+    )
+    try:
+        entry.DEFER_GATE["late"] = 2
+        # history only has r1: deferral active -> late sorts LAST
+        assert _gate_order_from(pathlib.Path(tmp_path), names) == [
+            "a", "b", "late",
+        ]
+        # round 2's gate has run: deferral expires -> never-gated tier 0
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({"a": g})
+        )
+        assert _gate_order_from(pathlib.Path(tmp_path), names) == [
+            "late", "b", "a",
+        ]
+    finally:
+        entry.DEFER_GATE.pop("late", None)
