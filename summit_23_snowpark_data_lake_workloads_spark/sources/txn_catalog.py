@@ -244,6 +244,130 @@ class PinnedCatalog:
             retain_last=retain_last, keep_versions=keeps, **kw
         )
 
+    # ------------------------------------------------------------- tags
+
+    def create_tag(
+        self, name: str, version: int | None = None, protect: bool = True
+    ) -> int:
+        """Name a catalog version (default: latest) — a WAREHOUSE-WIDE
+        snapshot ref: every registered table at the exact pin one
+        transaction boundary committed. ``protect=True`` (default)
+        also creates a TABLE tag ``catalog-<name>`` on each pinned
+        table version, so the named snapshot survives table vacuums
+        too — without it a catalog tag is a dangling promise (the
+        catalog file outlives the table versions it points at).
+        Returns the tagged catalog version.
+
+        Crash story: the catalog tag publishes FIRST (one-winner, the
+        name is reserved atomically), then protection applies
+        idempotently — a crash mid-protect is repaired by calling
+        :meth:`protect_tag` again; a lost name race raises before any
+        table tag lands."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+            raise ValueError(
+                f"tag name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]*"
+                " (<= 64 chars)"
+            )
+        cur = self.state()
+        v = cur["version"] if version is None else version
+        st = self.state(version=v)  # raises on unknown version
+        if v == 0:
+            raise ValueError("cannot tag the empty catalog (version 0)")
+        body = json.dumps(
+            {
+                "name": name,
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+            }
+        )
+        tdir = os.path.join(self.path, _CATALOG_DIR, "tags")
+        os.makedirs(tdir, exist_ok=True)
+        if not self.commit_protocol.publish(
+            os.path.join(tdir, f"{name}.json"), body
+        ):
+            raise FileExistsError(
+                f"catalog tag {name!r} already exists (drop_tag to move)"
+            )
+        if protect:
+            self.protect_tag(name)
+        return v
+
+    def protect_tag(self, name: str) -> None:
+        """(Re)apply table-level protection for a catalog tag: tag each
+        table pinned by the named state as ``catalog-<name>`` at its
+        pin. Idempotent — safe to call after a crash mid-protect; a
+        protection tag that exists at a DIFFERENT version raises (the
+        name was taken by someone else)."""
+        st = self.state(version=self.tag_version(name))
+        for tname, entry in st["tables"].items():
+            if not entry["pin"]:
+                continue
+            t = SnapshotTable(self.spark, entry["path"])
+            ref = f"catalog-{name}"
+            try:
+                t.create_tag(ref, version=entry["pin"])
+            except FileExistsError:
+                if t.tags().get(ref) != entry["pin"]:
+                    raise FileExistsError(
+                        f"table {tname!r} tag {ref!r} exists at version "
+                        f"{t.tags().get(ref)}, expected {entry['pin']}"
+                    ) from None
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a catalog tag and its table-level protection tags.
+        Nothing is deleted — the released versions become subject to
+        normal retention at the next expire/vacuum."""
+        v = self.tag_version(name)
+        st = self.state(version=v)
+        for entry in st["tables"].values():
+            try:
+                SnapshotTable(self.spark, entry["path"]).drop_tag(
+                    f"catalog-{name}"
+                )
+            except KeyError:
+                pass  # never protected (protect=False) or mid-crash
+        os.unlink(
+            os.path.join(self.path, _CATALOG_DIR, "tags", f"{name}.json")
+        )
+
+    def tags(self) -> dict[str, int]:
+        """``{tag_name: catalog_version}`` for every live catalog tag."""
+        tdir = os.path.join(self.path, _CATALOG_DIR, "tags")
+        out: dict[str, int] = {}
+        for f in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(tdir, f)) as fh:
+                    t = json.load(fh)
+                out[t["name"]] = int(t["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # half-written loser of a publish race
+        return out
+
+    def tag_version(self, name: str) -> int:
+        v = self.tags().get(name)
+        if v is None:
+            raise KeyError(f"no catalog tag {name!r}")
+        return v
+
+    def expire_states(self, retain_last: int = 8) -> list[int]:
+        """Drop catalog state files older than the last ``retain_last``
+        versions, keeping tagged states — bounds cross-table time
+        travel the way table vacuum bounds per-table history. States
+        are full snapshots (no delta chains), so expiry is pure
+        unlinks; the latest state is always retained, so the CAS
+        version counter keeps advancing monotonically. Returns the
+        expired version numbers."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self._versions()
+        keep = set(versions[-retain_last:]) | set(self.tags().values())
+        dropped = [v for v in versions if v not in keep]
+        for v in dropped:
+            os.unlink(self._cat_path(v))
+        return dropped
+
     def repair(self, name: str) -> int | None:
         """Un-wedge a table whose LOG HEAD ran past its pin — the state
         an abandoned or conflicted transaction leaves behind (its

@@ -812,3 +812,29 @@ def test_mor_update_read_path_keeps_pushdown_and_codegen(spark, tmp_path):
     pplan = plan_of(probe)
     assert "BroadcastHashJoin" in pplan
     assert "SortMergeJoin" not in pplan
+
+
+def test_net_changes_routed_is_one_aggregate_no_window(spark):
+    """Insert routing must not change the netting's plan class: fresh/
+    upsert/deleted all project off the SAME single max(struct)+flag
+    aggregate — one Exchange, no Window, no second pass over the feed."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.cdc import (
+        net_changes_routed,
+    )
+
+    chg = spark.createDataFrame(
+        [
+            (1, "a", "insert", 2),
+            (2, "b", "delete", 2),
+            (2, "c", "insert", 2),
+            (3, "d", "delete", 3),
+        ],
+        "id int, val string, _change_type string, _commit_version long",
+    )
+    fresh, ups, dels = net_changes_routed(chg, ["id"])
+    for df in (fresh, ups, dels):
+        plan = simple_plan_of(df)
+        assert "Window" not in plan
+        assert plan.count("Exchange") <= 1, plan

@@ -323,3 +323,65 @@ def test_truncate_literal_is_floored_grid(v, n):
     f = PartitionField(f"v_trunc{n}", "v", "truncate", n)
     got = int(_transform_literal(f, v))
     assert got <= v and got % n == 0 and v - got < n
+
+
+# ---------------------------------------------------------------- CDC netting
+
+#: per-commit action per key: 0 = untouched, 1 = upsert, 2 = delete
+_cdc_histories = st.lists(
+    st.dictionaries(
+        st.integers(0, 4), st.sampled_from([1, 2]), min_size=1, max_size=4
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_cdc_histories)
+def test_net_changes_routed_matches_reference_fold(spark, history):
+    """Simulate a VALID feed (inserts only of dead keys, merges emit
+    delete+insert pairs, deletes only of live keys) and check the one-
+    aggregate netting + routing against a driver-side reference fold:
+    fresh ∪ upserts must be exactly the final live images of touched
+    keys, fresh must be the subset with zero retraction events, and
+    deleted_keys exactly the touched keys dead at the end."""
+    rows = []
+    live: dict[int, str] = {}
+    retracted: set[int] = set()
+    touched: set[int] = set()
+    v = 1
+    for commit in history:
+        v += 1
+        for key, action in sorted(commit.items()):
+            if action == 1:  # upsert: merge pair if live, else insert
+                img = f"v{v}k{key}"
+                if key in live:
+                    rows.append((key, live[key], "delete", v))
+                    retracted.add(key)
+                rows.append((key, img, "insert", v))
+                live[key] = img
+                touched.add(key)
+            elif key in live:  # delete only what exists
+                rows.append((key, live.pop(key), "delete", v))
+                retracted.add(key)
+                touched.add(key)
+    if not rows:
+        return
+    from summit_23_snowpark_data_lake_workloads_spark.operators.cdc import (
+        net_changes_routed,
+    )
+
+    chg = spark.createDataFrame(
+        rows, "id int, val string, _change_type string, _commit_version long"
+    )
+    fresh, ups, dels = net_changes_routed(chg, ["id"])
+    got_fresh = {(r.id, r.val) for r in fresh.collect()}
+    got_ups = {(r.id, r.val) for r in ups.collect()}
+    got_dels = {r.id for r in dels.collect()}
+
+    want_live = {(k, img) for k, img in live.items() if k in touched}
+    want_fresh = {(k, i) for k, i in want_live if k not in retracted}
+    assert got_fresh == want_fresh
+    assert got_ups == want_live - want_fresh
+    assert got_dels == {k for k in touched if k not in live}

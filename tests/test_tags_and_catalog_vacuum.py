@@ -195,3 +195,95 @@ def test_catalog_time_travel(spark, tmp_path):
     assert _ids(cat.read("b")) == list(range(30, 60))
     with pytest.raises(LookupError):
         cat.state(version=99)
+
+
+# ---------------------------------------------- catalog-level tags
+
+
+def _adv(cat, spark, n):
+    """Advance the catalog: one txn appending [n, n+3) to table 'a'."""
+    txn = cat.transaction()
+    txn.table("a").append(_df(spark, n, n + 3))
+    return txn.commit()
+
+
+@pytest.fixture()
+def tagcat(spark, tmp_path):
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    for nm in ("a", "b"):
+        t = SnapshotTable(spark, str(tmp_path / nm))
+        t.create(_df(spark, 0, 4))
+        cat.register(nm, t.path)
+    # move both pins under transaction control once
+    txn = cat.transaction()
+    txn.table("a").append(_df(spark, 4, 6))
+    txn.table("b").append(_df(spark, 4, 8))
+    txn.commit()
+    return cat
+
+
+def test_catalog_tag_roundtrip_and_protection(spark, tagcat, tmp_path):
+    cat = tagcat
+    v = cat.create_tag("release-1")
+    assert cat.tags() == {"release-1": v}
+    # protection tags landed on every pinned table at its pin
+    for nm in ("a", "b"):
+        t = cat.table(nm)
+        assert t.tags()["catalog-release-1"] == cat.pin(nm)
+    _adv(cat, spark, 100)
+    tv = cat.tag_version("release-1")
+    assert _ids(cat.read("a", catalog_version=tv)) == list(range(6))
+    assert 100 not in _ids(cat.read("a", catalog_version=tv))
+    cat.drop_tag("release-1")
+    assert cat.tags() == {}
+    assert "catalog-release-1" not in cat.table("a").tags()
+
+
+def test_catalog_tag_survives_expiry_and_table_vacuum(spark, tagcat):
+    """The named warehouse snapshot must survive BOTH retention axes:
+    catalog state expiry (tagged state kept) and raw table vacuum
+    (protection tags keep the pinned table versions)."""
+    cat = tagcat
+    tv = cat.create_tag("audit-2026q3")
+    for n in (100, 200, 300):
+        _adv(cat, spark, n)
+    dropped = cat.expire_states(retain_last=1)
+    assert dropped and tv not in dropped
+    # RAW table vacuum (not catalog.vacuum): the protection tag alone
+    # must keep the tagged pin alive past retain_last=1
+    cat.table("a").vacuum(retain_last=1, orphan_grace_ms=0)
+    assert _ids(cat.read("a", catalog_version=tv)) == list(range(6))
+    # untagged old states are gone
+    with pytest.raises(LookupError):
+        cat.state(version=dropped[0])
+    # current head unaffected
+    assert 300 in _ids(cat.read("a"))
+
+
+def test_protect_tag_idempotent_and_conflict(spark, tagcat):
+    cat = tagcat
+    v = cat.create_tag("r2", protect=False)
+    assert "catalog-r2" not in cat.table("a").tags()
+    cat.protect_tag("r2")  # applies
+    cat.protect_tag("r2")  # idempotent re-run (the crash-repair path)
+    assert cat.table("a").tags()["catalog-r2"] == cat.pin("a")
+    # a foreign tag squatting the protection name at another version
+    _adv(cat, spark, 500)
+    cat.table("a").drop_tag("catalog-r2")
+    cat.table("a").create_tag("catalog-r2")  # now at the NEW head
+    with pytest.raises(FileExistsError):
+        cat.protect_tag("r2")
+    assert cat.tag_version("r2") == v
+
+
+def test_expire_states_keeps_last_n(spark, tagcat):
+    cat = tagcat
+    v0 = cat.state()["version"]
+    for n in (10, 20, 30):
+        _adv(cat, spark, n)
+    dropped = cat.expire_states(retain_last=2)
+    assert v0 in dropped
+    vs = [v0 + 1, v0 + 2, v0 + 3]
+    assert cat.state(version=vs[-1])["version"] == vs[-1]
+    with pytest.raises(ValueError):
+        cat.expire_states(retain_last=0)
