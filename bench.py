@@ -127,6 +127,28 @@ def main() -> None:
         calib_samples.append(time.perf_counter() - t0)
     calibration = round(sorted(calib_samples)[len(calib_samples) // 2], 3)
 
+    # IO calibration anchor: the CPU anchor above misses DISK state —
+    # measured this session: an idle-CPU box (cpu calibration 0.31)
+    # still ran the shuffle-heavy tier 2-5x over floor right after a
+    # heavy write burst (page-cache eviction + dirty writeback
+    # throttling), then returned to band minutes later. Time writing +
+    # fsyncing 32 MiB where Spark spills (the local tmp dir): a high
+    # `calibration_io_sec` tells the floor logic this sample's IO was
+    # degraded even though `contended` (CPU) stamped false.
+    io_samples = []
+    import tempfile as _tf
+
+    for _ in range(3):
+        blk = b"\0" * (1 << 20)
+        t0 = time.perf_counter()
+        with _tf.NamedTemporaryFile(dir="/tmp", delete=True) as fh:
+            for _i in range(32):
+                fh.write(blk)
+            fh.flush()
+            os.fsync(fh.fileno())
+        io_samples.append(time.perf_counter() - t0)
+    calibration_io = round(sorted(io_samples)[1], 3)
+
     # median of 3 runs per query: this box shows +/-50% noise under load,
     # and a single sample regularly misreports a query by seconds
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -161,6 +183,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_io_sec": calibration_io,
     }
     # contention annotation: 1-min load average BEFORE our own Spark
     # session spun up, and again at suite end. BENCH_r06 recorded a 45.7s

@@ -232,9 +232,16 @@ def _signed_delta(
     that makes a DELETE commit's refresh exact for additive
     aggregates. ``prepare`` runs on the raw rows of each side (it sees
     exactly the fact schema it was written for)."""
+    # label-aware: a four-way feed (changes(update_labels=True)) folds
+    # identically — update_postimage contributes +, update_preimage −.
+    # Silently dropping them would corrupt the rollup of any caller
+    # that wired a labeled feed through.
     sides = []
-    for ctype, sgn in (("insert", 1), ("delete", -1)):
-        rows = chg.filter(F.col("_change_type") == ctype).drop(
+    for ctypes, sgn in (
+        (("insert", "update_postimage"), 1),
+        (("delete", "update_preimage"), -1),
+    ):
+        rows = chg.filter(F.col("_change_type").isin(*ctypes)).drop(
             "_change_type", "_commit_version"
         )
         sides.append(prepare(rows).withColumn("_sign", F.lit(sgn)))

@@ -455,3 +455,25 @@ def test_rename_swap_chain_cannot_misbind(spark, tmp_path):
     # base: sum(a==b)=45; delta: logical a (phys b) sums 145 — a
     # mis-bind to physical a would have added 10*1000 instead
     assert (row.n_rows, row.sum_a) == (20, 45.0 + 145.0)
+
+
+def test_signed_delta_folds_four_way_labels(spark):
+    """A labeled feed (update_preimage/update_postimage) must fold
+    exactly like its two-way form — dropping the update images would
+    silently corrupt any rollup wired to a labeled stream."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.rollup import (
+        _signed_delta,
+    )
+
+    chg = spark.createDataFrame(
+        [
+            ("a", 10, "insert", 2),
+            ("a", 10, "update_preimage", 3),   # 10 retracted...
+            ("a", 25, "update_postimage", 3),  # ...replaced by 25
+            ("b", 7, "delete", 3),
+        ],
+        "k string, v long, _change_type string, _commit_version long",
+    )
+    delta = _signed_delta(chg, lambda df: df, ["k"], ["v"])
+    got = {(r.k, r.n_rows, r.sum_v) for r in delta.collect()}
+    assert got == {("a", 1, 25), ("b", -1, -7)}
