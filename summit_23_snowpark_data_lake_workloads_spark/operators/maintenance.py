@@ -150,7 +150,11 @@ def plan_maintenance(table: SnapshotTable, policy: MaintenancePolicy) -> dict:
             "reasons": reasons}
 
 
-def auto_maintain(table: SnapshotTable, policy: MaintenancePolicy) -> dict:
+def auto_maintain(
+    table: SnapshotTable,
+    policy: MaintenancePolicy,
+    keep_versions: list[int] | None = None,
+) -> dict:
     """Run whatever :func:`plan_maintenance` decided; return the plan
     extended with what actually happened (``compacted_to_version``,
     ``vacuumed_files``). Compaction runs before vacuum so the files it
@@ -162,12 +166,53 @@ def auto_maintain(table: SnapshotTable, policy: MaintenancePolicy) -> dict:
     rewrite rather than losing rows), so ``auto_maintain`` is safe to
     run from a sidecar maintenance job while writers stream — the
     exact deployment shape at 100 TB (maintenance OWNS no table; it
-    reacts to state)."""
+    reacts to state).
+
+    ``keep_versions`` — extra versions the history vacuum must retain
+    (passed through to ``vacuum``): REQUIRED for catalog-registered
+    tables, whose pin may sit behind the head — prefer
+    :func:`auto_maintain_catalog`, which feeds it automatically.
+    Table tags are honored by ``vacuum`` itself either way."""
     plan = plan_maintenance(table, policy)
     if plan["compact"] is not None:
         snap = table.compact(**plan["compact"])
         plan["compacted_to_version"] = snap.version
     if plan["vacuum"] is not None:
-        removed = table.vacuum(**plan["vacuum"])
+        removed = table.vacuum(
+            **plan["vacuum"], keep_versions=keep_versions
+        )
         plan["vacuumed_files"] = len(removed)
     return plan
+
+
+def auto_maintain_catalog(catalog, policy: MaintenancePolicy) -> dict:
+    """Policy-driven maintenance across every table a
+    :class:`..sources.txn_catalog.PinnedCatalog` registers — the
+    nightly loop a transactional warehouse runs. Per table:
+    plan/compact/vacuum exactly like :func:`auto_maintain`, but the
+    history vacuum always keeps the CATALOG PIN (a long-staging
+    transaction's pin may trail the log head; sweeping it would break
+    the catalog's serving version — the same hazard
+    ``PinnedCatalog.vacuum`` closes for manual runs). Compaction lands
+    in the table log UNPINNED like any other commit; the pin moves
+    when a transaction next commits, and catalog readers keep serving
+    the retained pinned version meanwhile. Returns ``{table_name:
+    plan}``.
+
+    Deliberately NOT done here: ``repair()`` — maintenance reacting to
+    state must not roll back what might be a LIVE stager's lineage;
+    un-wedging is the refresh orchestrator's call
+    (``plans/txn_refresh.py``), which owns the cadence and knows no
+    rival is mid-stage. For the same reason, schedule this BETWEEN
+    transactions: a compaction commit landing while a transaction
+    stages puts the log head past the next transaction's pin, and the
+    lineage check will refuse until the orchestrator repairs — always
+    content-safe (repair restores the pin's bytes), but the staged
+    work is lost."""
+    out: dict[str, dict] = {}
+    st = catalog.state()
+    for name, entry in st["tables"].items():
+        t = catalog.table(name)
+        keeps = [entry["pin"]] if entry["pin"] else None
+        out[name] = auto_maintain(t, policy, keep_versions=keeps)
+    return out

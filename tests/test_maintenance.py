@@ -136,3 +136,51 @@ def test_plan_is_metadata_only(spark, table, monkeypatch):
     monkeypatch.setattr(pyspark.sql.DataFrame, "count", boom)
     plan = plan_maintenance(table, MaintenancePolicy(max_history=1))
     assert plan["vacuum"] is None  # only v1 committed: 1 > 1 is False
+
+
+def test_auto_maintain_catalog_keeps_pin(spark, tmp_path):
+    """Catalog-wide maintenance must never vacuum the version the
+    catalog still serves: a long-staging transaction holds the pin
+    behind the log head, and the history trigger would otherwise
+    sweep it."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.operators.maintenance import (
+        MaintenancePolicy,
+        auto_maintain_catalog,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+        PinnedCatalog,
+    )
+
+    def df(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .coalesce(1)
+            .select(F.col("id").cast("int").alias("id"))
+        )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(df(0, 4))
+    cat.register("t", t.path)
+    txn = cat.transaction()
+    txn.table("t").append(df(4, 8))
+    txn.commit()  # pin -> 2
+    # unpinned staged commits push the head past the pin
+    for n in (8, 12, 16):
+        t.append(df(n, n + 4))
+    policy = MaintenancePolicy(
+        min_small_files=999,  # no compaction: isolate the vacuum path
+        dv_fraction=None,
+        max_history=2,
+        vacuum_retain_last=1,
+        orphan_grace_ms=0,
+    )
+    report = auto_maintain_catalog(cat, policy)
+    assert report["t"]["vacuum"] is not None
+    assert 2 in t._versions()  # the pin survived retain_last=1
+    assert sorted(r.id for r in cat.read("t").collect()) == list(range(8))
