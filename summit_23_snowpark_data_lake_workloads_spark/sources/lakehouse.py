@@ -3501,14 +3501,27 @@ class SnapshotTable:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         keep = set(versions[-retain_last:])
-        for v in list(keep_versions or []) + list(self.tags().values()):
+        for v in keep_versions or []:
             if v == 0:
                 continue  # a catalog pin of 0 = not-yet-committed table
             if v not in versions:
                 raise LookupError(
                     f"keep version {v} not in {versions} — already "
-                    "expired (a ref was created after its target was "
+                    "expired (a pin recorded after its target was "
                     "vacuumed?)"
+                )
+            keep.add(v)
+        for tag, v in self.tags().items():
+            if v not in versions:
+                # a tag that lost a race with an earlier vacuum (named
+                # a version mid-sweep) must not brick retention forever
+                # — but silently ignoring it would hide that the ref's
+                # promise is already broken. Name the tag so the fix
+                # (drop_tag) is one obvious call.
+                raise LookupError(
+                    f"tag {tag!r} pins version {v}, which no longer "
+                    f"exists ({versions}); drop_tag({tag!r}) to "
+                    "release it, then re-run vacuum"
                 )
             keep.add(v)
         keep_v = sorted(keep)

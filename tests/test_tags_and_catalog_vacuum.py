@@ -287,3 +287,27 @@ def test_expire_states_keeps_last_n(spark, tagcat):
     assert cat.state(version=vs[-1])["version"] == vs[-1]
     with pytest.raises(ValueError):
         cat.expire_states(retain_last=0)
+
+
+def test_dangling_tag_names_itself_in_vacuum_error(spark, tmp_path):
+    """A tag whose target version is gone (it lost a race with an
+    earlier sweep, or the sidecar was hand-planted) must fail vacuum
+    with the TAG named — and drop_tag must un-brick retention."""
+    import json
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 2))
+    t.append(_df(spark, 2, 4))
+    tdir = tmp_path / "t" / "_manifests" / "tags"
+    tdir.mkdir(parents=True, exist_ok=True)
+    (tdir / "ghost.json").write_text(
+        json.dumps({"name": "ghost", "version": 99, "timestamp_ms": 0})
+    )
+    with pytest.raises(LookupError, match="ghost"):
+        t.vacuum(retain_last=1, orphan_grace_ms=0)
+    assert t._versions() == [1, 2]  # nothing swept under the refusal
+    t.drop_tag("ghost")
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    assert t._versions() == [2]
+    assert os.path.isdir(tdir)  # tags dir itself survives
