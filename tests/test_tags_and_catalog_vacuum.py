@@ -311,3 +311,51 @@ def test_dangling_tag_names_itself_in_vacuum_error(spark, tmp_path):
     t.vacuum(retain_last=1, orphan_grace_ms=0)
     assert t._versions() == [2]
     assert os.path.isdir(tdir)  # tags dir itself survives
+
+
+def test_tag_composes_with_mor_rename_cdf_vacuum(spark, tmp_path):
+    """The session-3 tag tier must compose with the session-1/2
+    mutation tier: tag a post-merge_mor version, rename a column,
+    delete_mor, vacuum to retain_last=1 — the tagged read serves the
+    RENAMED logical view (column mapping is table-global, the Delta
+    rule) over the exact tagged snapshot, the deletion vectors of the
+    tagged version still subtract, and the change feed across the
+    retained range still answers."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "k int, v double"
+        ).coalesce(1)
+    )                                                       # v1
+    t.merge_mor(
+        spark.createDataFrame([(2, -2.0), (9, 9.0)], "k int, v double"),
+        ["k"],
+    )                                                       # v2: DV + append
+    t.create_tag("post-merge", version=2)
+    t.rename_column("v", "val")                             # v3: metadata
+    t.delete_mor(F.col("k") % 2 == 1)                       # v4: DVs
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    assert 2 in t._versions()
+    # tagged read: renamed logical view, post-merge values, DV applied
+    got = {(r.k, r.val) for r in t.read(tag="post-merge").collect()}
+    want = {(i, float(i)) for i in range(8) if i != 2} | {(2, -2.0), (9, 9.0)}
+    assert got == want
+    # head: odd keys gone
+    head = {r.k for r in t.read().collect()}
+    assert head == {k for k in (0, 2, 4, 6) }
+    # non-contiguous retention makes a mid-range HOLE (v3, the rename,
+    # was dropped): the feed refuses honestly rather than skipping a
+    # commit whose delta it cannot prove empty...
+    with pytest.raises(FileNotFoundError):
+        t.changes(2, 4)
+    # ...while the retained sub-range still answers, renamed column
+    # and all (DV pre-images retained because the tagged/head
+    # manifests still reference those files)
+    chg = t.changes(3, 4)
+    assert "val" in chg.columns
+    dels = {r.k for r in chg.filter(F.col("_change_type") == "delete").collect()}
+    assert dels == {1, 3, 5, 7, 9}
