@@ -359,3 +359,35 @@ def test_tag_composes_with_mor_rename_cdf_vacuum(spark, tmp_path):
     assert "val" in chg.columns
     dels = {r.k for r in chg.filter(F.col("_change_type") == "delete").collect()}
     assert dels == {1, 3, 5, 7, 9}
+
+
+def test_tagged_sharded_checkpoint_survives_gap_vacuum(spark, tmp_path):
+    """A tag on a SHARDED full checkpoint: the gap vacuum must keep
+    that version's shard sidecars (they are the manifest's body) while
+    sweeping dropped versions' shards, and pruned reads through the
+    tag stay partition-local."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_by=["day"]
+    )
+    t.shard_checkpoint_files = 8  # force sharding at test scale
+    t.create(
+        spark.createDataFrame(
+            [(i, f"d{i % 5}", float(i)) for i in range(50)],
+            "id int, day string, v double",
+        ).repartition(4)
+    )                                                       # v1 sharded
+    t.append(
+        spark.createDataFrame([(99, "d3", 9.9)], "id int, day string, v double")
+    )                                                       # v2 delta
+    t.overwrite(
+        spark.createDataFrame([(1, "d0", 1.0)], "id int, day string, v double")
+    )                                                       # v3 sharded? no: 1 file
+    t.create_tag("ckpt", version=1)
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    assert t._versions() == [1, 3]
+    assert "shard_index" in t._raw(1)  # still the sharded form
+    df = t.read(tag="ckpt")
+    assert df.count() == 50
+    # pruned resolution through the tagged checkpoint stays local
+    t.read(version=1, partition_where=[("day", "=", "d3")]).count()
+    assert len(t.last_shards_loaded) == 1
