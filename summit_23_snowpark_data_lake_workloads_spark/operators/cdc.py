@@ -210,7 +210,14 @@ def _apply_netted(
     key-idempotent, and the append — the one non-idempotent step — is
     the stamp carrier itself, so a crash anywhere replays the range
     and re-runs only idempotent work before the stamped step lands
-    exactly once."""
+    exactly once.
+
+    Schema evolution flows THROUGH: a replica mirrors upstream by
+    contract, so when the feed carries a column the upstream added
+    mid-range (the feed's ``_scan`` merges footers), the merge/append
+    steps evolve the replica's schema rather than rejecting the sync
+    — the write-side opt-in guard is upstream's concern, already
+    exercised when the column first landed there."""
     have_dels = bool(deleted_keys.limit(1).count())
     have_ups = bool(upserts.limit(1).count())
     have_fresh = bool(fresh.limit(1).count())
@@ -225,8 +232,13 @@ def _apply_netted(
         )
     if have_ups:
         apply_merge = dst.merge_mor if strategy == "mor" else dst.merge
-        apply_merge(upserts, key_cols, txn=None if have_fresh else txn)
+        apply_merge(
+            upserts,
+            key_cols,
+            txn=None if have_fresh else txn,
+            schema_evolution=True,
+        )
     if have_fresh:
-        dst.append(fresh, txn=txn)
+        dst.append(fresh, txn=txn, schema_evolution=True)
     if not have_dels and not have_ups and not have_fresh:
         dst._commit("sync_noop", dst.snapshot().version, [], txn=txn)

@@ -240,3 +240,37 @@ def test_routed_mixed_batch_state_and_stamp(spark, pair):
     assert dst._raw(head - 1)["operation"] == "merge"
     assert dst._raw(head - 1).get("txn") is None
     assert replicate_changes(src, dst, ["id"]) == "noop"
+
+
+def test_replica_follows_upstream_schema_evolution(spark, pair):
+    """An upstream schema-evolving append mid-range must flow through
+    the sync: the replica mirrors upstream by contract, so the apply
+    steps evolve rather than reject. Old replica rows surface NULLs in
+    the new column, exactly like upstream's old files."""
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.append(
+        spark.createDataFrame(
+            [(50, 0, 50.0, "tagged")], "id int, grp int, v double, tag string"
+        ),
+        schema_evolution=True,
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(5, 9, 99.0, "upd")], "id int, grp int, v double, tag string"
+        ),
+        ["id"],
+        schema_evolution=True,
+    )
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    got = {
+        (r.id, r.tag)
+        for r in dst.read().select("id", "tag").collect()
+    }
+    want = {
+        (r.id, r.tag)
+        for r in src.read().select("id", "tag").collect()
+    }
+    assert got == want
+    assert (50, "tagged") in got and (5, "upd") in got
+    assert replicate_changes(src, dst, ["id"]) == "noop"
