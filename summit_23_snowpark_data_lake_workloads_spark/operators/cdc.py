@@ -36,6 +36,14 @@ from ..sources.lakehouse import SnapshotTable
 #: upstream operations whose change set is table-sized by definition
 _REPLACE_ALL_OPS = frozenset({"create", "overwrite", "rollback"})
 
+#: metadata-only schema surgery: emits NO change rows, yet changes what
+#: every existing row READS as — row-level apply cannot express it.
+#: rename/drop leave a stale column on the replica; a drop+readd pair
+#: INSIDE one range even leaves the schemas equal while the data
+#: diverges (replica: old values; upstream: fresh-identity NULLs) —
+#: which is why the op check exists alongside the schema diff.
+_SCHEMA_OPS = frozenset({"rename_column", "drop_column", "readd_column"})
+
 
 #: feed labels that assert a row IMAGE the key should end up with
 _UPSERT_IMAGES = ("insert", "update_postimage")
@@ -121,6 +129,19 @@ def net_changes_routed(
     return fresh, upserts, deleted_keys
 
 
+def _schema_drifted(src: SnapshotTable, dst: SnapshotTable) -> bool:
+    """True when the replica holds a logical column upstream no longer
+    has — the fingerprint of an upstream DROP or RENAME (both
+    metadata-only: no change rows ever tell the replica). One metadata
+    schema read per side; no data touched."""
+    if not dst._versions():
+        return False
+    src_cols = {f.name for f in src.table_schema().fields}
+    return any(
+        f.name not in src_cols for f in dst.table_schema().fields
+    )
+
+
 def replicate_changes(
     src: SnapshotTable,
     dst: SnapshotTable,
@@ -169,6 +190,19 @@ def replicate_changes(
     except (FileNotFoundError, LookupError):
         return full_resync()
     if any(op in _REPLACE_ALL_OPS for _v, op, _a, _r, _d in per_commit):
+        return full_resync()
+    if any(op in _SCHEMA_OPS for _v, op, _a, _r, _d in per_commit):
+        # schema surgery in range: no change rows can express it
+        return full_resync()
+    if _schema_drifted(src, dst):
+        # upstream DROPPED or RENAMED a column: metadata-only commits
+        # emit no change rows, so row-level apply would keep serving
+        # the stale column forever (old values where upstream now
+        # reads nothing). The honest reconciliation is a full resync
+        # under upstream's current logical view — DDL is rare, the
+        # cost is paid when it happens, and the replica converges
+        # instead of silently diverging. (New upstream columns need no
+        # resync: the apply steps evolve, old rows NULL on both sides.)
         return full_resync()
     if not any(a or r or d for _v, _op, a, r, d in per_commit):
         # metadata-only range: advance the high-water mark and stop

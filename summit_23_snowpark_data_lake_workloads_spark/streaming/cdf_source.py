@@ -198,7 +198,13 @@ def maintain_replica_stream(
     cheap); a vacuumed range raises unless the source persists its CDF
     (``cdf=True``) — the composition that makes an always-on replica
     survive source retention."""
-    from ..operators.cdc import _apply_netted, net_changes, net_changes_routed
+    from ..operators.cdc import (
+        _SCHEMA_OPS,
+        _apply_netted,
+        _schema_drifted,
+        net_changes,
+        net_changes_routed,
+    )
 
     stream = ChangeFeedStream(
         src, checkpoint_dir, max_commits_per_batch=max_commits_per_batch
@@ -211,6 +217,22 @@ def maintain_replica_stream(
         if seen is not None and v_hi <= seen:
             return  # crash-replayed micro-batch: already applied
         txn = {"app_id": app_id, "batch_id": v_hi}
+        schema_surgery = any(
+            op in _SCHEMA_OPS
+            for _v, op, _a, _r, _d in src.file_changes(_v_lo, v_hi)
+        )
+        if schema_surgery or _schema_drifted(src, dst):
+            # upstream DROP/RENAME/READD: metadata-only, no change rows
+            # — row-level apply would serve the stale column forever,
+            # and a drop+readd pair inside one batch leaves the schemas
+            # EQUAL while the data diverges (hence the op check). Same
+            # reconciliation as the batch form: full resync pinned to
+            # this batch's upper version, stamp attached.
+            if dst._versions():
+                dst.overwrite(src.read(version=v_hi), txn=txn)
+            else:
+                dst.create(src.read(version=v_hi), txn=txn)
+            return
         if route_inserts:
             fresh, upserts, deleted = net_changes_routed(chg, key_cols)
         else:

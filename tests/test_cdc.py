@@ -274,3 +274,86 @@ def test_replica_follows_upstream_schema_evolution(spark, pair):
     assert got == want
     assert (50, "tagged") in got and (5, "upd") in got
     assert replicate_changes(src, dst, ["id"]) == "noop"
+
+
+def test_replica_resyncs_on_upstream_drop_or_rename(spark, pair):
+    """Upstream DROP/RENAME are metadata-only commits - no change rows
+    ever reach the replica, so row-level apply would serve the stale
+    column forever. The sync must detect the drift and full-resync
+    under upstream's current logical view."""
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.rename_column("v", "val")
+    src.append(
+        spark.createDataFrame([(77, 0, -7.0)], "id int, grp int, val double")
+    )
+    assert replicate_changes(src, dst, ["id"]) == "full"
+    assert sorted(dst.read().columns) == sorted(src.read().columns)
+    assert {(r.id, r.val) for r in dst.read().collect()} == {
+        (r.id, r.val) for r in src.read().collect()
+    }
+    # converged: the next sync is incremental again
+    src.append(
+        spark.createDataFrame([(78, 0, -8.0)], "id int, grp int, val double")
+    )
+    assert replicate_changes(src, dst, ["id"]) == "incremental"
+    src.drop_column("grp")
+    src.append(
+        spark.createDataFrame([(79, -9.0)], "id int, val double")
+    )
+    assert replicate_changes(src, dst, ["id"]) == "full"
+    assert "grp" not in dst.read().columns
+    assert replicate_changes(src, dst, ["id"]) == "noop"
+
+
+def test_replica_stream_resyncs_on_upstream_rename(spark, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.cdf_source import (
+        maintain_replica_stream,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    src.create(_df(spark, 0, 6))
+    ck = str(tmp_path / "ck")
+    maintain_replica_stream(src, dst, ["id"], ck)
+    src.rename_column("v", "val")
+    src.append(
+        spark.createDataFrame([(50, 1, -5.0)], "id int, grp int, val double")
+    )
+    maintain_replica_stream(src, dst, ["id"], ck)
+    assert sorted(dst.read().columns) == sorted(src.read().columns)
+    assert {(r.id, r.val) for r in dst.read().collect()} == {
+        (r.id, r.val) for r in src.read().collect()
+    }
+    # replays are still no-ops after the inline resync
+    import shutil
+
+    shutil.rmtree(ck)
+    v = dst.snapshot().version
+    maintain_replica_stream(src, dst, ["id"], ck)
+    assert dst.snapshot().version == v
+
+
+def test_replica_resyncs_on_drop_readd_inside_one_range(spark, pair):
+    """drop + readd of the SAME name inside one sync range leaves the
+    schemas equal while the data diverges (replica: old values;
+    upstream: fresh-identity NULLs) - only the commit-op check can see
+    it, and the sync must take the full resync."""
+    src, dst = pair
+    replicate_changes(src, dst, ["id"])
+    src.drop_column("v")
+    src.readd_column("v")
+    src.append(
+        spark.createDataFrame([(60, 0, 600.0)], "id int, grp int, v double"),
+        schema_evolution=True,  # first data under the fresh identity
+    )
+    assert replicate_changes(src, dst, ["id"]) == "full"
+    got = {(r.id, r.v) for r in dst.read().collect()}
+    want = {(r.id, r.v) for r in src.read().collect()}
+    assert got == want
+    assert (60, 600.0) in got
+    # pre-readd rows must read NULL on the replica too, not old values
+    assert all(v is None for i, v in got if i < 10)
