@@ -61,6 +61,66 @@ class RollupSpec:
     sum_cols: list[str] = field(default_factory=list)
 
 
+def refresh_chain_txn(
+    catalog: PinnedCatalog,
+    source: SnapshotTable,
+    layers: list[tuple[str, RollupSpec]],
+    app_id: str = "chain_txn",
+    auto_repair: bool = True,
+) -> dict:
+    """One transactional tick of an N-layer rollup chain: fold
+    ``source``'s new commits into the first layer, each staged layer
+    into the next (read-your-writes inside the transaction), and swap
+    EVERY layer's pin + idempotency stamp in one catalog CAS — a
+    reader can never pair layer k's new state with layer k+1's stale
+    one, at any depth. Returns ``{"modes": {name: mode},
+    "catalog_version": v | None}``; modes are ``refresh_rollup``'s,
+    ``catalog_version`` None when every layer was already current
+    (nothing staged, no CAS spent).
+
+    Per layer, the high-water is pinned BEFORE refreshing and stamped
+    exactly (``through=``): an upstream commit racing the tick belongs
+    to the next tick. Stamps live in the catalog (``txn_seen``) —
+    staged-but-unpinned table stamps are not committed truth.
+
+    Crash/conflict story: a crash or :class:`TransactionConflict`
+    before the CAS leaves every pin and stamp untouched — the staged
+    versions are orphans (``auto_repair`` clears them on the next
+    tick) and the whole tick re-runs from the committed high-water
+    marks. At most one catalog commit per tick ever lands, so replays
+    are exact, not just idempotent-ish."""
+    if not layers:
+        raise ValueError("layers must name at least one rollup table")
+    if auto_repair:
+        for name, _ in layers:
+            catalog.repair(name)
+    txn = catalog.transaction()
+    modes: dict[str, str] = {}
+    stamps: dict[str, int] = {}
+    fact: SnapshotTable = source
+    for name, spec in layers:
+        handle = txn.table(name)
+        hi = fact.snapshot().version if fact._versions() else 0
+        app = f"{app_id}:{name}"
+        modes[name] = refresh_rollup(
+            fact,
+            handle,
+            spec.prepare,
+            spec.group_cols,
+            spec.sum_cols,
+            app_id=app,
+            since=catalog.last_committed_batch(app),
+            through=hi,
+        )
+        stamps[app] = hi
+        fact = handle  # next layer consumes THIS txn's staged state
+    if all(m == "noop" for m in modes.values()):
+        txn.abandon()  # nothing staged: don't spend a catalog version
+        return {"modes": modes, "catalog_version": None}
+    v = txn.commit(stamps=stamps)
+    return {"modes": modes, "catalog_version": v}
+
+
 def refresh_medallion_txn(
     catalog: PinnedCatalog,
     bronze: SnapshotTable,
@@ -71,59 +131,20 @@ def refresh_medallion_txn(
     app_id: str = "medallion_txn",
     auto_repair: bool = True,
 ) -> dict:
-    """One transactional tick of the medallion: fold bronze's new
-    commits into ``silver_name``, fold the staged silver into
-    ``gold_name``, swap both pins + both idempotency stamps in one
-    catalog CAS. Returns ``{"silver": mode, "gold": mode,
-    "catalog_version": v | None}`` where modes are ``refresh_rollup``'s
-    (``noop`` / ``incremental`` / ``incremental_cdf`` / ``full``) and
-    ``catalog_version`` is None when both layers were already current
-    (nothing staged, no CAS spent).
-
-    Crash/conflict story: a crash or :class:`TransactionConflict`
-    before the CAS leaves both tables' pins and stamps untouched —
-    the staged versions are orphans (``auto_repair`` clears them on
-    the next tick) and the whole tick re-runs from the committed
-    high-water marks. At most one catalog commit per tick ever lands,
-    so replays are exact, not just idempotent-ish."""
-    silver_app = f"{app_id}:silver"
-    gold_app = f"{app_id}:gold"
-    if auto_repair:
-        catalog.repair(silver_name)
-        catalog.repair(gold_name)
-    txn = catalog.transaction()
-    silver = txn.table(silver_name)
-    gold = txn.table(gold_name)
-    # pin each layer's high-water BEFORE refreshing, and stamp exactly
-    # that: a bronze commit racing in after this read belongs to the
-    # NEXT tick (fold/stamp disagreement would skip or double-count it)
-    b_hi = bronze.snapshot().version
-    m_s = refresh_rollup(
+    """One transactional tick of the two-layer medallion — the
+    :func:`refresh_chain_txn` special case the reference's DAG shape
+    needs (bronze -> silver -> gold). Returns ``{"silver": mode,
+    "gold": mode, "catalog_version": v | None}``; stamp keys are
+    ``{app_id}:{table_name}``, shared with the chain form."""
+    r = refresh_chain_txn(
+        catalog,
         bronze,
-        silver,
-        silver_spec.prepare,
-        silver_spec.group_cols,
-        silver_spec.sum_cols,
-        app_id=silver_app,
-        since=catalog.last_committed_batch(silver_app),
-        through=b_hi,
+        [(silver_name, silver_spec), (gold_name, gold_spec)],
+        app_id=app_id,
+        auto_repair=auto_repair,
     )
-    # gold consumes the staged silver (read-your-writes): its fact
-    # head is the version the silver refresh just staged
-    s_hi = silver.snapshot().version if silver._versions() else 0
-    m_g = refresh_rollup(
-        silver,
-        gold,
-        gold_spec.prepare,
-        gold_spec.group_cols,
-        gold_spec.sum_cols,
-        app_id=gold_app,
-        since=catalog.last_committed_batch(gold_app),
-        through=s_hi,
-    )
-    stamps = {silver_app: b_hi, gold_app: s_hi}
-    if m_s == "noop" and m_g == "noop":
-        txn.abandon()  # nothing staged: don't spend a catalog version
-        return {"silver": m_s, "gold": m_g, "catalog_version": None}
-    v = txn.commit(stamps=stamps)
-    return {"silver": m_s, "gold": m_g, "catalog_version": v}
+    return {
+        "silver": r["modes"][silver_name],
+        "gold": r["modes"][gold_name],
+        "catalog_version": r["catalog_version"],
+    }

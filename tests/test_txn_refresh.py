@@ -164,3 +164,52 @@ def test_through_pins_fold_and_stamp_together(spark, tmp_path):
     )
     assert mode == "incremental"
     assert {r.k for r in silver.read().collect()} == {"a", "b"}
+
+
+def test_three_layer_chain_never_tears(spark, tmp_path):
+    """bronze -> silver (per-key) -> gold (per-parity of key count) ->
+    platinum (grand total): one CAS moves all three layers; a no-op
+    tick spends nothing; a delete flows the retraction all the way
+    down."""
+    bronze = SnapshotTable(spark, str(tmp_path / "bronze"))
+    bronze.create(_rows(spark, [("a", 1), ("a", 2), ("b", 10), ("c", 4)]))
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    for nm in ("silver", "gold", "platinum"):
+        cat.register(nm, str(tmp_path / nm))
+    from summit_23_snowpark_data_lake_workloads_spark.plans.txn_refresh import (
+        refresh_chain_txn,
+    )
+
+    gold_spec = RollupSpec(
+        prepare=lambda df: df.select(
+            (F.col("n_rows") % 2).alias("parity"), F.col("sum_v").alias("sv")
+        ),
+        group_cols=["parity"],
+        sum_cols=["sv"],
+    )
+    plat_spec = RollupSpec(
+        prepare=lambda df: df.select(
+            F.lit("all").alias("g"), F.col("sum_sv").alias("t")
+        ),
+        group_cols=["g"],
+        sum_cols=["t"],
+    )
+    layers = [("silver", SILVER), ("gold", gold_spec), ("platinum", plat_spec)]
+    r1 = refresh_chain_txn(cat, bronze, layers)
+    assert set(r1["modes"].values()) == {"full"}
+    assert cat.read("platinum").collect()[0].sum_t == 17
+    # parity split: a has 2 rows (parity 0, sv 3), b/c 1 row (parity 1, sv 14)
+    gold = {r.parity: r.sum_sv for r in cat.read("gold").collect()}
+    assert gold == {0: 3, 1: 14}
+
+    v = cat.state()["version"]
+    r2 = refresh_chain_txn(cat, bronze, layers)
+    assert set(r2["modes"].values()) == {"noop"}
+    assert cat.state()["version"] == v
+
+    bronze.delete_mor(F.col("k") == "b")
+    r3 = refresh_chain_txn(cat, bronze, layers)
+    assert r3["modes"]["silver"] == "incremental_cdf"
+    assert cat.read("platinum").collect()[0].sum_t == 7
+    gold = {r.parity: r.sum_sv for r in cat.read("gold").collect()}
+    assert gold == {0: 3, 1: 4}
