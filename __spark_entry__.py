@@ -75,6 +75,7 @@ FORCE_REGATE: dict[str, int] = {
 DEFER_GATE: dict[str, int] = {
     "lakehouse_tag_retention_audit": 11,
     "lakehouse_txn_medallion_audit": 11,
+    "lakehouse_merge_when_audit": 11,
 }
 
 

@@ -3830,3 +3830,89 @@ def lakehouse_txn_medallion_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _merge_when_oracle() -> str:
+    """Conditional-MERGE final state, recomputed relationally: target =
+    events %3==0; source = events %4==0 with user_id+1000; matched
+    rows update (user += s.user) when s.user is even, else delete when
+    s.user % 5 == 0, else carry; unmatched source rows insert."""
+    return """
+    WITH t0 AS (
+        SELECT event_id, user_id FROM events WHERE event_id % 3 = 0
+    ),
+    s AS (
+        SELECT event_id, user_id + 1000 AS su
+        FROM events WHERE event_id % 4 = 0
+    ),
+    m AS (
+        SELECT t0.event_id,
+               CASE WHEN s.event_id IS NOT NULL AND s.su % 2 = 0
+                    THEN t0.user_id + s.su ELSE t0.user_id END AS user_id,
+               CASE WHEN s.event_id IS NOT NULL AND s.su % 2 <> 0
+                         AND s.su % 5 = 0
+                    THEN 1 ELSE 0 END AS dropped
+        FROM t0 LEFT JOIN s USING (event_id)
+    ),
+    final AS (
+        SELECT event_id, user_id FROM m WHERE dropped = 0
+        UNION ALL
+        SELECT s.event_id, s.su FROM s LEFT JOIN t0 USING (event_id)
+        WHERE t0.event_id IS NULL
+    )
+    SELECT 'final_users' AS probe,
+           count(*)::BIGINT AS n, sum(user_id)::BIGINT AS agg FROM final
+    UNION ALL
+    SELECT 'final_events', count(*)::BIGINT, sum(event_id)::BIGINT
+    FROM final
+    """
+
+
+@query("lakehouse_merge_when_audit", oracle=_merge_when_oracle())
+def lakehouse_merge_when_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONDITIONAL MERGE under the driver gate
+    (``sources/lakehouse.py:merge_when``): the full MERGE INTO clause
+    set — WHEN MATCHED AND cond THEN UPDATE SET (expressions over BOTH
+    sides), WHEN MATCHED AND cond THEN DELETE, WHEN NOT MATCHED THEN
+    INSERT — arbitrated in one projection inside :meth:`merge`'s
+    COW file-granular rewrite (only files holding matched keys move).
+    The reference's enrich MERGE (``04_sales_enrich_sp.sql:22``) is the
+    unconditional special case; conditional clauses are what CDC feeds
+    with business rules (update-if-newer, delete-if-tombstone) need.
+
+    One commit: target (events %3==0, key event_id) merged with source
+    (events %4==0, user_id+1000) — update (user += s.user) when s.user
+    even, delete when s.user %5==0, insert unmatched. Final state
+    hash-gated against DuckDB's CASE-based recompute."""
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="lh_merge_when_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.create(ev.filter(F.col("event_id") % 3 == 0))
+        src = ev.filter(F.col("event_id") % 4 == 0).select(
+            "event_id", (F.col("user_id") + 1000).alias("user_id")
+        )
+        t.merge_when(
+            src,
+            ["event_id"],
+            matched_update={
+                "user_id": F.col("t.user_id") + F.col("s.user_id")
+            },
+            matched_update_cond=F.col("s.user_id") % 2 == 0,
+            matched_delete_cond=F.col("s.user_id") % 5 == 0,
+        )
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("agg"),
+        ).select(F.lit("final_users").alias("probe"), "n", "agg")
+        out2 = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("agg"),
+        ).select(F.lit("final_events").alias("probe"), "n", "agg")
+        return out.unionByName(out2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

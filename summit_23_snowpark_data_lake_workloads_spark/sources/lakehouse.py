@@ -48,6 +48,7 @@ import re
 import time
 import uuid
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2348,6 +2349,153 @@ class SnapshotTable:
             self._write_batch(source),
             remove=frozenset(fully_gone),
             dv_add=dv_add,
+            txn=txn,
+            merge_keys=[self._physical_name(c) for c in key_cols],
+        )
+
+    def merge_when(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        matched_update: dict | str | None = None,
+        matched_update_cond=None,
+        matched_delete_cond=None,
+        insert_unmatched: bool = True,
+        txn: dict | None = None,
+        schema_evolution: bool = False,
+    ) -> Snapshot:
+        """Conditional MERGE — the full ``MERGE INTO`` clause set
+        (Delta/SQL:2003), where :meth:`merge` is the fixed whole-row
+        upsert:
+
+        - ``WHEN MATCHED [AND matched_update_cond] THEN UPDATE SET``:
+          ``matched_update`` maps column -> expression over the
+          aliased pair (target ``t``, source ``s`` — e.g.
+          ``{"qty": F.col("t.qty") + F.col("s.qty")}``), implicitly
+          cast to the column's existing type (the UPDATE rule). The
+          string ``"all"`` means replace with the source row.
+        - ``WHEN MATCHED AND matched_delete_cond THEN DELETE``:
+          evaluated AFTER the update clause's condition (a matched row
+          updates if the update condition holds, else deletes if the
+          delete condition holds, else carries unchanged — Delta's
+          in-order clause rule, with the order fixed update-first).
+        - ``WHEN NOT MATCHED THEN INSERT`` (``insert_unmatched``):
+          source rows whose key is absent from the target land as new
+          rows; off = an update/delete-only merge.
+
+        Conditions are Columns over the same ``t``/``s`` aliases.
+        Key-unique contract on both sides, as :meth:`merge`.
+
+        The 100 TB shape is COW at :meth:`merge`'s file granularity:
+        only files holding MATCHED keys rewrite; the per-row clause
+        arbitration is one projection inside that rewrite (no second
+        scan, no window); unmatched-insert detection anti-joins the
+        (small) source against the touched files' keys only — matched
+        target rows can live nowhere else. The aggregate-heavy
+        conditional-upsert feeds this serves (the reference's enrich
+        MERGE, ``04_sales_enrich_sp.sql:22``) stay one commit."""
+        if matched_update is None and matched_delete_cond is None and not insert_unmatched:
+            raise ValueError("merge_when with no clauses does nothing")
+        prev = self.snapshot()
+        self._validate_write_schema(source, schema_evolution)
+        data_cols = [f.name for f in self.table_schema().fields]
+        if matched_update == "all":
+            matched_update = {
+                c: F.col(f"s.{c}")
+                for c in data_cols
+                if c in source.columns
+            }
+        if matched_update:
+            fields = {f.name: f.dataType for f in self.table_schema().fields}
+            unknown = [c for c in matched_update if c not in fields]
+            if unknown:
+                raise SchemaMismatchError(
+                    f"UPDATE clause sets unknown column(s) {unknown}; "
+                    "the update side never adds columns"
+                )
+            from pyspark.sql import Column
+
+            matched_update = {
+                c: (e if isinstance(e, Column) else F.lit(e)).cast(fields[c])
+                for c, e in matched_update.items()
+            }
+        cur = self.read()
+        keys = source.select(*key_cols)
+        touched_abs = self._touched_files(
+            cur, lambda d: d.join(F.broadcast(keys), key_cols, "left_semi")
+        )
+        touched_rel = frozenset(self._relativize(p) for p in touched_abs)
+
+        pieces = []
+        matched_keys = None
+        if touched_abs:
+            t = self._scan(sorted(touched_rel), prev.dvs).alias("t")
+            s = source.alias("s")
+            on = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                    for c in key_cols
+                ],
+            )
+            joined = t.join(s, on, "left")
+            has_match = F.col(f"s.{key_cols[0]}").isNotNull()
+            # NULL conditions mean "clause not satisfied" (the SQL
+            # MERGE rule), never "drop the row": coalesce to False
+            upd_cond = (
+                F.lit(False)
+                if matched_update is None
+                else (
+                    F.lit(True)
+                    if matched_update_cond is None
+                    else F.coalesce(matched_update_cond, F.lit(False))
+                )
+            )
+            del_cond = (
+                F.lit(False)
+                if matched_delete_cond is None
+                else F.coalesce(matched_delete_cond, F.lit(False))
+            )
+            # one projection arbitrates every clause per row: update
+            # wins, else delete drops, else the target row carries
+            survivors = joined.filter(
+                ~has_match | upd_cond | ~del_cond
+            ).select(
+                *[
+                    F.when(
+                        has_match & upd_cond,
+                        matched_update[c]
+                        if matched_update and c in matched_update
+                        else F.col(f"t.{c}"),
+                    )
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in data_cols
+                ]
+            )
+            pieces.append(survivors)
+            matched_keys = (
+                self._scan(sorted(touched_rel), prev.dvs)
+                .join(F.broadcast(keys), key_cols, "left_semi")
+                .select(*key_cols)
+            )
+        if insert_unmatched:
+            inserts = (
+                source.join(matched_keys, key_cols, "left_anti")
+                if matched_keys is not None
+                else source
+            )
+            pieces.append(inserts)
+        if not pieces:
+            return self._commit("merge", prev.version, [], txn=txn)
+        rewrite = pieces[0]
+        for p in pieces[1:]:
+            rewrite = rewrite.unionByName(p, allowMissingColumns=True)
+        return self._commit(
+            "merge",
+            prev.version,
+            self._write_batch(rewrite),
+            remove=touched_rel,
             txn=txn,
             merge_keys=[self._physical_name(c) for c in key_cols],
         )

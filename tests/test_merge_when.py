@@ -1,0 +1,164 @@
+"""Conditional MERGE (sources/lakehouse.py::merge_when): the full
+MERGE INTO clause set — WHEN MATCHED [AND cond] THEN UPDATE SET /
+DELETE, WHEN NOT MATCHED THEN INSERT — at :meth:`merge`'s COW file
+granularity, with NULL conditions meaning "clause not satisfied"
+(the SQL rule), update winning over delete, and the change feed's
+four-way labels composing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    SnapshotTable,
+)
+
+
+def _target(spark, tmp_path, name="t"):
+    t = SnapshotTable(spark, str(tmp_path / name))
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i), "old") for i in range(6)],
+            "id int, qty double, tag string",
+        ).coalesce(1)
+    )
+    return t
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "id int, qty double, tag string")
+
+
+def _state(t):
+    return {(r.id, r.qty, r.tag) for r in t.read().collect()}
+
+
+def test_update_all_plus_insert_equals_plain_merge(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    src = _src(spark, [(2, 20.0, "new"), (9, 90.0, "new")])
+    t.merge_when(src, ["id"], matched_update="all")
+    assert _state(t) == {
+        (i, float(i), "old") for i in (0, 1, 3, 4, 5)
+    } | {(2, 20.0, "new"), (9, 90.0, "new")}
+
+
+def test_additive_update_clause_sees_both_sides(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    src = _src(spark, [(3, 100.0, "x")])
+    t.merge_when(
+        src,
+        ["id"],
+        matched_update={"qty": F.col("t.qty") + F.col("s.qty")},
+        insert_unmatched=False,
+    )
+    got = {r.id: (r.qty, r.tag) for r in t.read().collect()}
+    assert got[3] == (103.0, "old")  # qty folded, tag untouched
+    assert got[2] == (2.0, "old")
+
+
+def test_conditional_update_nonqualifying_matches_carry(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    src = _src(spark, [(1, 0.5, "low"), (4, 44.0, "hi")])
+    t.merge_when(
+        src,
+        ["id"],
+        matched_update="all",
+        matched_update_cond=F.col("s.qty") > F.col("t.qty"),
+    )
+    got = {r.id: (r.qty, r.tag) for r in t.read().collect()}
+    assert got[4] == (44.0, "hi")     # source larger: updated
+    assert got[1] == (1.0, "old")     # source smaller: carried
+
+
+def test_delete_clause_and_update_wins_over_delete(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    src = _src(spark, [(0, -1.0, "d"), (5, 55.0, "u")])
+    t.merge_when(
+        src,
+        ["id"],
+        matched_update="all",
+        matched_update_cond=F.col("s.qty") > 0,
+        matched_delete_cond=F.col("s.qty") < 0,
+        insert_unmatched=False,
+    )
+    got = {r.id: r.qty for r in t.read().collect()}
+    assert 0 not in got               # delete clause fired
+    assert got[5] == 55.0             # update clause won
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_null_condition_means_not_satisfied(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, None, "n")], "id int, qty double, tag string"
+    )
+    t.merge_when(
+        src,
+        ["id"],
+        matched_delete_cond=F.col("s.qty") < 0,  # NULL: must NOT delete
+        insert_unmatched=False,
+    )
+    got = {r.id: r.qty for r in t.read().collect()}
+    assert got[2] == 2.0  # carried, not dropped
+
+
+def test_untouched_files_survive_rewrite(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "g"))
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "id int, v double"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10, 14)], "id int, v double"
+        ).coalesce(1)
+    )
+    before = set(t.snapshot().files)
+    t.merge_when(
+        _s := spark.createDataFrame([(1, -1.0)], "id int, v double"),
+        ["id"],
+        matched_update="all",
+        insert_unmatched=False,
+    )
+    after = set(t.snapshot().files)
+    # the second file holds no matched key: byte-identical survivor
+    assert len(before & after) == 1
+    assert {r.v for r in t.read().filter(F.col("id") == 1).collect()} == {-1.0}
+
+
+def test_insert_only_and_update_only_forms(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    # insert-only: matched keys carry unchanged
+    t.merge_when(
+        _src(spark, [(2, 99.0, "x"), (7, 7.0, "ins")]), ["id"]
+    )
+    got = {r.id: (r.qty, r.tag) for r in t.read().collect()}
+    assert got[2] == (2.0, "old") and got[7] == (7.0, "ins")
+    with pytest.raises(ValueError):
+        t.merge_when(
+            _src(spark, []), ["id"], insert_unmatched=False
+        )
+
+
+def test_merge_when_composes_with_dvs_and_labels(spark, tmp_path):
+    """Soft-deleted rows cannot re-match, and the commit's labeled
+    feed splits the conditional update into preimage/postimage pairs
+    while the true insert stays an insert."""
+    t = _target(spark, tmp_path)
+    t.delete_mor(F.col("id") == 3)
+    v0 = t.snapshot().version
+    src = _src(spark, [(3, 33.0, "z"), (4, 44.0, "u"), (8, 8.0, "i")])
+    t.merge_when(src, ["id"], matched_update="all")
+    got = {r.id: r.qty for r in t.read().collect()}
+    # id=3 was dead: it re-enters as a fresh INSERT (not an update)
+    assert got[3] == 33.0 and got[4] == 44.0 and got[8] == 8.0
+    chg = t.changes(v0, v0 + 1, update_labels=True)
+    by_label = {
+        (r.id, r._change_type) for r in chg.select("id", "_change_type").collect()
+    }
+    assert (4, "update_preimage") in by_label
+    assert (4, "update_postimage") in by_label
+    assert (8, "insert") in by_label
+    assert (3, "insert") in by_label  # dead key: true insert, no pair
