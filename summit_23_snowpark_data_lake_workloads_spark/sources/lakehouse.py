@@ -2363,6 +2363,8 @@ class SnapshotTable:
         insert_unmatched: bool = True,
         txn: dict | None = None,
         schema_evolution: bool = False,
+        strategy: str = "cow",
+        max_updated_rows: int = 100_000,
     ) -> Snapshot:
         """Conditional MERGE — the full ``MERGE INTO`` clause set
         (Delta/SQL:2003), where :meth:`merge` is the fixed whole-row
@@ -2393,9 +2395,20 @@ class SnapshotTable:
         (small) source against the touched files' keys only — matched
         target rows can live nowhere else. The aggregate-heavy
         conditional-upsert feeds this serves (the reference's enrich
-        MERGE, ``04_sales_enrich_sp.sql:22``) stay one commit."""
+        MERGE, ``04_sales_enrich_sp.sql:22``) stay one commit.
+
+        ``strategy="mor"`` — the conditional twin of
+        :meth:`merge_mor`: rows a clause AFFECTS (updated or deleted)
+        become deletion-vector positions, updated images + unmatched
+        inserts land as new files, carried rows never move — one JSON
+        commit for a business-rule CDC batch scattered over a 100 TB
+        table. Same honesty bounds (fully-affected files removed
+        outright; more than ``max_updated_rows`` affected rows falls
+        back to COW)."""
         if matched_update is None and matched_delete_cond is None and not insert_unmatched:
             raise ValueError("merge_when with no clauses does nothing")
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
         prev = self.snapshot()
         self._validate_write_schema(source, schema_evolution)
         data_cols = [f.name for f in self.table_schema().fields]
@@ -2426,66 +2439,132 @@ class SnapshotTable:
         )
         touched_rel = frozenset(self._relativize(p) for p in touched_abs)
 
+        # clause expressions over the t/s aliases, shared by both
+        # strategies. NULL conditions mean "clause not satisfied" (the
+        # SQL MERGE rule), never "drop the row": coalesce to False.
+        has_match = F.col(f"s.{key_cols[0]}").isNotNull()
+        upd_cond = (
+            F.lit(False)
+            if matched_update is None
+            else (
+                F.lit(True)
+                if matched_update_cond is None
+                else F.coalesce(matched_update_cond, F.lit(False))
+            )
+        )
+        del_cond = (
+            F.lit(False)
+            if matched_delete_cond is None
+            else F.coalesce(matched_delete_cond, F.lit(False))
+        )
+        on = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in key_cols],
+        )
+
+        def updated_projection(joined):
+            # update wins, else the target row carries (delete handled
+            # by the caller's filter)
+            return [
+                F.when(
+                    has_match & upd_cond,
+                    matched_update[c]
+                    if matched_update and c in matched_update
+                    else F.col(f"t.{c}"),
+                )
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in data_cols
+            ]
+
+        def unmatched_inserts(matched_keys):
+            if not insert_unmatched:
+                return None
+            return (
+                source.join(matched_keys, key_cols, "left_anti")
+                if matched_keys is not None
+                else source
+            )
+
+        if strategy == "mor" and touched_abs:
+            t = (
+                self._scan(sorted(touched_rel), prev.dvs)
+                .withColumn("_lh_fp", F.col("_metadata.file_path"))
+                .withColumn("_lh_ri", F.col("_metadata.row_index"))
+                .alias("t")
+            )
+            joined = t.join(source.alias("s"), on, "left")
+            affected = joined.filter(
+                has_match & (upd_cond | del_cond)
+            ).select(
+                F.col("t._lh_fp").alias("fp"), F.col("t._lh_ri").alias("ri")
+            )
+            rows = affected.limit(max_updated_rows + 1).collect()
+            if len(rows) <= max_updated_rows:
+                by_file: dict[str, list[int]] = {}
+                for r in rows:
+                    by_file.setdefault(self._relativize(r.fp), []).append(
+                        r.ri
+                    )
+                dv_add: dict = {}
+                fully_gone: set[str] = set()
+                prev_dvs = prev.dvs or {}
+                for f, idx in by_file.items():
+                    nrows_stat = (prev.stats or {}).get(f, {}).get("_nrows")
+                    live = (
+                        nrows_stat[0] - _ranges_count(prev_dvs.get(f, []))
+                        if nrows_stat
+                        else None
+                    )
+                    if live is not None and len(idx) >= live:
+                        fully_gone.add(f)
+                    else:
+                        dv_add[f] = _ranges_from_indices(idx)
+                updated = joined.filter(has_match & upd_cond).select(
+                    *updated_projection(joined)
+                )
+                matched_keys = joined.filter(has_match).select(
+                    *[F.col(f"t.{c}").alias(c) for c in key_cols]
+                )
+                adds = updated
+                ins = unmatched_inserts(matched_keys)
+                if ins is not None:
+                    adds = adds.unionByName(ins, allowMissingColumns=True)
+                new_files = (
+                    self._write_batch(adds)
+                    if adds.limit(1).count()
+                    else []
+                )
+                return self._commit(
+                    "merge_mor",
+                    prev.version,
+                    new_files,
+                    remove=frozenset(fully_gone),
+                    dv_add=dv_add,
+                    txn=txn,
+                    merge_keys=[self._physical_name(c) for c in key_cols],
+                )
+            # fall through to COW past the run budget
+
         pieces = []
         matched_keys = None
         if touched_abs:
             t = self._scan(sorted(touched_rel), prev.dvs).alias("t")
-            s = source.alias("s")
-            on = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
-                    for c in key_cols
-                ],
-            )
-            joined = t.join(s, on, "left")
-            has_match = F.col(f"s.{key_cols[0]}").isNotNull()
-            # NULL conditions mean "clause not satisfied" (the SQL
-            # MERGE rule), never "drop the row": coalesce to False
-            upd_cond = (
-                F.lit(False)
-                if matched_update is None
-                else (
-                    F.lit(True)
-                    if matched_update_cond is None
-                    else F.coalesce(matched_update_cond, F.lit(False))
-                )
-            )
-            del_cond = (
-                F.lit(False)
-                if matched_delete_cond is None
-                else F.coalesce(matched_delete_cond, F.lit(False))
-            )
+            joined = t.join(source.alias("s"), on, "left")
             # one projection arbitrates every clause per row: update
             # wins, else delete drops, else the target row carries
             survivors = joined.filter(
                 ~has_match | upd_cond | ~del_cond
-            ).select(
-                *[
-                    F.when(
-                        has_match & upd_cond,
-                        matched_update[c]
-                        if matched_update and c in matched_update
-                        else F.col(f"t.{c}"),
-                    )
-                    .otherwise(F.col(f"t.{c}"))
-                    .alias(c)
-                    for c in data_cols
-                ]
-            )
+            ).select(*updated_projection(joined))
             pieces.append(survivors)
             matched_keys = (
                 self._scan(sorted(touched_rel), prev.dvs)
                 .join(F.broadcast(keys), key_cols, "left_semi")
                 .select(*key_cols)
             )
-        if insert_unmatched:
-            inserts = (
-                source.join(matched_keys, key_cols, "left_anti")
-                if matched_keys is not None
-                else source
-            )
-            pieces.append(inserts)
+        ins = unmatched_inserts(matched_keys)
+        if ins is not None:
+            pieces.append(ins)
         if not pieces:
             return self._commit("merge", prev.version, [], txn=txn)
         rewrite = pieces[0]

@@ -162,3 +162,43 @@ def test_merge_when_composes_with_dvs_and_labels(spark, tmp_path):
     assert (4, "update_postimage") in by_label
     assert (8, "insert") in by_label
     assert (3, "insert") in by_label  # dead key: true insert, no pair
+
+
+def test_merge_when_mor_strategy(spark, tmp_path):
+    """Conditional clauses through deletion vectors: affected rows
+    (updated or deleted) become DV positions, updated images + true
+    inserts land as new files, carried rows never move - every
+    pre-existing file survives the commit."""
+    t = _target(spark, tmp_path)
+    before = set(t.snapshot().files)
+    src = _src(spark, [(0, -1.0, "d"), (5, 55.0, "u"), (9, 9.0, "i")])
+    snap = t.merge_when(
+        src,
+        ["id"],
+        matched_update="all",
+        matched_update_cond=F.col("s.qty") > 0,
+        matched_delete_cond=F.col("s.qty") < 0,
+        strategy="mor",
+    )
+    assert snap.operation == "merge_mor"
+    assert before <= set(t.snapshot().files)  # no rewrite of old files
+    assert snap.dvs  # the affected positions became vectors
+    got = {r.id: (r.qty, r.tag) for r in t.read().collect()}
+    assert 0 not in got                      # delete clause fired
+    assert got[5] == (55.0, "u")             # update clause won
+    assert got[9] == (9.0, "i")              # true insert
+    assert got[2] == (2.0, "old")            # carried, not moved
+    # metadata row count subtracts the vectors exactly
+    assert t.row_count() == len(got)
+
+
+def test_merge_when_mor_budget_falls_back_to_cow(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    src = _src(spark, [(i, 100.0 + i, "u") for i in range(6)])
+    snap = t.merge_when(
+        src, ["id"], matched_update="all", strategy="mor",
+        max_updated_rows=2,
+    )
+    assert snap.operation == "merge"  # COW took it
+    assert not (t.snapshot().dvs or {})
+    assert {r.qty for r in t.read().collect()} == {100.0 + i for i in range(6)}
