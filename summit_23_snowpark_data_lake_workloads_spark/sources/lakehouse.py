@@ -3694,6 +3694,7 @@ class SnapshotTable:
         orphan_grace_ms: int = 3_600_000,
         dry_run: bool = False,
         keep_versions: list[int] | None = None,
+        retain_ms: int | None = None,
     ) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop
         the expired manifests. Time travel keeps working for the last
@@ -3723,11 +3724,25 @@ class SnapshotTable:
         retained. Retention may therefore be NON-CONTIGUOUS: a kept
         version whose delta-manifest base is dropped is first
         materialized as its equivalent full manifest, so every
-        retained version keeps resolving without the dropped links."""
+        retained version keeps resolving without the dropped links.
+
+        ``retain_ms`` — AGE-based retention (Delta's ``RETAIN N
+        HOURS``): every version committed within the last
+        ``retain_ms`` milliseconds is also kept, so "time travel works
+        for 7 days" is one dial regardless of commit rate. Composes
+        with ``retain_last`` (count floor) and tags/pins (point
+        holds)."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         keep = set(versions[-retain_last:])
+        if retain_ms is not None:
+            cutoff = time.time() * 1000.0 - retain_ms
+            keep |= {
+                v
+                for v in versions
+                if self._raw(v)["timestamp_ms"] >= cutoff
+            }
         for v in keep_versions or []:
             if v == 0:
                 continue  # a catalog pin of 0 = not-yet-committed table

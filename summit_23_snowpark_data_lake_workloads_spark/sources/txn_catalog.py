@@ -108,7 +108,9 @@ class PinnedCatalog:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def state(self, version: int | None = None) -> dict:
+    def state(
+        self, version: int | None = None, as_of_ms: int | None = None
+    ) -> dict:
         """Committed catalog state: ``{"version": N, "tables":
         {name: {"path": str, "pin": int}}}`` (version 0, no tables,
         before the first commit). ``version=`` time-travels the
@@ -117,12 +119,27 @@ class PinnedCatalog:
         snapshot — "the warehouse as of catalog v7" — something no
         per-table log can offer. Reaches as far back as the catalog
         files exist and the pinned table versions survive table
-        retention (:meth:`vacuum` keeps only CURRENT pins)."""
+        retention (:meth:`vacuum` keeps only CURRENT pins).
+        ``as_of_ms`` — the last catalog state committed at-or-before
+        that wall-clock (cross-table ``AT (TIMESTAMP => ...)``)."""
         versions = self._versions()
         if not versions:
             if version is not None and version != 0:
                 raise LookupError(f"catalog version {version} not in []")
             return {"version": 0, "tables": {}}
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError(
+                    "version= and as_of_ms= are mutually exclusive"
+                )
+            eligible = []
+            for v in versions:
+                with open(self._cat_path(v)) as fh:
+                    if json.load(fh)["timestamp_ms"] <= as_of_ms:
+                        eligible.append(v)
+            if not eligible:
+                raise LookupError(f"no catalog state at or before {as_of_ms}")
+            version = eligible[-1]
         if version is not None and version not in versions:
             raise LookupError(
                 f"catalog version {version} not in {versions}"
@@ -367,6 +384,35 @@ class PinnedCatalog:
         for v in dropped:
             os.unlink(self._cat_path(v))
         return dropped
+
+    def rollback(self, version: int) -> int:
+        """Warehouse-wide RESTORE: re-pin every table the historical
+        catalog state ``version`` knew to the pins it recorded, in ONE
+        CAS — the cross-table undo no per-table rollback can give (a
+        table-by-table restore leaves readers a torn warehouse between
+        steps). Tables registered AFTER that state keep their current
+        pins (the old state has no opinion about them — documented,
+        not silent: they appear in the returned state unchanged).
+        Metadata-only: table logs do not move; the old pins must still
+        resolve (within table retention / tags), else reads fail at
+        read time exactly like any expired pinned read. Returns the
+        new catalog version.
+
+        A rollback is a normal catalog commit: it does NOT rewind
+        ``txn_seen`` stamps — a restored-then-recommitted transaction
+        needs a fresh batch id, the same rule table-level rollback
+        keeps for streaming sinks."""
+        old = self.state(version=version)
+        while True:
+            cur = self.state()
+            tables = {n: dict(e) for n, e in cur["tables"].items()}
+            for n, e in old["tables"].items():
+                if n in tables:
+                    tables[n]["pin"] = e["pin"]
+            try:
+                return self._cas(cur, tables)
+            except TransactionConflict:
+                continue  # racing commit; re-read and re-apply
 
     def repair(self, name: str) -> int | None:
         """Un-wedge a table whose LOG HEAD ran past its pin — the state

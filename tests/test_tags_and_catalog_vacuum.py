@@ -391,3 +391,76 @@ def test_tagged_sharded_checkpoint_survives_gap_vacuum(spark, tmp_path):
     # pruned resolution through the tagged checkpoint stays local
     t.read(version=1, partition_where=[("day", "=", "d3")]).count()
     assert len(t.last_shards_loaded) == 1
+
+
+# ------------------------------------- retention + restore polish
+
+
+def test_vacuum_retain_ms_keeps_recent_versions(spark, tmp_path):
+    """Age-based retention: versions committed within retain_ms stay
+    regardless of retain_last — 'time travel works for N hours' as one
+    dial, independent of commit rate."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 2))
+    t.append(_df(spark, 2, 4))
+    t.append(_df(spark, 4, 6))
+    t.append(_df(spark, 6, 8))
+    # all four versions committed "just now": a 1h age window keeps all
+    t.vacuum(retain_last=1, orphan_grace_ms=0, retain_ms=3_600_000)
+    assert t._versions() == [1, 2, 3, 4]
+    # age window of 0: only the count floor holds
+    t.vacuum(retain_last=2, orphan_grace_ms=0, retain_ms=0)
+    assert t._versions() == [3, 4]
+
+
+def test_catalog_rollback_restores_consistent_pair(spark, tagcat):
+    cat = tagcat
+    v_good = cat.state()["version"]
+    good_a = _ids(cat.read("a"))
+    good_b = _ids(cat.read("b"))
+    _adv(cat, spark, 500)  # bad data lands in a
+    assert 500 in _ids(cat.read("a"))
+    cat.rollback(v_good)
+    assert _ids(cat.read("a")) == good_a
+    assert _ids(cat.read("b")) == good_b
+    # table logs did not move: the bad version is still in a's log,
+    # just unpinned (ages out under vacuum)
+    assert 500 in _ids(cat.table("a").read())
+    # forward progress after the restore: a fresh txn re-pins normally
+    cat.repair("a")  # log head sits past the restored pin
+    txn = cat.transaction()
+    txn.table("a").append(_df(spark, 900, 902))
+    txn.commit()
+    assert 900 in _ids(cat.read("a"))
+    assert 500 not in _ids(cat.read("a"))  # rolled-back rows stay gone
+
+
+def test_catalog_rollback_leaves_later_registrations(spark, tagcat, tmp_path):
+    cat = tagcat
+    v_old = cat.state()["version"]
+    late = SnapshotTable(spark, str(tmp_path / "late"))
+    late.create(_df(spark, 0, 3))
+    cat.register("late", late.path)
+    txn = cat.transaction()
+    txn.table("late").append(_df(spark, 3, 5))
+    txn.commit()
+    pin_late = cat.pin("late")
+    cat.rollback(v_old)
+    assert cat.pin("late") == pin_late  # the old state has no opinion
+    assert _ids(cat.read("late")) == list(range(5))
+
+
+def test_catalog_state_as_of_ms(spark, tagcat):
+    import time as _time
+
+    cat = tagcat
+    v1 = cat.state()["version"]
+    ts_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    _adv(cat, spark, 700)
+    st = cat.state(as_of_ms=ts_between)
+    assert st["version"] == v1
+    with pytest.raises(LookupError):
+        cat.state(as_of_ms=0)
+    with pytest.raises(ValueError):
+        cat.state(version=v1, as_of_ms=ts_between)
