@@ -202,3 +202,71 @@ def test_merge_when_mor_budget_falls_back_to_cow(spark, tmp_path):
     assert snap.operation == "merge"  # COW took it
     assert not (t.snapshot().dvs or {})
     assert {r.qty for r in t.read().collect()} == {100.0 + i for i in range(6)}
+
+
+def test_merge_when_respects_check_constraints(spark, tmp_path):
+    """The conditional rewrite goes through the same one-aggregate
+    write-side enforcement as every other path: a clause that would
+    land a violating row rejects the WHOLE commit, version unmoved."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    t = _target(spark, tmp_path)
+    t.add_constraint("qty_nonneg", "qty >= 0")
+    v0 = t.snapshot().version
+    with pytest.raises(ConstraintViolationError):
+        t.merge_when(
+            _src(spark, [(2, -5.0, "bad")]), ["id"], matched_update="all"
+        )
+    assert t.snapshot().version == v0
+    assert _state(t) == {(i, float(i), "old") for i in range(6)}
+
+
+def test_merge_when_after_rename(spark, tmp_path):
+    """Column mapping composes: clauses and SET expressions speak the
+    LOGICAL names, the commit's merge_keys record physical ones, and
+    the labeled feed still splits update pairs."""
+    t = _target(spark, tmp_path)
+    t.rename_column("qty", "amount")
+    v0 = t.snapshot().version
+    src = spark.createDataFrame(
+        [(1, 11.0, "u"), (9, 9.0, "i")], "id int, amount double, tag string"
+    )
+    t.merge_when(
+        src,
+        ["id"],
+        matched_update={"amount": F.col("t.amount") + F.col("s.amount")},
+    )
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got[1] == 12.0 and got[9] == 9.0
+    chg = t.changes(v0, v0 + 1, update_labels=True)
+    labels = {(r.id, r._change_type) for r in chg.select("id", "_change_type").collect()}
+    assert (1, "update_postimage") in labels and (9, "insert") in labels
+
+
+def test_merge_when_update_migrates_partitions(spark, tmp_path):
+    """An update clause that changes a partition-source value must
+    migrate the row: the rewrite re-derives partition tuples, and
+    pruned reads find the row in its NEW partition only."""
+    t = SnapshotTable(spark, str(tmp_path / "p"), partition_by=["day"])
+    t.create(
+        spark.createDataFrame(
+            [(i, "d1" if i < 3 else "d2", float(i)) for i in range(6)],
+            "id int, day string, v double",
+        ).repartition(2)
+    )
+    t.merge_when(
+        spark.createDataFrame([(1, "d9", 100.0)], "id int, day string, v double"),
+        ["id"],
+        matched_update="all",
+        insert_unmatched=False,
+    )
+    moved = t.read(partition_where=[("day", "=", "d9")]).filter(
+        F.col("day") == "d9"
+    )
+    assert [(r.id, r.v) for r in moved.collect()] == [(1, 100.0)]
+    old = t.read(partition_where=[("day", "=", "d1")]).filter(
+        F.col("day") == "d1"
+    )
+    assert sorted(r.id for r in old.collect()) == [0, 2]
