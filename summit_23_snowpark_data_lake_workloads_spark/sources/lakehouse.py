@@ -1908,6 +1908,8 @@ class SnapshotTable:
             "cdf": bool(self.cdf),
             "dv_files": len(dvs),
             "dv_rows": sum(_ranges_count(r) for r in dvs.values()),
+            # named refs: the retention holds a vacuum will honor
+            "tags": self.tags(),
         }
 
     def table_schema(self, version: int | None = None):

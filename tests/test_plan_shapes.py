@@ -838,3 +838,37 @@ def test_net_changes_routed_is_one_aggregate_no_window(spark):
         plan = simple_plan_of(df)
         assert "Window" not in plan
         assert plan.count("Exchange") <= 1, plan
+
+
+def test_merge_when_broadcasts_source_and_keeps_pushdown(spark, tmp_path):
+    """The conditional merge keeps merge's plan discipline: the
+    matched-file probe broadcasts the (small) source key side instead
+    of sort-merging the corpus, and the post-commit MoR read path
+    keeps parquet pushdown with the DV filter as codegen, no join."""
+    from pyspark.sql import functions as F
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "mw"))
+    t.create(
+        spark.range(0, 5000)
+        .coalesce(2)
+        .select(F.col("id").cast("int").alias("id"), (F.col("id") * 2.0).alias("v"))
+    )
+    t.merge_when(
+        spark.range(0, 5000, 83).select(
+            F.col("id").cast("int").alias("id"), F.lit(-1.0).alias("v")
+        ),
+        ["id"],
+        matched_update={"v": F.col("t.v") + F.col("s.v")},
+        matched_delete_cond=F.col("s.id") % 7 == 0,
+        strategy="mor",
+    )
+    plan = plan_of(t.read().filter(F.col("id") > 2500))
+    assert "GreaterThan(id,2500)" in plan  # pushdown intact through DVs
+    assert "Join" not in plan              # DV application is a predicate
+    import re
+
+    assert re.search(r"\(\d+\) Filter \[codegen id", plan), plan
