@@ -3690,6 +3690,15 @@ class SnapshotTable:
             raise KeyError(f"no tag {name!r}")
         return v
 
+    def restore_tag(self, name: str) -> "Snapshot":
+        """RESTORE the table to the named ref's snapshot — a normal
+        :meth:`rollback` commit (content replayed forward as a new
+        version; history and replay stamps untouched). The operator
+        workflow tags exist for: ``create_tag("pre-migration")`` …
+        ``restore_tag("pre-migration")``. Vacuum-proof by
+        construction — the tag kept its target retained."""
+        return self.rollback(self._tag_version(name))
+
     def vacuum(
         self,
         retain_last: int = 2,

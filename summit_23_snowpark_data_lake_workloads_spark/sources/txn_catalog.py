@@ -368,6 +368,15 @@ class PinnedCatalog:
             raise KeyError(f"no catalog tag {name!r}")
         return v
 
+    def restore_tag(self, name: str) -> int:
+        """Warehouse-wide RESTORE to a named snapshot: re-pin every
+        table the tagged catalog state knew, in one CAS
+        (:meth:`rollback` of :meth:`tag_version`). The protection tags
+        guarantee the pinned table versions still resolve — the
+        restore cannot hit the retention boundary a raw
+        ``rollback(version)`` can."""
+        return self.rollback(self.tag_version(name))
+
     def expire_states(self, retain_last: int = 8) -> list[int]:
         """Drop catalog state files older than the last ``retain_last``
         versions, keeping tagged states — bounds cross-table time

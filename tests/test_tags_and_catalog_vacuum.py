@@ -464,3 +464,29 @@ def test_catalog_state_as_of_ms(spark, tagcat):
         cat.state(as_of_ms=0)
     with pytest.raises(ValueError):
         cat.state(version=v1, as_of_ms=ts_between)
+
+
+def test_restore_tag_table_and_catalog(spark, tagcat, tmp_path):
+    """create_tag -> mutate -> restore_tag, at both levels: the table
+    form replays the tagged content forward as a rollback commit; the
+    catalog form re-pins the whole warehouse to the named snapshot in
+    one CAS, protection tags guaranteeing the pins still resolve."""
+    # table level
+    t = SnapshotTable(spark, str(tmp_path / "solo"))
+    t.create(_df(spark, 0, 4))
+    t.create_tag("pre-migration")
+    t.overwrite(_df(spark, 100, 102))
+    snap = t.restore_tag("pre-migration")
+    assert snap.operation == "rollback"
+    assert _ids(t.read()) == list(range(4))
+    # catalog level: survives state expiry + table vacuum, then restores
+    cat = tagcat
+    cat.create_tag("golden")
+    good_a, good_b = _ids(cat.read("a")), _ids(cat.read("b"))
+    for n in (100, 200):
+        _adv(cat, spark, n)
+    cat.expire_states(retain_last=1)
+    cat.table("a").vacuum(retain_last=1, orphan_grace_ms=0)
+    cat.restore_tag("golden")
+    assert _ids(cat.read("a")) == good_a
+    assert _ids(cat.read("b")) == good_b
