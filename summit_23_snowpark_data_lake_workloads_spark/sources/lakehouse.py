@@ -2363,6 +2363,7 @@ class SnapshotTable:
         matched_update_cond=None,
         matched_delete_cond=None,
         insert_unmatched: bool = True,
+        insert_cond=None,
         txn: dict | None = None,
         schema_evolution: bool = False,
         strategy: str = "cow",
@@ -2383,9 +2384,12 @@ class SnapshotTable:
           updates if the update condition holds, else deletes if the
           delete condition holds, else carries unchanged — Delta's
           in-order clause rule, with the order fixed update-first).
-        - ``WHEN NOT MATCHED THEN INSERT`` (``insert_unmatched``):
-          source rows whose key is absent from the target land as new
-          rows; off = an update/delete-only merge.
+        - ``WHEN NOT MATCHED [AND insert_cond] THEN INSERT``
+          (``insert_unmatched``): source rows whose key is absent from
+          the target land as new rows; off = an update/delete-only
+          merge. ``insert_cond`` (over ``s.*``) is the tombstone
+          guard: a CDC delete event for a key the target never had
+          must insert NOTHING (``insert_cond=~F.col("s.deleted")``).
 
         Conditions are Columns over the same ``t``/``s`` aliases.
         Key-unique contract on both sides, as :meth:`merge`.
@@ -2482,10 +2486,14 @@ class SnapshotTable:
         def unmatched_inserts(matched_keys):
             if not insert_unmatched:
                 return None
+            src = source.alias("s")
+            if insert_cond is not None:
+                # NULL = not satisfied, same as the matched clauses
+                src = src.filter(F.coalesce(insert_cond, F.lit(False)))
             return (
-                source.join(matched_keys, key_cols, "left_anti")
+                src.join(matched_keys, key_cols, "left_anti")
                 if matched_keys is not None
-                else source
+                else src
             )
 
         if strategy == "mor" and touched_abs:

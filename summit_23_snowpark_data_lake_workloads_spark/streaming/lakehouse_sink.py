@@ -68,6 +68,10 @@ def merge_stream_into_snapshot_table(
     strategy: str = "cow",
     compact_every: int | None = None,
     vacuum_retain_last: int | None = None,
+    matched_update: dict | str | None = None,
+    matched_update_cond=None,
+    matched_delete_cond=None,
+    insert_cond=None,
 ):
     """Streaming UPSERT (CDC apply): each micro-batch row-level-MERGEs
     into ``table`` by ``key_cols`` — later batches overwrite matching
@@ -86,16 +90,43 @@ def merge_stream_into_snapshot_table(
     batch bin-packs micro-batch fragments and PURGES files past 30%
     soft-deleted rows (vectors re-materialize on the OPTIMIZE
     cadence); ``vacuum_retain_last`` opts into reclaiming what
-    maintenance orphaned."""
+    maintenance orphaned.
+
+    CONDITIONAL CLAUSES (any of ``matched_update`` /
+    ``matched_update_cond`` / ``matched_delete_cond`` /
+    ``insert_cond``) route each micro-batch through
+    :meth:`SnapshotTable.merge_when` instead of the plain upsert —
+    the Debezium-style apply in one sink:
+    ``matched_delete_cond=F.col("s.deleted")`` +
+    ``insert_cond=~F.col("s.deleted")`` applies upserts AND
+    tombstones from one stream, exactly-once, under either write
+    strategy."""
     if strategy not in ("cow", "mor"):
         raise ValueError(f"unknown merge strategy {strategy!r}")
+    conditional = (
+        matched_update is not None
+        or matched_update_cond is not None
+        or matched_delete_cond is not None
+        or insert_cond is not None
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         seen = table.last_committed_batch(app_id)
         if seen is not None and batch_id <= seen:
             return
         txn = {"app_id": app_id, "batch_id": batch_id}
-        if strategy == "mor":
+        if conditional:
+            table.merge_when(
+                batch_df,
+                key_cols,
+                matched_update=matched_update,
+                matched_update_cond=matched_update_cond,
+                matched_delete_cond=matched_delete_cond,
+                insert_cond=insert_cond,
+                strategy=strategy,
+                txn=txn,
+            )
+        elif strategy == "mor":
             table.merge_mor(batch_df, key_cols, txn=txn)
         else:
             table.merge(batch_df, key_cols, txn=txn)

@@ -270,3 +270,80 @@ def test_merge_when_update_migrates_partitions(spark, tmp_path):
         F.col("day") == "d1"
     )
     assert sorted(r.id for r in old.collect()) == [0, 2]
+
+
+def test_insert_cond_tombstone_guard(spark, tmp_path):
+    """WHEN NOT MATCHED AND cond THEN INSERT: a CDC delete event for a
+    key the target never had must insert NOTHING."""
+    t = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, 0.0, "del"), (9, 9.0, "del"), (8, 8.0, "live")],
+        "id int, qty double, tag string",
+    )
+    t.merge_when(
+        src,
+        ["id"],
+        matched_delete_cond=F.col("s.tag") == "del",
+        insert_cond=F.col("s.tag") != "del",
+    )
+    got = {r.id for r in t.read().collect()}
+    assert 2 not in got          # matched tombstone: deleted
+    assert 9 not in got          # unmatched tombstone: NOT inserted
+    assert 8 in got              # live unmatched: inserted
+    assert got == {0, 1, 3, 4, 5, 8}
+
+
+def test_streaming_debezium_apply(spark, tmp_path):
+    """The one-sink CDC apply: a stream of upserts AND tombstones,
+    matched_delete_cond + insert_cond routing each micro-batch through
+    merge_when under MoR - exactly-once via the txn stamp (a second
+    drain of the same checkpoint commits nothing)."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.lakehouse_sink import (
+        merge_stream_into_snapshot_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cdc"))
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i), False) for i in range(6)],
+            "id int, v double, deleted boolean",
+        ).coalesce(1)
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"id": 1, "v": 11.0, "deleted": false}\n'   # update
+        '{"id": 3, "v": 0.0, "deleted": true}\n'     # tombstone (matched)
+        '{"id": 9, "v": 9.0, "deleted": false}\n'    # insert
+        '{"id": 77, "v": 0.0, "deleted": true}\n'    # tombstone (unmatched)
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "id int, v double, deleted boolean"
+        ).json(str(src))
+        q = merge_stream_into_snapshot_table(
+            stream,
+            t,
+            ["id"],
+            "dbz",
+            str(tmp_path / "ck"),
+            strategy="mor",
+            matched_update="all",
+            matched_update_cond=~F.col("s.deleted"),
+            matched_delete_cond=F.col("s.deleted"),
+            insert_cond=~F.col("s.deleted"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {0: 0.0, 1: 11.0, 2: 2.0, 4: 4.0, 5: 5.0, 9: 9.0}
+    assert t.snapshot().operation == "merge_mor"
+    # replay with a FRESH checkpoint: txn stamps make it a no-op
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck")
+    v = t.snapshot().version
+    run()
+    assert t.snapshot().version == v
