@@ -347,3 +347,39 @@ def test_streaming_debezium_apply(spark, tmp_path):
     v = t.snapshot().version
     run()
     assert t.snapshot().version == v
+
+
+def test_merge_when_persisted_cdf_survives_preimage_vacuum(spark, tmp_path):
+    """cdf=True: the conditional merge's retraction rows persist as
+    sidecars at commit time, so the feed still answers after the
+    pre-image files are vacuumed away — the same survival contract as
+    every other row-removing verb."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i), "old") for i in range(6)],
+            "id int, qty double, tag string",
+        ).coalesce(1)
+    )                                                   # v1
+    t.merge_when(
+        _src(spark, [(1, 11.0, "u"), (2, -1.0, "d")]),
+        ["id"],
+        matched_update="all",
+        matched_update_cond=F.col("s.qty") > 0,
+        matched_delete_cond=F.col("s.qty") < 0,
+        insert_unmatched=False,
+    )                                                   # v2 (COW rewrite)
+    t.append(
+        spark.createDataFrame([(50, 5.0, "a")], "id int, qty double, tag string")
+    )                                                   # v3
+    t.append(
+        spark.createDataFrame([(51, 5.0, "a")], "id int, qty double, tag string")
+    )                                                   # v4
+    # keep the v2 manifest (feed retention = manifest retention) but
+    # sweep v1's files — the COW rewrite's pre-images
+    t.vacuum(retain_last=3, orphan_grace_ms=0)
+    chg = t.changes(1, 2)
+    dels = {r.id for r in chg.filter(F.col("_change_type") == "delete").collect()}
+    ins = {r.id for r in chg.filter(F.col("_change_type") == "insert").collect()}
+    assert 2 in dels            # the delete clause's retraction
+    assert 1 in dels and 1 in ins  # the update's retraction pair
