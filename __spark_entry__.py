@@ -38,28 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    # r9/r10 entries expired automatically (green r10 rows exist) and
-    # were pruned. r11 plan changes:
-    # - rollup's append-path delta read now routes through the fact's
-    #   LOGICAL scan (fact._scan — the rename-composition fix), and
-    #   the medallion capstone composes it;
-    "lakehouse_incremental_rollup_audit": 11,
-    "medallion_incremental_audit": 11,
-    # - file_changes/changes rewired: every manifest (full/checkpoint
-    #   included) records its own commit delta, changes() can serve
-    #   persisted sidecars, per-commit delta builder factored out —
-    #   the CDF/DV feeds and the CDC consumer all executed differently;
-    "lakehouse_cdf_audit": 11,
-    "lakehouse_dv_audit": 11,
-    "lakehouse_cdc_replication_audit": 11,
-    # - vacuum's oldest-retained rewrite preserves delta keys and the
-    #   sweep covers _changes sidecars;
-    "lakehouse_vacuum_audit": 11,
-    # - column mapping moved to one simultaneous projection
-    #   (_to_logical/_to_physical: the name-swap-chain fix);
-    "lakehouse_rename_audit": 11,
-    # - hour() transform refuses date OBJECTS (coarse-literal guard).
-    "lakehouse_partition_transform_audit": 11,
+    # r11 entries expired automatically (green r11 rows exist for all
+    # eight) and were pruned. r12 plan changes are added below as they
+    # land.
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.
@@ -73,9 +54,10 @@ FORCE_REGATE: dict[str, int] = {
 #: differential (tests/test_queries_oracle.py runs every declared
 #: query against DuckDB).
 DEFER_GATE: dict[str, int] = {
-    "lakehouse_tag_retention_audit": 11,
-    "lakehouse_txn_medallion_audit": 11,
-    "lakehouse_merge_when_audit": 11,
+    # The three r11 session-3 capstones expired into tier-0 when
+    # CORRECTNESS_r11 landed — they now sit at window positions 0-2
+    # for the r12 gate (verified via tools/gate_window.py). New late
+    # registrations are added below if the r12 slot budget fills.
 }
 
 
