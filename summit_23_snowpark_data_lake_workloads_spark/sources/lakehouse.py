@@ -45,6 +45,7 @@ import datetime as _dt
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -63,6 +64,14 @@ _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
 #: named-ref sidecars (Iceberg-style TAGS) under ``_manifests/tags/``
 _TAGS_DIR = "tags"
+#: writable-branch ref sidecars under ``_manifests/branches/`` — each
+#: records the branch's FORK VERSION, which vacuum retains like a tag
+#: while the ref lives (the branch references the fork's files)
+_BRANCH_REFS_DIR = "branches"
+#: branch table roots under ``<table>/_branches/<name>/`` — each is a
+#: full SnapshotTable (own manifests + data dir); OUTSIDE the parent's
+#: ``data`` dir, so the parent's vacuum sweep never walks branch files
+_BRANCH_DATA_DIR = "_branches"
 #: a FULL manifest (complete file list) is checkpointed at every
 #: multiple of this version number; commits in between write DELTA
 #: manifests (add/remove only), so commit metadata stays proportional
@@ -116,6 +125,15 @@ class ConstraintViolationError(ValueError):
     rejected BEFORE any file landed (Delta's write-side enforcement:
     a constraint that only fires on read is a constraint the bad data
     already escaped)."""
+
+
+class BranchMergeConflict(RuntimeError):
+    """:meth:`SnapshotTable.merge_branch` found true divergence: main
+    rewrote or soft-deleted a file the branch also rewrote/soft-deleted
+    (the same rows changed on both sides), or table metadata diverged
+    between fork and merge. The branch stays intact — rebase it
+    manually (re-branch from the new head and replay) or discard it;
+    silently picking a side would be a lost update."""
 
 
 class CommitProtocol:
@@ -2701,7 +2719,9 @@ class SnapshotTable:
 
     # ------------------------------------------------------- partitions
 
-    def clone_to(self, dst_path: str) -> "SnapshotTable":
+    def clone_to(
+        self, dst_path: str, version: int | None = None
+    ) -> "SnapshotTable":
         """ZERO-COPY shallow clone (Delta ``SHALLOW CLONE``): the new
         table's first manifest references THIS table's current data
         files by absolute path — no data moves, the clone costs one
@@ -2719,13 +2739,25 @@ class SnapshotTable:
         source's retention window means compacting the clone (which
         rewrites everything under its own root) or raising source
         retention. The clone's own vacuum only walks the clone's data
-        dir, so it can never delete source files."""
-        snap = self.snapshot()
+        dir, so it can never delete source files.
+
+        ``version`` pins the clone to an older committed version (the
+        branch-at-version primitive); metadata (constraints / column
+        map / dropped columns / spec / CDF) is taken from THAT
+        version's manifest, not the handle's current cache — a clone
+        of v3 must not inherit a rename committed at v7."""
+        snap = self.snapshot(version)
+        meta_raw = self._raw(snap.version)
+        m_partition_by = list(meta_raw.get("partition_by") or [])
+        m_constraints = dict(meta_raw.get("constraints") or {})
+        m_column_map = dict(meta_raw.get("column_map") or {})
+        m_dropped = list(meta_raw.get("dropped_cols") or [])
+        m_cdf = bool(meta_raw.get("cdf"))
         dst = SnapshotTable(
             self.spark,
             dst_path,
             commit_protocol=self.commit_protocol,
-            partition_by=list(self.partition_by) or None,
+            partition_by=m_partition_by or None,
         )
         if dst._versions():
             raise FileExistsError(f"table already exists at {dst_path}")
@@ -2747,32 +2779,20 @@ class SnapshotTable:
             "timestamp_ms": cloned.timestamp_ms,
             "operation": "clone",
             **dst._full_manifest_body(cloned),
-            **(
-                {"partition_by": self.partition_by}
-                if self.partition_by
-                else {}
-            ),
-            **(
-                {"constraints": self.check_constraints}
-                if self.check_constraints
-                else {}
-            ),
-            **({"column_map": self.column_map} if self.column_map else {}),
-            **(
-                {"dropped_cols": self.dropped_cols}
-                if self.dropped_cols
-                else {}
-            ),
-            **({"cdf": True} if self.cdf else {}),
+            **({"partition_by": m_partition_by} if m_partition_by else {}),
+            **({"constraints": m_constraints} if m_constraints else {}),
+            **({"column_map": m_column_map} if m_column_map else {}),
+            **({"dropped_cols": m_dropped} if m_dropped else {}),
+            **({"cdf": True} if m_cdf else {}),
         }
         if not dst.commit_protocol.publish(
             dst._manifest_path(1), json.dumps(body)
         ):
             raise ConcurrentWriteError(f"clone race at {dst_path}")
-        dst.check_constraints = dict(self.check_constraints)
-        dst.column_map = dict(self.column_map)
-        dst.dropped_cols = list(self.dropped_cols)
-        dst.cdf = self.cdf
+        dst.check_constraints = m_constraints
+        dst.column_map = m_column_map
+        dst.dropped_cols = m_dropped
+        dst.cdf = m_cdf
         return dst
 
     def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
@@ -3707,6 +3727,241 @@ class SnapshotTable:
         construction — the tag kept its target retained."""
         return self.rollback(self._tag_version(name))
 
+    # ------------------------------------------------------------------
+    # Writable branches (the tags twin — Iceberg/Nessie's movable refs)
+    # ------------------------------------------------------------------
+
+    def _branch_refs_dir(self) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, _BRANCH_REFS_DIR)
+
+    def _branch_root(self, name: str) -> str:
+        return os.path.join(self.path, _BRANCH_DATA_DIR, name)
+
+    def branches(self) -> dict[str, dict]:
+        """``{name: {"fork_version": int, "timestamp_ms": int}}`` for
+        every live branch ref."""
+        bdir = self._branch_refs_dir()
+        out: dict[str, dict] = {}
+        for f in sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []:
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(bdir, f)) as fh:
+                    r = json.load(fh)
+                out[r["name"]] = {
+                    "fork_version": int(r["fork_version"]),
+                    "timestamp_ms": int(r["timestamp_ms"]),
+                }
+            except (OSError, ValueError, KeyError):
+                continue  # half-written loser of a publish race
+        return out
+
+    def _branch_ref(self, name: str) -> dict:
+        ref = self.branches().get(name)
+        if ref is None:
+            raise KeyError(f"no branch {name!r}")
+        return ref
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Fork a WRITABLE branch off a committed version (Iceberg /
+        Nessie branch refs — the movable twin of :meth:`create_tag`):
+        a zero-copy shallow clone rooted at ``<table>/_branches/<name>``
+        whose first manifest references the fork version's files, plus
+        a ref sidecar that makes :meth:`vacuum` retain the fork version
+        (and therefore its files) while the branch lives — the clone
+        docstring's retention hazard, closed for branches.
+
+        Experiment on the branch with the FULL mutation surface
+        (append / delete / merge / compact — branch commits land under
+        the branch root; main never sees them), then
+        :meth:`merge_branch` to publish the net change back, or
+        :meth:`drop_branch` to discard. The reference anchor: trying a
+        new enrichment on CURATED.PRODUCT_SALES without touching the
+        DAG's serving copy (``04_sales_enrich_sp.sql:61``).
+
+        Cost at 100 TB: one JSON ref + one clone manifest — no data
+        moves until the branch itself writes."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+            raise ValueError(
+                f"branch name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]*"
+                " (<= 64 chars)"
+            )
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError("no committed version to branch from")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise LookupError(f"version {v} not in {versions}")
+        os.makedirs(self._branch_refs_dir(), exist_ok=True)
+        body = json.dumps(
+            {
+                "name": name,
+                "fork_version": v,
+                "timestamp_ms": int(time.time() * 1000),
+            }
+        )
+        # ref FIRST: from this instant vacuum retains the fork version,
+        # so the clone below can never reference already-doomed files;
+        # a racing double-create has exactly one winner
+        if not self.commit_protocol.publish(
+            os.path.join(self._branch_refs_dir(), f"{name}.json"), body
+        ):
+            raise FileExistsError(
+                f"branch {name!r} already exists (drop_branch to discard)"
+            )
+        return self.clone_to(self._branch_root(name), version=v)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Open a handle on an existing branch's table."""
+        self._branch_ref(name)  # raises KeyError if the ref is gone
+        return SnapshotTable(
+            self.spark,
+            self._branch_root(name),
+            commit_protocol=self.commit_protocol,
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: remove its ref (releasing the fork
+        version's vacuum hold) and delete the branch's directory tree.
+        Refuses while any RETAINED main manifest references files under
+        the branch root — after a ``merge_branch(..., drop_ref=False)``
+        main still reads merged branch-local files in place, and
+        deleting them would corrupt main (compact main to re-home the
+        rows first)."""
+        self._branch_ref(name)
+        root = self._branch_root(name)
+        prefix = root.rstrip("/") + "/"
+        for v in self._versions():
+            if any(f.startswith(prefix) for f in self._load(v).files):
+                raise ValueError(
+                    f"branch {name!r} has merged files still referenced "
+                    f"by main v{v}; compact() main to re-home them, "
+                    "vacuum, then drop the branch"
+                )
+        os.unlink(os.path.join(self._branch_refs_dir(), f"{name}.json"))
+        shutil.rmtree(root, ignore_errors=True)
+
+    def merge_branch(self, name: str, drop_ref: bool = True) -> Snapshot:
+        """Merge a branch's NET change back into main as ONE commit (a
+        squash merge — Iceberg's fast-forward/cherry-pick publish).
+
+        The net delta is the snapshot diff between the branch head and
+        its fork manifest (v1, the clone): files the branch removed
+        (COW rewrites, compaction), files it added (branch-local
+        paths, committed into main by absolute reference exactly like
+        a clone's), and deletion-vector runs it newly soft-deleted on
+        fork files. Main having moved since the fork is NOT a
+        conflict by itself: the commit rebases through ``_commit``'s
+        ``commute_ok`` machinery, refusing only when an intervening
+        main commit removed or soft-deleted a file the branch also
+        touched (the same rows changed on both sides) or when table
+        metadata diverged — :class:`BranchMergeConflict` either way,
+        with the branch left intact for a manual rebase.
+
+        ``drop_ref=True`` (default) releases the branch ref after the
+        merge: the fork version's vacuum hold ends, but the branch
+        DIRECTORY stays (main now references its files in place —
+        the same locality story as a shallow clone; ``compact()``
+        re-homes them, after which :meth:`drop_branch` succeeds).
+
+        Txn stamps recorded by branch commits do NOT transfer: a
+        stamped micro-batch replayed against MAIN after the merge is
+        a different table's history (stated, not hidden — the same
+        rule as :class:`PinnedCatalog` staged stamps).
+
+        Cost at 100 TB: O(branch delta) metadata + the conflict check
+        (O(intervening commits) manifest reads); zero data movement."""
+        ref = self._branch_ref(name)
+        fork_v = ref["fork_version"]
+        br = self.branch(name)
+        br_versions = br._versions()
+        if 1 not in br_versions:
+            raise BranchMergeConflict(
+                f"branch {name!r} fork manifest (v1) expired under the "
+                "branch's own vacuum; the net delta is unprovable"
+            )
+        fork_snap = br._load(1)
+        head_snap = br._load(br_versions[-1])
+        # metadata commits don't merge: branch-head metadata must equal
+        # main's CURRENT metadata (covers divergence on either side)
+        br_meta = (
+            dict(br.check_constraints),
+            dict(br.column_map),
+            sorted(br.dropped_cols),
+            list(br.partition_by),
+            bool(br.cdf),
+        )
+        main_meta = (
+            dict(self.check_constraints),
+            dict(self.column_map),
+            sorted(self.dropped_cols),
+            list(self.partition_by),
+            bool(self.cdf),
+        )
+        if br_meta != main_meta:
+            raise BranchMergeConflict(
+                f"branch {name!r} table metadata diverged from main "
+                "(constraints / column map / dropped columns / spec / "
+                "CDF); metadata changes do not merge"
+            )
+        fork_set, head_set = set(fork_snap.files), set(head_snap.files)
+        # fork files are absolute (the clone made them so); translate
+        # back to main's manifest keys
+        removed = frozenset(
+            self._relativize(f) for f in sorted(fork_set - head_set)
+        )
+        added = sorted(head_set - fork_set)  # branch-local, kept absolute
+        ab = lambda f: f if os.path.isabs(f) else os.path.join(br.path, f)
+        added_abs = [ab(f) for f in added]
+        fork_dvs = fork_snap.dvs or {}
+        head_dvs = head_snap.dvs or {}
+        dv_add: dict = {}
+        for f in sorted(fork_set & head_set):
+            new = _ranges_subtract(head_dvs.get(f, []), fork_dvs.get(f, []))
+            if new:
+                dv_add[self._relativize(f)] = new
+        # DVs on branch-ADDED files ride the add as post-image state
+        # (the rollback rule): their dead rows were never visible on
+        # main, so they are not a delete delta
+        dv_on_added = {
+            ab(f): r for f, r in head_dvs.items() if f in (set(added))
+        }
+        if not added_abs and not removed and not dv_add and not dv_on_added:
+            if drop_ref:
+                os.unlink(
+                    os.path.join(self._branch_refs_dir(), f"{name}.json")
+                )
+            return self.snapshot()  # nothing to merge: fast-forward no-op
+
+        touched = set(removed) | set(dv_add)
+
+        def _merge_commutes(intervening) -> bool:
+            for _v, op, _a, removed_i, dvd_i in intervening:
+                if op in _META_OPS:
+                    return False  # metadata moved under us
+                if (set(removed_i) | set(dvd_i)) & touched:
+                    return False  # same files rewritten on both sides
+            return True
+
+        try:
+            snap = self._commit(
+                "merge_branch",
+                fork_v,
+                added_abs,
+                remove=removed,
+                dv_add={**dv_add, **dv_on_added},
+                commute_ok=_merge_commutes,
+            )
+        except ConcurrentWriteError as exc:
+            raise BranchMergeConflict(
+                f"branch {name!r} does not merge cleanly: {exc}"
+            ) from exc
+        if drop_ref:
+            os.unlink(os.path.join(self._branch_refs_dir(), f"{name}.json"))
+        return snap
+
     def vacuum(
         self,
         retain_last: int = 2,
@@ -3772,6 +4027,17 @@ class SnapshotTable:
                     "vacuumed?)"
                 )
             keep.add(v)
+        for bname, bref in self.branches().items():
+            bv = bref["fork_version"]
+            if bv not in versions:
+                # same contract as a tag that lost a race with vacuum:
+                # a broken ref must be loud, not silently unpinned
+                raise LookupError(
+                    f"branch {bname!r} forked from version {bv}, which "
+                    f"no longer exists ({versions}); drop_branch"
+                    f"({bname!r}) to release it, then re-run vacuum"
+                )
+            keep.add(bv)
         for tag, v in self.tags().items():
             if v not in versions:
                 # a tag that lost a race with an earlier vacuum (named

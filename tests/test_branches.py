@@ -1,0 +1,266 @@
+"""Writable BRANCH refs + squash merge-back (sources/lakehouse.py:
+create_branch / branch / merge_branch / drop_branch) — the movable twin
+of tags (Iceberg/Nessie branch model): experiment on a zero-copy fork,
+publish the net change back through the same commute machinery
+``_commit`` already uses, or discard without a trace.
+
+Reference anchor: iterating on CURATED.PRODUCT_SALES without touching
+the serving copy the task DAG reads (04_sales_enrich_sp.sql:61)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    BranchMergeConflict,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .coalesce(1)
+        .select(F.col("id").cast("int").alias("id"))
+    )
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+# ------------------------------------------------------ branch basics
+
+
+def test_branch_isolation_and_ff_merge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))
+    br = t.create_branch("exp")
+    assert t.branches()["exp"]["fork_version"] == 1
+    br.append(_df(spark, 5, 8))
+    # branch commits are invisible to main...
+    assert _ids(t.read()) == list(range(5))
+    # ...and main's are invisible to the branch handle
+    assert _ids(br.read()) == list(range(8))
+    snap = t.merge_branch("exp")
+    assert snap.operation == "merge_branch"
+    assert _ids(t.read()) == list(range(8))
+    # ref released on merge; the directory (now referenced) remains
+    assert "exp" not in t.branches()
+
+
+def test_branch_double_create_refused(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 3))
+    t.create_branch("x")
+    with pytest.raises(FileExistsError):
+        t.create_branch("x")
+    with pytest.raises(ValueError):
+        t.create_branch("bad name!")
+
+
+def test_branch_at_older_version(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 9))
+    br = t.create_branch("old", version=1)
+    assert _ids(br.read()) == list(range(5))
+    br.append(_df(spark, 100, 102))
+    # main moved past the fork but only with appends -> rebases cleanly
+    t.merge_branch("old")
+    assert _ids(t.read()) == list(range(9)) + [100, 101]
+
+
+def test_empty_merge_is_noop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    t.create_branch("idle")
+    v_before = t.snapshot().version
+    snap = t.merge_branch("idle")
+    assert snap.version == v_before  # no commit happened
+    assert "idle" not in t.branches()
+
+
+def test_drop_branch_discards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    br = t.create_branch("scratch")
+    br.append(_df(spark, 50, 60))
+    root = br.path
+    t.drop_branch("scratch")
+    assert not os.path.exists(root)
+    assert "scratch" not in t.branches()
+    assert _ids(t.read()) == list(range(4))
+    with pytest.raises(KeyError):
+        t.drop_branch("scratch")
+
+
+# --------------------------------------------- divergence + conflicts
+
+
+def test_merge_rebases_over_disjoint_main_commits(spark, tmp_path):
+    """Main appends AND soft-deletes rows in ITS OWN new file while the
+    branch COW-deletes rows from a fork file — disjoint file sets, so
+    the merge rebases; both sides' edits land."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))  # fork file A
+    br = t.create_branch("exp")
+    br.delete(F.col("id") < 2)  # branch rewrites A -> A' (drops 0,1)
+    t.append(_df(spark, 10, 15))  # main adds file B
+    t.delete_mor(F.col("id") == 12)  # main DVs B only
+    t.merge_branch("exp")
+    assert _ids(t.read()) == [2, 3, 4, 10, 11, 13, 14]
+
+
+def test_merge_conflict_same_file_rewritten(spark, tmp_path):
+    """Both sides rewrite the SAME fork file -> refuse, main unmoved,
+    branch intact for a manual rebase."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))
+    br = t.create_branch("exp")
+    br.delete(F.col("id") == 0)  # branch rewrites the fork file
+    t.delete(F.col("id") == 4)  # main rewrites the SAME file
+    main_before = _ids(t.read())
+    with pytest.raises(BranchMergeConflict):
+        t.merge_branch("exp")
+    assert _ids(t.read()) == main_before
+    assert _ids(t.branch("exp").read()) == [1, 2, 3, 4]
+    assert "exp" in t.branches()  # ref survives a refused merge
+
+
+def test_merge_conflict_dv_overlap(spark, tmp_path):
+    """Main DV-deletes on the fork file; branch DV-deletes on the same
+    file — same-rows-maybe-touched is a conflict, not a silent union."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 6))
+    br = t.create_branch("exp")
+    br.delete_mor(F.col("id") == 1)
+    t.delete_mor(F.col("id") == 5)
+    with pytest.raises(BranchMergeConflict):
+        t.merge_branch("exp")
+
+
+def test_merge_conflict_metadata_diverged(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    br = t.create_branch("exp")
+    br.append(_df(spark, 4, 6))
+    t.rename_column("id", "ident")  # metadata moved on main
+    with pytest.raises(BranchMergeConflict):
+        t.merge_branch("exp")
+
+
+def test_merge_transfers_branch_dvs(spark, tmp_path):
+    """Branch soft-deletes (MoR) on a fork file transfer as DV runs —
+    no rewrite on either side; main was append-only meanwhile."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 6))
+    br = t.create_branch("exp")
+    br.delete_mor(F.col("id").isin(1, 3))
+    t.append(_df(spark, 10, 12))
+    t.merge_branch("exp")
+    assert _ids(t.read()) == [0, 2, 4, 5, 10, 11]
+    # soft-delete, not rewrite: the fork file is still live, with a DV
+    head = t.snapshot()
+    assert any(head.dvs.values())
+
+
+# ------------------------------------------------- retention coupling
+
+
+def test_vacuum_retains_fork_while_branch_lives(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))  # v1 = fork
+    br = t.create_branch("exp")
+    t.overwrite(_df(spark, 20, 23))  # v2
+    t.overwrite(_df(spark, 30, 33))  # v3
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    # fork version (and its files) survived for the branch's sake
+    assert _ids(br.read()) == list(range(5))
+    assert 1 in t._versions()
+    # merge releases the ref; the next vacuum may expire the fork
+    br.append(_df(spark, 40, 42))
+    t.merge_branch("exp")
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    assert 1 not in t._versions()
+    assert _ids(t.read()) == [30, 31, 32, 40, 41]
+
+
+def test_drop_branch_refused_while_merged_files_referenced(
+    spark, tmp_path
+):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 3))
+    br = t.create_branch("exp")
+    br.append(_df(spark, 3, 5))
+    t.merge_branch("exp", drop_ref=False)
+    with pytest.raises(ValueError, match="still referenced"):
+        t.drop_branch("exp")
+    # compaction re-homes the rows under main's root, vacuum drops the
+    # old references, and then the branch is droppable
+    t.compact(target_files=1)
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    t.drop_branch("exp")
+    assert _ids(t.read()) == list(range(5))
+
+
+def test_branch_of_partitioned_table(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_by=["part"]
+    )
+    df = (
+        spark.range(0, 8)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+        .coalesce(1)
+    )
+    t.create(df)
+    br = t.create_branch("exp")
+    br.append(
+        spark.range(100, 102)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1).cast("int").alias("part"),
+        )
+        .coalesce(1)
+    )
+    assert br.partition_by == ["part"]
+    t.merge_branch("exp")
+    assert _ids(t.read()) == list(range(8)) + [100, 101]
+    # merged branch-local files carry their partition tuples: a pruned
+    # read over part=0 must not scan the part=1 branch file
+    assert _ids(t.read(partition_where=[("part", "=", 0)])) == [
+        0,
+        2,
+        4,
+        6,
+    ]
+
+
+def test_merge_with_cdf_emits_branch_changes(spark, tmp_path):
+    """On a CDF-enabled main, the merge commit's change rows are the
+    branch's net delta (inserts of added rows, deletes of removed)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 4))
+    br = t.create_branch("exp")
+    br.delete(F.col("id") == 2)
+    t.merge_branch("exp")
+    head_v = t.snapshot().version
+    ch = t.changes(head_v - 1, head_v)
+    got = sorted(
+        (r["_change_type"], r["id"]) for r in ch.select("_change_type", "id").collect()
+    )
+    # net of the branch's COW rewrite: 0,1,3 re-added, 0,1,2 removed —
+    # additive fold must be exactly {-2}
+    ins = [i for c, i in got if c == "insert"]
+    dels = [i for c, i in got if c == "delete"]
+    from collections import Counter
+
+    net = Counter(ins)
+    net.subtract(Counter(dels))
+    assert {k: v for k, v in net.items() if v} == {2: -1}
