@@ -3916,3 +3916,112 @@ def lakehouse_merge_when_audit(
         return out.unionByName(out2).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _branch_merge_oracle() -> str:
+    """Branch lifecycle over the events table: fork at the %3==0 base,
+    branch deletes %5==0 rows then appends the %3==1 slice, main
+    appends the %3==2 slice meanwhile — the squash merge folds both
+    sides. Flags pin branch isolation, the conflict refusal on a
+    same-file double-rewrite, and the ref release."""
+    return """
+    SELECT 'main_pre_merge' AS probe,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS agg
+    FROM events WHERE event_id % 3 IN (0, 2)
+    UNION ALL
+    SELECT 'branch_pre_merge', count(*)::BIGINT, sum(event_id)::BIGINT
+    FROM events
+    WHERE (event_id % 3 = 0 AND event_id % 5 <> 0) OR event_id % 3 = 1
+    UNION ALL
+    SELECT 'post_merge', count(*)::BIGINT, sum(event_id)::BIGINT
+    FROM events
+    WHERE (event_id % 3 = 0 AND event_id % 5 <> 0)
+       OR event_id % 3 IN (1, 2)
+    UNION ALL
+    SELECT 'conflict_refused', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'ref_released', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_branch_merge_audit", oracle=_branch_merge_oracle())
+def lakehouse_branch_merge_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Writable BRANCH refs + squash merge-back under the driver gate
+    (``sources/lakehouse.py:create_branch``/``merge_branch`` — the
+    movable twin of r11's tags; Iceberg/Nessie's branch model): fork a
+    zero-copy clone, mutate it with the full COW/MoR surface while
+    main keeps moving, then publish the NET delta back as one commit
+    through the same ``commute_ok`` rebase machinery data commits use.
+
+    Lifecycle: create (%3==0) -> branch "exp" -> branch deletes
+    %5==0 rows (COW rewrite of fork files) and appends the %3==1
+    slice; main appends the %3==2 slice meanwhile (disjoint files, so
+    the merge REBASES rather than refuses). Probes: main before the
+    merge (branch invisible), the branch head, and main after
+    (both sides' edits folded). ``conflict_refused`` then pins the
+    refusal path on a second, single-file table where BOTH sides
+    rewrite the same file — :class:`BranchMergeConflict` must fire
+    with main unmoved and the branch intact. ``ref_released`` pins
+    that the merge dropped the ref (vacuum's fork hold ends) while
+    the refused branch's ref survives for the manual rebase.
+
+    Scale: branch = one JSON ref + one clone manifest (no data moves);
+    merge = O(branch delta) metadata + O(intervening commits) conflict
+    reads. Reference anchor: iterating on CURATED.PRODUCT_SALES
+    without touching the DAG's serving copy
+    (``04_sales_enrich_sp.sql:61``)."""
+    from ..sources.lakehouse import BranchMergeConflict, SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    tmp = tempfile.mkdtemp(prefix="lh_branch_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.create(ev.filter(F.col("event_id") % 3 == 0))
+        br = t.create_branch("exp")
+        br.delete(F.col("event_id") % 5 == 0)
+        br.append(ev.filter(F.col("event_id") % 3 == 1))
+        t.append(ev.filter(F.col("event_id") % 3 == 2))
+
+        def agg(df, probe):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        out = agg(t.read(), "main_pre_merge").unionByName(
+            agg(br.read(), "branch_pre_merge")
+        )
+        t.merge_branch("exp")
+        out = out.unionByName(agg(t.read(), "post_merge"))
+        ref_released = int("exp" not in t.branches())
+
+        # refusal path: ONE file, both sides rewrite it
+        c = SnapshotTable(spark, os.path.join(tmp, "c"))
+        c.create(
+            ev.filter(F.col("event_id") % 100 == 0).coalesce(1)
+        )
+        bad = c.create_branch("bad")
+        bad.delete(F.col("event_id") % 200 == 0)
+        c.delete(F.col("event_id") % 200 == 100)
+        pre = c.read().count()
+        conflict_refused = 0
+        try:
+            c.merge_branch("bad")
+        except BranchMergeConflict:
+            conflict_refused = int(
+                c.read().count() == pre  # main unmoved
+                and "bad" in c.branches()  # ref intact for the rebase
+                and bad.read().count() > 0  # branch still readable
+            )
+        flags = spark.createDataFrame(
+            [
+                ("conflict_refused", conflict_refused, conflict_refused),
+                ("ref_released", ref_released, ref_released),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
