@@ -39,8 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
     # r11 entries expired automatically (green r11 rows exist for all
-    # eight) and were pruned. r12 plan changes are added below as they
-    # land.
+    # eight) and were pruned. r12 plan changes:
+    # - the shared incremental-dedup plan was rewritten (broadcast
+    #   batch-side intersection joins, no persists, codegen corpus-side
+    #   size expression instead of a second corpus shingling pass) —
+    #   both queries that share it executed differently:
+    "dedup_incremental_newbatch": 12,
+    "dedup_incremental_hotshingle_audit": 12,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.
