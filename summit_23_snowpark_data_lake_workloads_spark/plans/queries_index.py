@@ -4025,3 +4025,167 @@ def lakehouse_branch_merge_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _txn_chain_stream_oracle() -> str:
+    """Silver (per-type rollup) + gold (its one-row total) after each
+    drained range of the streaming transactional chain; flags pin the
+    per-commit CAS granularity, the checkpoint-loss replay no-op, and
+    the never-torn cross-layer invariant across ALL catalog history."""
+    return """
+    SELECT 't1_silver' AS probe,
+           count(DISTINCT event_type)::BIGINT AS n,
+           sum(event_id)::BIGINT AS agg
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 't1_gold', 1::BIGINT, sum(event_id)::BIGINT
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 't2_silver', count(DISTINCT event_type)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 't2_gold', 1::BIGINT, sum(event_id)::BIGINT FROM events
+    UNION ALL
+    SELECT 't3_silver', count(DISTINCT event_type)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events WHERE user_id % 7 <> 3
+    UNION ALL
+    SELECT 't3_gold', 1::BIGINT, sum(event_id)::BIGINT
+    FROM events WHERE user_id % 7 <> 3
+    UNION ALL
+    SELECT 'cas_per_range', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'replay_noop', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'never_torn', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("streaming_txn_chain_audit", oracle=_txn_chain_stream_oracle())
+def streaming_txn_chain_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING multi-table transactional chain under the driver gate
+    (``plans/txn_refresh.py:maintain_chain_stream`` — the composition
+    the r11 verdict named next: ``ChangeFeedStream`` drains composed
+    with the ``PinnedCatalog`` so a continuously-running medallion
+    commits silver+gold per drained range in ONE catalog CAS).
+
+    Lifecycle: bronze CREATE (events %2==0) -> drain (one tick: both
+    layers full, one CAS) -> bronze APPEND (%2==1) -> drain
+    (incremental through both layers, one CAS) -> checkpoint DELETED
+    and the drain re-run — every replayed tick must abandon with NO
+    catalog version spent, because the high-water lives in the
+    catalog's ``txn_seen`` stamps, not the stream offset
+    (``replay_noop``) -> bronze MoR DELETE (user_id%7==3) -> drain
+    (the retraction folds as incremental_cdf through both layers).
+    ``never_torn`` then proves the guarantee the composition exists
+    for: at EVERY catalog version ever committed, cross-table
+    time-travel reads of silver and gold agree on the total — no
+    reader at any point in history could pair a new silver with a
+    stale gold. ``cas_per_range`` pins exactly one catalog commit per
+    drained range across the three effective ticks.
+
+    Scale: per range, the incremental-rollup cost model per layer +
+    one O(#tables) CAS; checkpoint loss costs one noop-tick sweep of
+    the replayed ranges (metadata only). Reference anchor: the always-
+    on dynamic-table form of the task DAG (``05_task_DAG.sql:9-25``)
+    with Snowflake's cross-statement catalog consistency,
+    self-managed."""
+    from ..plans.txn_refresh import RollupSpec, maintain_chain_stream
+    from ..sources.lakehouse import SnapshotTable
+    from ..sources.txn_catalog import PinnedCatalog
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    silver_spec = RollupSpec(
+        prepare=lambda df: df.select("event_type", "event_id"),
+        group_cols=["event_type"],
+        sum_cols=["event_id"],
+    )
+    gold_spec = RollupSpec(
+        prepare=lambda df: df.select(
+            F.lit("all").alias("g"),
+            F.col("sum_event_id").alias("sv"),
+        ),
+        group_cols=["g"],
+        sum_cols=["sv"],
+    )
+    layers = [("silver", silver_spec), ("gold", gold_spec)]
+    tmp = tempfile.mkdtemp(prefix="lh_txn_chain_stream_")
+    try:
+        cat = PinnedCatalog(spark, os.path.join(tmp, "cat"))
+        bronze = SnapshotTable(spark, os.path.join(tmp, "bronze"))
+        cat.register("silver", os.path.join(tmp, "silver"))
+        cat.register("gold", os.path.join(tmp, "gold"))
+        ckpt = os.path.join(tmp, "ckpt")
+        bronze.create(ev.filter(F.col("event_id") % 2 == 0))
+        ticks = []
+
+        def probes(tag):
+            s = cat.read("silver").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_event_id").cast("long").alias("agg"),
+            ).select(F.lit(f"{tag}_silver").alias("probe"), "n", "agg")
+            g = cat.read("gold").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_sv").cast("long").alias("agg"),
+            ).select(F.lit(f"{tag}_gold").alias("probe"), "n", "agg")
+            return s.unionByName(g).localCheckpoint(eager=True)
+
+        ticks += maintain_chain_stream(cat, bronze, layers, ckpt)
+        out = probes("t1")
+        bronze.append(ev.filter(F.col("event_id") % 2 == 1))
+        ticks += maintain_chain_stream(cat, bronze, layers, ckpt)
+        out = out.unionByName(probes("t2"))
+
+        # checkpoint loss: replayed ticks must spend NO catalog version
+        cat_head = cat._versions()[-1]
+        shutil.rmtree(ckpt)
+        replayed = maintain_chain_stream(cat, bronze, layers, ckpt)
+        replay_noop = int(
+            all(r["catalog_version"] is None for r in replayed)
+            and cat._versions()[-1] == cat_head
+        )
+
+        bronze.delete_mor(F.col("user_id") % 7 == 3)
+        ticks += maintain_chain_stream(cat, bronze, layers, ckpt)
+        out = out.unionByName(probes("t3"))
+
+        cas_per_range = int(
+            all(r["catalog_version"] is not None for r in ticks)
+            and len({r["catalog_version"] for r in ticks}) == len(ticks)
+        )
+        # the composition's reason to exist: NO catalog state ever
+        # pairs one layer's new state with the other's stale one
+        torn = 0
+        for v in cat._versions():
+            try:
+                sv = (
+                    cat.read("silver", catalog_version=v)
+                    .agg(F.sum("sum_event_id"))
+                    .collect()[0][0]
+                )
+                gv = (
+                    cat.read("gold", catalog_version=v)
+                    .agg(F.sum("sum_sv"))
+                    .collect()[0][0]
+                )
+            except (KeyError, LookupError, FileNotFoundError, ValueError):
+                continue  # not registered / no committed pin at v
+            if sv != gv:
+                torn += 1
+        never_torn = int(torn == 0)
+        flags = spark.createDataFrame(
+            [
+                ("cas_per_range", cas_per_range, cas_per_range),
+                ("replay_noop", replay_noop, replay_noop),
+                ("never_torn", never_torn, never_torn),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -67,6 +67,7 @@ def refresh_chain_txn(
     layers: list[tuple[str, RollupSpec]],
     app_id: str = "chain_txn",
     auto_repair: bool = True,
+    through: int | None = None,
 ) -> dict:
     """One transactional tick of an N-layer rollup chain: fold
     ``source``'s new commits into the first layer, each staged layer
@@ -88,7 +89,13 @@ def refresh_chain_txn(
     versions are orphans (``auto_repair`` clears them on the next
     tick) and the whole tick re-runs from the committed high-water
     marks. At most one catalog commit per tick ever lands, so replays
-    are exact, not just idempotent-ish."""
+    are exact, not just idempotent-ish.
+
+    ``through`` pins the FIRST layer's fact range upper bound instead
+    of the source head read at call time — the streaming form
+    (:func:`maintain_chain_stream`) feeds each drained range's upper
+    version here so a tick folds exactly its micro-batch; later
+    layers still consume the transaction's own staged heads."""
     if not layers:
         raise ValueError("layers must name at least one rollup table")
     if auto_repair:
@@ -98,9 +105,12 @@ def refresh_chain_txn(
     modes: dict[str, str] = {}
     stamps: dict[str, int] = {}
     fact: SnapshotTable = source
-    for name, spec in layers:
+    for i, (name, spec) in enumerate(layers):
         handle = txn.table(name)
-        hi = fact.snapshot().version if fact._versions() else 0
+        if i == 0 and through is not None:
+            hi = through
+        else:
+            hi = fact.snapshot().version if fact._versions() else 0
         app = f"{app_id}:{name}"
         modes[name] = refresh_rollup(
             fact,
@@ -119,6 +129,69 @@ def refresh_chain_txn(
         return {"modes": modes, "catalog_version": None}
     v = txn.commit(stamps=stamps)
     return {"modes": modes, "catalog_version": v}
+
+
+def maintain_chain_stream(
+    catalog: PinnedCatalog,
+    source: SnapshotTable,
+    layers: list[tuple[str, RollupSpec]],
+    checkpoint_dir: str,
+    app_id: str = "chain_stream",
+    max_commits_per_batch: int = 1,
+    auto_repair: bool = True,
+) -> list[dict]:
+    """Continuously-maintained TRANSACTIONAL chain — the stream twin of
+    :func:`refresh_chain_txn`, composing
+    :class:`..streaming.cdf_source.ChangeFeedStream` (per-commit
+    micro-batches over ``source``'s log) with the pinned catalog (all
+    layers swap in ONE CAS): each drained range runs one chain tick
+    pinned ``through`` the range's upper version, so an always-on
+    medallion commits silver+gold (and deeper) atomically per
+    micro-batch — a reader can never pair layer k's new state with
+    layer k+1's stale one, and no tick folds more than its range.
+    Returns one ``refresh_chain_txn`` result dict per drained range.
+
+    Exactly-once across BOTH failure domains, each layer owning its
+    own replay story:
+
+    - **checkpoint loss** (the stream's offset dir deleted): the next
+      drain replays the whole history as ranges, but every tick's
+      high-water comes from the CATALOG's ``txn_seen`` stamps — an
+      already-folded range makes every layer ``noop``, the tick
+      abandons, and NO catalog version is spent (pins and stamps
+      provably unmoved);
+    - **crash/conflict mid-tick** (before the CAS): pins and stamps
+      untouched, the staged versions are orphans ``auto_repair``
+      clears, and the range re-runs on the next drain because the
+      stream offset only advances after the tick returns.
+
+    Scale: per drained range, the incremental-rollup cost model per
+    layer (O(files the range's commits touched)) + one O(#tables)
+    catalog CAS. ``max_commits_per_batch`` amortizes the CAS across
+    tiny source commits. Reference anchor: the always-on dynamic-table
+    form of the task DAG (``05_task_DAG.sql:9-25``) with Snowflake's
+    cross-statement catalog consistency, self-managed."""
+    from ..streaming.cdf_source import ChangeFeedStream
+
+    stream = ChangeFeedStream(
+        source, checkpoint_dir, max_commits_per_batch=max_commits_per_batch
+    )
+    results: list[dict] = []
+
+    def tick(_v_lo: int, v_hi: int) -> None:
+        results.append(
+            refresh_chain_txn(
+                catalog,
+                source,
+                layers,
+                app_id=app_id,
+                auto_repair=auto_repair,
+                through=v_hi,
+            )
+        )
+
+    stream.drain_ranges(tick)
+    return results
 
 
 def refresh_medallion_txn(

@@ -93,21 +93,32 @@ class ChangeFeedStream:
         """``(delivered_through, table_head)`` — equal means caught up."""
         return self.last_version(), self.table.snapshot().version
 
-    def drain(self, process) -> list[tuple[int, int]]:
-        """Deliver all pending commits as micro-batches; return the
-        ``(v_lo, v_hi]`` ranges processed. The offset advances after
-        each ``process`` call returns (at-least-once here; see the
-        module docstring for the exactly-once composition)."""
+    def drain_ranges(self, process) -> list[tuple[int, int]]:
+        """Like :meth:`drain`, but delivers only the ``(v_lo, v_hi)``
+        range — for consumers that re-derive the range from the table
+        log themselves (the transactional chain: ``refresh_rollup``
+        reads the feed under its own ``since``/``through`` pins), so
+        building the change DataFrame here would be wasted metadata
+        work. Offset semantics identical."""
         lo, hi = self.pending()
         out: list[tuple[int, int]] = []
         v = lo
         while v < hi:
             w_hi = min(v + self.max_commits_per_batch, hi)
-            process(self.table.changes(v, w_hi), v, w_hi)
+            process(v, w_hi)
             self._store(w_hi)
             out.append((v, w_hi))
             v = w_hi
         return out
+
+    def drain(self, process) -> list[tuple[int, int]]:
+        """Deliver all pending commits as micro-batches; return the
+        ``(v_lo, v_hi]`` ranges processed. The offset advances after
+        each ``process`` call returns (at-least-once here; see the
+        module docstring for the exactly-once composition)."""
+        return self.drain_ranges(
+            lambda lo, hi: process(self.table.changes(lo, hi), lo, hi)
+        )
 
 
 def maintain_rollup_stream(

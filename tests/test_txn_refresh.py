@@ -213,3 +213,103 @@ def test_three_layer_chain_never_tears(spark, tmp_path):
     assert cat.read("platinum").collect()[0].sum_t == 7
     gold = {r.parity: r.sum_sv for r in cat.read("gold").collect()}
     assert gold == {0: 3, 1: 4}
+
+
+# ---------------------------------------------- streaming chain twin
+
+
+def test_chain_stream_ticks_per_commit_and_replays_noop(
+    spark, env, tmp_path
+):
+    """maintain_chain_stream: one CAS per drained range; a deleted
+    checkpoint replays the history with every tick abandoning (no
+    catalog version spent, pins and stamps unmoved)."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans.txn_refresh import (
+        maintain_chain_stream,
+    )
+
+    cat, bronze = env
+    ckpt = str(tmp_path / "ckpt")
+    layers = [("silver", SILVER), ("gold", GOLD)]
+    v0 = cat._versions()[-1]
+    r = maintain_chain_stream(cat, bronze, layers, ckpt)
+    assert [x["catalog_version"] for x in r] == [v0 + 1]
+    assert _silver_map(cat) == {"a": (2, 3), "b": (1, 10)}
+    assert _gold_total(cat) == 13
+
+    bronze.append(_rows(spark, [("b", 5)]))  # v2
+    bronze.append(_rows(spark, [("c", 7)]))  # v3
+    r = maintain_chain_stream(cat, bronze, layers, ckpt)
+    # per-commit granularity: one catalog CAS per drained range
+    assert [x["catalog_version"] for x in r] == [v0 + 2, v0 + 3]
+    assert _silver_map(cat) == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
+    assert _gold_total(cat) == 25
+
+    # checkpoint loss: the replay is catalog-stamp-guarded
+    import shutil
+
+    cat_head = cat._versions()[-1]
+    shutil.rmtree(ckpt)
+    r = maintain_chain_stream(cat, bronze, layers, ckpt)
+    assert [x["catalog_version"] for x in r] == [None, None, None]
+    assert all(
+        set(x["modes"].values()) == {"noop"} for x in r
+    )
+    assert cat._versions()[-1] == cat_head  # no CAS spent
+    assert _silver_map(cat) == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
+    assert _gold_total(cat) == 25
+
+
+def test_chain_stream_row_deletes_flow_and_never_tear(spark, env, tmp_path):
+    """A MoR delete drains as incremental_cdf through BOTH layers in
+    one CAS; every catalog version ever committed pairs a silver with
+    ITS gold (cross-table time travel proves no torn state)."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans.txn_refresh import (
+        maintain_chain_stream,
+    )
+
+    cat, bronze = env
+    ckpt = str(tmp_path / "ckpt")
+    layers = [("silver", SILVER), ("gold", GOLD)]
+    maintain_chain_stream(cat, bronze, layers, ckpt)
+    bronze.delete_mor(F.col("k") == "a")
+    r = maintain_chain_stream(cat, bronze, layers, ckpt)
+    assert [x["modes"]["silver"] for x in r] == ["incremental_cdf"]
+    assert _silver_map(cat) == {"b": (1, 10)}
+    assert _gold_total(cat) == 10
+    # no catalog state ever pairs new silver with stale gold
+    for v in cat._versions():
+        try:
+            sv = (
+                cat.read("silver", catalog_version=v)
+                .agg(F.sum("sum_v"))
+                .collect()[0][0]
+            )
+            gv = (
+                cat.read("gold", catalog_version=v)
+                .agg(F.sum("sum_sv"))
+                .collect()[0][0]
+            )
+        except (KeyError, LookupError, FileNotFoundError, ValueError):
+            continue  # table not registered / no committed pin at v
+        assert sv == gv, f"torn state at catalog v{v}: {sv} != {gv}"
+
+
+def test_chain_stream_batched_commits_amortize_cas(spark, env, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.plans.txn_refresh import (
+        maintain_chain_stream,
+    )
+
+    cat, bronze = env
+    bronze.append(_rows(spark, [("b", 5)]))
+    bronze.append(_rows(spark, [("c", 7)]))
+    ckpt = str(tmp_path / "ckpt")
+    layers = [("silver", SILVER), ("gold", GOLD)]
+    v0 = cat._versions()[-1]
+    r = maintain_chain_stream(
+        cat, bronze, layers, ckpt, max_commits_per_batch=10
+    )
+    # whole backlog = ONE range = ONE catalog CAS
+    assert [x["catalog_version"] for x in r] == [v0 + 1]
+    assert _silver_map(cat) == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
+    assert _gold_total(cat) == 25
