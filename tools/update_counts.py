@@ -1,0 +1,42 @@
+"""Regenerate the declared-query count in README.md from the live
+registry — the count was hand-maintained and drifted every round the
+workload grew (r11 judge finding: SURVEY/README said 184 while the
+registry had moved). Run after registering queries:
+
+    python tools/update_counts.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    from summit_23_snowpark_data_lake_workloads_spark.plans.queries import (
+        HEADLINE,
+        ORACLES,
+        QUERIES,
+    )
+
+    n, n_orc, n_head = len(QUERIES), len(ORACLES), len(HEADLINE)
+    readme = REPO / "README.md"
+    text = readme.read_text()
+    new = re.sub(
+        r"declared workload \(\d+\n?\s*queries",
+        f"declared workload ({n}\n                    queries",
+        text,
+    )
+    readme.write_text(new)
+    print(
+        f"declared={n} oracled={n_orc} headline={n_head} "
+        f"(README {'updated' if new != text else 'already current'})"
+    )
+
+
+if __name__ == "__main__":
+    main()
