@@ -11,6 +11,10 @@ identical contract Structured Streaming's file source + Delta sink
 pair gives (offset log + idempotent sink), rebuilt on the table's own
 commit log because Spark has no DataSource V2 hook for a custom
 manifest format without a JVM plugin.
+:func:`cdf_foreach_batch_stream` is the facade over that boundary: a
+REAL StreamingQuery (rate-source clock + ``foreachBatch``) drives the
+drain, so consumers get the Structured Streaming lifecycle without the
+drain-loop cadence being theirs to schedule.
 
 The 100 TB shape: a drain reads O(files the pending commits touched)
 — per-commit cost is the change feed's cost model
@@ -119,6 +123,60 @@ class ChangeFeedStream:
         return self.drain_ranges(
             lambda lo, hi: process(self.table.changes(lo, hi), lo, hi)
         )
+
+
+def cdf_foreach_batch_stream(
+    spark,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    process,
+    trigger: dict | None = None,
+    max_commits_per_batch: int = 1,
+    rows_per_second: int = 1,
+):
+    """Run a :class:`ChangeFeedStream` consumer under a REAL Structured
+    Streaming query — the ``readStream`` facade the drain-loop API
+    lacked: consumers get a genuine ``StreamingQuery`` handle (start /
+    ``stop()`` / ``awaitTermination`` / ``lastProgress``, any trigger
+    incl. ``availableNow`` and ``processingTime``) instead of calling
+    ``drain()`` on their own cadence.
+
+    Honest boundary, same as the module docstring: Spark exposes no
+    DataSource V2 hook for a custom manifest format without a JVM
+    plugin, so the change rows CANNOT be the streaming DataFrame
+    itself. The streaming DataFrame here is a ``rate`` source acting
+    as the CLOCK; each micro-batch's ``foreachBatch`` callback drains
+    the table's change feed and hands every pending commit range to
+    ``process(chg_df, v_lo, v_hi)`` — exactly the shape Spark users
+    consume Delta CDF with in practice (``foreachBatch`` + merge),
+    with the same two-layer exactly-once story (checkpointed offset +
+    idempotent txn-stamped sink). The rate source's own checkpoint
+    lives under ``<checkpoint_dir>/clock``, beside the feed offset —
+    one directory owns the stream's whole resumable state.
+
+    ``trigger`` kwargs pass to ``DataStreamWriter.trigger`` (default
+    ``{"availableNow": True}``: drain the backlog once and stop — the
+    scheduled-tick form; use ``{"processingTime": "5 seconds"}`` for
+    always-on). Returns the started ``StreamingQuery``."""
+    stream = ChangeFeedStream(
+        table, checkpoint_dir, max_commits_per_batch=max_commits_per_batch
+    )
+
+    def _tick(_clock_df, _batch_id: int) -> None:
+        stream.drain(process)
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 1)
+        .load()
+        .writeStream.foreachBatch(_tick)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "clock")
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
 
 
 def maintain_rollup_stream(

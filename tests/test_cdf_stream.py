@@ -193,3 +193,46 @@ def test_replica_stream_survives_source_vacuum_with_persisted_cdf(
     maintain_replica_stream(src, dst, ["id"], ckpt)
     rows = lambda t: sorted((r.id, r.grp, r.v) for r in t.read().collect())
     assert rows(dst) == rows(src)
+
+
+# ------------------------------------------------- readStream facade
+
+
+def test_foreach_batch_facade_drains_and_resumes(spark, tmp_path):
+    """cdf_foreach_batch_stream: a REAL StreamingQuery (rate clock +
+    foreachBatch) drives the drain — availableNow processes the
+    backlog and stops; a restarted query delivers only new commits
+    (the feed offset, not the clock checkpoint, owns progress)."""
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.cdf_source import (
+        cdf_foreach_batch_stream,
+    )
+
+    fact = SnapshotTable(spark, str(tmp_path / "fact"))
+    fact.create(_df(spark, 0, 4))          # v1
+    fact.append(_df(spark, 4, 6, grp=1))   # v2
+    ckpt = str(tmp_path / "ckpt")
+    got = []
+
+    def process(chg, lo, hi):
+        got.append((lo, hi, chg.count()))
+
+    q = cdf_foreach_batch_stream(spark, fact, ckpt, process)
+    q.awaitTermination()
+    assert not q.isActive
+    assert got == [(0, 1, 4), (1, 2, 2)]
+
+    # restart after new commits: only the new range drains
+    fact.delete(F.col("id") == 0)          # v3: 1 del + 3 re-adds
+    got.clear()
+    q = cdf_foreach_batch_stream(spark, fact, ckpt, process)
+    q.awaitTermination()
+    assert [(lo, hi) for lo, hi, _n in got] == [(2, 3)]
+    # the COW delete touched one of v1's two files; the feed nets the
+    # rewrite to exactly the one removed row
+    assert got[0][2] == 1
+
+    # nothing pending: a tick delivers no ranges
+    got.clear()
+    q = cdf_foreach_batch_stream(spark, fact, ckpt, process)
+    q.awaitTermination()
+    assert got == []
