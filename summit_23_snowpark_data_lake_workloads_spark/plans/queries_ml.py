@@ -5334,3 +5334,157 @@ def distinct_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_union", "n_exact_intersect",
         )
     )
+
+
+#: repeated-substring window width (chars). Every repeated substring of
+#: length >= this contains at least one repeated C-window (its first C
+#: chars), so stride-1 C-windows detect ALL repeats >= C; shorter
+#: repeats are invisible by design (the Lee-et-al. minimum-match-length
+#: dial, typically 50 BPE tokens ~ a few hundred chars in production).
+_SUBSTR_WIN = 64
+
+
+@query(
+    "dedup_substring_repeats",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id,
+               unnest(range(1, length(text) - {_SUBSTR_WIN - 2})) AS i
+        FROM documents WHERE length(text) >= {_SUBSTR_WIN}
+    ),
+    hashed AS (
+        SELECT f.doc_id, f.i,
+               {_DUCK_HASH.format(x=f"substr(d.text, f.i, {_SUBSTR_WIN})")} AS fp
+        FROM fps f JOIN documents d USING (doc_id)
+    ),
+    rep AS (SELECT fp FROM hashed GROUP BY fp HAVING count(*) > 1),
+    hits AS (SELECT doc_id, i FROM hashed JOIN rep USING (fp)),
+    isl AS (
+        SELECT doc_id, i,
+               CASE WHEN i > coalesce(max(i + {_SUBSTR_WIN}) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS new_isl
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               sum(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl_id
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, isl_id,
+               max(i) + {_SUBSTR_WIN} - min(i) AS span,
+               count(*) AS n_hits
+        FROM grp GROUP BY doc_id, isl_id
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(n_hits)::BIGINT AS n_repeated,
+               sum(span)::BIGINT AS covered_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           greatest(length(d.text) - {_SUBSTR_WIN - 1}, 0)::BIGINT
+               AS n_windows,
+           coalesce(p.n_repeated, 0)::BIGINT AS n_repeated,
+           coalesce(p.covered_chars, 0)::BIGINT AS covered_chars,
+           round(coalesce(p.covered_chars, 0)
+                 / length(d.text)::DOUBLE, 4) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup signal — the Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better") repeated-substring
+    detector, approximated suffix-array-free: stride-1 fixed-width
+    character windows (64 chars) are fingerprinted with the portable
+    64-bit hash; a window whose fingerprint occurs more than once
+    ANYWHERE in the corpus (cross-doc or within-doc) marks a repeat,
+    and per document the marked positions merge into maximal runs
+    (gaps-and-islands) whose union length is the document's
+    duplicated-character coverage. Soundness: every repeated substring
+    of length >= C contains a repeated C-window at its start, so
+    nothing >= C is missed; sub-C repeats are below the minimum match
+    length by design. Emits per-doc ``n_windows`` / ``n_repeated`` /
+    ``covered_chars`` / ``dup_frac`` — the filter column a training
+    pipeline thresholds on (Lee et al. drop or trim docs with high
+    duplicated fraction; document-level dedup alone misses template
+    boilerplate shared by otherwise-distinct pages).
+
+    Scale: stride-1 windows are O(total corpus chars) rows — the same
+    cardinality class as the char-bigram table the quality tier already
+    shuffles (``_doc_bigram_counts``). ONE shuffle keys the fingerprint
+    aggregate; the hit join reuses that exchange; the interval merge is
+    a doc-partitioned window function (shuffle by doc_id,
+    per-partition work bounded by document length). No driver state,
+    no collection, no Python workers; a boilerplate fingerprint shared
+    by millions of docs costs its group count, never a pair explosion
+    (the repeat SET is joined back, never self-joined)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.scalar import portable_hash64
+
+    C = _SUBSTR_WIN
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = (
+        docs.filter(F.length("text") >= C)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (C - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            portable_hash64(F.expr(f"substring(text, i, {C})")).alias("fp"),
+        )
+    )
+    rep = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    hits = wins.join(rep.select("fp"), "fp").select("doc_id", "i")
+    prev = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    upto = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    grp = hits.withColumn(
+        "new_isl",
+        (
+            F.col("i")
+            > F.coalesce(F.max(F.col("i") + C).over(prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("isl_id", F.sum("new_isl").over(upto))
+    islands = grp.groupBy("doc_id", "isl_id").agg(
+        (F.max("i") + C - F.min("i")).alias("span"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("n_hits").cast("long").alias("n_repeated"),
+        F.sum("span").cast("long").alias("covered_chars"),
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.greatest(F.length("text") - (C - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+        F.coalesce("covered_chars", F.lit(0))
+        .cast("long")
+        .alias("covered_chars"),
+        F.round(
+            F.coalesce("covered_chars", F.lit(0))
+            / F.length("text").cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
