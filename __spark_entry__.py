@@ -60,9 +60,13 @@ FORCE_REGATE: dict[str, int] = {
 #: query against DuckDB).
 DEFER_GATE: dict[str, int] = {
     # The three r11 session-3 capstones expired into tier-0 when
-    # CORRECTNESS_r11 landed — they now sit at window positions 0-2
-    # for the r12 gate (verified via tools/gate_window.py). New late
-    # registrations are added below if the r12 slot budget fills.
+    # CORRECTNESS_r11 landed — they sit at window positions 0-2 for
+    # the r12 gate (verified via tools/gate_window.py).
+    # r12's slot budget is spent (6 new registrations + 2 force-regates
+    # fill the window to exactly the 41-query r8 tier): the catalog-
+    # branch capstone holds behind the rotation, covered by the full
+    # pytest differential now, tier-0 at the r13 gate.
+    "lakehouse_catalog_branch_audit": 12,
 }
 
 

@@ -4189,3 +4189,188 @@ def streaming_txn_chain_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _catalog_branch_oracle() -> str:
+    """Warehouse-branch lifecycle over events: fork at the %2==0 base
+    (silver per-type rollup + gold total), diverge — the branch folds
+    the %2==1 slice through a transactional tick while main appends a
+    %100==7 slice to bronze only — merge back in one CAS. Flags pin
+    branch isolation, the all-or-nothing conflict rollback, and the
+    ref release."""
+    return """
+    SELECT 'main_pre_merge_gold' AS probe,
+           1::BIGINT AS n, sum(event_id)::BIGINT AS agg
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'branch_gold', 1::BIGINT, sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'post_merge_gold', 1::BIGINT, sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'post_merge_silver', count(DISTINCT event_type)::BIGINT,
+           sum(event_id)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'merge_one_cas', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'conflict_all_or_nothing', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'refs_released', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_catalog_branch_audit", oracle=_catalog_branch_oracle())
+def lakehouse_catalog_branch_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WAREHOUSE-level branches under the driver gate
+    (``sources/txn_catalog.py:PinnedCatalog.create_branch`` /
+    ``merge_branch`` — Nessie's catalog branch model, composed from
+    r12's table branches + the multi-table transaction): fork every
+    registered table at its PIN into a branch catalog, experiment with
+    full transactional semantics there (its own pins, its own CAS
+    lineage; branch writes land under each table's ``_branches/`` root
+    so they can never wedge main's staged-lineage check), then publish
+    every table's net merge in ONE main-catalog CAS.
+
+    Lifecycle: bronze+silver+gold warehouse on the %2==0 slice ->
+    ``create_branch`` -> a transactional medallion tick ON THE BRANCH
+    folds the %2==1 slice through silver and gold (branch pins move,
+    main's don't — ``main_pre_merge_gold`` proves isolation while
+    ``branch_gold`` reads the branch's committed pair) -> main appends
+    a disjoint bronze slice meanwhile (commutes at file level) ->
+    ``merge_branch`` -> all three tables expose in one catalog version
+    (``merge_one_cas``). ``conflict_all_or_nothing`` then pins the
+    abort path on a second warehouse where one table merges cleanly
+    but another conflicts (both sides rewrote the same file): NO table
+    may land — the staged clean merge is repaired away, content
+    exactly as before, branch intact. ``refs_released`` pins that a
+    committed merge drops the catalog ref and every per-table ref.
+
+    Scale: fork = metadata only (one ref + clone manifest per table);
+    merge = per-table net-delta metadata + one O(#tables) CAS.
+    Reference anchor: trying a schema/enrichment change across the
+    DAG's whole curated tier (``05_task_DAG.sql:9-25``) without
+    touching the serving copies."""
+    from ..plans.txn_refresh import RollupSpec, refresh_chain_txn
+    from ..sources.lakehouse import BranchMergeConflict, SnapshotTable
+    from ..sources.txn_catalog import PinnedCatalog
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    silver_spec = RollupSpec(
+        prepare=lambda df: df.select("event_type", "event_id"),
+        group_cols=["event_type"],
+        sum_cols=["event_id"],
+    )
+    gold_spec = RollupSpec(
+        prepare=lambda df: df.select(
+            F.lit("all").alias("g"), F.col("sum_event_id").alias("sv")
+        ),
+        group_cols=["g"],
+        sum_cols=["sv"],
+    )
+    layers = [("silver", silver_spec), ("gold", gold_spec)]
+    tmp = tempfile.mkdtemp(prefix="lh_cat_branch_")
+    try:
+        cat = PinnedCatalog(spark, os.path.join(tmp, "cat"))
+        bronze = SnapshotTable(spark, os.path.join(tmp, "bronze"))
+        bronze.create(ev.filter(F.col("event_id") % 2 == 0))
+        cat.register("bronze", bronze.path)  # pins to bronze v1
+        cat.register("silver", os.path.join(tmp, "silver"))
+        cat.register("gold", os.path.join(tmp, "gold"))
+        refresh_chain_txn(cat, bronze, layers, app_id="main_tick")
+
+        def gold_probe(c, tag):
+            return c.read("gold").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_sv").cast("long").alias("agg"),
+            ).select(F.lit(tag).alias("probe"), "n", "agg")
+
+        bcat = cat.create_branch("exp")
+        # the branch's OWN bronze gains the %2==1 slice, folded through
+        # a transactional tick against the BRANCH catalog
+        btxn = bcat.transaction()
+        btxn.table("bronze").append(ev.filter(F.col("event_id") % 2 == 1))
+        btxn.commit()
+        refresh_chain_txn(
+            bcat, bcat.table("bronze"), layers, app_id="branch_tick"
+        )
+        # main's bronze moves meanwhile (a plain append — commutes at
+        # file level, so the merge REBASES instead of refusing; no tick
+        # runs after it, so main's silver/gold probes are unaffected)
+        mtxn = cat.transaction()
+        mtxn.table("bronze").append(
+            ev.filter(F.col("event_id") % 100 == 7)
+        )
+        mtxn.commit()
+
+        out = gold_probe(cat, "main_pre_merge_gold").unionByName(
+            gold_probe(bcat, "branch_gold")
+        ).localCheckpoint(eager=True)
+
+        v_before = cat.state()["version"]
+        v = cat.merge_branch("exp")
+        merge_one_cas = int(v == v_before + 1)
+        refs_released = int(
+            "exp" not in cat.branches()
+            and "cat-exp" not in cat.table("silver").branches()
+        )
+        out = out.unionByName(
+            gold_probe(cat, "post_merge_gold")
+        ).unionByName(
+            cat.read("silver")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("sum_event_id").cast("long").alias("agg"),
+            )
+            .select(F.lit("post_merge_silver").alias("probe"), "n", "agg")
+        ).localCheckpoint(eager=True)
+
+        # conflict warehouse: dim merges cleanly, fact conflicts
+        c2 = PinnedCatalog(spark, os.path.join(tmp, "cat2"))
+        c2.register("dim", os.path.join(tmp, "dim"))
+        c2.register("fact", os.path.join(tmp, "fact"))
+        t2 = c2.transaction()
+        t2.table("dim").create(
+            ev.filter(F.col("event_id") % 100 == 0).coalesce(1)
+        )
+        t2.table("fact").create(
+            ev.filter(F.col("event_id") % 100 == 1).coalesce(1)
+        )
+        t2.commit()
+        b2 = c2.create_branch("bad")
+        bt2 = b2.transaction()
+        bt2.table("dim").append(ev.filter(F.col("event_id") % 100 == 2))
+        bt2.table("fact").delete(F.col("event_id") % 200 == 1)
+        bt2.commit()
+        m2 = c2.transaction()
+        m2.table("fact").delete(F.col("event_id") % 200 == 101)
+        m2.commit()
+        dim_pre = c2.read("dim").count()
+        fact_pre = c2.read("fact").count()
+        all_or_nothing = 0
+        try:
+            c2.merge_branch("bad")
+        except BranchMergeConflict:
+            all_or_nothing = int(
+                c2.read("dim").count() == dim_pre  # clean merge rolled back
+                and c2.read("fact").count() == fact_pre
+                and "bad" in c2.branches()  # intact for the rebase
+            )
+        flags = spark.createDataFrame(
+            [
+                ("merge_one_cas", merge_one_cas, merge_one_cas),
+                (
+                    "conflict_all_or_nothing",
+                    all_or_nothing,
+                    all_or_nothing,
+                ),
+                ("refs_released", refs_released, refs_released),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

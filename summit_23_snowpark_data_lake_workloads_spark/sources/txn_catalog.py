@@ -58,12 +58,14 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .lakehouse import (
     _MANIFEST_DIR,
+    BranchMergeConflict,
     CommitProtocol,
     PosixCommit,
     SnapshotTable,
@@ -468,6 +470,220 @@ class PinnedCatalog:
 
     def transaction(self) -> "MultiTableTransaction":
         return MultiTableTransaction(self)
+
+    # --------------------------------------------------------- branches
+
+    def _branch_refs_dir(self) -> str:
+        return os.path.join(self.path, _CATALOG_DIR, "branches")
+
+    def _branch_root(self, name: str) -> str:
+        return os.path.join(self.path, "_branches", name)
+
+    @staticmethod
+    def _table_branch_ref(name: str) -> str:
+        # the per-table branch name a CATALOG branch reserves; the
+        # prefix keeps it out of the way of user table branches
+        return f"cat-{name}"
+
+    def branches(self) -> dict[str, dict]:
+        """``{name: {"fork_catalog_version": int, "timestamp_ms": int}}``
+        for every live catalog branch ref."""
+        bdir = self._branch_refs_dir()
+        out: dict[str, dict] = {}
+        for f in sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []:
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(bdir, f)) as fh:
+                    r = json.load(fh)
+                out[r["name"]] = {
+                    "fork_catalog_version": int(r["fork_catalog_version"]),
+                    "timestamp_ms": int(r["timestamp_ms"]),
+                }
+            except (OSError, ValueError, KeyError):
+                continue  # half-written loser of a publish race
+        return out
+
+    def create_branch(self, name: str) -> "PinnedCatalog":
+        """Fork the WHOLE WAREHOUSE (Nessie's catalog branch): every
+        registered table with a committed pin gets a table-level branch
+        at exactly that pin (:meth:`SnapshotTable.create_branch` —
+        zero-copy, fork version vacuum-held), and a NEW catalog over
+        the branch tables is created under ``<catalog>/_branches/``.
+        Experiment with full transactional semantics ON the branch
+        (its own pins, its own CAS lineage) while main's tables, pins,
+        and logs never see a byte; then :meth:`merge_branch` publishes
+        everything back in ONE main-catalog CAS, or
+        :meth:`drop_branch` discards without a trace.
+
+        Branch writes land under each table's own ``_branches/`` root —
+        NOT in main's table logs — so they can never wedge main's
+        foreign-staged-lineage check the way abandoned main
+        transactions do (the r11 ``repair()`` hazard class does not
+        apply across branches).
+
+        Tables registered with no committed transaction yet (pin 0)
+        have nothing to fork and are skipped — register them on the
+        branch if needed; note merge refuses branch-only registrations
+        (see :meth:`merge_branch`).
+
+        Cost: one ref JSON + per-table (one ref JSON + one clone
+        manifest) + one branch-catalog state per table registration —
+        all metadata; no data moves until the branch writes."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+            raise ValueError(
+                f"branch name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]*"
+                " (<= 64 chars)"
+            )
+        cur = self.state()
+        os.makedirs(self._branch_refs_dir(), exist_ok=True)
+        body = json.dumps(
+            {
+                "name": name,
+                "fork_catalog_version": cur["version"],
+                "timestamp_ms": int(time.time() * 1000),
+            }
+        )
+        if not self.commit_protocol.publish(
+            os.path.join(self._branch_refs_dir(), f"{name}.json"), body
+        ):
+            raise FileExistsError(
+                f"catalog branch {name!r} already exists "
+                "(drop_branch to discard)"
+            )
+        bcat = PinnedCatalog(
+            self.spark,
+            self._branch_root(name),
+            commit_protocol=self.commit_protocol,
+        )
+        for tname, entry in cur["tables"].items():
+            if not entry["pin"]:
+                continue  # nothing committed to fork
+            t = SnapshotTable(
+                self.spark,
+                entry["path"],
+                commit_protocol=self.commit_protocol,
+            )
+            bt = t.create_branch(
+                self._table_branch_ref(name), version=entry["pin"]
+            )
+            bcat.register(tname, bt.path)
+        return bcat
+
+    def branch(self, name: str) -> "PinnedCatalog":
+        """Open a handle on an existing catalog branch."""
+        if name not in self.branches():
+            raise KeyError(f"no catalog branch {name!r}")
+        return PinnedCatalog(
+            self.spark,
+            self._branch_root(name),
+            commit_protocol=self.commit_protocol,
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a catalog branch: drop every table-level branch it
+        reserved (releasing the per-table fork holds; each drop is
+        guarded against deleting merged files main still references)
+        and delete the branch catalog. Raises KeyError if the ref is
+        gone (already merged or dropped)."""
+        if name not in self.branches():
+            raise KeyError(f"no catalog branch {name!r}")
+        ref = self._table_branch_ref(name)
+        for entry in self.state()["tables"].values():
+            t = SnapshotTable(self.spark, entry["path"])
+            if ref in t.branches():
+                t.drop_branch(ref)
+        shutil.rmtree(self._branch_root(name), ignore_errors=True)
+        os.unlink(os.path.join(self._branch_refs_dir(), f"{name}.json"))
+
+    def merge_branch(
+        self, name: str, auto_repair: bool = True
+    ) -> int | None:
+        """Merge a catalog branch back: stage every table's
+        :meth:`SnapshotTable.merge_branch` (the net-delta squash with
+        its commute-rebase conflict rules) through ONE
+        :class:`MultiTableTransaction`, so ALL tables' merges expose in
+        one main-catalog CAS — readers never see a half-merged
+        warehouse. The branch catalog's ``txn_seen`` stamps fold into
+        the same CAS (merged work = committed work, replay-safe).
+        Returns the new main catalog version, or None if no table had
+        anything to merge (no CAS spent). The catalog branch ref and
+        the per-table branch refs are released after the CAS; branch
+        data directories stay in place (main references merged files
+        there — ``compact()`` re-homes them, exactly the table-level
+        contract).
+
+        Conflicts: any table whose merge does not commute
+        (:class:`BranchMergeConflict`), a main pin that moved under
+        the transaction (:class:`TransactionConflict`), or a table
+        registered ONLY on the branch (cross-catalog registration
+        cannot ride the same CAS — create the table on main first,
+        refused loudly as ValueError). On ANY failure every staged
+        merge is rolled back (:meth:`repair`) and main is exactly as
+        before — the branch stays intact for a manual rebase.
+
+        Before staging, each branch table is :meth:`repair`-ed IN THE
+        BRANCH CATALOG so the merge diff reads the branch's committed
+        pin, never an abandoned branch-transaction's orphan staged
+        commits; ``auto_repair`` also repairs MAIN tables first (an
+        abandoned main stager would otherwise wedge the transaction's
+        lineage check)."""
+        if name not in self.branches():
+            raise KeyError(f"no catalog branch {name!r}")
+        bcat = self.branch(name)
+        bstate = bcat.state()
+        cur = self.state()
+        only_branch = [
+            t for t in bstate["tables"] if t not in cur["tables"]
+        ]
+        if only_branch:
+            raise ValueError(
+                f"table(s) {only_branch} registered only on branch "
+                f"{name!r}: cross-catalog registration cannot ride the "
+                "merge CAS — register/create them on main first"
+            )
+        ref = self._table_branch_ref(name)
+        staged: list[str] = []
+        txn = self.transaction()
+        try:
+            for tname in bstate["tables"]:
+                if auto_repair:
+                    self.repair(tname)
+                bcat.repair(tname)  # merge from the branch's PIN
+                handle = txn.table(tname)
+                staged.append(tname)
+                handle.merge_branch(ref, drop_ref=False)
+            touched = any(
+                rec.produced for rec in txn._recorders.values()
+            )
+            if not touched:
+                txn.abandon()
+                v = None
+            else:
+                v = txn.commit(stamps=bstate.get("txn_seen") or {})
+        except (BranchMergeConflict, TransactionConflict):
+            txn.abandon()
+            for tname in staged:
+                self.repair(tname)  # roll back the orphan staged merges
+            raise
+        # release the refs (the merge is committed truth now); branch
+        # table DIRECTORIES stay — main references merged files in place
+        for entry in self.state()["tables"].values():
+            p = os.path.join(
+                entry["path"].rstrip("/"),
+                _MANIFEST_DIR,
+                "branches",
+                f"{ref}.json",
+            )
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass  # pin-0 table: never forked
+        shutil.rmtree(
+            self._branch_root(name), ignore_errors=True
+        )  # catalog JSON only; table data lives under the tables
+        os.unlink(os.path.join(self._branch_refs_dir(), f"{name}.json"))
+        return v
 
 
 class _RecordingProtocol(CommitProtocol):
