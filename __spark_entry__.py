@@ -67,6 +67,7 @@ DEFER_GATE: dict[str, int] = {
     # branch capstone holds behind the rotation, covered by the full
     # pytest differential now, tier-0 at the r13 gate.
     "lakehouse_catalog_branch_audit": 12,
+    "dedup_substring_trim": 12,
 }
 
 

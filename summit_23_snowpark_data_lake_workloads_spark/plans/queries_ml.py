@@ -5344,6 +5344,63 @@ def distinct_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_WIN = 64
 
 
+def _substring_islands(docs: DataFrame, C: int) -> DataFrame:
+    """Maximal repeated-substring runs per document: ``(doc_id, isl_id,
+    s, e, n_hits)`` with ``[s, e)`` half-open char spans — the shared
+    core of the repeated-substring SIGNAL (``dedup_substring_repeats``)
+    and the TRIM transform (``dedup_substring_trim``). Stride-1 C-char
+    windows fingerprinted with the portable hash; fingerprints seen
+    more than once anywhere mark repeats; marked positions merge into
+    islands via gaps-and-islands over a doc-partitioned window. One
+    fingerprint-keyed shuffle + one doc-keyed window; the repeat set
+    joins back, never self-joins."""
+    from pyspark.sql import Window as W
+
+    from ..functions.scalar import portable_hash64
+
+    wins = (
+        docs.filter(F.length("text") >= C)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (C - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            portable_hash64(F.expr(f"substring(text, i, {C})")).alias("fp"),
+        )
+    )
+    rep = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    hits = wins.join(rep.select("fp"), "fp").select("doc_id", "i")
+    prev = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    upto = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    grp = hits.withColumn(
+        "new_isl",
+        (
+            F.col("i")
+            > F.coalesce(F.max(F.col("i") + C).over(prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("isl_id", F.sum("new_isl").over(upto))
+    return grp.groupBy("doc_id", "isl_id").agg(
+        F.min("i").alias("s"),
+        (F.max("i") + C).alias("e"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+
+
 @query(
     "dedup_substring_repeats",
     oracle=f"""
@@ -5423,55 +5480,12 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no collection, no Python workers; a boilerplate fingerprint shared
     by millions of docs costs its group count, never a pair explosion
     (the repeat SET is joined back, never self-joined)."""
-    from pyspark.sql import Window as W
-
-    from ..functions.scalar import portable_hash64
-
     C = _SUBSTR_WIN
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    wins = (
-        docs.filter(F.length("text") >= C)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - (C - 1))
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            portable_hash64(F.expr(f"substring(text, i, {C})")).alias("fp"),
-        )
-    )
-    rep = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
-        F.col("n") > 1
-    )
-    hits = wins.join(rep.select("fp"), "fp").select("doc_id", "i")
-    prev = (
-        W.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    upto = (
-        W.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    grp = hits.withColumn(
-        "new_isl",
-        (
-            F.col("i")
-            > F.coalesce(F.max(F.col("i") + C).over(prev), F.lit(-1))
-        ).cast("int"),
-    ).withColumn("isl_id", F.sum("new_isl").over(upto))
-    islands = grp.groupBy("doc_id", "isl_id").agg(
-        (F.max("i") + C - F.min("i")).alias("span"),
-        F.count(F.lit(1)).alias("n_hits"),
-    )
+    islands = _substring_islands(docs, C)
     per_doc = islands.groupBy("doc_id").agg(
         F.sum("n_hits").cast("long").alias("n_repeated"),
-        F.sum("span").cast("long").alias("covered_chars"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_chars"),
     )
     return docs.join(per_doc, "doc_id", "left").select(
         "doc_id",
@@ -5487,4 +5501,125 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.length("text").cast("double"),
             4,
         ).alias("dup_frac"),
+    )
+
+
+@query(
+    "dedup_substring_trim",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id,
+               unnest(range(1, length(text) - {_SUBSTR_WIN - 2})) AS i
+        FROM documents WHERE length(text) >= {_SUBSTR_WIN}
+    ),
+    hashed AS (
+        SELECT f.doc_id, f.i,
+               {_DUCK_HASH.format(x=f"substr(d.text, f.i, {_SUBSTR_WIN})")} AS fp
+        FROM fps f JOIN documents d USING (doc_id)
+    ),
+    rep AS (SELECT fp FROM hashed GROUP BY fp HAVING count(*) > 1),
+    hits AS (SELECT doc_id, i FROM hashed JOIN rep USING (fp)),
+    isl AS (
+        SELECT doc_id, i,
+               CASE WHEN i > coalesce(max(i + {_SUBSTR_WIN}) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS new_isl
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               sum(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl_id
+        FROM isl
+    ),
+    islands AS (
+        SELECT doc_id, isl_id, min(i) AS s, max(i) + {_SUBSTR_WIN} AS e
+        FROM grp GROUP BY doc_id, isl_id
+    ),
+    segs AS (
+        SELECT doc_id, isl_id, s, e,
+               coalesce(lag(e) OVER (
+                   PARTITION BY doc_id ORDER BY s
+               ), 1) AS seg_start
+        FROM islands
+    ),
+    trimmed AS (
+        SELECT g.doc_id,
+               coalesce(string_agg(
+                   substr(d.text, g.seg_start, g.s - g.seg_start), ''
+                   ORDER BY g.s
+               ), '')
+               || substr(d.text, mx.max_e,
+                         length(d.text) - mx.max_e + 1) AS kept
+        FROM segs g
+        JOIN documents d USING (doc_id)
+        JOIN (SELECT doc_id, max(e) AS max_e FROM islands GROUP BY doc_id)
+            mx USING (doc_id)
+        GROUP BY g.doc_id, d.text, mx.max_e
+    )
+    SELECT d.doc_id,
+           length(d.text)::BIGINT AS orig_chars,
+           length(coalesce(t.kept, d.text))::BIGINT AS kept_chars,
+           md5(coalesce(t.kept, d.text)) AS trimmed_md5
+    FROM documents d LEFT JOIN trimmed t USING (doc_id)
+    """,
+)
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring TRIMMING — the transform half of the Lee et
+    al. recipe (``dedup_substring_repeats`` is the signal half): every
+    maximal repeated run (>= 64 chars, corpus-wide) is CUT from the
+    document, keeping the unique prose around it, so boilerplate
+    headers/footers/templates shared across pages disappear from the
+    training text instead of merely flagging the page. Emits per-doc
+    ``orig_chars`` / ``kept_chars`` / ``trimmed_md5`` (the md5 keeps
+    rows small while hash-gating the exact trimmed STRING against the
+    oracle's independent reconstruction).
+
+    Plan: the shared island core (one fingerprint shuffle + one
+    doc-partitioned window — see :func:`_substring_islands`), then the
+    cut itself is pure per-row codegen: islands collect to a per-doc
+    sorted array (bounded by doc length / window width) and ONE
+    ``aggregate`` fold walks it, concatenating the gap segments — no
+    shuffle of characters, no Python, no per-segment rows. At 100 TB
+    the trim costs the signal query plus an O(islands-per-doc) fold
+    per document."""
+    C = _SUBSTR_WIN
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    isl_arr = (
+        _substring_islands(docs, C)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("isl")
+        )
+    )
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"), F.lit("").alias("acc")
+    )
+    folded = F.aggregate(
+        F.coalesce(F.col("isl"), F.array().cast("array<struct<s:int,e:int>>")),
+        init,
+        lambda a, x: F.struct(
+            x["e"].cast("int").alias("pos"),
+            F.concat(
+                a["acc"],
+                F.col("text").substr(a["pos"], x["s"] - a["pos"]),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("text").substr(
+                a["pos"], F.length("text") - a["pos"] + F.lit(1)
+            ),
+        ),
+    )
+    return docs.join(isl_arr, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_chars"),
+        F.length(folded).cast("long").alias("kept_chars"),
+        F.md5(folded).alias("trimmed_md5"),
     )
