@@ -68,6 +68,7 @@ DEFER_GATE: dict[str, int] = {
     # pytest differential now, tier-0 at the r13 gate.
     "lakehouse_catalog_branch_audit": 12,
     "dedup_substring_trim": 12,
+    "quality_nb_classifier": 12,
 }
 
 

@@ -5623,3 +5623,134 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(folded).cast("long").alias("kept_chars"),
         F.md5(folded).alias("trimmed_md5"),
     )
+
+
+@query(
+    "quality_nb_classifier",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    cwc AS (
+        SELECT w,
+               sum(CASE WHEN label = 1 THEN c ELSE 0 END) AS cnt_pos,
+               sum(CASE WHEN label = 0 THEN c ELSE 0 END) AS cnt_neg
+        FROM dtc JOIN labeled USING (doc_id) GROUP BY w
+    ),
+    g AS (
+        SELECT sum(cnt_pos) AS t_pos, sum(cnt_neg) AS t_neg,
+               count(*) AS vocab
+        FROM cwc
+    ),
+    pri AS (
+        SELECT sum(label) AS n_pos, count(*) - sum(label) AS n_neg
+        FROM labeled
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               sum((d.c * ln((cwc.cnt_pos + 1.0) / (g.t_pos + g.vocab))
+                    - d.c * ln((cwc.cnt_neg + 1.0) / (g.t_neg + g.vocab)))
+                   ::DECIMAL(28,9)) AS lr
+        FROM dtc d
+        JOIN cwc USING (w)
+        CROSS JOIN g
+        GROUP BY d.doc_id
+    )
+    SELECT l.doc_id,
+           l.label AS weak_label,
+           round(s.lr::DOUBLE
+                 + ln((pri.n_pos + 1.0) / (pri.n_neg + 1.0)), 3) + 0.0
+               AS log_odds,
+           CASE WHEN round(s.lr::DOUBLE
+                           + ln((pri.n_pos + 1.0) / (pri.n_neg + 1.0)), 3)
+                     > 0 THEN 1 ELSE 0 END AS predicted
+    FROM labeled l JOIN scored s USING (doc_id) CROSS JOIN pri
+    """,
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained QUALITY CLASSIFIER — the CCNet / GPT-3 filtering
+    pattern ("train a cheap linear model on weak labels, score the
+    whole corpus with it") as pure DataFrame aggregation: weak labels
+    come from the long-form prior (>= 300 chars = positive — the
+    standard length-based weak supervision; the heuristic
+    ``quality_score`` band is degenerate on this corpus, everything
+    passes 0.8), the model is multinomial Naive Bayes
+    with add-one smoothing fit in TWO aggregates (token-class counts +
+    class totals), and every document is scored with its per-token
+    log-likelihood ratio plus the class prior — one number
+    (``log_odds``) a 100 TB pipeline thresholds on, trained and
+    applied in the same declarative plan with no Python anywhere.
+    Documents the classifier flags AGAINST their weak label are the
+    interesting ones (boundary pages the heuristic got wrong — the
+    standard human-review queue construction).
+
+    Scale: tokenize-explode is O(corpus tokens) — the same pass class
+    as the bigram/shingle tables; token-class counts and doc scores
+    are two grouped aggregates; the model join keys the vocabulary
+    (AQE broadcasts it when it fits, shuffle-joins when it does not —
+    never forced, vocab size is corpus-dependent). Hash determinism:
+    per-term products cast to decimal(28,9) before the order-invariant
+    sum (the charlm/dsir rule), final round(3) + signed-zero
+    normalization mirrored in the oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.select(
+        "doc_id",
+        (F.length("text") >= 300).cast("int").alias("label"),
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    )
+    dtc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    cwc = (
+        dtc.join(labeled, "doc_id")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, F.col("c")).otherwise(0)).alias(
+                "cnt_pos"
+            ),
+            F.sum(F.when(F.col("label") == 0, F.col("c")).otherwise(0)).alias(
+                "cnt_neg"
+            ),
+        )
+    )
+    g = cwc.agg(
+        F.sum("cnt_pos").alias("t_pos"),
+        F.sum("cnt_neg").alias("t_neg"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    pri = labeled.agg(
+        F.sum("label").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("n_neg"),
+    )
+    term = F.col("c") * F.log(
+        (F.col("cnt_pos") + 1.0) / (F.col("t_pos") + F.col("vocab"))
+    ) - F.col("c") * F.log(
+        (F.col("cnt_neg") + 1.0) / (F.col("t_neg") + F.col("vocab"))
+    )
+    scored = (
+        dtc.join(cwc, "w")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(F.sum(term.cast("decimal(28,9)")).alias("lr"))
+    )
+    prior = F.log((F.col("n_pos") + 1.0) / (F.col("n_neg") + 1.0))
+    log_odds = F.round(F.col("lr").cast("double") + prior, 3)
+    return (
+        labeled.join(scored, "doc_id")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            F.col("label").alias("weak_label"),
+            (log_odds + F.lit(0.0)).alias("log_odds"),
+            (log_odds > 0).cast("int").alias("predicted"),
+        )
+    )
