@@ -34,6 +34,13 @@ from .queries import QUERIES, _t, query
 
 _DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+#: corpus size above which the incremental-dedup plan switches from
+#: the fused/broadcast regime (fastest at gate/bench scale) to the
+#: persisted/shuffle regime (the production shape over a
+#: pre-materialized shingle index) — see ``_incremental_dedup_plan``.
+#: Results are identical in both regimes; only the physical plan moves.
+_INC_DEDUP_BIG_DOCS = 50_000
+
 #: Per-side document-frequency cap above which a shingle is excluded
 #: from incremental-dedup intersection joins (the hot-shingle guard —
 #: see ``dedup_incremental_newbatch``). Far above any gate-scale df;
@@ -2165,28 +2172,41 @@ def _incremental_dedup_plan(
     at gate scale, oracle-mirrored): see the public query's docstring
     for the shape and scale analysis.
 
-    Plan regime (r12 rewrite — profiled at sf0.1, stage by stage): the
-    incremental path's defining assumption is batch ≪ corpus, so every
-    batch-derived table (the batch shingle set, its vocabulary, the
-    candidate-id set) is BROADCAST-sized by construction — the prior
-    plan already broadcast the vocabulary and candidate ids, then
-    shuffled the much larger corpus side anyway for the candidate join
-    and persisted both shingle tables. Measured: the two persists +
-    shuffles were 2-3x the whole query's useful work (6.99s vs 2.23s
-    median at sf0.1, identical results). Now the batch shingle table is
-    broadcast into BOTH intersection joins (map-side over the corpus
-    scan — the pruned corpus shingles never shuffle at all), nothing
-    persists (each batch-side recompute is O(batch); the corpus-side
-    shingle pass fuses into the joins' scan stage), and the corpus-side
-    sizes come from a pure-codegen per-doc expression instead of a
-    second corpus-wide shingling pass. A batch too large to broadcast
-    exits the incremental regime by definition — run the full
-    ``dedup_ngram_jaccard`` banded plan instead."""
+    Plan regime (r12 rewrite — profiled at sf0.1 stage-by-stage AND at
+    the 500k-doc scale probe): the incremental path's defining
+    assumption is batch ≪ corpus, so every batch-derived table (the
+    batch shingle set, its vocabulary, the candidate-id set) is small
+    by construction — but "small" is relative to scale, so the plan
+    switches on a metadata-cheap corpus row count:
+
+    - **small corpus** (≤ ``_INC_DEDUP_BIG_DOCS`` docs — the gate/bench
+      regime): the batch shingle table BROADCASTS into both
+      intersection joins (map-side over the corpus scan; the pruned
+      corpus shingles never shuffle) and nothing persists — the two
+      persists + shuffles of the old plan were 2-3x the whole query's
+      useful work at sf0.1 (6.99s → 2.69s median, identical results);
+    - **large corpus** (the 500k probe, production): the batch-side
+      recomputes stop being free (three full corpus shingle passes)
+      and a forced megarow broadcast is driver pressure, so the pruned
+      corpus shingle table and the batch shingle table PERSIST once
+      and the intersection joins shuffle — measured 399.8s fused vs
+      the persisted plan's band at the 500k probe (ceiling 600s
+      either way; in production the corpus shingle table is a
+      pre-materialized index and this branch is the one that reads it).
+
+    Either regime computes corpus-side candidate sizes with a
+    pure-codegen per-doc expression instead of a second corpus-wide
+    shingling pass, and either produces identical results — the switch
+    picks a physical plan, never semantics."""
     from ..operators.dedup import shingle_table
 
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("source") == "src19")
     corpus = docs.filter(F.col("source") != "src19")
+    # parquet-footer-cheap row count decides the physical regime
+    big = docs.count() > _INC_DEDUP_BIG_DOCS
+    P = registered_persist if big else (lambda df: df)
+    B = (lambda df: df) if big else F.broadcast
 
     corpus_hash = corpus.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("exact_dup_of")
@@ -2195,12 +2215,14 @@ def _incremental_dedup_plan(
         F.broadcast(corpus_hash), "h", "left"
     )
 
-    shb = shingle_table(batch, "doc_id", "text", n=3)
+    shb = P(shingle_table(batch, "doc_id", "text", n=3))
     szb = shb.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
     # prune the corpus index to the batch's shingle vocabulary before the
     # candidate join: corpus rows not sharing a batch shingle never move
-    shc = shingle_table(corpus, "doc_id", "text", n=3).join(
-        F.broadcast(shb.select("shingle").distinct()), "shingle"
+    shc = P(
+        shingle_table(corpus, "doc_id", "text", n=3).join(
+            F.broadcast(shb.select("shingle").distinct()), "shingle"
+        )
     )
     # corpus-side sizes must count ALL of a candidate doc's shingles, not
     # just the vocabulary-pruned ones — but only CANDIDATE docs (those
@@ -2240,7 +2262,7 @@ def _incremental_dedup_plan(
     shb_j = _drop_hot(shb)
     shc_j = _drop_hot(shc)
     near_corpus = (
-        F.broadcast(shb_j.withColumnRenamed("id", "id_b"))
+        B(shb_j.withColumnRenamed("id", "id_b"))
         .join(shc_j.withColumnRenamed("id", "id_c"), "shingle")
         .groupBy("id_b", "id_c")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -2260,7 +2282,7 @@ def _incremental_dedup_plan(
     a = shb_j.alias("a")
     b = shb_j.alias("b")
     near_batch = (
-        F.broadcast(a)
+        B(a)
         .join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
