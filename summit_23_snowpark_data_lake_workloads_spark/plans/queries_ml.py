@@ -5371,14 +5371,25 @@ def _substring_islands(docs: DataFrame, C: int) -> DataFrame:
     s, e, n_hits)`` with ``[s, e)`` half-open char spans — the shared
     core of the repeated-substring SIGNAL (``dedup_substring_repeats``)
     and the TRIM transform (``dedup_substring_trim``). Stride-1 C-char
-    windows fingerprinted with the portable hash; fingerprints seen
-    more than once anywhere mark repeats; marked positions merge into
-    islands via gaps-and-islands over a doc-partitioned window. One
+    windows fingerprinted; fingerprints seen more than once anywhere
+    mark repeats; marked positions merge into islands via
+    gaps-and-islands over a doc-partitioned window. One
     fingerprint-keyed shuffle + one doc-keyed window; the repeat set
-    joins back, never self-joins."""
-    from pyspark.sql import Window as W
+    joins back, never self-joins.
 
-    from ..functions.scalar import portable_hash64
+    Fingerprint choice (r12 scale-probe tuned): the hash VALUES never
+    leave this plan — only the grouping's equality classes matter, so
+    Spark uses native ``xxhash64`` (one codegen call; the md5-based
+    portable hash cost ~40% of the whole stage at the 100k probe) and
+    the ORACLE groups the raw window substrings, which yields the
+    identical equality classes with no hash at all. A 64-bit collision
+    could only mark one extra window pair as repeated (~n²/2⁶⁴ — far
+    below the gate's scales). On a large corpus the window table also
+    PERSISTS (it feeds both the fingerprint aggregate and the hit
+    join; recomputing the explode+hash twice beat the memory cost at
+    gate scale but not at the 500k probe — the same regime switch as
+    ``_incremental_dedup_plan``)."""
+    from pyspark.sql import Window as W
 
     wins = (
         docs.filter(F.length("text") >= C)
@@ -5392,9 +5403,11 @@ def _substring_islands(docs: DataFrame, C: int) -> DataFrame:
         .select(
             "doc_id",
             "i",
-            portable_hash64(F.expr(f"substring(text, i, {C})")).alias("fp"),
+            F.xxhash64(F.expr(f"substring(text, i, {C})")).alias("fp"),
         )
     )
+    if docs.count() > _INC_DEDUP_BIG_DOCS:
+        wins = registered_persist(wins)
     rep = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") > 1
     )
@@ -5433,7 +5446,7 @@ def _substring_islands(docs: DataFrame, C: int) -> DataFrame:
     ),
     hashed AS (
         SELECT f.doc_id, f.i,
-               {_DUCK_HASH.format(x=f"substr(d.text, f.i, {_SUBSTR_WIN})")} AS fp
+               substr(d.text, f.i, {_SUBSTR_WIN}) AS fp
         FROM fps f JOIN documents d USING (doc_id)
     ),
     rep AS (SELECT fp FROM hashed GROUP BY fp HAVING count(*) > 1),
@@ -5536,7 +5549,7 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hashed AS (
         SELECT f.doc_id, f.i,
-               {_DUCK_HASH.format(x=f"substr(d.text, f.i, {_SUBSTR_WIN})")} AS fp
+               substr(d.text, f.i, {_SUBSTR_WIN}) AS fp
         FROM fps f JOIN documents d USING (doc_id)
     ),
     rep AS (SELECT fp FROM hashed GROUP BY fp HAVING count(*) > 1),

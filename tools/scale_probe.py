@@ -46,7 +46,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: fails loudly while box noise passes. Measured r8 on this synthetic
 #: corpus: charlm 18s, minhash 537s (contended box), incremental 284s;
 #: the r7 testdata-shaped measurements were 70s/180s/"completes".
-CEILINGS_500K = {"charlm": 300.0, "minhash": 900.0, "incremental": 600.0}
+CEILINGS_500K = {
+    "charlm": 300.0,
+    "minhash": 900.0,
+    "incremental": 600.0,
+    # stride-1 64-char windows over ~600-char docs = ~270M fingerprint
+    # rows at 500k docs, one shuffle + the boilerplate cluster's 25k-doc
+    # repeated-window hit join (r12 measurement below)
+    "substring": 900.0,
+}
 
 
 def generate_corpus(spark, n_docs: int, out_dir: str, seed: int = 7,
@@ -105,7 +113,9 @@ def generate_corpus(spark, n_docs: int, out_dir: str, seed: int = 7,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=500_000)
-    ap.add_argument("--stages", default="charlm,minhash,incremental")
+    ap.add_argument(
+        "--stages", default="charlm,minhash,incremental,substring"
+    )
     ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
     args = ap.parse_args()
 
@@ -155,6 +165,13 @@ def main() -> int:
         if "incremental" in stages:
             run("incremental",
                 lambda: QUERIES["dedup_incremental_newbatch"](spark, tmp))
+        if "substring" in stages:
+            # the boilerplate cluster makes ~25k docs share every window
+            # of an ~500-char span: the repeated-fp hit join and the
+            # per-doc island merge both get their worst realistic case
+            # (r12 measured: 214.9s at 500k docs, 67.9s at 100k)
+            run("substring",
+                lambda: QUERIES["dedup_substring_repeats"](spark, tmp))
     finally:
         if not args.keep:
             shutil.rmtree(tmp, ignore_errors=True)
