@@ -264,3 +264,116 @@ def test_merge_with_cdf_emits_branch_changes(spark, tmp_path):
     net = Counter(ins)
     net.subtract(Counter(dels))
     assert {k: v for k, v in net.items() if v} == {2: -1}
+
+
+# ------------------------------------------- cross-feature compositions
+
+
+def test_merge_commit_flows_through_cdf_and_incremental_rollup(
+    spark, tmp_path
+):
+    """COMPOSITION: a merge_branch commit is an ordinary add/remove/DV
+    commit, so the change feed serves it and an incremental rollup
+    refresh folds it — the branch workflow composes with the always-on
+    maintenance tier with no special cases."""
+    from summit_23_snowpark_data_lake_workloads_spark.operators.rollup import (
+        refresh_rollup,
+    )
+
+    fact = SnapshotTable(spark, str(tmp_path / "fact"))
+    df = (
+        spark.range(0, 8)
+        .coalesce(2)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).alias("grp"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        )
+    )
+    fact.create(df)
+    silver = SnapshotTable(spark, str(tmp_path / "silver"))
+    prep = lambda d: d.select("grp", "v")  # noqa: E731
+    assert refresh_rollup(fact, silver, prep, ["grp"], ["v"]) == "full"
+
+    br = fact.create_branch("exp")
+    br.delete(F.col("id") == 0)  # COW rewrite on the branch
+    br.append(
+        spark.range(100, 102)
+        .coalesce(1)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1).cast("long").alias("grp"),
+            F.lit(5).cast("long").alias("v"),
+        )
+    )
+    fact.merge_branch("exp")
+    # the merge commit folds INCREMENTALLY via the change feed
+    mode = refresh_rollup(fact, silver, prep, ["grp"], ["v"])
+    assert mode == "incremental_cdf"
+    got = {
+        (r.grp, r.n_rows, r.sum_v) for r in silver.read().collect()
+    }
+    want = {
+        (r.grp, r.n_rows, r.sum_v)
+        for r in fact.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_branch_of_renamed_table_and_merge(spark, tmp_path):
+    """Branching a table that already HAS a column map: the fork
+    inherits the rename, branch writes translate through it, and the
+    merge succeeds because metadata matches on both sides."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    t.rename_column("id", "ident")
+    br = t.create_branch("exp")
+    assert br.column_map == t.column_map
+    br.append(
+        spark.range(10, 12)
+        .coalesce(1)
+        .select(F.col("id").cast("int").alias("ident"))
+    )
+    t.merge_branch("exp")
+    assert sorted(r.ident for r in t.read().collect()) == [
+        0, 1, 2, 3, 10, 11,
+    ]
+
+
+def test_branch_fork_at_version_before_rename_refuses_merge(
+    spark, tmp_path
+):
+    """Fork BEFORE a rename, main renames after: the branch carries the
+    old metadata, so the merge must refuse (metadata diverged), never
+    silently write physical names main no longer serves."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))  # v1: column 'id'
+    br = t.create_branch("old", version=1)
+    br.append(_df(spark, 4, 6))
+    t.rename_column("id", "ident")
+    with pytest.raises(BranchMergeConflict):
+        t.merge_branch("old")
+
+
+def test_persisted_cdf_serves_merge_commit_after_vacuum(spark, tmp_path):
+    """COMPOSITION with persisted CDF: on a cdf=True table the merge
+    commit writes change sidecars BEFORE publishing, so the feed serves
+    the branch's net delta even after the pre-image files are
+    vacuumed."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.create(_df(spark, 0, 4).coalesce(1))
+    br = t.create_branch("exp")
+    br.delete(F.col("id") == 2)
+    t.merge_branch("exp")
+    head = t.snapshot().version
+    t.vacuum(retain_last=1, orphan_grace_ms=0)  # pre-images gone
+    ch = t.changes(head - 1, head)
+    from collections import Counter
+
+    net = Counter()
+    for r in ch.select("_change_type", "id").collect():
+        net[r.id] += 1 if r._change_type == "insert" else -1
+    assert {k: v for k, v in net.items() if v} == {2: -1}
