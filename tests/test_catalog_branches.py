@@ -178,3 +178,75 @@ def test_abandoned_branch_txn_does_not_pollute_merge(spark, wh):
     got = _kv(cat, "dim")
     assert got == {"a": 1, "b": 2, "c": 3}
     assert "GHOST" not in got
+
+
+def test_streaming_chain_runs_on_a_branch_then_merges(spark, wh, tmp_path):
+    """COMPOSITION: the always-on transactional chain
+    (maintain_chain_stream) runs against a BRANCH catalog exactly as it
+    does against main — its own pins, stamps, and checkpoint — and the
+    whole experiment (new bronze rows + the silver layer it maintained)
+    merges back in one main CAS. The 'try the new pipeline on a branch
+    of the warehouse' workflow, end to end."""
+    from summit_23_snowpark_data_lake_workloads_spark.plans.txn_refresh import (
+        RollupSpec,
+        maintain_chain_stream,
+    )
+
+    cat = wh
+    # register a silver rollup table on main and give it a first commit
+    # so the branch forks it
+    cat.register("dimsum", str(tmp_path / "dimsum"))
+    txn = cat.transaction()
+    txn.table("dimsum").create(
+        cat.read("dim")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+        )
+    )
+    txn.commit()
+
+    bcat = cat.create_branch("exp")
+    # branch bronze gains rows; the chain maintains branch silver
+    btxn = bcat.transaction()
+    btxn.table("dim").append(_rows(spark, [("c", 3), ("c", 4)]))
+    btxn.commit()
+    layers = [
+        (
+            "dimsum",
+            RollupSpec(
+                prepare=lambda df: df, group_cols=["k"], sum_cols=["v"]
+            ),
+        )
+    ]
+    r = maintain_chain_stream(
+        bcat,
+        bcat.table("dim"),
+        layers,
+        str(tmp_path / "ckpt"),
+        app_id="exp_chain",
+    )
+    assert any(x["catalog_version"] for x in r)
+    # branch silver reflects the branch bronze; main silver untouched
+    bsil = {
+        row.k: (row.n_rows, row.sum_v)
+        for row in bcat.read("dimsum").collect()
+    }
+    assert bsil["c"] == (2, 7)
+    msil = {
+        row.k: (row.n_rows, row.sum_v)
+        for row in cat.read("dimsum").collect()
+    }
+    assert "c" not in msil
+
+    cat.merge_branch("exp")
+    msil = {
+        row.k: (row.n_rows, row.sum_v)
+        for row in cat.read("dimsum").collect()
+    }
+    assert msil["c"] == (2, 7)
+    assert {r_.k for r_ in cat.read("dim").collect()} == {"a", "b", "c"}
+    # the branch chain's stamps folded into main's txn_seen: a replayed
+    # tick against MAIN is a noop for the already-folded range
+    assert cat.last_committed_batch("exp_chain:dimsum") is not None
