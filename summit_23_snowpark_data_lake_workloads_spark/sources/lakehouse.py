@@ -1793,6 +1793,7 @@ class SnapshotTable:
         skip_where: list[tuple] | None = None,
         partition_where: list[tuple] | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """The table at a version (default latest). ``mergeSchema`` makes
         added-column evolution transparent: old files surface NULLs.
@@ -1801,6 +1802,10 @@ class SnapshotTable:
         pins; mutually exclusive with ``version``/``as_of_ms``. Tagged
         versions are vacuum-proof, so this read cannot hit the
         retention boundary the way a raw ``version=`` pin can.
+
+        ``branch`` — read a writable branch's CURRENT head
+        (:meth:`create_branch`): sugar for ``branch(name).read(...)``,
+        with the remaining arguments applied to the branch table.
 
         ``skip_where`` — ``[(col, op, value), ...]`` conjuncts — prunes
         files whose manifest [min, max] stats prove they hold no
@@ -1822,6 +1827,15 @@ class SnapshotTable:
         conjunct is rewritten conservatively — ``ts >= X`` prunes to
         days ``>= day(X)`` — and the row filter is REQUIRED to trim the
         boundary partition."""
+        if branch is not None:
+            if tag is not None:
+                raise ValueError("branch= is mutually exclusive with tag=")
+            return self.branch(branch).read(
+                version=version,
+                as_of_ms=as_of_ms,
+                skip_where=skip_where,
+                partition_where=partition_where,
+            )
         if tag is not None:
             if version is not None or as_of_ms is not None:
                 raise ValueError(
@@ -3763,7 +3777,10 @@ class SnapshotTable:
         return ref
 
     def create_branch(
-        self, name: str, version: int | None = None
+        self,
+        name: str,
+        version: int | None = None,
+        tag: str | None = None,
     ) -> "SnapshotTable":
         """Fork a WRITABLE branch off a committed version (Iceberg /
         Nessie branch refs — the movable twin of :meth:`create_tag`):
@@ -3782,12 +3799,18 @@ class SnapshotTable:
         DAG's serving copy (``04_sales_enrich_sp.sql:61``).
 
         Cost at 100 TB: one JSON ref + one clone manifest — no data
-        moves until the branch itself writes."""
+        moves until the branch itself writes. ``tag=`` forks at the
+        version a named tag pins (mutually exclusive with
+        ``version=``) — "branch off the release snapshot"."""
         if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
             raise ValueError(
                 f"branch name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]*"
                 " (<= 64 chars)"
             )
+        if tag is not None:
+            if version is not None:
+                raise ValueError("tag= is mutually exclusive with version=")
+            version = self._tag_version(tag)
         versions = self._versions()
         if not versions:
             raise FileNotFoundError("no committed version to branch from")

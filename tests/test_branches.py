@@ -377,3 +377,19 @@ def test_persisted_cdf_serves_merge_commit_after_vacuum(spark, tmp_path):
     for r in ch.select("_change_type", "id").collect():
         net[r.id] += 1 if r._change_type == "insert" else -1
     assert {k: v for k, v in net.items() if v} == {2: -1}
+
+
+def test_read_branch_sugar_and_branch_from_tag(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 3))  # v1
+    t.create_tag("release", version=1)
+    t.append(_df(spark, 3, 6))  # v2
+    br = t.create_branch("hotfix", tag="release")
+    br.append(_df(spark, 100, 101))
+    # read(branch=) serves the branch head; main head unaffected
+    assert _ids(t.read(branch="hotfix")) == [0, 1, 2, 100]
+    assert _ids(t.read()) == list(range(6))
+    with pytest.raises(ValueError):
+        t.read(branch="hotfix", tag="release")
+    with pytest.raises(ValueError):
+        t.create_branch("x", version=1, tag="release")
