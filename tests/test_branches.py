@@ -393,3 +393,60 @@ def test_read_branch_sugar_and_branch_from_tag(spark, tmp_path):
         t.read(branch="hotfix", tag="release")
     with pytest.raises(ValueError):
         t.create_branch("x", version=1, tag="release")
+
+
+# ---------------------------------------------- model-based invariant
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    bdel=st.sets(st.integers(0, 9), max_size=4),
+    badd=st.integers(0, 3),
+    mdel=st.sets(st.integers(0, 9), max_size=4),
+    madd=st.integers(0, 3),
+    b_mor=st.booleans(),
+    m_mor=st.booleans(),
+)
+def test_merge_model_invariant(spark, tmp_path_factory, bdel, badd,
+                               mdel, madd, b_mor, m_mor):
+    """MODEL INVARIANT: for any combination of branch edits (COW or MoR
+    deletes of init rows + appends) and concurrent main edits, a merge
+    either (a) succeeds and the final content is exactly the union of
+    both sides' logical edits, or (b) refuses with BranchMergeConflict
+    and NEITHER side has moved — never a third outcome, never a lost or
+    resurrected row."""
+    tmp = tmp_path_factory.mktemp("merge_model")
+    t = SnapshotTable(spark, str(tmp / "t"))
+    t.create(_df(spark, 0, 5))   # file A: 0-4
+    t.append(_df(spark, 5, 10))  # file B: 5-9
+    init = set(range(10))
+    br = t.create_branch("exp")
+    if bdel:
+        (br.delete_mor if b_mor else br.delete)(
+            F.col("id").isin(*[int(x) for x in bdel])
+        )
+    if badd:
+        br.append(_df(spark, 100, 100 + badd))
+    if mdel:
+        (t.delete_mor if m_mor else t.delete)(
+            F.col("id").isin(*[int(x) for x in mdel])
+        )
+    if madd:
+        t.append(_df(spark, 200, 200 + madd))
+    main_before = _ids(t.read())
+    branch_before = _ids(br.read())
+    try:
+        t.merge_branch("exp")
+    except BranchMergeConflict:
+        assert _ids(t.read()) == main_before  # (b) nothing moved
+        assert _ids(t.branch("exp").read()) == branch_before
+        return
+    want = sorted(
+        (init - bdel - mdel)
+        | set(range(100, 100 + badd))
+        | set(range(200, 200 + madd))
+    )
+    assert _ids(t.read()) == want  # (a) the union of both sides' edits
