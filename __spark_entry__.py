@@ -69,6 +69,7 @@ DEFER_GATE: dict[str, int] = {
     "lakehouse_catalog_branch_audit": 12,
     "dedup_substring_trim": 12,
     "quality_nb_classifier": 12,
+    "lakehouse_erase_audit": 12,
 }
 
 

@@ -4374,3 +4374,104 @@ def lakehouse_catalog_branch_audit(
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _erase_oracle() -> str:
+    """Post-erasure state: events minus the erased subject (user_id %
+    11 == 5) and minus the pre-erase MoR delete (%13 == 2 rows stay
+    deleted but their bytes are also gone); flags pin the byte-level
+    sweep, the history expiry, the sidecar redaction, and the
+    refs-block refusal."""
+    return """
+    SELECT 'final_state' AS probe,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS agg
+    FROM events WHERE user_id % 11 <> 5 AND user_id % 13 <> 2
+    UNION ALL
+    SELECT 'bytes_gone', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'history_expired', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'feed_redacted', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'refs_block', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_erase_audit", oracle=_erase_oracle())
+def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN erasure under the driver gate
+    (``sources/lakehouse.py:erase_rows``): every physical trace of the
+    subject's rows leaves the table directory — live files, DV-hidden
+    pre-images (a row soft-deleted BEFORE the erase request, invisible
+    to reads but bytes on disk), historical versions, and persisted
+    change-feed sidecars (including the erase commit's own — the feed
+    becomes deliberately lossy for the subject, the GDPR-over-CDF
+    trade).
+
+    Lifecycle: CDF-enabled table from events -> ``delete_mor``
+    (user_id%13==2: DV-hidden pre-images now exist in data files AND
+    in a change sidecar) -> ``erase_rows`` (user_id%11==5).
+    ``final_state`` hash-gates the surviving rows; ``bytes_gone``
+    raw-reads EVERY parquet under the table root (no manifest, no DV
+    filter) and requires zero subject rows anywhere on disk;
+    ``history_expired`` pins that only the erase version remains and
+    old pins refuse; ``feed_redacted`` pins that the retained change
+    feed still serves (the empty-list sentinel survives) with no
+    subject rows; ``refs_block`` pins the refusal while a tag pins
+    history (erasure must never be silently partial).
+
+    Scale: one COW rewrite of subject-bearing files (raw-scan located)
+    + one vacuum + O(retained sidecars) rewrites — proportional to the
+    subject's footprint, never the table."""
+    import glob as _glob
+
+    from ..sources.lakehouse import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="lh_erase_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"), cdf=True)
+        t.create(ev.filter(F.col("event_id") % 2 == 0))
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        t.delete_mor(F.col("user_id") % 13 == 2)
+
+        # refs block the erase until dropped
+        t.create_tag("hold")
+        refs_block = 0
+        try:
+            t.erase_rows(F.col("user_id") % 11 == 5)
+        except ValueError:
+            refs_block = 1
+        t.drop_tag("hold")
+
+        t.erase_rows(F.col("user_id") % 11 == 5)
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("agg"),
+        ).select(F.lit("final_state").alias("probe"), "n", "agg")
+
+        files = _glob.glob(
+            os.path.join(t.path, "**", "*.parquet"), recursive=True
+        )
+        raw = spark.read.option("mergeSchema", "true").parquet(*files)
+        bytes_gone = int(
+            raw.filter(F.col("user_id") % 11 == 5).limit(1).count() == 0
+        )
+        history_expired = int(len(t._versions()) == 1)
+        head = t.snapshot().version
+        feed = t.changes(head - 1, head)
+        feed_redacted = int(
+            feed.filter(F.col("user_id") % 11 == 5).limit(1).count() == 0
+        )
+        flags = spark.createDataFrame(
+            [
+                ("bytes_gone", bytes_gone, bytes_gone),
+                ("history_expired", history_expired, history_expired),
+                ("feed_redacted", feed_redacted, feed_redacted),
+                ("refs_block", refs_block, refs_block),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

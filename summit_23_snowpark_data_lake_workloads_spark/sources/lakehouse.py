@@ -3586,6 +3586,11 @@ class SnapshotTable:
             ):
                 continue  # layout-only / metadata-only: no row changes
             cf = self._raw(v).get("change_files")
+            if cf is not None and not cf:
+                # redaction sentinel: every change row of this commit
+                # was erased (right-to-be-forgotten) — zero rows, by
+                # design, never a recompute from vacuumed pre-images
+                continue
             if cf:
                 # persisted CDF sidecars (table had cdf on at commit
                 # time): serve the commit's change rows from them —
@@ -3985,6 +3990,141 @@ class SnapshotTable:
             os.unlink(os.path.join(self._branch_refs_dir(), f"{name}.json"))
         return snap
 
+    def erase_rows(self, predicate) -> dict:
+        """RIGHT-TO-BE-FORGOTTEN erasure (GDPR art. 17 / CCPA delete):
+        remove every PHYSICAL trace of rows matching ``predicate`` from
+        every surface a lakehouse can hide bytes in — not just the head
+        view a plain :meth:`delete` gives:
+
+        1. **DV-hidden pre-images**: files are located by a RAW scan
+           (deletion vectors ignored), so a row soft-deleted months ago
+           — invisible to reads, bytes still on disk — rewrites away
+           too. The rewrite keeps non-subject soft-deleted rows out
+           (the file's DV folds into the rewrite, like compaction).
+        2. **History**: every prior version expires
+           (``vacuum(retain_last=1, orphan_grace_ms=0)``) — time travel
+           to a version that still served the subject must die, and
+           its data files with it.
+        3. **Persisted CDF sidecars**: the retained manifests'
+           ``_changes/`` parquet still carries the subject's pre-images
+           (including the ones THIS erase just wrote, when ``cdf`` is
+           on); they are REWRITTEN without the matching rows — the
+           change feed becomes deliberately LOSSY for the erased
+           subject (the GDPR-over-CDF trade Delta documents: erasure
+           beats feed completeness).
+
+        REFUSES while any tag or branch ref exists: refs pin versions
+        that would keep serving the subject — erasure must be explicit
+        about its holds, never silently partial. Callers reading
+        through a :class:`PinnedCatalog` must erase between
+        transactions (the pin follows the erase commit).
+
+        Returns ``{"files_rewritten", "versions_expired",
+        "data_files_deleted", "sidecars_redacted"}``. Cost: one COW
+        rewrite of subject-bearing files + one vacuum + O(retained
+        change sidecars) rewrites — proportional to the subject's
+        footprint, never the table."""
+        tags, brs = self.tags(), self.branches()
+        if tags or brs:
+            raise ValueError(
+                "erase_rows refused: refs still pin history — tags "
+                f"{sorted(tags)} / branches {sorted(brs)}; drop them "
+                "first (an erase under a live ref would be silently "
+                "partial)"
+            )
+        prev = self.snapshot()
+        versions_before = self._versions()
+        # RAW scan: deletion vectors ignored, so DV-hidden pre-images
+        # of the subject locate their files too
+        raw = self._scan(sorted(prev.files), None)
+        touched_abs = self._touched_files(
+            raw, lambda d: d.filter(predicate)
+        )
+        if touched_abs:
+            touched_rel = frozenset(
+                self._relativize(p) for p in touched_abs
+            )
+            # survivors: live (DV-respected) non-subject rows of the
+            # touched files — the rewrite folds the DV in, so neither
+            # the subject nor unrelated soft-deleted rows resurrect
+            survivors = self._scan(sorted(touched_rel), prev.dvs).filter(
+                ~predicate
+            )
+            new_files = (
+                self._write_batch(survivors)
+                if survivors.limit(1).count()
+                else []
+            )
+            self._commit(
+                "erase", prev.version, new_files, remove=touched_rel
+            )
+        removed = self.vacuum(retain_last=1, orphan_grace_ms=0)
+        redacted = self._redact_change_files(predicate)
+        return {
+            "files_rewritten": len(touched_abs),
+            "versions_expired": len(versions_before)
+            - len(self._versions())
+            + (1 if touched_abs else 0),
+            "data_files_deleted": len(removed),
+            "sidecars_redacted": redacted,
+        }
+
+    def _redact_change_files(self, predicate) -> int:
+        """Rewrite retained manifests' persisted-CDF sidecars without
+        rows matching ``predicate``; returns how many sidecar files
+        were redacted. Manifests are swapped in place via the same
+        ``os.replace`` discipline vacuum's gap-materialization uses
+        (new sidecars exist BEFORE the manifest points at them; old
+        sidecars unlink after)."""
+        redacted = 0
+        for v in self._versions():
+            raw = self._raw(v)
+            cfs = raw.get("change_files")
+            if not cfs:
+                continue
+            new_list: list[str] = []
+            old_gone: list[str] = []
+            changed = False
+            for cf in cfs:
+                df = self.spark.read.parquet(os.path.join(self.path, cf))
+                lg = self._to_logical(df)
+                if not lg.filter(predicate).limit(1).count():
+                    new_list.append(cf)  # clean: keep as-is
+                    continue
+                changed = True
+                redacted += 1
+                kept = lg.filter(~predicate)
+                if kept.limit(1).count():
+                    cdir = os.path.join(
+                        _CHANGES_DIR, f"c-{uuid.uuid4().hex[:12]}"
+                    )
+                    out = os.path.join(self.path, cdir)
+                    self._to_physical(kept).write.mode("error").parquet(out)
+                    new_list.extend(
+                        os.path.join(cdir, f)
+                        for f in os.listdir(out)
+                        if f.endswith(".parquet")
+                    )
+                old_gone.append(cf)
+            if not changed:
+                continue
+            body = dict(raw)
+            # an EMPTY list is a deliberate sentinel ("every change row
+            # of this commit was redacted — the feed serves zero rows"),
+            # distinct from ABSENT ("no sidecars: recompute from files",
+            # which would hit the vacuumed pre-images and error)
+            body["change_files"] = sorted(new_list)
+            tmp = self._manifest_path(v) + ".redact"
+            with open(tmp, "w") as fh:
+                fh.write(json.dumps(body))
+            os.replace(tmp, self._manifest_path(v))
+            for cf in old_gone:
+                try:
+                    os.unlink(os.path.join(self.path, cf))
+                except FileNotFoundError:
+                    pass
+        return redacted
+
     def vacuum(
         self,
         retain_last: int = 2,
@@ -4196,8 +4336,13 @@ class SnapshotTable:
                             ),
                             **({"cdf": True} if self.cdf else {}),
                             **(
+                                # `is not None`: an EMPTY list is the
+                                # redaction sentinel (erase_rows) and
+                                # must survive the rewrite — dropping
+                                # it would flip the feed back to a
+                                # recompute over vacuumed pre-images
                                 {"change_files": raw["change_files"]}
-                                if raw.get("change_files")
+                                if raw.get("change_files") is not None
                                 else {}
                             ),
                             **({"txn": raw["txn"]} if raw.get("txn") else {}),
