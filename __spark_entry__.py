@@ -38,14 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    # r11 entries expired automatically (green r11 rows exist for all
-    # eight) and were pruned. r12 plan changes:
-    # - the shared incremental-dedup plan was rewritten (broadcast
-    #   batch-side intersection joins, no persists, codegen corpus-side
-    #   size expression instead of a second corpus shingling pass) —
-    #   both queries that share it executed differently:
-    "dedup_incremental_newbatch": 12,
-    "dedup_incremental_hotshingle_audit": 12,
+    # r12 entries (the incremental-dedup rewrite pair) expired
+    # automatically — green r12 rows exist for both — and were pruned.
+    # r13 plan changes land in queries that are ALREADY tier-0 this
+    # round (lakehouse_erase_audit gained the erase_rebranch flag,
+    # lakehouse_catalog_branch_audit swapped its branch tick to the
+    # streaming chain + branch_stream_tick flag), so no force entries
+    # are needed: no green row from the changed code is being shadowed.
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.
@@ -59,17 +58,12 @@ FORCE_REGATE: dict[str, int] = {
 #: differential (tests/test_queries_oracle.py runs every declared
 #: query against DuckDB).
 DEFER_GATE: dict[str, int] = {
-    # The three r11 session-3 capstones expired into tier-0 when
-    # CORRECTNESS_r11 landed — they sit at window positions 0-2 for
-    # the r12 gate (verified via tools/gate_window.py).
-    # r12's slot budget is spent (6 new registrations + 2 force-regates
-    # fill the window to exactly the 41-query r8 tier): the catalog-
-    # branch capstone holds behind the rotation, covered by the full
-    # pytest differential now, tier-0 at the r13 gate.
-    "lakehouse_catalog_branch_audit": 12,
-    "dedup_substring_trim": 12,
-    "quality_nb_classifier": 12,
-    "lakehouse_erase_audit": 12,
+    # The four r12 late registrations expired into tier-0 when
+    # CORRECTNESS_r12 landed — they occupy window slots 0-3 for the
+    # r13 gate (verified via tools/gate_window.py: 4 tier-0 + 46
+    # rotating r9 greens fill the window exactly, stalest-left-out
+    # r10). r13's slot budget is therefore ZERO for new registrations:
+    # anything registered this round goes here with round 13.
 }
 
 

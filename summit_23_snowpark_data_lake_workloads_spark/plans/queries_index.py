@@ -4218,6 +4218,8 @@ def _catalog_branch_oracle() -> str:
     SELECT 'conflict_all_or_nothing', 1::BIGINT, 1::BIGINT
     UNION ALL
     SELECT 'refs_released', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'branch_stream_tick', 1::BIGINT, 1::BIGINT
     """
 
 
@@ -4236,11 +4238,15 @@ def lakehouse_catalog_branch_audit(
     every table's net merge in ONE main-catalog CAS.
 
     Lifecycle: bronze+silver+gold warehouse on the %2==0 slice ->
-    ``create_branch`` -> a transactional medallion tick ON THE BRANCH
-    folds the %2==1 slice through silver and gold (branch pins move,
-    main's don't — ``main_pre_merge_gold`` proves isolation while
-    ``branch_gold`` reads the branch's committed pair) -> main appends
-    a disjoint bronze slice meanwhile (commutes at file level) ->
+    ``create_branch`` -> the ALWAYS-ON streaming chain
+    (``maintain_chain_stream``: checkpointed per-commit micro-batches
+    over the branch bronze's log) runs ON THE BRANCH and folds the
+    %2==1 slice through silver and gold — every drained range spends
+    a BRANCH catalog CAS while main's catalog version never moves
+    (``branch_stream_tick``; branch pins move, main's don't —
+    ``main_pre_merge_gold`` proves isolation while ``branch_gold``
+    reads the branch's committed pair) -> main appends a disjoint
+    bronze slice meanwhile (commutes at file level) ->
     ``merge_branch`` -> all three tables expose in one catalog version
     (``merge_one_cas``). ``conflict_all_or_nothing`` then pins the
     abort path on a second warehouse where one table merges cleanly
@@ -4254,7 +4260,11 @@ def lakehouse_catalog_branch_audit(
     Reference anchor: trying a schema/enrichment change across the
     DAG's whole curated tier (``05_task_DAG.sql:9-25``) without
     touching the serving copies."""
-    from ..plans.txn_refresh import RollupSpec, refresh_chain_txn
+    from ..plans.txn_refresh import (
+        RollupSpec,
+        maintain_chain_stream,
+        refresh_chain_txn,
+    )
     from ..sources.lakehouse import BranchMergeConflict, SnapshotTable
     from ..sources.txn_catalog import PinnedCatalog
 
@@ -4294,8 +4304,22 @@ def lakehouse_catalog_branch_audit(
         btxn = bcat.transaction()
         btxn.table("bronze").append(ev.filter(F.col("event_id") % 2 == 1))
         btxn.commit()
-        refresh_chain_txn(
-            bcat, bcat.table("bronze"), layers, app_id="branch_tick"
+        # the branch tick is the ALWAYS-ON form: the streaming chain
+        # drains the branch bronze's commit log (clone + append) as
+        # checkpointed micro-batches against the BRANCH catalog —
+        # every range spends a branch CAS, main's version never moves
+        main_v_pre_tick = cat.state()["version"]
+        ticks = maintain_chain_stream(
+            bcat,
+            bcat.table("bronze"),
+            layers,
+            os.path.join(tmp, "bckpt"),
+            app_id="branch_tick",
+        )
+        branch_stream_tick = int(
+            len(ticks) > 0
+            and all(r["catalog_version"] is not None for r in ticks)
+            and cat.state()["version"] == main_v_pre_tick
         )
         # main's bronze moves meanwhile (a plain append — commutes at
         # file level, so the merge REBASES instead of refusing; no tick
@@ -4368,6 +4392,11 @@ def lakehouse_catalog_branch_audit(
                     all_or_nothing,
                 ),
                 ("refs_released", refs_released, refs_released),
+                (
+                    "branch_stream_tick",
+                    branch_stream_tick,
+                    branch_stream_tick,
+                ),
             ],
             "probe string, n long, agg long",
         )
@@ -4394,6 +4423,8 @@ def _erase_oracle() -> str:
     SELECT 'feed_redacted', 1::BIGINT, 1::BIGINT
     UNION ALL
     SELECT 'refs_block', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'erase_rebranch', 1::BIGINT, 1::BIGINT
     """
 
 
@@ -4417,8 +4448,13 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``history_expired`` pins that only the erase version remains and
     old pins refuse; ``feed_redacted`` pins that the retained change
     feed still serves (the empty-list sentinel survives) with no
-    subject rows; ``refs_block`` pins the refusal while a tag pins
-    history (erasure must never be silently partial).
+    subject rows; ``refs_block`` pins the refusal while a tag AND a
+    live branch pin history (erasure must never be silently partial);
+    ``erase_rebranch`` gates the full unblock lifecycle — drop refs,
+    erase, re-branch — ending with a fresh fork that serves only
+    post-erase state (an erase cannot be staged ON a branch: it would
+    expire the fork manifest the merge diff needs, so drop-and-
+    re-branch is the contract, now end-to-end).
 
     Scale: one COW rewrite of subject-bearing files (raw-scan located)
     + one vacuum + O(retained sidecars) rewrites — proportional to the
@@ -4435,14 +4471,21 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(ev.filter(F.col("event_id") % 2 == 1))
         t.delete_mor(F.col("user_id") % 13 == 2)
 
-        # refs block the erase until dropped
+        # refs block the erase until dropped: a tag AND a live branch
+        # each pin history the erase would have to leave serving the
+        # subject — and an erase CANNOT be staged on the branch itself
+        # (erase_rows vacuums the branch to one version, expiring the
+        # v1 fork manifest merge_branch needs), so the only honest
+        # path is the one gated here: drop refs -> erase -> re-branch
         t.create_tag("hold")
+        t.create_branch("exp")
         refs_block = 0
         try:
             t.erase_rows(F.col("user_id") % 11 == 5)
         except ValueError:
             refs_block = 1
         t.drop_tag("hold")
+        t.drop_branch("exp")
 
         t.erase_rows(F.col("user_id") % 11 == 5)
         out = t.read().agg(
@@ -4463,12 +4506,27 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed_redacted = int(
             feed.filter(F.col("user_id") % 11 == 5).limit(1).count() == 0
         )
+        # re-branch AFTER the erase: experiments resume once erasure
+        # lands, and the new fork must serve ONLY post-erase state —
+        # no subject row through the branch read, fork pinned at the
+        # erase head (the end-to-end unblock path, gated)
+        br = t.create_branch("resume")
+        erase_rebranch = int(
+            br.read()
+            .filter(F.col("user_id") % 11 == 5)
+            .limit(1)
+            .count()
+            == 0
+            and t.branches()["resume"]["fork_version"]
+            == t.snapshot().version
+        )
         flags = spark.createDataFrame(
             [
                 ("bytes_gone", bytes_gone, bytes_gone),
                 ("history_expired", history_expired, history_expired),
                 ("feed_redacted", feed_redacted, feed_redacted),
                 ("refs_block", refs_block, refs_block),
+                ("erase_rebranch", erase_rebranch, erase_rebranch),
             ],
             "probe string, n long, agg long",
         )

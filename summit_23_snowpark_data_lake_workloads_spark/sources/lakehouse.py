@@ -41,6 +41,7 @@ files, not the table.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as _dt
 import json
 import os
@@ -3822,6 +3823,21 @@ class SnapshotTable:
         v = versions[-1] if version is None else version
         if v not in versions:
             raise LookupError(f"version {v} not in {versions}")
+        # A reused name whose directory still holds a table (the
+        # post-merge residue: merge_branch keeps the directory because
+        # main references its files in place) must refuse BEFORE the
+        # ref publishes — otherwise the ref would point at the stale
+        # pre-merge table and a later merge would re-add its files.
+        root = self._branch_root(name)
+        mdir = os.path.join(root, _MANIFEST_DIR)
+        if os.path.isdir(mdir) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(mdir)
+        ):
+            raise FileExistsError(
+                f"branch directory {root!r} still holds a merged table "
+                "(main references its files in place); compact() main, "
+                "vacuum, drop_branch, then reuse the name"
+            )
         os.makedirs(self._branch_refs_dir(), exist_ok=True)
         body = json.dumps(
             {
@@ -3833,13 +3849,19 @@ class SnapshotTable:
         # ref FIRST: from this instant vacuum retains the fork version,
         # so the clone below can never reference already-doomed files;
         # a racing double-create has exactly one winner
-        if not self.commit_protocol.publish(
-            os.path.join(self._branch_refs_dir(), f"{name}.json"), body
-        ):
+        ref_path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        if not self.commit_protocol.publish(ref_path, body):
             raise FileExistsError(
                 f"branch {name!r} already exists (drop_branch to discard)"
             )
-        return self.clone_to(self._branch_root(name), version=v)
+        try:
+            return self.clone_to(root, version=v)
+        except BaseException:
+            # never leak a live ref to a branch whose clone failed —
+            # branches() would serve a phantom (or stale) table
+            with contextlib.suppress(OSError):
+                os.unlink(ref_path)
+            raise
 
     def branch(self, name: str) -> "SnapshotTable":
         """Open a handle on an existing branch's table."""
@@ -4015,9 +4037,15 @@ class SnapshotTable:
 
         REFUSES while any tag or branch ref exists: refs pin versions
         that would keep serving the subject — erasure must be explicit
-        about its holds, never silently partial. Callers reading
-        through a :class:`PinnedCatalog` must erase between
-        transactions (the pin follows the erase commit).
+        about its holds, never silently partial. Two holds this table
+        CANNOT see and therefore cannot refuse on (stated, not hidden):
+        shallow clones of this table reference its files by absolute
+        path with no ref sidecar here, so their reads hit
+        FileNotFound once the vacuum below deletes those files; and a
+        :class:`PinnedCatalog` pin keeps naming the pre-erase version,
+        so pinned reads FAIL between the erase and the catalog's next
+        transaction (which re-pins to the erase commit). Erase between
+        transactions, and re-home or drop clones first.
 
         Returns ``{"files_rewritten", "versions_expired",
         "data_files_deleted", "sidecars_redacted"}``. Cost: one COW

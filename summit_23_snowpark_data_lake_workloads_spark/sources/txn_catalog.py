@@ -661,7 +661,11 @@ class PinnedCatalog:
                 v = None
             else:
                 v = txn.commit(stamps=bstate.get("txn_seen") or {})
-        except (BranchMergeConflict, TransactionConflict):
+        except BaseException:
+            # ANY failure mid-staging (conflicts, but also LookupError /
+            # OSError from a sick table) must abandon + roll back, or
+            # the transaction stays open and orphan staged manifests
+            # linger until the next auto_repair
             txn.abandon()
             for tname in staged:
                 self.repair(tname)  # roll back the orphan staged merges

@@ -139,3 +139,85 @@ def ingest_txn_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_pdf_binary_stream(
+    spark: SparkSession,
+    src_dir: str,
+    glob: str = "*.pdf",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming twin of ``sources.batch.read_binary_dir`` (S4): a
+    ``binaryFile`` readStream over a landing directory — the
+    directory-stage auto-refresh analog (reference
+    ``1_env_setup.sql:25-27``: a stage whose directory table refreshes
+    as PDFs arrive). Spark's file-source checkpoint is the refresh
+    ledger: each drain picks up exactly the files not yet delivered.
+
+    ``max_files_per_trigger`` bounds micro-batch width so one drain of
+    a large backlog becomes several bounded batches (at 100 TB: the
+    extract UDF's memory is per-batch, and a crash loses one bounded
+    batch of work, not the backlog)."""
+    # streaming sources refuse schema inference; binaryFile's schema
+    # is fixed by the format, so state it
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(src_dir)
+    )
+
+
+def stream_pdf_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table,
+    checkpoint: str,
+    app_id: str = "pdf_ingest",
+    strict: bool = False,
+    max_files_per_trigger: int = 64,
+    processing_time: str | None = None,
+):
+    """Always-on PDF ingest: binaryFile stream -> Arrow PDF->text UDF
+    (U1) -> the INVOICE_DETAILS parse cascade (``3BC`` semantics) ->
+    exactly-once lakehouse appends. The full reference ingest path
+    (``3B1_pdf_to_text_udf.sql`` + ``3BC_create_raw_pdf_text_view``)
+    as ONE streaming pipeline instead of stage-refresh + view.
+
+    The extract+parse chain runs INSIDE each micro-batch (the sink's
+    ``transform`` seam): pandas-UDF extraction and the per-batch
+    EXTRACT_OK join need batch semantics, and a checkpoint-replayed
+    batch skips the UDF entirely. ``strict=False`` default: one
+    corrupt landing PDF yields NULL amounts, never a dead stream.
+
+    Returns the StreamingQuery (``processing_time=None`` ->
+    availableNow: drain pending PDFs, then stop — call per tick)."""
+    from ..operators.unstructured import extract_pdf_text
+    from ..plans.curate import parse_invoice_text
+    from .lakehouse_sink import write_stream_to_snapshot_table
+
+    def _extract_parse(batch_df: DataFrame) -> DataFrame:
+        txt = extract_pdf_text(batch_df).localCheckpoint(eager=True)
+        return parse_invoice_text(
+            txt.select("RELATIVE_PATH", "PDF_TEXT"), strict=strict
+        ).join(txt.select("RELATIVE_PATH", "EXTRACT_OK"), "RELATIVE_PATH")
+
+    return write_stream_to_snapshot_table(
+        read_pdf_binary_stream(
+            spark, src_dir, max_files_per_trigger=max_files_per_trigger
+        ),
+        table,
+        app_id,
+        checkpoint,
+        processing_time=processing_time,
+        transform=_extract_parse,
+    )

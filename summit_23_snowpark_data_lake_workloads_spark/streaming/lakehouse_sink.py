@@ -24,6 +24,7 @@ def write_stream_to_snapshot_table(
     app_id: str,
     checkpoint: str,
     processing_time: str | None = None,
+    transform=None,
 ):
     """Start a ``foreachBatch`` writer appending each micro-batch to
     ``table`` idempotently. First batch creates the table if absent.
@@ -31,6 +32,12 @@ def write_stream_to_snapshot_table(
     ``processing_time=None`` -> ``availableNow`` (drain pending, stop) —
     the scheduled micro-batch cadence (T4); a duration string gives the
     continuous cadence (T1).
+
+    ``transform`` (optional ``DataFrame -> DataFrame``) runs INSIDE the
+    micro-batch, after the replay check: batch-only operators (pandas
+    UDF extract chains, per-batch joins) stay usable on a streaming
+    source without stream-side restrictions, and a replayed batch
+    skips the (possibly expensive) transform entirely.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -39,6 +46,8 @@ def write_stream_to_snapshot_table(
         )
         if seen is not None and batch_id <= seen:
             return  # checkpoint replay: already durable
+        if transform is not None:
+            batch_df = transform(batch_df)
         txn = {"app_id": app_id, "batch_id": batch_id}
         if not table._versions():
             files = table._write_batch(batch_df)

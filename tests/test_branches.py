@@ -395,6 +395,50 @@ def test_read_branch_sugar_and_branch_from_tag(spark, tmp_path):
         t.create_branch("x", version=1, tag="release")
 
 
+def test_branch_name_reuse_after_merge_refused(spark, tmp_path):
+    """Reusing a branch name whose directory still holds the merged
+    table must refuse BEFORE publishing a ref (r12 advice, medium):
+    the old flow published the ref first, clone_to then hit the stale
+    directory and raised — leaking a live ref that served the stale
+    pre-merge table and could double-merge its files into main."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    br = t.create_branch("exp")
+    br.append(_df(spark, 10, 13))
+    t.merge_branch("exp")  # ref released; directory stays (referenced)
+    with pytest.raises(FileExistsError, match="merged table"):
+        t.create_branch("exp")
+    # the failed create must NOT leak a ref: no phantom branch listed,
+    # no stale pre-merge read served, and main's next merge surface
+    # is untouched
+    assert t.branches() == {}
+    with pytest.raises(KeyError):
+        t.branch("exp")
+    assert _ids(t.read()) == [0, 1, 2, 3, 10, 11, 12]
+
+
+def test_create_branch_clone_failure_unlinks_ref(spark, tmp_path,
+                                                 monkeypatch):
+    """If the clone itself dies (disk full, racing writer), the
+    just-published ref must be unlinked — branches() listing a branch
+    whose table never materialized would wedge vacuum retention and
+    serve KeyError-less phantom reads."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 3))
+
+    def boom(dst_path, version=None):
+        raise OSError("simulated clone failure")
+
+    monkeypatch.setattr(t, "clone_to", boom)
+    with pytest.raises(OSError, match="simulated clone failure"):
+        t.create_branch("doomed")
+    monkeypatch.undo()
+    assert t.branches() == {}
+    # the name is reusable once the failure cause is gone
+    br = t.create_branch("doomed")
+    assert _ids(br.read()) == [0, 1, 2]
+
+
 # ---------------------------------------------- model-based invariant
 
 from hypothesis import given, settings

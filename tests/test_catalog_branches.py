@@ -250,3 +250,44 @@ def test_streaming_chain_runs_on_a_branch_then_merges(spark, wh, tmp_path):
     # the branch chain's stamps folded into main's txn_seen: a replayed
     # tick against MAIN is a noop for the already-folded range
     assert cat.last_committed_batch("exp_chain:dimsum") is not None
+
+
+def test_unexpected_failure_mid_staging_rolls_back(spark, wh, monkeypatch):
+    """r12 advice: the staging loop used to catch ONLY the two conflict
+    types — an OSError (sick disk, dead handle) mid-staging left the
+    transaction open and orphan staged manifests unrepaired until the
+    next auto_repair. ANY failure must abandon + roll back, main
+    exactly as before, branch intact for a retry."""
+    cat = wh
+    bcat = cat.create_branch("exp")
+    btxn = bcat.transaction()
+    btxn.table("dim").append(_rows(spark, [("c", 3)]))
+    btxn.table("fact").append(_rows(spark, [("z", 30)]))
+    btxn.commit()
+
+    orig = SnapshotTable.merge_branch
+    calls = []
+
+    def flaky(self, name, drop_ref=True):
+        calls.append(name)
+        if len(calls) == 2:  # dim stages cleanly, fact's IO dies
+            raise OSError("simulated IO failure mid-staging")
+        return orig(self, name, drop_ref=drop_ref)
+
+    monkeypatch.setattr(SnapshotTable, "merge_branch", flaky)
+    with pytest.raises(OSError, match="mid-staging"):
+        cat.merge_branch("exp")
+    monkeypatch.undo()
+
+    # main exactly as before: no pins moved, dim's staged merge rolled
+    # back, no orphan staged manifests wedging later transactions
+    assert _kv(cat, "dim") == {"a": 1, "b": 2}
+    assert _kv(cat, "fact") == {"x": 10, "y": 20}
+    for name in ("dim", "fact"):
+        assert cat.repair(name) is None
+    assert "exp" in cat.branches()
+
+    # the same merge succeeds once the failure cause is gone
+    cat.merge_branch("exp")
+    assert _kv(cat, "dim") == {"a": 1, "b": 2, "c": 3}
+    assert _kv(cat, "fact") == {"x": 10, "y": 20, "z": 30}

@@ -142,3 +142,168 @@ def test_real_reference_pdfs_extract_and_parse(spark, tmp_path):
     # status is either a known value or genuinely blank in the source PDF
     assert parsed["INV_STATUS"].isin(["Paid", "Unpaid", "Pending", "Overdue", ""]).all()
     txt.unpersist()
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_FULL_CORPUS"),
+    reason="full 24,999-PDF corpus run: set SPARK_GRAFT_FULL_CORPUS=1 "
+    "(~minutes; the reference's actual 1 GB workload)",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_INVOICES),
+    reason="reference invoice corpus not present",
+)
+def test_full_reference_corpus_to_invoice_details(spark):
+    """VERDICT r12 #4: the ENTIRE reference corpus (24,999 real PDFs —
+    the workload ``3B1_pdf_to_text_udf.sql:14`` + ``3BC`` actually
+    runs) through binaryFile scan -> Arrow PDF->text UDF -> the
+    INVOICE_DETAILS parse cascade, asserting extraction fidelity and
+    per-field null/blank rates instead of sampling 120. Prints one
+    RATES line for the round record."""
+    import os
+
+    from summit_23_snowpark_data_lake_workloads_spark.plans.curate import (
+        parse_invoice_text as _parse,
+    )
+
+    n_files = len(
+        [f for f in os.listdir(_REF_INVOICES) if f.endswith(".pdf")]
+    )
+    txt = extract_pdf_text(
+        read_binary_dir(spark, _REF_INVOICES, glob="*.pdf")
+    ).cache()
+    n = txt.count()
+    assert n == n_files
+    n_ok = txt.filter("EXTRACT_OK").count()
+
+    parsed = _parse(
+        txt.selectExpr("RELATIVE_PATH", "PDF_TEXT"), strict=False
+    ).cache()
+    agg = parsed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("CUSTOMER_ID").rlike(r"^\d{10}$")).cast("long")).alias(
+            "bad_cust"
+        ),
+        F.sum(
+            (~F.col("INVOICE_NUM").rlike(r"^INV-[A-Z0-9]{5}-\d+$")).cast(
+                "long"
+            )
+        ).alias("bad_inv"),
+        F.sum(
+            (
+                ~F.col("INV_GEN_DT").rlike(
+                    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$"
+                )
+            ).cast("long")
+        ).alias("bad_gen_dt"),
+        F.sum(
+            (~F.col("INV_STATUS").isin("Paid", "Unpaid", "Pending",
+                                       "Overdue", "")).cast("long")
+        ).alias("bad_status"),
+        F.sum(F.col("ITEM_1").isNull().cast("long")).alias("null_item1"),
+        F.sum(F.col("ITEM_2").isNull().cast("long")).alias("null_item2"),
+        F.sum(F.col("ITEM_3").isNull().cast("long")).alias("null_item3"),
+        F.sum(F.col("TOTAL").isNull().cast("long")).alias("null_total"),
+        F.sum((F.col("INV_STATUS") == "").cast("long")).alias(
+            "blank_status"
+        ),
+        # filename carries the invoice number: the end-to-end
+        # extraction+parse cross-check, corpus-wide
+        F.sum(
+            (
+                F.regexp_extract(
+                    "RELATIVE_PATH", r"INVOICE_NO_(INV-[A-Z0-9]+-\d+)_", 1
+                )
+                != F.col("INVOICE_NUM")
+            ).cast("long")
+        ).alias("fname_mismatch"),
+    ).collect()[0]
+    txt.unpersist()
+    parsed.unpersist()
+
+    print(
+        "FULL_CORPUS_RATES "
+        f"n={n} extract_ok={n_ok} "
+        f"bad_cust={agg.bad_cust} bad_inv={agg.bad_inv} "
+        f"bad_gen_dt={agg.bad_gen_dt} bad_status={agg.bad_status} "
+        f"null_items={agg.null_item1}/{agg.null_item2}/{agg.null_item3} "
+        f"null_total={agg.null_total} blank_status={agg.blank_status} "
+        f"fname_mismatch={agg.fname_mismatch}"
+    )
+    assert n_ok == n, "every real PDF must extract"
+    assert agg.n == n
+    assert agg.fname_mismatch == 0
+    assert agg.bad_cust == 0 and agg.bad_inv == 0 and agg.bad_gen_dt == 0
+    # exactly 2 source PDFs carry a truncated status IN THEIR BYTES
+    # ("Invoice Status: e" in INVOICE_NO_INV-8K6OQ-15_4731.pdf,
+    # "Invoice Status: ue" in INVOICE_NO_INV-9B4SA-40_12869.pdf) — the
+    # reference's 3BC split_part view yields the same strings, so the
+    # faithful number here is 2, not 0
+    assert agg.bad_status == 2
+    assert (
+        agg.null_item1 == 0
+        and agg.null_item2 == 0
+        and agg.null_item3 == 0
+        and agg.null_total == 0
+    )
+
+
+def test_stream_pdf_ingest_availablenow(spark, tmp_path):
+    """Streaming twin of the directory-stage auto-refresh (reference
+    ``1_env_setup.sql:25-27``): PDFs land in a directory, each
+    availableNow drain ingests exactly the new files through the
+    extract->parse chain into a lakehouse table with exactly-once
+    commits (file-source checkpoint = the refresh ledger; txn stamps
+    = replay armor)."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.ingest import (
+        stream_pdf_ingest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    customers = FX.gen_customers(20)
+    texts = FX.gen_invoice_texts(customers, n=6)
+    for i, t in enumerate(texts[:4]):
+        (land / t["RELATIVE_PATH"]).write_bytes(
+            FX.make_pdf(t["PDF_TEXT"], compress=i % 2 == 0)
+        )
+    table = SnapshotTable(spark, str(tmp_path / "invoice_details"))
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_pdf_ingest(
+        spark, str(land), table, ckpt, max_files_per_trigger=2
+    ).awaitTermination(180)
+    assert {r.RELATIVE_PATH for r in table.read().collect()} == {
+        t["RELATIVE_PATH"] for t in texts[:4]
+    }
+    v1 = table.snapshot().version
+    # maxFilesPerTrigger=2 over 4 files: >1 micro-batch, one commit each
+    assert v1 >= 2
+
+    # parsed fields match the pure-Python 3BC oracle; EXTRACT_OK rides
+    want = FX.oracle_parse_invoice(texts[0])
+    row = (
+        table.read()
+        .filter(F.col("RELATIVE_PATH") == texts[0]["RELATIVE_PATH"])
+        .collect()[0]
+    )
+    assert row.INVOICE_NUM == want["INVOICE_NUM"]
+    assert row.CUSTOMER_ID == want["CUSTOMER_ID"]
+    assert float(row.TOTAL) == float(want["TOTAL"])
+    assert row.EXTRACT_OK
+
+    # drain with nothing pending: no table version spent
+    stream_pdf_ingest(spark, str(land), table, ckpt).awaitTermination(180)
+    assert table.snapshot().version == v1
+
+    # late-arriving PDFs: only the delta ingests
+    for t in texts[4:]:
+        (land / t["RELATIVE_PATH"]).write_bytes(FX.make_pdf(t["PDF_TEXT"]))
+    stream_pdf_ingest(spark, str(land), table, ckpt).awaitTermination(180)
+    assert {r.RELATIVE_PATH for r in table.read().collect()} == {
+        t["RELATIVE_PATH"] for t in texts
+    }
+    assert table.read().count() == 6

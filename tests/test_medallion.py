@@ -176,3 +176,50 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     }
     # dynamic overwrite must not rewrite the untouched partition's files
     assert sorted(os.listdir(untouched)) == before
+
+
+def test_create_view_round_trip(spark, loaded_raw):
+    """S10 sink pin (sources/catalog.py:create_view; reference
+    ``3BC_create_raw_pdf_text_view.sql:1``): a named catalog view over
+    the raw PDF text with the reference's split_part field offsets,
+    served through ``spark.table``, late-bound to the base table, and
+    replaceable in place (CREATE OR REPLACE)."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.catalog import (
+        create_view,
+    )
+
+    from .fixtures import oracle_parse_invoice
+
+    _, _, _, texts = loaded_raw
+    create_view(
+        spark,
+        "raw.vw_pdf_raw_text",
+        """
+        SELECT RELATIVE_PATH, PDF_TEXT,
+               lpad(split_part(split_part(PDF_TEXT, 'Customer:', 2),
+                               ' ', 2), 10, '0') AS CUSTOMER_ID,
+               split_part(split_part(PDF_TEXT, 'Invoice #:', 2),
+                          ' ', 2) AS INVOICE_NUM
+        FROM raw.pdf_raw_text
+        """,
+    )
+    got = {
+        r.RELATIVE_PATH: (r.CUSTOMER_ID, r.INVOICE_NUM)
+        for r in spark.table("raw.vw_pdf_raw_text").collect()
+    }
+    assert len(got) == len(texts)
+    for row in texts:
+        want = oracle_parse_invoice(row)
+        assert got[row["RELATIVE_PATH"]] == (
+            want["CUSTOMER_ID"],
+            want["INVOICE_NUM"],
+        )
+    # CREATE OR REPLACE: same name, new query shape, no drop needed
+    create_view(
+        spark,
+        "raw.vw_pdf_raw_text",
+        "SELECT count(*) AS n FROM raw.pdf_raw_text",
+    )
+    assert spark.table("raw.vw_pdf_raw_text").columns == ["n"]
+    assert spark.table("raw.vw_pdf_raw_text").first().n == len(texts)
+    spark.sql("DROP VIEW raw.vw_pdf_raw_text")

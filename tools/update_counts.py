@@ -26,11 +26,19 @@ def main() -> None:
     n, n_orc, n_head = len(QUERIES), len(ORACLES), len(HEADLINE)
     readme = REPO / "README.md"
     text = readme.read_text()
-    new = re.sub(
-        r"declared workload \(\d+\n?\s*queries",
-        f"declared workload ({n}\n                    queries",
-        text,
-    )
+    # Wrap-tolerant: keep whatever whitespace the README currently has
+    # between the count and "queries" so a re-wrapped paragraph still
+    # matches, and FAIL LOUDLY when no substitution site exists (a
+    # silent no-op would reintroduce the drift this tool closes).
+    pattern = re.compile(r"(declared workload \()\d+(\s*queries)")
+    if not pattern.search(text):
+        print(
+            "ERROR: no 'declared workload (N queries' site in README.md"
+            " — update the paragraph or this tool",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    new = pattern.sub(rf"\g<1>{n}\g<2>", text)
     readme.write_text(new)
     print(
         f"declared={n} oracled={n_orc} headline={n_head} "
