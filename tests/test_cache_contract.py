@@ -23,7 +23,12 @@ from summit_23_snowpark_data_lake_workloads_spark.plans.queries import (
 
 #: HEADLINE queries whose plan calls localCheckpoint (connected
 #: components): their blocks are ContextCleaner-owned, not registry-owned
-_CHECKPOINTERS = {"training_corpus_pipeline", "training_corpus_pipeline_v2"}
+_CHECKPOINTERS = {
+    "training_corpus_pipeline",
+    "training_corpus_pipeline_v2",
+    # r13: the charlm score pass checkpoints its ~729-row trained model
+    "charlm_doc_quality",
+}
 
 
 def _persistent_ids(spark) -> set[int]:
