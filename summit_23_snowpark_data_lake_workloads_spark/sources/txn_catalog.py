@@ -55,6 +55,7 @@ same read-never-torn guarantee across MULTIPLE tables.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -544,31 +545,49 @@ class PinnedCatalog:
                 "timestamp_ms": int(time.time() * 1000),
             }
         )
-        if not self.commit_protocol.publish(
-            os.path.join(self._branch_refs_dir(), f"{name}.json"), body
-        ):
+        ref_path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        if not self.commit_protocol.publish(ref_path, body):
             raise FileExistsError(
                 f"catalog branch {name!r} already exists "
                 "(drop_branch to discard)"
             )
-        bcat = PinnedCatalog(
-            self.spark,
-            self._branch_root(name),
-            commit_protocol=self.commit_protocol,
-        )
-        for tname, entry in cur["tables"].items():
-            if not entry["pin"]:
-                continue  # nothing committed to fork
-            t = SnapshotTable(
+        forked: list[str] = []
+        try:
+            bcat = PinnedCatalog(
                 self.spark,
-                entry["path"],
+                self._branch_root(name),
                 commit_protocol=self.commit_protocol,
             )
-            bt = t.create_branch(
-                self._table_branch_ref(name), version=entry["pin"]
-            )
-            bcat.register(tname, bt.path)
-        return bcat
+            for tname, entry in cur["tables"].items():
+                if not entry["pin"]:
+                    continue  # nothing committed to fork
+                t = SnapshotTable(
+                    self.spark,
+                    entry["path"],
+                    commit_protocol=self.commit_protocol,
+                )
+                bt = t.create_branch(
+                    self._table_branch_ref(name), version=entry["pin"]
+                )
+                forked.append(entry["path"])
+                bcat.register(tname, bt.path)
+            return bcat
+        except BaseException:
+            # a half-forked warehouse must not stay listed: unwind the
+            # table branches already reserved, the branch catalog, and
+            # the ref (the same no-phantom-ref rule as the table level;
+            # reachable e.g. when a reused name hits a table's stale
+            # post-merge branch directory mid-fork)
+            for path in forked:
+                t = SnapshotTable(
+                    self.spark, path, commit_protocol=self.commit_protocol
+                )
+                with contextlib.suppress(Exception):
+                    t.drop_branch(self._table_branch_ref(name))
+            shutil.rmtree(self._branch_root(name), ignore_errors=True)
+            with contextlib.suppress(OSError):
+                os.unlink(ref_path)
+            raise
 
     def branch(self, name: str) -> "PinnedCatalog":
         """Open a handle on an existing catalog branch."""

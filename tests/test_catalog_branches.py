@@ -291,3 +291,58 @@ def test_unexpected_failure_mid_staging_rolls_back(spark, wh, monkeypatch):
     cat.merge_branch("exp")
     assert _kv(cat, "dim") == {"a": 1, "b": 2, "c": 3}
     assert _kv(cat, "fact") == {"x": 10, "y": 20, "z": 30}
+
+
+def test_catalog_branch_half_fork_unwinds(spark, wh, monkeypatch):
+    """Catalog-level twin of the table ref-leak fix: if forking dies
+    mid-warehouse (here: the SECOND table's fork fails), the catalog
+    ref, the branch catalog, and every already-reserved table branch
+    unwind — branches() never lists a half-forked warehouse."""
+    cat = wh
+    orig = SnapshotTable.create_branch
+    calls = []
+
+    def flaky(self, name, version=None, tag=None):
+        calls.append(name)
+        if len(calls) == 2:
+            raise OSError("simulated fork failure")
+        return orig(self, name, version=version, tag=tag)
+
+    monkeypatch.setattr(SnapshotTable, "create_branch", flaky)
+    with pytest.raises(OSError, match="fork failure"):
+        cat.create_branch("exp")
+    monkeypatch.undo()
+
+    assert cat.branches() == {}
+    for name in ("dim", "fact"):
+        assert cat.table(name).branches() == {}, "table fork leaked"
+    assert not os.path.exists(cat._branch_root("exp"))
+
+    # the name is reusable once the cause is gone
+    bcat = cat.create_branch("exp")
+    assert _kv(bcat, "dim") == {"a": 1, "b": 2}
+    cat.drop_branch("exp")
+
+
+def test_catalog_branch_name_reuse_after_merge(spark, wh):
+    """Reusing a catalog branch name after merge_branch: the per-table
+    branch DIRECTORIES persist post-merge (main references merged
+    files in place), so the table-level stale-directory refusal fires
+    mid-fork — the catalog must unwind cleanly and refuse loudly, not
+    leak a ref over a half-forked warehouse serving stale state."""
+    cat = wh
+    bcat = cat.create_branch("exp")
+    btxn = bcat.transaction()
+    btxn.table("dim").append(_rows(spark, [("c", 3)]))
+    btxn.commit()
+    cat.merge_branch("exp")
+    assert _kv(cat, "dim") == {"a": 1, "b": 2, "c": 3}
+
+    with pytest.raises(FileExistsError, match="merged table"):
+        cat.create_branch("exp")
+    assert cat.branches() == {}
+    for name in ("dim", "fact"):
+        assert cat.table(name).branches() == {}
+    # main unaffected by the refused re-fork
+    assert _kv(cat, "dim") == {"a": 1, "b": 2, "c": 3}
+    assert cat.repair("dim") is None
