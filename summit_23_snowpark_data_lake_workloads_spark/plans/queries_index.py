@@ -4425,6 +4425,8 @@ def _erase_oracle() -> str:
     SELECT 'refs_block', 1::BIGINT, 1::BIGINT
     UNION ALL
     SELECT 'erase_rebranch', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'catalog_erase_repin', 1::BIGINT, 1::BIGINT
     """
 
 
@@ -4454,7 +4456,10 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erase, re-branch — ending with a fresh fork that serves only
     post-erase state (an erase cannot be staged ON a branch: it would
     expire the fork manifest the merge diff needs, so drop-and-
-    re-branch is the contract, now end-to-end).
+    re-branch is the contract, now end-to-end); ``catalog_erase_repin``
+    gates the catalog composition (``PinnedCatalog.erase_rows``: the
+    same erasure with the pin moved to the erase commit in one CAS —
+    no dangling pinned reads).
 
     Scale: one COW rewrite of subject-bearing files (raw-scan located)
     + one vacuum + O(retained sidecars) rewrites — proportional to the
@@ -4520,6 +4525,29 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             and t.branches()["resume"]["fork_version"]
             == t.snapshot().version
         )
+
+        # catalog-level erase (PinnedCatalog.erase_rows): the same
+        # physical erasure with the PIN moved to the erase commit in
+        # one CAS — pinned reads serve post-erase truth immediately
+        from ..sources.txn_catalog import PinnedCatalog
+
+        cat = PinnedCatalog(spark, os.path.join(tmp, "cat"))
+        cat.register("t2", os.path.join(tmp, "t2"))
+        ctxn = cat.transaction()
+        ctxn.table("t2").create(ev.filter(F.col("event_id") % 3 == 0))
+        ctxn.commit()
+        rpt = cat.erase_rows("t2", F.col("user_id") % 11 == 5)
+        t2 = cat.table("t2")
+        catalog_erase_repin = int(
+            rpt["catalog_version"] is not None
+            and cat.read("t2")
+            .filter(F.col("user_id") % 11 == 5)
+            .limit(1)
+            .count()
+            == 0
+            and cat.pin("t2") == t2.snapshot().version
+            and len(t2._versions()) == 1
+        )
         flags = spark.createDataFrame(
             [
                 ("bytes_gone", bytes_gone, bytes_gone),
@@ -4527,6 +4555,11 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("feed_redacted", feed_redacted, feed_redacted),
                 ("refs_block", refs_block, refs_block),
                 ("erase_rebranch", erase_rebranch, erase_rebranch),
+                (
+                    "catalog_erase_repin",
+                    catalog_erase_repin,
+                    catalog_erase_repin,
+                ),
             ],
             "probe string, n long, agg long",
         )

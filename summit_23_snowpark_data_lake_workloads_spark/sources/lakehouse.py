@@ -4045,7 +4045,10 @@ class SnapshotTable:
         :class:`PinnedCatalog` pin keeps naming the pre-erase version,
         so pinned reads FAIL between the erase and the catalog's next
         transaction (which re-pins to the erase commit). Erase between
-        transactions, and re-home or drop clones first.
+        transactions, re-home or drop clones first — and a table
+        registered in a known catalog should erase THROUGH it
+        (``PinnedCatalog.erase_rows``: same erasure, pin moved to the
+        erase commit in the same step).
 
         Returns ``{"files_rewritten", "versions_expired",
         "data_files_deleted", "sidecars_redacted"}``. Cost: one COW

@@ -264,6 +264,65 @@ class PinnedCatalog:
             retain_last=retain_last, keep_versions=keeps, **kw
         )
 
+    def erase_rows(self, name: str, predicate) -> dict:
+        """RIGHT-TO-BE-FORGOTTEN through the catalog:
+        :meth:`SnapshotTable.erase_rows` on the registered table, then
+        the table's PIN moves to the erase commit in one catalog CAS.
+        This closes the table-level docstring's pin hazard — an erase
+        under a catalog pin otherwise leaves every pinned read dangling
+        on a vacuumed version until the next transaction re-pins. The
+        dangling window shrinks to the instant between the table's
+        vacuum and this method's CAS (stated, not hidden: a reader
+        racing inside it fails and retries, the same contract as any
+        pinned read under retention).
+
+        Refusals, strictest first: the table-level refs check (tags /
+        branches pin history — drop them first); a log head PAST the
+        pin (an abandoned stager's rows must never launder into the
+        pinned view through an erase rewrite — ``repair()`` first); a
+        pin that MOVES while the erase runs (TransactionConflict: the
+        erase rewrote a truth someone else advanced past).
+
+        Catalog TAGS are state snapshots, not table-vacuum holds
+        (unless ``protect=True`` created table tags — those hit the
+        table-level refusal above): their historical reads of this
+        table die with the expired history — GDPR beats cross-table
+        time travel, the same trade the change feed documents.
+
+        Returns the table-level stats dict plus ``catalog_version``."""
+        cur = self.state()
+        entry = cur["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"table {name!r} not registered")
+        t = self.table(name)
+        vs = t._versions()
+        head = vs[-1] if vs else 0
+        pin_at_start = entry["pin"]
+        if head != pin_at_start:
+            raise ValueError(
+                f"table {name!r} log head v{head} != pin "
+                f"v{pin_at_start}: repair() first — an erase must "
+                "rewrite the pinned truth, not an abandoned stager's"
+            )
+        stats = t.erase_rows(predicate)
+        new_head = t.snapshot().version
+        while True:
+            cur = self.state()
+            if cur["tables"][name]["pin"] != pin_at_start:
+                raise TransactionConflict(
+                    f"pin for {name!r} moved while the erase ran; "
+                    "the erased truth was advanced past — re-read and "
+                    "re-erase"
+                )
+            tables = dict(cur["tables"])
+            tables[name] = {**tables[name], "pin": new_head}
+            try:
+                v = self._cas(cur, tables)
+                break
+            except TransactionConflict:
+                continue  # an unrelated table's commit; re-read
+        return {**stats, "catalog_version": v}
+
     # ------------------------------------------------------------- tags
 
     def create_tag(

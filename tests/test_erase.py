@@ -105,3 +105,67 @@ def test_erase_composes_with_column_mapping(spark, tmp_path):
     t.erase_rows(F.col("ident").isin(1, 4))
     assert sorted(r.ident for r in t.read().collect()) == [0, 2, 3, 5]
     assert _all_parquet_ids(spark, t.path) & {1, 4} == set()
+
+
+# ------------------------------------------------- catalog-level erase
+
+
+def test_catalog_erase_moves_pin_in_one_cas(spark, tmp_path):
+    """PinnedCatalog.erase_rows: the subject leaves every physical
+    surface AND the catalog pin lands on the erase commit in one CAS —
+    pinned reads serve the post-erase truth immediately, instead of
+    dangling on a vacuumed version until the next transaction."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+        PinnedCatalog,
+    )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("t", str(tmp_path / "t"))
+    txn = cat.transaction()
+    txn.table("t").create(_df(spark, 0, 10))
+    txn.commit()
+    v_before = cat.state()["version"]
+
+    rpt = cat.erase_rows("t", F.col("id").isin(3, 7))
+    assert rpt["catalog_version"] == v_before + 1
+    # pinned read = post-erase truth, no dangling window left behind
+    ids = sorted(r.id for r in cat.read("t").collect())
+    assert ids == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert 3 not in _all_parquet_ids(spark, str(tmp_path / "t"))
+    t = cat.table("t")
+    assert len(t._versions()) == 1  # history expired
+    assert cat.pin("t") == t.snapshot().version
+    # the catalog stays transactable afterwards (no wedged lineage)
+    txn2 = cat.transaction()
+    txn2.table("t").append(_df(spark, 100, 102))
+    txn2.commit()
+    assert 101 in {r.id for r in cat.read("t").collect()}
+
+
+def test_catalog_erase_refuses_dirty_log_and_unregistered(spark, tmp_path):
+    """An abandoned stager's commit (log head past the pin) must not
+    launder into the pinned view through an erase rewrite."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+        PinnedCatalog,
+    )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("t", str(tmp_path / "t"))
+    txn = cat.transaction()
+    txn.table("t").create(_df(spark, 0, 5))
+    txn.commit()
+    with pytest.raises(KeyError):
+        cat.erase_rows("ghost", F.col("id") == 1)
+
+    # stage-and-abandon: table log head runs past the pin
+    txn2 = cat.transaction()
+    txn2.table("t").append(_df(spark, 50, 55))
+    txn2.abandon()
+    with pytest.raises(ValueError, match="repair"):
+        cat.erase_rows("t", F.col("id") == 1)
+    cat.repair("t")
+    rpt = cat.erase_rows("t", F.col("id") == 1)
+    assert rpt["files_rewritten"] >= 1
+    assert sorted(r.id for r in cat.read("t").collect()) == [0, 2, 3, 4]
+    # the abandoned stager's rows did NOT launder into the erased truth
+    assert 50 not in _all_parquet_ids(spark, str(tmp_path / "t"))
