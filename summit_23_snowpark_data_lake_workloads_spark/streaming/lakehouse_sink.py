@@ -38,6 +38,17 @@ def write_stream_to_snapshot_table(
     UDF extract chains, per-batch joins) stay usable on a streaming
     source without stream-side restrictions, and a replayed batch
     skips the (possibly expensive) transform entirely.
+
+    Checkpoint LOSS (not restart) is a different failure domain from
+    the replay the txn stamp armors against, and the stamp makes it
+    WORSE if mishandled: a fresh checkpoint restarts batch ids at 0,
+    so under the same ``app_id`` every re-delivered batch satisfies
+    ``batch_id <= seen`` and is silently dropped — including batches
+    carrying genuinely NEW source data regrouped into low ids. Delta's
+    ``txnAppId`` has the identical contract. Keep the checkpoint as
+    durable as the table; if it is lost, resume under a FRESH app_id
+    and deduplicate the re-delivered prefix (content-keyed MERGE, or
+    the dedup-ingest sinks which are replay-safe by construction).
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:

@@ -307,3 +307,53 @@ def test_stream_pdf_ingest_availablenow(spark, tmp_path):
         t["RELATIVE_PATH"] for t in texts
     }
     assert table.read().count() == 6
+
+
+def test_stream_pdf_ingest_checkpoint_loss_contract(spark, tmp_path):
+    """Checkpoint LOSS (not restart) under the SAME app_id silently
+    drops re-delivered batches — ids restart at 0 and the txn stamp
+    treats them all as replays, including batches carrying genuinely
+    new files. Pinned here as the documented contract (Delta's
+    txnAppId behaves identically), together with the remedy: a fresh
+    app_id re-delivers everything and a path-keyed dedupe recovers
+    the logical table."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.ingest import (
+        stream_pdf_ingest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    customers = FX.gen_customers(10)
+    texts = FX.gen_invoice_texts(customers, n=5)
+    for t in texts[:3]:
+        (land / t["RELATIVE_PATH"]).write_bytes(FX.make_pdf(t["PDF_TEXT"]))
+    table = SnapshotTable(spark, str(tmp_path / "details"))
+    ckpt = str(tmp_path / "ckpt")
+    stream_pdf_ingest(spark, str(land), table, ckpt).awaitTermination(180)
+    assert table.read().count() == 3
+
+    # new files arrive AND the checkpoint is lost
+    for t in texts[3:]:
+        (land / t["RELATIVE_PATH"]).write_bytes(FX.make_pdf(t["PDF_TEXT"]))
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    stream_pdf_ingest(spark, str(land), table, ckpt).awaitTermination(180)
+    # the hazard, pinned: same app_id -> batch ids restarted at 0,
+    # every batch looked like a replay, the NEW files were dropped
+    assert table.read().count() == 3
+
+    # the remedy: fresh app_id re-delivers all 5; path-keyed dedupe
+    # recovers the logical table
+    stream_pdf_ingest(
+        spark, str(land), table, str(tmp_path / "ckpt2"), app_id="pdf_v2"
+    ).awaitTermination(180)
+    assert table.read().count() == 8  # 3 + all 5 re-delivered
+    logical = table.read().dropDuplicates(["RELATIVE_PATH"])
+    assert logical.count() == 5
+    assert {r.RELATIVE_PATH for r in logical.collect()} == {
+        t["RELATIVE_PATH"] for t in texts
+    }
