@@ -6,6 +6,10 @@ Usage:
     python tools/gate_window.py            # current round's window
     python tools/gate_window.py --next N   # simulate round N's window
                                            # after this round goes green
+    python tools/gate_window.py --check    # exit 1 if any green LEFT OUT
+                                           # of this round's window is
+                                           # already >= 4 rounds stale
+                                           # (it will re-gate at age 5+)
 
 The 50-slot budget discipline (round-10 verdict #1): every declared
 query must re-prove on the current environment within ~2 rounds, so a
@@ -54,6 +58,9 @@ def main() -> int:
     ap.add_argument("--next", type=int, default=None, metavar="N",
                     help="simulate round N's window assuming this "
                     "round's window goes fully green first")
+    ap.add_argument("--check", action="store_true",
+                    help="exit 1 when a green left out of the window "
+                    "is already >= 4 rounds stale (rotation invariant)")
     args = ap.parse_args()
 
     import __spark_entry__ as m
@@ -109,6 +116,17 @@ def main() -> int:
         print(f"  stalest green LEFT OUT of the window: r{stalest_out}")
     budget = WINDOW - len(never) - len(forced)
     print(f"  slots left for stale rotation: {budget}")
+    overdue = sorted(
+        n for n in outside
+        if n in last_green and cur_round - last_green[n] >= 4
+    )
+    if overdue:
+        print(
+            f"  OVERDUE (left out at age >= 4; re-gates at 5+): "
+            f"{[(n, f'r{last_green[n]}') for n in overdue]}"
+        )
+    if args.check and overdue:
+        return 1
     return 0
 
 
