@@ -357,3 +357,57 @@ def test_stream_pdf_ingest_checkpoint_loss_contract(spark, tmp_path):
     assert {r.RELATIVE_PATH for r in logical.collect()} == {
         t["RELATIVE_PATH"] for t in texts
     }
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_FULL_CORPUS"),
+    reason="full-corpus streaming ingest: set SPARK_GRAFT_FULL_CORPUS=1",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_INVOICES),
+    reason="reference invoice corpus not present",
+)
+def test_full_corpus_stream_ingest(spark, tmp_path):
+    """The landing-directory streaming path at REAL corpus scale: all
+    24,999 reference PDFs drain through bounded availableNow
+    micro-batches (maxFilesPerTrigger caps per-batch memory for the
+    extract UDF) into a lakehouse table — one txn-stamped commit per
+    micro-batch, rows identical to the batch pipeline's."""
+    import os
+
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.streaming.ingest import (
+        stream_pdf_ingest,
+    )
+
+    n_files = len(
+        [f for f in os.listdir(_REF_INVOICES) if f.endswith(".pdf")]
+    )
+    table = SnapshotTable(spark, str(tmp_path / "details"))
+    stream_pdf_ingest(
+        spark,
+        _REF_INVOICES,
+        table,
+        str(tmp_path / "ckpt"),
+        app_id="full_corpus",
+        max_files_per_trigger=2048,
+    ).awaitTermination(1200)
+    got = table.read()
+    assert got.count() == n_files
+    assert got.filter("EXTRACT_OK").count() == n_files
+    assert got.filter(F.col("TOTAL").isNull()).count() == 0
+    # bounded batches -> multiple commits, each txn-stamped
+    n_versions = len(table._versions())
+    assert n_versions >= n_files // 2048
+    assert table.last_committed_batch("full_corpus") == n_versions - 1
+    # a re-drain with the intact checkpoint spends nothing
+    stream_pdf_ingest(
+        spark,
+        _REF_INVOICES,
+        table,
+        str(tmp_path / "ckpt"),
+        app_id="full_corpus",
+    ).awaitTermination(300)
+    assert len(table._versions()) == n_versions
