@@ -169,3 +169,26 @@ def test_catalog_erase_refuses_dirty_log_and_unregistered(spark, tmp_path):
     assert sorted(r.id for r in cat.read("t").collect()) == [0, 2, 3, 4]
     # the abandoned stager's rows did NOT launder into the erased truth
     assert 50 not in _all_parquet_ids(spark, str(tmp_path / "t"))
+
+
+def test_catalog_erase_refused_under_catalog_branch(spark, tmp_path):
+    """A catalog branch forks every table (table-level branch refs
+    exist), so the table-level refs refusal propagates through
+    PinnedCatalog.erase_rows: erasure under a live warehouse branch
+    would be silently partial — drop or merge the branch first."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+        PinnedCatalog,
+    )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("t", str(tmp_path / "t"))
+    txn = cat.transaction()
+    txn.table("t").create(_df(spark, 0, 6))
+    txn.commit()
+    cat.create_branch("exp")
+    with pytest.raises(ValueError, match="refs still pin history"):
+        cat.erase_rows("t", F.col("id") == 2)
+    cat.drop_branch("exp")
+    rpt = cat.erase_rows("t", F.col("id") == 2)
+    assert rpt["catalog_version"] is not None
+    assert sorted(r.id for r in cat.read("t").collect()) == [0, 1, 3, 4, 5]
