@@ -192,3 +192,43 @@ def test_catalog_erase_refused_under_catalog_branch(spark, tmp_path):
     rpt = cat.erase_rows("t", F.col("id") == 2)
     assert rpt["catalog_version"] is not None
     assert sorted(r.id for r in cat.read("t").collect()) == [0, 1, 3, 4, 5]
+
+
+# ------------------------------------------------ model-based invariant
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    subj=st.sets(st.integers(0, 19), max_size=6),
+    predel=st.sets(st.integers(0, 19), max_size=4),
+    cdf=st.booleans(),
+)
+def test_erase_model_invariant(spark, tmp_path_factory, subj, predel, cdf):
+    """MODEL INVARIANT: for any subject set, any pre-erase MoR delete
+    set, CDF on or off — after ``erase_rows(subject)`` (a) the head
+    view is exactly the original rows minus BOTH sets, (b) no subject
+    id survives in ANY parquet byte under the table root (DV-hidden
+    pre-images and CDF sidecars included), (c) history is a single
+    version, and (d) a fresh handle on the same path reads the same
+    truth. Never a resurrected soft-deleted row, never a surviving
+    subject byte."""
+    tmp = tmp_path_factory.mktemp("erase_model")
+    t = SnapshotTable(spark, str(tmp / "t"), cdf=cdf)
+    t.create(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    if predel:
+        t.delete_mor(F.col("id").isin(*predel))
+    t.erase_rows(F.col("id").isin(*(subj or {-1})))
+
+    expect = sorted(set(range(20)) - predel - subj)
+    assert sorted(r.id for r in t.read().collect()) == expect
+    disk = _all_parquet_ids(spark, str(tmp / "t"))
+    assert not (disk & subj), f"subject bytes survived: {disk & subj}"
+    # soft-deleted non-subjects may keep bytes (DV-hidden) but must
+    # never resurrect into the head view — checked by (a); history:
+    assert len(t._versions()) == 1
+    fresh = SnapshotTable(spark, str(tmp / "t"))
+    assert sorted(r.id for r in fresh.read().collect()) == expect
