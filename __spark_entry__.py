@@ -50,6 +50,13 @@ FORCE_REGATE: dict[str, int] = {
     # the r13 window, so the rotation budget is unchanged.
     "charlm_doc_quality": 13,
     "training_corpus_pipeline_v2": 13,
+    # r14: dsir_importance_weights replanned with the same
+    # checkpoint-and-fuse fix (joint cr/ct training via a broadcast
+    # target flag -> ONE log-ratio broadcast over 2 count-table scans
+    # instead of ~6 scans + 3 broadcast exchanges; values
+    # bit-identical). Nothing composes it, so one entry suffices;
+    # the window has 50 rotation slots this round (r13 had 0).
+    "dsir_importance_weights": 14,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.

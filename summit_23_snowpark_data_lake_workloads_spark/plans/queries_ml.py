@@ -3828,10 +3828,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-document bigram count table comes from
     :func:`_doc_bigram_counts` — built and persisted ONCE per session
-    (text exploded exactly once, SHARED with ``charlm_doc_quality``);
-    both models aggregate from it and are <= |charset|^2 rows,
-    broadcast back with the scalar normalizers; the final aggregate
-    shuffles on doc_id. All codegen, no UDFs.
+    (text exploded exactly once, SHARED with ``charlm_doc_quality``).
+    ONE count-table scan trains BOTH models: the target membership flag
+    is broadcast onto the (doc_id, b, c) rows (DSIR's target set is a
+    small curated sample by construction — at 100 TB it is the one side
+    guaranteed broadcastable), so ``cr`` and ``ct`` come out of a
+    single groupBy; the <= |charset|^2-row joint model is checkpointed
+    so the normalizers (tr, tt, v) derive from ~729 rows instead of
+    re-aggregating the count table per broadcast subtree, and the
+    raw/tgt/consts broadcasts collapse into ONE per-bigram log-ratio
+    table. The scoring join reads the count table a second time; the
+    final aggregate shuffles on doc_id. All codegen, no UDFs.
 
     Hash determinism: the per-document weighted sum casts each
     ``c * log_ratio`` term to ``decimal(28,9)`` BEFORE summing (the
@@ -3845,35 +3852,51 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     dc = _doc_bigram_counts(spark, sf_dir)
-    raw = dc.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgt = (
-        dc.join(
-            docs.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
-        )
+    # r14 replan (the r13 charlm checkpoint-and-fuse fix, one better):
+    # the old raw/tgt/consts broadcast subtrees re-scanned the persisted
+    # count table ~6x (consts re-aggregated BOTH model subtrees) with 3
+    # broadcast exchanges. Joint training via a broadcast target flag +
+    # a checkpointed ~729-row model fuses everything into ONE log-ratio
+    # broadcast over 2 count-table scans. Arithmetic is unchanged (the
+    # same doubles flow through the same coalesce/log expression), so
+    # the decimal-exact sum stays bit-identical to the oracle.
+    tgt_ids = docs.filter(F.col("source") == "src0").select(
+        "doc_id", F.lit(1).alias("is_tgt")
+    )
+    model = (
+        dc.join(F.broadcast(tgt_ids), "doc_id", "left")
         .groupBy("b")
-        .agg(F.sum("c").alias("ct"))
-    )
-    consts = (
-        raw.agg(
-            F.sum("cr").alias("tr"), F.count(F.lit(1)).alias("v")
+        .agg(
+            F.sum("c").alias("cr"),
+            F.sum(F.when(F.col("is_tgt") == 1, F.col("c"))).alias("ct"),
         )
-        .crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")))
+        .localCheckpoint(eager=True)
     )
-    ratio = F.log(
-        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + F.col("v"))
-    ) - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
+    consts = model.agg(
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+    )
+    logratio = model.crossJoin(consts).select(
+        "b",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                / (F.col("tt") + F.col("v"))
+            )
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
+        ).alias("lr"),
+    )
     return (
-        dc.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(consts))
+        dc.join(F.broadcast(logratio), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
             (
                 F.round(
-                    F.sum((F.col("c") * ratio).cast("decimal(28,9)")).cast(
-                        "double"
-                    )
+                    F.sum(
+                        (F.col("c") * F.col("lr")).cast("decimal(28,9)")
+                    ).cast("double")
                     / F.sum("c"),
                     3,
                 )

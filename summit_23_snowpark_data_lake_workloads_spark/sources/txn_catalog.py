@@ -281,7 +281,20 @@ class PinnedCatalog:
         pin (an abandoned stager's rows must never launder into the
         pinned view through an erase rewrite — ``repair()`` first); a
         pin that MOVES while the erase runs (TransactionConflict: the
-        erase rewrote a truth someone else advanced past).
+        erase rewrote a truth someone else advanced past). On that
+        conflict the table-level erase has ALREADY expired the history
+        the moved pin names (a concurrent ``rollback`` is the realistic
+        mover — any concurrent table-log writer would have aborted the
+        erase commit itself), so before raising, the pin is
+        best-effort RE-PINNED to the erase head when the version it
+        names no longer exists: the erase head is the only serving
+        version left, and a dangling pin would wedge every pinned read
+        AND the re-erase the old message prescribed (``repair()``
+        cannot help either — ``rollback(pin)`` targets a vacuumed
+        version). A moved pin that still names a READABLE version is
+        left alone — that advance is a live truth this erase must not
+        clobber. The raised conflict says which happened; the racing
+        writer's update is lost either way and must re-apply.
 
         Catalog TAGS are state snapshots, not table-vacuum holds
         (unless ``protect=True`` created table tags — those hit the
@@ -308,11 +321,38 @@ class PinnedCatalog:
         new_head = t.snapshot().version
         while True:
             cur = self.state()
-            if cur["tables"][name]["pin"] != pin_at_start:
+            moved_pin = cur["tables"][name]["pin"]
+            if moved_pin != pin_at_start:
+                if moved_pin in t._versions():
+                    raise TransactionConflict(
+                        f"pin for {name!r} moved to readable "
+                        f"v{moved_pin} while the erase ran; the "
+                        "erased truth was advanced past — re-read "
+                        "and re-erase"
+                    )
+                # the erase already vacuumed the version the moved pin
+                # names: repair the pin to the erase head (the only
+                # serving version left) so pinned reads un-wedge, THEN
+                # raise — the racing writer's update is still lost
+                try:
+                    while True:
+                        cur = self.state()
+                        if cur["tables"][name]["pin"] in t._versions():
+                            break  # someone else repaired it first
+                        tables = dict(cur["tables"])
+                        tables[name] = {**tables[name], "pin": new_head}
+                        try:
+                            self._cas(cur, tables)
+                            break
+                        except TransactionConflict:
+                            continue  # unrelated commit; re-read
+                except OSError:
+                    pass  # best-effort: the conflict below still states it
                 raise TransactionConflict(
-                    f"pin for {name!r} moved while the erase ran; "
-                    "the erased truth was advanced past — re-read and "
-                    "re-erase"
+                    f"pin for {name!r} moved to v{moved_pin} while the "
+                    "erase ran, and the erase expired that version; "
+                    f"pin re-pinned to the erase head v{new_head} — "
+                    "the racing update is lost, re-read and re-apply"
                 )
             tables = dict(cur["tables"])
             tables[name] = {**tables[name], "pin": new_head}
