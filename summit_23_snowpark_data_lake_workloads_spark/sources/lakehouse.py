@@ -224,6 +224,55 @@ class LockedCommit(CommitProtocol):
             return self.inner.publish(path, body)
 
 
+class FileLockMutex:
+    """Mutual exclusion via an exclusive-create LOCK FILE — the
+    filesystem-visible stand-in for the external lock service
+    S3-without-conditional-PUT needs (the DynamoDB row Delta-on-S3
+    uses). Unlike ``threading.Lock`` it excludes across PROCESSES, so
+    ``LockedCommit(FileLockMutex(...), ...)`` is the single-box model
+    of the multi-cluster commit arbitration the
+    :class:`CommitProtocol` docstring promises: every writer on every
+    driver contends for the same lock object, not a per-process mutex.
+
+    What a production lock service adds that a bare lock file cannot
+    (stated, not hidden): holder TTL/expiry and fencing tokens — a
+    holder that CRASHES here leaks the lock until ``timeout_s`` expiry
+    surfaces it to an operator (the lock file records the holder pid
+    for that postmortem); it is never silently broken, because breaking
+    a lock without fencing re-creates the lost-update anomaly the seam
+    exists to prevent."""
+
+    def __init__(
+        self, path: str, poll_s: float = 0.002, timeout_s: float = 30.0
+    ):
+        self.path = path
+        self.poll_s = poll_s
+        self.timeout_s = timeout_s
+
+    def __enter__(self) -> "FileLockMutex":
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"lock {self.path!r} held past {self.timeout_s}s "
+                        "(crashed holder? pid inside the file)"
+                    )
+                time.sleep(self.poll_s)
+
+    def __exit__(self, *exc) -> bool:
+        with contextlib.suppress(OSError):
+            os.unlink(self.path)
+        return False
+
+
 @dataclass(frozen=True)
 class Snapshot:
     """One committed table version."""
@@ -3836,7 +3885,8 @@ class SnapshotTable:
             raise FileExistsError(
                 f"branch directory {root!r} still holds a merged table "
                 "(main references its files in place); compact() main, "
-                "vacuum, drop_branch, then reuse the name"
+                f"vacuum, then prune_branch_dir({name!r}) to remove the "
+                "stale directory and reuse the name"
             )
         os.makedirs(self._branch_refs_dir(), exist_ok=True)
         body = json.dumps(
@@ -3891,6 +3941,38 @@ class SnapshotTable:
                     "vacuum, then drop the branch"
                 )
         os.unlink(os.path.join(self._branch_refs_dir(), f"{name}.json"))
+        shutil.rmtree(root, ignore_errors=True)
+
+    def prune_branch_dir(self, name: str) -> None:
+        """Remove a REF-LESS branch directory — the post-merge residue:
+        ``merge_branch(drop_ref=True)`` releases the ref but keeps the
+        directory because main references the merged files in place, so
+        :meth:`drop_branch` (which requires a live ref) can never clean
+        it up. This is the maintenance step :meth:`create_branch`'s
+        stale-directory refusal prescribes before the name can be
+        reused. Refuses while the ref still exists (that branch is
+        live — :meth:`drop_branch` is the right tool) or while any
+        RETAINED main manifest still references files under the branch
+        root (``compact()`` main to re-home the rows, ``vacuum`` the
+        old manifests away, then prune). Idempotent on a missing
+        directory."""
+        if name in self.branches():
+            raise ValueError(
+                f"branch {name!r} still has a live ref — use "
+                "drop_branch(); prune_branch_dir only removes "
+                "post-merge residue"
+            )
+        root = self._branch_root(name)
+        if not os.path.isdir(root):
+            return
+        prefix = root.rstrip("/") + "/"
+        for v in self._versions():
+            if any(f.startswith(prefix) for f in self._load(v).files):
+                raise ValueError(
+                    f"branch {name!r} directory has merged files still "
+                    f"referenced by main v{v}; compact() main to "
+                    "re-home them, vacuum, then prune"
+                )
         shutil.rmtree(root, ignore_errors=True)
 
     def merge_branch(self, name: str, drop_ref: bool = True) -> Snapshot:

@@ -494,3 +494,37 @@ def test_merge_model_invariant(spark, tmp_path_factory, bdel, badd,
         | set(range(200, 200 + madd))
     )
     assert _ids(t.read()) == want  # (a) the union of both sides' edits
+
+
+def test_prune_branch_dir_executes_the_prescribed_remedy(spark, tmp_path):
+    """The stale-directory refusal's remedy must actually execute
+    (r13 advice, low): post-merge the ref is already released, so the
+    previously-prescribed drop_branch raises KeyError and could never
+    clean the residue. prune_branch_dir is the maintenance step that
+    removes a ref-less branch directory once main re-homed the rows —
+    and the refusal message now names it."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    br = t.create_branch("exp")
+    br.append(_df(spark, 10, 13))
+    t.merge_branch("exp")  # ref released; directory stays (referenced)
+    # the OLD prescribed remedy cannot run in this (only reachable)
+    # state: the ref is gone
+    with pytest.raises(KeyError):
+        t.drop_branch("exp")
+    # while main still references branch-local files, prune refuses
+    with pytest.raises(ValueError, match="still referenced"):
+        t.prune_branch_dir("exp")
+    # the refusal prescribes the executable remedy by name
+    with pytest.raises(FileExistsError, match="prune_branch_dir"):
+        t.create_branch("exp")
+    t.compact(target_files=1)
+    t.vacuum(retain_last=1, orphan_grace_ms=0)
+    t.prune_branch_dir("exp")
+    t.prune_branch_dir("exp")  # idempotent on a missing directory
+    br2 = t.create_branch("exp")  # the name is reusable again
+    assert _ids(br2.read()) == [0, 1, 2, 3, 10, 11, 12]
+    assert _ids(t.read()) == [0, 1, 2, 3, 10, 11, 12]
+    # a LIVE branch is drop_branch's job, not prune's
+    with pytest.raises(ValueError, match="live ref"):
+        t.prune_branch_dir("exp")

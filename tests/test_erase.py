@@ -232,3 +232,104 @@ def test_erase_model_invariant(spark, tmp_path_factory, subj, predel, cdf):
     assert len(t._versions()) == 1
     fresh = SnapshotTable(spark, str(tmp / "t"))
     assert sorted(r.id for r in fresh.read().collect()) == expect
+
+
+def test_catalog_erase_pin_conflict_repairs_dangling_pin(
+    spark, tmp_path, monkeypatch
+):
+    """The erase-vs-pin-move race (r13 advice, low): when a concurrent
+    catalog CAS (a rollback is the realistic mover) lands between the
+    table-level erase and the pin swap, the erase has ALREADY expired
+    the version the moved pin names — the old behavior raised with the
+    pin dangling on a vacuumed version (pinned reads wedged, re-erase
+    hit the head!=pin refusal, repair() targeted a vacuumed version).
+    Now the pin is best-effort re-pinned to the erase head BEFORE the
+    conflict raises, so the catalog keeps serving."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable as ST,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+        PinnedCatalog,
+        TransactionConflict,
+    )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("t", str(tmp_path / "t"))
+    txn = cat.transaction()
+    txn.table("t").create(_df(spark, 0, 8))
+    txn.commit()
+    txn = cat.transaction()
+    txn.table("t").append(_df(spark, 8, 10))
+    txn.commit()
+
+    orig = ST.erase_rows
+
+    def race(self, predicate):
+        stats = orig(self, predicate)
+        # concurrent writer rolls the pin back to v1 — a version the
+        # erase just expired — before the erase's catalog CAS lands
+        cur = cat.state()
+        tables = dict(cur["tables"])
+        tables["t"] = {**tables["t"], "pin": 1}
+        cat._cas(cur, tables)
+        return stats
+
+    monkeypatch.setattr(ST, "erase_rows", race)
+    with pytest.raises(TransactionConflict, match="re-pinned to the erase head"):
+        cat.erase_rows("t", F.col("id") == 3)
+    monkeypatch.undo()
+
+    # the pin was repaired to the erase head: pinned reads serve the
+    # post-erase truth instead of wedging on a vacuumed version
+    t = cat.table("t")
+    assert cat.pin("t") == t.snapshot().version
+    assert sorted(r.id for r in cat.read("t").collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8, 9,
+    ]
+    assert 3 not in _all_parquet_ids(spark, str(tmp_path / "t"))
+    # and the catalog stays transactable (the remedy is executable now)
+    txn2 = cat.transaction()
+    txn2.table("t").append(_df(spark, 100, 102))
+    txn2.commit()
+    assert 100 in {r.id for r in cat.read("t").collect()}
+
+
+def test_catalog_erase_pin_conflict_leaves_readable_pin_alone(
+    spark, tmp_path, monkeypatch
+):
+    """The other conflict arm: a moved pin that names a still-READABLE
+    version (the erase head itself — e.g. a twin repair already landed)
+    is a live truth the erase must not clobber; the conflict raises
+    with the pin untouched."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable as ST,
+    )
+    from summit_23_snowpark_data_lake_workloads_spark.sources.txn_catalog import (
+        PinnedCatalog,
+        TransactionConflict,
+    )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("t", str(tmp_path / "t"))
+    txn = cat.transaction()
+    txn.table("t").create(_df(spark, 0, 6))
+    txn.commit()
+
+    orig = ST.erase_rows
+
+    def race(self, predicate):
+        stats = orig(self, predicate)
+        head = self.snapshot().version  # the erase head: readable
+        cur = cat.state()
+        tables = dict(cur["tables"])
+        tables["t"] = {**tables["t"], "pin": head}
+        cat._cas(cur, tables)
+        return stats
+
+    monkeypatch.setattr(ST, "erase_rows", race)
+    with pytest.raises(TransactionConflict, match="readable"):
+        cat.erase_rows("t", F.col("id") == 2)
+    monkeypatch.undo()
+    t = cat.table("t")
+    assert cat.pin("t") == t.snapshot().version
+    assert sorted(r.id for r in cat.read("t").collect()) == [0, 1, 3, 4, 5]
