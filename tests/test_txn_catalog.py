@@ -6,6 +6,7 @@ registrations never conflict."""
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -333,3 +334,39 @@ def test_catalog_end_to_end_on_lock_file_protocol(spark, tmp_path):
         d2.commit()
     ids = _ids(cat.read("orders"))
     assert 300 in ids and 400 not in ids
+
+
+def _mp_publish(args):
+    """Module-level worker for the cross-process lock test (spawn/fork
+    pickling): one publish attempt through the lock-file protocol."""
+    lock_path, target, body = args
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        FileLockMutex,
+        LockedCommit,
+        OverwritingCommit,
+    )
+
+    proto = LockedCommit(FileLockMutex(lock_path), OverwritingCommit())
+    return proto.publish(target, body)
+
+
+def test_lock_file_mutex_excludes_across_processes(tmp_path):
+    """FileLockMutex's claim over threading.Lock is CROSS-PROCESS
+    exclusion (separate drivers arbitrating one commit log). Prove it
+    with real processes: 4 workers x 20 versions race the same
+    publish through the lock-file protocol — exactly one winner per
+    version, every loser told so."""
+    import multiprocessing as mp
+
+    lock_path = str(tmp_path / "commit.lock")
+    d = tmp_path / "log"
+    d.mkdir()
+    with mp.get_context("spawn").Pool(4) as pool:
+        for i in range(20):
+            target = str(d / f"v{i:012d}.json")
+            wins = pool.map(
+                _mp_publish,
+                [(lock_path, target, f'{{"writer": {w}}}') for w in range(4)],
+            )
+            assert sum(wins) == 1, f"version {i}: {sum(wins)} winners"
+    assert not os.path.exists(lock_path)  # no leaked lock

@@ -48,6 +48,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the r7 testdata-shaped measurements were 70s/180s/"completes".
 CEILINGS_500K = {
     "charlm": 300.0,
+    # same count-table contract as charlm (2 scans + 1 fused broadcast
+    # after the r14 replan) plus the broadcast target-flag join; the
+    # probe corpus tags ~1/7 of docs src0, a far FATTER target set than
+    # the bench data — the broadcast side is (n_docs/7) ids, the stress
+    # the replan's "target set is broadcastable" claim must survive
+    "dsir": 300.0,
     "minhash": 900.0,
     "incremental": 600.0,
     # stride-1 64-char windows over ~600-char docs = ~270M fingerprint
@@ -114,7 +120,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=500_000)
     ap.add_argument(
-        "--stages", default="charlm,minhash,incremental,substring"
+        "--stages", default="charlm,dsir,minhash,incremental,substring"
     )
     ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
     args = ap.parse_args()
@@ -156,6 +162,9 @@ def main() -> int:
         docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
         if "charlm" in stages:
             run("charlm", lambda: QUERIES["charlm_doc_quality"](spark, tmp))
+        if "dsir" in stages:
+            run("dsir",
+                lambda: QUERIES["dsir_importance_weights"](spark, tmp))
         if "minhash" in stages:
             # the mega-bucket star guard is opt-in (lossy past the cap);
             # at 500k the boilerplate bucket is ~25k members = a 0.3G
