@@ -76,6 +76,11 @@ DEFER_GATE: dict[str, int] = {
     # rotating r9 greens fill the window exactly, stalest-left-out
     # r10). r13's slot budget is therefore ZERO for new registrations:
     # anything registered this round goes here with round 13.
+    # r14: the Delta-log export audit (open-format interop) registers
+    # late — the r14 window is already exactly full (dsir force + 49
+    # rotating greens); it lands tier-0 at the front of r15's window
+    # (50 rotation slots free there, gate_window --next verified).
+    "lakehouse_delta_export_audit": 14,
 }
 
 

@@ -4566,3 +4566,155 @@ def lakehouse_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.unionByName(flags).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _delta_export_oracle() -> str:
+    """Expected membership at each exported Delta version, recomputed
+    by DuckDB from the ORIGINAL parquet (independent of both the
+    writer and the audit's log fold): delta v0 = the created slice;
+    head = both slices minus the COW delete. Structural probes are
+    flag pins."""
+    return """
+    SELECT 'export_head' AS probe,
+           count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS agg
+    FROM documents WHERE doc_id % 4 IN (0, 1) AND doc_id % 10 <> 3
+    UNION ALL
+    SELECT 'delta_v0_time_travel', count(*)::BIGINT, sum(doc_id)::BIGINT
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'stats_exact', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'zero_copy', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'dv_refusal', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'vacuum_survival', 1::BIGINT, 1::BIGINT
+    """
+
+
+@query("lakehouse_delta_export_audit", oracle=_delta_export_oracle())
+def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-FORMAT INTEROP under the driver gate
+    (``sources/delta_export.py``): a SnapshotTable exports as a
+    spec-faithful Delta Lake transaction log (public PROTOCOL.md:
+    newline-JSON protocol/metaData/add/remove actions, reader 1 /
+    writer 2) with hard-linked data files, and incremental ``sync``
+    replays the source history as Delta commits — the hand-off the
+    reference performs via CTAS into its native warehouse format
+    (3_harmonize_data.sql), re-expressed as a log any engine ingests.
+
+    Lifecycle: create (doc_id%4==0 slice) -> export (delta 0) ->
+    append (%4==1) -> COW delete (doc_id%10==3) -> sync (2 delta
+    commits). ``export_head`` hash-gates the rows a from-spec log fold
+    (adds minus removes, URL-decoded paths) reads back at the Delta
+    head; ``delta_v0_time_travel`` gates the fold at Delta version 0
+    (the pre-append slice — Delta-side time travel replays the source
+    history); ``stats_exact`` pins that the re-emitted per-file
+    ``numRecords`` stats sum to the table's metadata-only row_count;
+    ``zero_copy`` pins every exported data file is a hard link (>= 2
+    links), not a copy; ``dv_refusal`` pins the honesty contract (a
+    live deletion vector refuses: reader-1 Delta would resurrect its
+    soft-deleted rows); ``vacuum_survival`` pins that a source-side
+    compact + retention sweep cannot rot the export (the links keep
+    the bytes alive).
+
+    Scale: export is O(files) metadata + hard links, zero data
+    movement; sync is O(commit delta) per version — the same cost
+    envelope as the table's own manifests."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+    from urllib.parse import unquote as _unquote
+
+    from ..sources.delta_export import export_delta, sync_delta
+    from ..sources.lakehouse import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    tmp = tempfile.mkdtemp(prefix="lh_delta_export_audit_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.create(docs.filter(F.col("doc_id") % 4 == 0))
+        dst = os.path.join(tmp, "delta")
+        export_delta(t, dst)
+        t.append(docs.filter(F.col("doc_id") % 4 == 1))
+        t.delete(F.col("doc_id") % 10 == 3)  # COW
+        sync_delta(t, dst)
+
+        def fold(version=None):
+            live = {}
+            logdir = os.path.join(dst, "_delta_log")
+            for name in sorted(os.listdir(logdir)):
+                if not _re.fullmatch(r"\d{20}\.json", name):
+                    continue
+                if version is not None and int(name[:-5]) > version:
+                    continue
+                with open(os.path.join(logdir, name)) as fh:
+                    for line in fh:
+                        a = _json.loads(line)
+                        if "add" in a:
+                            live[_unquote(a["add"]["path"])] = a["add"]
+                        if "remove" in a:
+                            live.pop(_unquote(a["remove"]["path"]), None)
+            return live
+
+        def agg_of(live, probe):
+            df = spark.read.parquet(
+                *[os.path.join(dst, p) for p in live]
+            )
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("doc_id").cast("long").alias("agg"),
+            ).select(F.lit(probe).alias("probe"), "n", "agg")
+
+        head_live = fold()
+        out = agg_of(head_live, "export_head").unionByName(
+            agg_of(fold(version=0), "delta_v0_time_travel")
+        )
+
+        stats_exact = int(
+            sum(
+                _json.loads(a["stats"])["numRecords"]
+                for a in head_live.values()
+            )
+            == t.row_count()
+        )
+        zero_copy = int(
+            all(
+                os.stat(os.path.join(dst, p)).st_nlink >= 2
+                for p in head_live
+            )
+        )
+
+        t2 = SnapshotTable(spark, os.path.join(tmp, "t2"))
+        t2.create(docs.filter(F.col("doc_id") % 7 == 0))
+        t2.delete_mor(F.col("doc_id") % 14 == 0)
+        dv_refusal = 0
+        try:
+            export_delta(t2, os.path.join(tmp, "delta2"))
+        except ValueError:
+            dv_refusal = 1
+
+        before = {
+            r.probe: (r.n, r.agg)
+            for r in agg_of(head_live, "export_head").collect()
+        }
+        t.compact(target_files=1)
+        t.vacuum(retain_last=1, orphan_grace_ms=0)
+        after = {
+            r.probe: (r.n, r.agg)
+            for r in agg_of(fold(), "export_head").collect()
+        }
+        vacuum_survival = int(before == after)
+
+        flags = spark.createDataFrame(
+            [
+                ("stats_exact", stats_exact, stats_exact),
+                ("zero_copy", zero_copy, zero_copy),
+                ("dv_refusal", dv_refusal, dv_refusal),
+                ("vacuum_survival", vacuum_survival, vacuum_survival),
+            ],
+            "probe string, n long, agg long",
+        )
+        return out.unionByName(flags).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

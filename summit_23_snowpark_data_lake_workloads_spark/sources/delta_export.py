@@ -1,0 +1,301 @@
+"""Delta Lake transaction-log EXPORT — spec-faithful, zero-copy
+interop out of the :class:`~.lakehouse.SnapshotTable` format.
+
+Writes a directory that a standard Delta Lake reader (delta-spark,
+delta-rs, DuckDB's ``delta`` extension) opens as a Delta table:
+data files HARD-LINKED from the source table (zero-copy — and the
+links keep the bytes alive even after the source vacuums them), plus
+``_delta_log/`` JSON commits per the PUBLIC Delta Transaction Log
+Protocol (delta-io/delta PROTOCOL.md): ``protocol`` (minReader 1 /
+minWriter 2 — the plain-parquet feature set every reader supports),
+``metaData`` (Spark StructType ``schemaString``), and per-file
+``add`` / ``remove`` actions with ``numRecords``/min/max ``stats``
+re-emitted from our manifest's footer stats.
+
+This environment has no Delta jars and no network, so third-party
+READ verification is env-blocked (stated, not hidden). The export is
+verified three independent ways instead (tests/test_delta_export.py):
+structural protocol assertions, a from-spec minimal reader that
+shares NO code with this writer, and DuckDB reading exactly the
+exported file set.
+
+Refusals — honesty over silent lossiness:
+
+- **Live deletion vectors** at the exported version: Delta DVs need
+  readerVersion 3 / writerVersion 7 plus a binary RoaringBitmap
+  encoding; exporting the files without their vectors would
+  RESURRECT soft-deleted rows. ``compact()`` (which folds vectors
+  into rewrites) first — the same remedy the MoR docs give.
+- **Active column maps / dropped columns**: physical parquet column
+  names would not match the logical ``schemaString`` without
+  writer-5 column mapping. Compact after a rename lifecycle, or
+  export a version predating it.
+- **Schema / metadata changes inside a sync range**: Delta carries
+  schema in ``metaData`` actions; re-emitting it mid-log is legal
+  but our incremental sync keeps the stronger invariant that the
+  exported log's schema equals commit 0's — a diverged range refuses
+  with the exact version.
+
+Partitioned tables export with ``partitionColumns: []``: this
+format keeps partition columns physically present in the data files
+(unlike Delta's directory convention), so Delta treats them as
+regular data columns — every row and value correct, Delta-side
+partition pruning forgone (documented trade; re-partition on the
+Delta side if pruning matters there).
+
+Reference anchor: the reference hands result tables to downstream
+BI/warehouse consumers via CTAS into its native format
+(3_harmonize_data.sql); this is the same hand-off re-expressed as an
+open-format export any engine can ingest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+from urllib.parse import quote
+
+from .lakehouse import _META_OPS, Snapshot, SnapshotTable
+
+_LOG_DIR = "_delta_log"
+#: sidecar at the EXPORT root (outside _delta_log, which readers
+#: reserve for the \d{20}.json / checkpoint patterns): maps exported
+#: delta versions to source-table versions so sync knows where to
+#: resume. Unknown files at a Delta table root are ignored by readers.
+_STATE_FILE = "_spark_graft_export.json"
+
+
+def _refuse_unexportable(table: SnapshotTable, snap: Snapshot) -> None:
+    if snap.dvs:
+        raise ValueError(
+            f"export refused: version {snap.version} carries live "
+            f"deletion vectors on {len(snap.dvs)} file(s) — plain-"
+            "parquet Delta (reader 1) would resurrect their soft-"
+            "deleted rows; compact() to fold the vectors, then export"
+        )
+    if table.column_map or table.dropped_cols:
+        raise ValueError(
+            "export refused: active column map / dropped columns — "
+            "physical parquet names would not match the logical "
+            "schemaString without Delta column mapping (writer 5); "
+            "compact() past the rename lifecycle first"
+        )
+
+
+def _dst_relname(table: SnapshotTable, f: str) -> str:
+    """Stable export-relative name for a manifest file entry: in-root
+    files keep their relative path; absolute references (shallow
+    clones, merged branch files) land under ``imported/`` with a
+    content-address prefix so two sources can never collide."""
+    if not os.path.isabs(f):
+        return f
+    digest = hashlib.sha1(f.encode()).hexdigest()[:12]
+    return f"imported/{digest}_{os.path.basename(f)}"
+
+
+def _link_in(src_abs: str, dst_abs: str) -> None:
+    if os.path.exists(dst_abs):
+        return  # same content by construction (content-addressed name)
+    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+    try:
+        os.link(src_abs, dst_abs)
+    except OSError:
+        shutil.copy2(src_abs, dst_abs)  # cross-device fallback
+
+
+def _delta_stats(snap: Snapshot, f: str) -> str | None:
+    st = (snap.stats or {}).get(f)
+    if not st:
+        return None
+    out: dict = {}
+    nr = st.get("_nrows")
+    if nr:
+        out["numRecords"] = nr[0]
+    mins = {c: v[0] for c, v in st.items() if c != "_nrows" and v[0] is not None}
+    maxs = {c: v[1] for c, v in st.items() if c != "_nrows" and v[1] is not None}
+    if mins:
+        out["minValues"] = mins
+    if maxs:
+        out["maxValues"] = maxs
+    return json.dumps(out) if out else None
+
+
+def _add_action(
+    table: SnapshotTable, snap: Snapshot, f: str, now_ms: int
+) -> dict:
+    src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
+    if not os.path.exists(src_abs):
+        raise FileNotFoundError(
+            f"export needs {src_abs} but it is gone (vacuumed between "
+            "commit and sync?) — sync before vacuuming, or re-export"
+        )
+    rel = _dst_relname(table, f)
+    add = {
+        "path": quote(rel),
+        "partitionValues": {},
+        "size": os.path.getsize(src_abs),
+        "modificationTime": int(os.path.getmtime(src_abs) * 1000),
+        "dataChange": True,
+    }
+    stats = _delta_stats(snap, f)
+    if stats:
+        add["stats"] = stats
+    return {"add": add}
+
+
+def _write_commit(dst: str, delta_version: int, actions: list[dict]) -> None:
+    logdir = os.path.join(dst, _LOG_DIR)
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, f"{delta_version:020d}.json")
+    if os.path.exists(path):
+        raise FileExistsError(
+            f"delta commit {delta_version} already exported at {path}"
+        )
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, path)  # content-atomic: full body or nothing
+
+
+def _load_state(dst: str) -> dict:
+    with open(os.path.join(dst, _STATE_FILE)) as fh:
+        return json.load(fh)
+
+
+def _save_state(dst: str, state: dict) -> None:
+    tmp = os.path.join(dst, f"{_STATE_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, os.path.join(dst, _STATE_FILE))
+
+
+def export_delta(
+    table: SnapshotTable, dst: str, version: int | None = None
+) -> dict:
+    """Export ONE version of ``table`` as Delta commit 0 under ``dst``
+    (snapshot export — the squashed head; :func:`sync_delta` extends
+    the log incrementally afterwards). Returns
+    ``{"delta_version": 0, "table_version", "files"}``."""
+    snap = table.snapshot(version)
+    _refuse_unexportable(table, snap)
+    if os.path.isdir(os.path.join(dst, _LOG_DIR)):
+        raise FileExistsError(
+            f"{dst!r} already holds a _delta_log — sync_delta extends "
+            "an existing export; export_delta starts a fresh one"
+        )
+    schema_string = table.read(version=snap.version).schema.json()
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "ErrorIfExists"},
+                "engineInfo": "summit23-spark snapshot export",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for f in sorted(snap.files):
+        src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
+        _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
+        actions.append(_add_action(table, snap, f, now_ms))
+    _write_commit(dst, 0, actions)
+    _save_state(
+        dst,
+        {
+            "table_path": table.path,
+            "table_version": snap.version,
+            "delta_version": 0,
+            "schema_string": schema_string,
+        },
+    )
+    return {
+        "delta_version": 0,
+        "table_version": snap.version,
+        "files": len(snap.files),
+    }
+
+
+def sync_delta(table: SnapshotTable, dst: str) -> dict:
+    """Extend an existing export with one Delta commit PER source
+    commit since the last export/sync — add/remove actions from the
+    manifests' own commit deltas, so Delta-side time travel replays
+    the same history. Refuses on metadata ops, schema drift, or a
+    deletion-vector delta inside the range (each names the offending
+    version). Returns ``{"synced_versions", "delta_version"}``."""
+    state = _load_state(dst)
+    last_tv = state["table_version"]
+    head = table.snapshot().version
+    if head < last_tv:
+        raise ValueError(
+            f"table head v{head} is BEHIND the exported v{last_tv} "
+            "(rollback since the export?) — re-export to a fresh dst"
+        )
+    synced = 0
+    dv = state["delta_version"]
+    now_ms = int(time.time() * 1000)
+    for v, op, added, removed, dv_delta in table.file_changes(last_tv, head):
+        if op in _META_OPS:
+            raise ValueError(
+                f"sync refused at table v{v}: metadata operation "
+                f"{op!r} — the exported log's schema must equal "
+                "commit 0's; re-export to a fresh dst"
+            )
+        if dv_delta:
+            raise ValueError(
+                f"sync refused at table v{v}: the commit soft-deletes "
+                "rows via deletion vectors, invisible to a reader-1 "
+                "Delta log; compact() and re-export"
+            )
+        schema_now = table.read(version=v).schema.json()
+        if schema_now != state["schema_string"]:
+            raise ValueError(
+                f"sync refused at table v{v}: schema diverged from the "
+                "exported metaData; re-export to a fresh dst"
+            )
+        snap_v = table.snapshot(v)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": op.upper() or "WRITE",
+                    "engineInfo": "summit23-spark incremental sync",
+                }
+            }
+        ]
+        for f in added:
+            src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
+            _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
+            actions.append(_add_action(table, snap_v, f, now_ms))
+        for f in removed:
+            actions.append(
+                {
+                    "remove": {
+                        "path": quote(_dst_relname(table, f)),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        dv += 1
+        _write_commit(dst, dv, actions)
+        state.update({"table_version": v, "delta_version": dv})
+        _save_state(dst, state)
+        synced += 1
+    return {"synced_versions": synced, "delta_version": dv}

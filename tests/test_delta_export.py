@@ -1,0 +1,253 @@
+"""Delta Lake log export (sources/delta_export.py): the open-format
+interop hand-off. No Delta jars / network in this environment, so a
+real third-party read is env-blocked; verification here is three
+independent ways instead:
+
+1. STRUCTURAL — the written log is protocol-shaped (newline-delimited
+   JSON actions, protocol/metaData/add fields, URL-encoded paths,
+   sizes that match the bytes on disk, stats that sum to row_count).
+2. A from-spec MINIMAL READER (below) that shares NO code with the
+   writer: folds the JSON commits exactly as PROTOCOL.md prescribes
+   (adds minus removes, schema from metaData.schemaString) and must
+   reproduce the source table bit-for-bit, at head AND at historical
+   Delta versions.
+3. DuckDB reading exactly the exported parquet file set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+    export_delta,
+    sync_delta,
+)
+from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi, grp=0):
+    return (
+        spark.range(lo, hi)
+        .coalesce(1)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(grp).cast("int").alias("grp"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted((r.id, r.grp, r.val) for r in df.collect())
+
+
+# ------------------------------------------------ from-spec reader
+
+
+def _fold_log(dst: str, version: int | None = None):
+    """Fold _delta_log per PROTOCOL.md: commits are \\d{20}.json files
+    of newline-delimited actions; state = adds minus removes; schema =
+    last metaData.schemaString."""
+    logdir = os.path.join(dst, "_delta_log")
+    live: dict[str, dict] = {}
+    schema_string = None
+    protocol = None
+    for name in sorted(os.listdir(logdir)):
+        if not re.fullmatch(r"\d{20}\.json", name):
+            continue
+        if version is not None and int(name[:-5]) > version:
+            continue
+        with open(os.path.join(logdir, name)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protocol = a["protocol"]
+                if "metaData" in a:
+                    md = a["metaData"]
+                    assert md["format"]["provider"] == "parquet"
+                    schema_string = md["schemaString"]
+                if "add" in a:
+                    live[unquote(a["add"]["path"])] = a["add"]
+                if "remove" in a:
+                    live.pop(unquote(a["remove"]["path"]), None)
+    assert protocol is not None and protocol["minReaderVersion"] == 1
+    assert schema_string is not None
+    return live, schema_string
+
+
+def _read_delta(spark, dst: str, version: int | None = None):
+    live, schema_string = _fold_log(dst, version)
+    schema = StructType.fromJson(json.loads(schema_string))
+    if not live:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(dst, p) for p in live]
+    )
+
+
+# ------------------------------------------------------------ tests
+
+
+def test_snapshot_export_round_trip_and_structure(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20, grp=1))
+    t.delete(F.col("id") < 3)  # COW rewrite
+    t.compact(target_files=2)
+    dst = str(tmp_path / "delta")
+    rpt = export_delta(t, dst)
+    assert rpt["delta_version"] == 0 and rpt["files"] >= 1
+
+    # independent from-spec reader == source table
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+
+    # DuckDB over exactly the exported file set
+    live, _ = _fold_log(dst)
+    paths = [os.path.join(dst, p) for p in live]
+    con = duckdb.connect()
+    n, s = con.sql(
+        f"SELECT count(*), sum(id) FROM read_parquet({paths!r})"
+    ).fetchone()
+    assert n == t.read().count()
+    assert s == sum(r.id for r in t.read().collect())
+
+    # structural: sizes match bytes, stats sum to the exact row count,
+    # every referenced file exists, data files are hard links (zero-copy)
+    num_records = 0
+    for rel, add in live.items():
+        p = os.path.join(dst, rel)
+        assert os.path.exists(p)
+        assert add["size"] == os.path.getsize(p)
+        assert os.stat(p).st_nlink >= 2, "export must hard-link, not copy"
+        st = json.loads(add["stats"])
+        num_records += st["numRecords"]
+        assert "minValues" in st and "id" in st["minValues"]
+    assert num_records == t.row_count()
+
+
+def test_export_refusals_and_compact_remedy(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.delete_mor(F.col("id") == 4)
+    dst = str(tmp_path / "delta")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_delta(t, dst)
+    t.compact(target_files=1)  # folds the vectors: the stated remedy
+    export_delta(t, dst)
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+    with pytest.raises(FileExistsError, match="_delta_log"):
+        export_delta(t, dst)
+
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.create(_df(spark, 0, 5))
+    t2.rename_column("val", "value")
+    with pytest.raises(ValueError, match="column map"):
+        export_delta(t2, str(tmp_path / "delta2"))
+
+
+def test_sync_replays_history_with_delta_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))  # v1
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)  # delta 0 == table v1
+    t.append(_df(spark, 10, 15, grp=1))  # v2
+    t.delete(F.col("id").isin(0, 12))  # v3 (COW)
+    rpt = sync_delta(t, dst)
+    assert rpt == {"synced_versions": 2, "delta_version": 2}
+
+    # head and BOTH historical delta versions replay the table history
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+    assert _rows(_read_delta(spark, dst, version=0)) == _rows(
+        t.read(version=1)
+    )
+    assert _rows(_read_delta(spark, dst, version=1)) == _rows(
+        t.read(version=2)
+    )
+    # idempotent: nothing new to sync
+    assert sync_delta(t, dst)["synced_versions"] == 0
+
+    # a metadata op poisons the range with its exact version named
+    t.rename_column("val", "value")
+    t.append(
+        spark.range(20, 22).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(2).cast("int").alias("grp"),
+            F.concat(F.lit("v"), F.col("id")).alias("value"),
+        )
+    )
+    with pytest.raises(ValueError, match="rename_column"):
+        sync_delta(t, dst)
+
+
+def test_sync_refuses_dv_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.delete_mor(F.col("id") == 7)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        sync_delta(t, dst)
+
+
+def test_export_survives_source_vacuum(spark, tmp_path):
+    """Hard links keep the exported bytes alive through a source-side
+    compact + retention sweep — the export is a SNAPSHOT hand-off, not
+    a view that can rot under the source's lifecycle."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20, grp=1))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    before = _rows(_read_delta(spark, dst))
+    t.compact(target_files=1)
+    t.vacuum(retain_last=1, orphan_grace_ms=0)  # pre-compact files die
+    assert _rows(_read_delta(spark, dst)) == before
+
+
+def test_clone_absolute_refs_export_under_imported(spark, tmp_path):
+    """A shallow clone's manifest references the SOURCE's files by
+    absolute path; the export must content-address them under
+    imported/ (no collision, no absolute paths in the log) and still
+    round-trip."""
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.create(_df(spark, 0, 10))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert any(os.path.isabs(f) for f in clone.snapshot().files)
+    dst = str(tmp_path / "delta")
+    export_delta(clone, dst)
+    live, _ = _fold_log(dst)
+    assert all(not os.path.isabs(p) for p in live)
+    assert any(p.startswith("imported/") for p in live)
+    assert _rows(_read_delta(spark, dst)) == _rows(clone.read())
+
+
+def test_partitioned_table_exports_columns_in_data(spark, tmp_path):
+    """Partition columns are physically present in this format's data
+    files, so the export declares partitionColumns=[] and every value
+    survives as a regular column."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_by=["grp"]
+    )
+    t.create(_df(spark, 0, 6, grp=0).unionByName(_df(spark, 6, 12, grp=1)))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    df = _read_delta(spark, dst)
+    assert _rows(df) == _rows(t.read())
+    logdir = os.path.join(dst, "_delta_log")
+    with open(os.path.join(logdir, f"{0:020d}.json")) as fh:
+        md = next(
+            json.loads(l)["metaData"]
+            for l in fh
+            if "metaData" in json.loads(l)
+        )
+    assert md["partitionColumns"] == []
