@@ -251,3 +251,51 @@ def test_partitioned_table_exports_columns_in_data(spark, tmp_path):
             if "metaData" in json.loads(l)
         )
     assert md["partitionColumns"] == []
+
+
+# ------------------------------------------------ model-based invariant
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 7)),
+        st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_OPS)
+def test_delta_export_model_invariant(spark, tmp_path_factory, ops):
+    """MODEL INVARIANT: for ANY post-export sequence of appends, COW
+    deletes, and compactions, sync_delta produces a log whose from-spec
+    fold reproduces the source table EXACTLY at every Delta version —
+    head and all intermediates — i.e. Delta-side time travel IS the
+    source history. (Compaction commits replay as add+remove and must
+    leave every version's row set untouched.)"""
+    tmp = tmp_path_factory.mktemp("delta_model")
+    t = SnapshotTable(spark, str(tmp / "t"))
+    t.create(_df(spark, 0, 8))
+    dst = str(tmp / "delta")
+    export_delta(t, dst)
+    base_v = t.snapshot().version
+    nxt = 100
+    for kind, arg in ops:
+        if kind == "append":
+            t.append(_df(spark, nxt, nxt + 2 + arg % 3, grp=1))
+            nxt += 10
+        elif kind == "delete":
+            t.delete(F.col("id") % 10 == arg)
+        else:
+            t.compact(target_files=1)
+    sync_delta(t, dst)
+    head = t.snapshot().version
+    for dv in range(head - base_v + 1):
+        assert _rows(_read_delta(spark, dst, version=dv)) == _rows(
+            t.read(version=base_v + dv)
+        ), f"delta v{dv} != table v{base_v + dv}"
