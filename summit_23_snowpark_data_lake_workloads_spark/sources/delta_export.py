@@ -54,6 +54,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -299,3 +300,156 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
         _save_state(dst, state)
         synced += 1
     return {"synced_versions": synced, "delta_version": dv}
+
+
+# ------------------------------------------------ checkpoint parquet
+#
+# Delta's answer to unbounded log folds (the same design our own
+# manifests use, full checkpoints every _CHECKPOINT_EVERY commits): a
+# parquet file holding the folded state — one row per action — plus a
+# ``_last_checkpoint`` pointer, so a reader loads ONE parquet + the
+# JSON commits after it instead of every JSON since version 0. At 100
+# TB / thousands of synced commits this is what keeps open-format
+# consumers O(1) on history length.
+
+
+def _fold_state(dst: str):
+    """Writer-side fold of the exported log: (delta_version, protocol,
+    metaData, {path: add}) — seeded from the last checkpoint parquet
+    when one exists (the pre-checkpoint JSONs may already be expired),
+    then folding the JSON commits after it."""
+    import pyarrow.parquet as pq
+
+    logdir = os.path.join(dst, _LOG_DIR)
+    live: dict[str, dict] = {}
+    protocol = None
+    metadata = None
+    start = -1
+    lc_path = os.path.join(logdir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as fh:
+            start = json.load(fh)["version"]
+        tbl = pq.read_table(
+            os.path.join(logdir, f"{start:020d}.checkpoint.parquet")
+        )
+        for row in tbl.to_pylist():
+            if row.get("protocol"):
+                protocol = row["protocol"]
+            if row.get("metaData"):
+                metadata = row["metaData"]
+                md_pv = metadata.get("format", {}).get("options")
+                if isinstance(md_pv, list):  # pyarrow map -> pairs
+                    metadata["format"]["options"] = dict(md_pv)
+            if row.get("add"):
+                add = dict(row["add"])
+                if isinstance(add.get("partitionValues"), list):
+                    add["partitionValues"] = dict(add["partitionValues"])
+                live[add["path"]] = add
+    version = start
+    for name in sorted(os.listdir(logdir)):
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if not m or int(m.group(1)) <= start:
+            continue
+        version = int(m.group(1))
+        with open(os.path.join(logdir, name)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protocol = a["protocol"]
+                if "metaData" in a:
+                    metadata = a["metaData"]
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                if "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    if version < 0:
+        raise FileNotFoundError(f"no delta log at {logdir}")
+    return version, protocol, metadata, live
+
+
+def write_delta_checkpoint(dst: str) -> dict:
+    """Materialize the exported log's folded state as
+    ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` (Delta's
+    checkpoint contract, reader-1 feature set: protocol, metaData and
+    the live ``add`` set — no tombstones needed, this exporter never
+    coordinates a Delta-side VACUUM). Written with pyarrow under an
+    explicit schema so the single-FILE naming and nested types are
+    exact. Returns ``{"checkpoint_version", "actions"}``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    version, protocol, metadata, live = _fold_state(dst)
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            (
+                "format",
+                pa.struct([("provider", pa.string()), ("options", map_t)]),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    schema = pa.schema(
+        [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+    )
+    rows: list[dict] = [
+        {"protocol": protocol, "metaData": None, "add": None},
+        {"protocol": None, "metaData": metadata, "add": None},
+    ]
+    for path in sorted(live):
+        a = dict(live[path])
+        a.setdefault("stats", None)
+        rows.append({"protocol": None, "metaData": None, "add": a})
+    logdir = os.path.join(dst, _LOG_DIR)
+    ck = os.path.join(logdir, f"{version:020d}.checkpoint.parquet")
+    tmp = f"{ck}.{uuid.uuid4().hex}.tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, ck)
+    lc_tmp = os.path.join(logdir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(lc_tmp, os.path.join(logdir, "_last_checkpoint"))
+    return {"checkpoint_version": version, "actions": len(rows)}
+
+
+def expire_delta_log(dst: str) -> int:
+    """Delta's metadata cleanup: delete the JSON commits at or before
+    the last checkpoint (their state lives in the checkpoint parquet).
+    Head reads are unaffected; Delta time travel to the expired
+    versions dies with them — the same retention trade the source
+    table's own vacuum documents. Returns how many commit files were
+    removed; refuses when no checkpoint exists (expiry without a
+    checkpoint would destroy the table)."""
+    logdir = os.path.join(dst, _LOG_DIR)
+    lc_path = os.path.join(logdir, "_last_checkpoint")
+    if not os.path.exists(lc_path):
+        raise FileNotFoundError(
+            "expire_delta_log refused: no _last_checkpoint — write a "
+            "checkpoint first (expiry would destroy the log)"
+        )
+    with open(lc_path) as fh:
+        ckpt_v = json.load(fh)["version"]
+    removed = 0
+    for name in sorted(os.listdir(logdir)):
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if m and int(m.group(1)) <= ckpt_v:
+            os.unlink(os.path.join(logdir, name))
+            removed += 1
+    return removed

@@ -299,3 +299,89 @@ def test_delta_export_model_invariant(spark, tmp_path_factory, ops):
         assert _rows(_read_delta(spark, dst, version=dv)) == _rows(
             t.read(version=base_v + dv)
         ), f"delta v{dv} != table v{base_v + dv}"
+
+
+# --------------------------------------------- checkpoint parquet
+
+
+def _fold_with_checkpoint(spark, dst: str):
+    """From-spec checkpoint-aware fold: seed from _last_checkpoint's
+    parquet (read independently via DuckDB), then apply newer JSON
+    commits — exactly what a real reader does on a long log."""
+    logdir = os.path.join(dst, "_delta_log")
+    with open(os.path.join(logdir, "_last_checkpoint")) as fh:
+        ckpt_v = json.load(fh)["version"]
+    ck = os.path.join(logdir, f"{ckpt_v:020d}.checkpoint.parquet")
+    con = duckdb.connect()
+    live: dict[str, dict] = {}
+    schema_string = None
+    for (proto, md, add) in con.sql(
+        f"SELECT protocol, metaData, add FROM read_parquet('{ck}')"
+    ).fetchall():
+        if md:
+            schema_string = md["schemaString"]
+        if add:
+            live[add["path"]] = add
+    for name in sorted(os.listdir(logdir)):
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if not m or int(m.group(1)) <= ckpt_v:
+            continue
+        with open(os.path.join(logdir, name)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "metaData" in a:
+                    schema_string = a["metaData"]["schemaString"]
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                if "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    schema = StructType.fromJson(json.loads(schema_string))
+    paths = [os.path.join(dst, unquote(p)) for p in live]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def test_checkpoint_bounds_the_fold_and_survives_log_expiry(spark, tmp_path):
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        expire_delta_log,
+        write_delta_checkpoint,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 8))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.append(_df(spark, 8, 12, grp=1))
+    t.delete(F.col("id").isin(1, 9))
+    sync_delta(t, dst)
+
+    # expiry without a checkpoint refuses — it would destroy the log
+    with pytest.raises(FileNotFoundError, match="checkpoint"):
+        expire_delta_log(dst)
+
+    rpt = write_delta_checkpoint(dst)
+    assert rpt["checkpoint_version"] == 2
+    logdir = os.path.join(dst, "_delta_log")
+    ck = os.path.join(logdir, f"{2:020d}.checkpoint.parquet")
+    assert os.path.isfile(ck), "checkpoint must be a single FILE"
+    # checkpoint-aware fold == JSON-only fold == the table
+    assert _rows(_fold_with_checkpoint(spark, dst)) == _rows(t.read())
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+
+    # expire the pre-checkpoint JSONs: head reads keep working off the
+    # checkpoint; the JSON-only fold is now impossible (files GONE)
+    assert expire_delta_log(dst) == 3  # commits 0, 1, 2
+    assert not [
+        f for f in os.listdir(logdir) if re.fullmatch(r"\d{20}\.json", f)
+    ]
+    assert _rows(_fold_with_checkpoint(spark, dst)) == _rows(t.read())
+
+    # sync continues PAST the checkpoint: new JSON commits fold on top
+    t.append(_df(spark, 20, 23, grp=2))
+    assert sync_delta(t, dst)["synced_versions"] == 1
+    assert _rows(_fold_with_checkpoint(spark, dst)) == _rows(t.read())
+
+    # a second checkpoint folds checkpoint + tail into the new one
+    rpt2 = write_delta_checkpoint(dst)
+    assert rpt2["checkpoint_version"] == 3
+    assert expire_delta_log(dst) == 1
+    assert _rows(_fold_with_checkpoint(spark, dst)) == _rows(t.read())
