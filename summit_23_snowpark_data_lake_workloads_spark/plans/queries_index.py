@@ -4589,6 +4589,8 @@ def _delta_export_oracle() -> str:
     SELECT 'dv_refusal', 1::BIGINT, 1::BIGINT
     UNION ALL
     SELECT 'vacuum_survival', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'checkpoint_fold', 1::BIGINT, 1::BIGINT
     """
 
 
@@ -4616,7 +4618,11 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     live deletion vector refuses: reader-1 Delta would resurrect its
     soft-deleted rows); ``vacuum_survival`` pins that a source-side
     compact + retention sweep cannot rot the export (the links keep
-    the bytes alive).
+    the bytes alive); ``checkpoint_fold`` pins the long-history path —
+    a checkpoint parquet + ``_last_checkpoint`` is written, EVERY
+    pre-checkpoint JSON commit is expired, and the checkpoint-seeded
+    fold still reproduces the head exactly (Delta's bounded-fold
+    contract, the twin of this format's own manifest checkpoints).
 
     Scale: export is O(files) metadata + hard links, zero data
     movement; sync is O(commit delta) per version — the same cost
@@ -4706,12 +4712,34 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         vacuum_survival = int(before == after)
 
+        # checkpoint + log expiry: the bounded-fold path a long-lived
+        # export lives on — after EVERY pre-checkpoint JSON commit is
+        # deleted, the checkpoint-seeded fold must still serve the head
+        from ..sources.delta_export import (
+            expire_delta_log,
+            write_delta_checkpoint,
+        )
+
+        write_delta_checkpoint(dst)
+        expired = expire_delta_log(dst)
+        from ..sources.delta_export import _fold_state
+
+        _, _, _, ck_live = _fold_state(dst)
+        ck_agg = {
+            r.probe: (r.n, r.agg)
+            for r in agg_of(
+                {_unquote(p): a for p, a in ck_live.items()}, "export_head"
+            ).collect()
+        }
+        checkpoint_fold = int(expired >= 1 and ck_agg == before)
+
         flags = spark.createDataFrame(
             [
                 ("stats_exact", stats_exact, stats_exact),
                 ("zero_copy", zero_copy, zero_copy),
                 ("dv_refusal", dv_refusal, dv_refusal),
                 ("vacuum_survival", vacuum_survival, vacuum_survival),
+                ("checkpoint_fold", checkpoint_fold, checkpoint_fold),
             ],
             "probe string, n long, agg long",
         )

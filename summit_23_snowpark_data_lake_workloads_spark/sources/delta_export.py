@@ -70,6 +70,22 @@ _LOG_DIR = "_delta_log"
 _STATE_FILE = "_spark_graft_export.json"
 
 
+def _schema_string(table: SnapshotTable, version: int) -> str:
+    """Spark StructType JSON (== Delta's ``schemaString``) at
+    ``version`` — an EMPTY version (delete-all) inherits the last
+    non-empty one's schema, which is safe because schema-changing
+    metadata ops refuse export/sync outright."""
+    for v in reversed([x for x in table._versions() if x <= version]):
+        try:
+            return table.read(version=v).schema.json()
+        except ValueError:
+            continue  # empty version: walk back
+    raise ValueError(
+        "cannot determine the export schema: every version at or "
+        f"before v{version} is empty"
+    )
+
+
 def _refuse_unexportable(table: SnapshotTable, snap: Snapshot) -> None:
     if snap.dvs:
         raise ValueError(
@@ -189,7 +205,7 @@ def export_delta(
             f"{dst!r} already holds a _delta_log — sync_delta extends "
             "an existing export; export_delta starts a fresh one"
         )
-    schema_string = table.read(version=snap.version).schema.json()
+    schema_string = _schema_string(table, snap.version)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -264,7 +280,7 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
                 "rows via deletion vectors, invisible to a reader-1 "
                 "Delta log; compact() and re-export"
             )
-        schema_now = table.read(version=v).schema.json()
+        schema_now = _schema_string(table, v)
         if schema_now != state["schema_string"]:
             raise ValueError(
                 f"sync refused at table v{v}: schema diverged from the "

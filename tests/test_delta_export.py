@@ -385,3 +385,41 @@ def test_checkpoint_bounds_the_fold_and_survives_log_expiry(spark, tmp_path):
     assert rpt2["checkpoint_version"] == 3
     assert expire_delta_log(dst) == 1
     assert _rows(_fold_with_checkpoint(spark, dst)) == _rows(t.read())
+
+
+def test_export_timestamp_table_round_trips(spark, sf_dir, tmp_path):
+    """An events slice (TimestampType through read_table's ts
+    normalization) exports and folds back bit-for-bit — the schemaString
+    carries the timestamp type and the from-spec reader applies it."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.batch import (
+        read_table,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .filter(F.col("event_id") % 50 == 0)
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(ev)
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    got = _read_delta(spark, dst)
+    assert "timestamp" in dict(got.dtypes)["ts"]
+    a = sorted((r.event_id, r.ts) for r in got.collect())
+    b = sorted((r.event_id, r.ts) for r in t.read().collect())
+    assert a == b
+
+
+def test_export_empty_head(spark, tmp_path):
+    """Delete-everything then export: a metaData+protocol-only commit,
+    and the reader returns an empty frame WITH the schema."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))
+    t.delete(F.col("id") >= 0)
+    dst = str(tmp_path / "delta")
+    rpt = export_delta(t, dst)
+    assert rpt["files"] == 0
+    df = _read_delta(spark, dst)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "grp", "val"]
