@@ -57,6 +57,14 @@ FORCE_REGATE: dict[str, int] = {
     # bit-identical). Nothing composes it, so one entry suffices;
     # the window has 50 rotation slots this round (r13 had 0).
     "dsir_importance_weights": 14,
+    # r14: merge_branch's staging loop changed (branch-born tables:
+    # ref-less recognition + pin fast-forward through the new
+    # commit(pins=) override) — the audit composing catalog merges
+    # re-proves on the driver even though every pre-existing path is
+    # behavior-identical (37-test catalog suites + oracle green).
+    # Costs one more r11 green its slot until r15 (age 4, invariant
+    # holds — verified with gate_window.py --check).
+    "lakehouse_catalog_branch_audit": 14,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.

@@ -735,10 +735,28 @@ class PinnedCatalog:
         (:class:`BranchMergeConflict`), a main pin that moved under
         the transaction (:class:`TransactionConflict`), or a table
         registered ONLY on the branch (cross-catalog registration
-        cannot ride the same CAS — create the table on main first,
-        refused loudly as ValueError). On ANY failure every staged
-        merge is rolled back (:meth:`repair`) and main is exactly as
-        before — the branch stays intact for a manual rebase.
+        cannot ride the same CAS; refused loudly as ValueError whose
+        remedy is EXECUTABLE: register the branch table's path on
+        main — the registration pins its committed head, which IS the
+        merge for a branch-born table, and the staging loop then
+        recognizes the ref-less table instead of KeyErroring on a
+        fork ref that never existed). A branch-born table whose
+        branch kept committing AFTER main registered it FAST-FORWARDS
+        main's pin to the branch's pin in the same CAS — the branch
+        catalog's pin is the proof those versions are committed truth
+        (a plain main transaction would hit the foreign-staged-lineage
+        refusal, which cannot tell branch-committed from abandoned).
+        The remaining unsafe states refuse precisely: a different
+        table at main's registration, data under the branch catalog
+        directory (merge deletes it), main having advanced the shared
+        log past the branch (a squash merge cannot arbitrate), or
+        orphan staged versions past the branch pin (branch-side
+        ``repair()`` first). Auto-repair NEVER runs for branch-born
+        tables — the two catalogs alias ONE table log, and repair
+        would roll back whichever side's commits the other has not
+        pinned. On ANY failure every staged merge is rolled back
+        (:meth:`repair`) and main is exactly as before — the branch
+        stays intact for a manual rebase.
 
         Before staging, each branch table is :meth:`repair`-ed IN THE
         BRANCH CATALOG so the merge diff reads the branch's committed
@@ -758,13 +776,86 @@ class PinnedCatalog:
             raise ValueError(
                 f"table(s) {only_branch} registered only on branch "
                 f"{name!r}: cross-catalog registration cannot ride the "
-                "merge CAS — register/create them on main first"
+                "merge CAS — register each branch table's PATH on main "
+                "first (register() pins its committed head, which IS "
+                "the merge for a table born on the branch), then re-run "
+                "merge_branch"
             )
         ref = self._table_branch_ref(name)
         staged: list[str] = []
+        pin_ff: dict[str, int] = {}
         txn = self.transaction()
         try:
             for tname in bstate["tables"]:
+                main_path = cur["tables"][tname]["path"]
+                mt = SnapshotTable(
+                    self.spark,
+                    main_path,
+                    commit_protocol=self.commit_protocol,
+                )
+                if ref not in mt.branches():
+                    # A table BORN on the branch, registered on main per
+                    # the only_branch remedy: there is no fork ref to
+                    # squash — the main registration (pinned at the
+                    # committed head) IS the merge. Guard the states
+                    # where that equivalence does not hold; CRUCIALLY,
+                    # never auto-repair here — main and branch pins
+                    # alias ONE table log, and repair() would roll back
+                    # whichever side's commits the other has not pinned.
+                    b_path = bstate["tables"][tname]["path"]
+                    if os.path.realpath(main_path) != os.path.realpath(
+                        b_path
+                    ):
+                        raise ValueError(
+                            f"table {tname!r} has no fork ref for branch "
+                            f"{name!r} and main's registration "
+                            f"({main_path!r}) is a DIFFERENT table than "
+                            f"the branch's ({b_path!r}) — merging "
+                            "unrelated tables is undefined; register the "
+                            "branch table's own path on main"
+                        )
+                    broot = os.path.realpath(self._branch_root(name))
+                    if os.path.realpath(main_path).startswith(
+                        broot + os.sep
+                    ):
+                        raise ValueError(
+                            f"branch-born table {tname!r} lives UNDER the "
+                            "branch catalog directory, which merge "
+                            "deletes — clone_to() a main-side path, "
+                            "register that, then re-run merge_branch"
+                        )
+                    m_pin = cur["tables"][tname]["pin"]
+                    b_pin = bstate["tables"][tname]["pin"]
+                    head_vs = mt._versions()
+                    head = head_vs[-1] if head_vs else 0
+                    if m_pin == b_pin == head:
+                        continue  # registration == merge: up to date
+                    if m_pin < b_pin == head:
+                        # the branch advanced the SHARED log past main's
+                        # registration; the branch catalog's pin proves
+                        # those versions are branch-COMMITTED truth, so
+                        # main's pin fast-forwards in the merge CAS (the
+                        # lineage check would refuse a main transaction
+                        # here — from main's view they look like a
+                        # foreign stager's uncommitted rows)
+                        pin_ff[tname] = b_pin
+                        continue
+                    if b_pin < m_pin:
+                        raise ValueError(
+                            f"branch-born table {tname!r}: main advanced "
+                            f"the shared log past the branch's pin "
+                            f"(main v{m_pin}, branch v{b_pin}) — the "
+                            "branch's view is stale and a squash merge "
+                            "cannot arbitrate; drop_branch() to discard "
+                            "it, or rebase the branch work by hand"
+                        )
+                    raise ValueError(
+                        f"branch-born table {tname!r}: orphan staged "
+                        f"version(s) in the shared log (head v{head} "
+                        f"past branch pin v{b_pin}) — "
+                        f"branch({name!r}).repair({tname!r}) first, "
+                        "then re-run merge_branch"
+                    )
                 if auto_repair:
                     self.repair(tname)
                 bcat.repair(tname)  # merge from the branch's PIN
@@ -774,11 +865,14 @@ class PinnedCatalog:
             touched = any(
                 rec.produced for rec in txn._recorders.values()
             )
-            if not touched:
+            if not touched and not pin_ff:
                 txn.abandon()
                 v = None
             else:
-                v = txn.commit(stamps=bstate.get("txn_seen") or {})
+                v = txn.commit(
+                    stamps=bstate.get("txn_seen") or {},
+                    pins=pin_ff or None,
+                )
         except BaseException:
             # ANY failure mid-staging (conflicts, but also LookupError /
             # OSError from a sick table) must abandon + roll back, or
@@ -890,20 +984,39 @@ class MultiTableTransaction:
         self._stage_base[name] = vs[-1] if vs else 0
         return t
 
-    def commit(self, stamps: dict[str, int] | None = None) -> int:
+    def commit(
+        self,
+        stamps: dict[str, int] | None = None,
+        pins: dict[str, int] | None = None,
+    ) -> int:
         """Swap every touched pin in one catalog CAS; returns the new
         catalog version. Touched = tables this transaction actually
         committed versions to (a handle that staged nothing carries its
         pin unchanged). ``stamps`` (app_id -> batch_id) fold into the
         catalog's ``txn_seen`` map IN THE SAME CAS — the atomic
         stamp+publish a transactional refresh needs for exactly-once
-        (:meth:`PinnedCatalog.last_committed_batch`)."""
+        (:meth:`PinnedCatalog.last_committed_batch`).
+
+        ``pins`` are explicit pin FAST-FORWARDS riding the same CAS for
+        tables this transaction did NOT stage — the caller asserts the
+        target versions are committed truth it can prove (the one user:
+        :meth:`PinnedCatalog.merge_branch` for branch-born tables,
+        where the branch catalog's own pin is that proof; the lineage
+        check below would refuse them as a foreign stager's rows
+        otherwise). Same first-committer-wins rule: the pin moving
+        since the transaction began conflicts."""
         if self._done:
             raise RuntimeError("transaction already committed/abandoned")
         touched: dict[str, int] = {}
         for name, rec in self._recorders.items():
             if rec.produced:
                 touched[name] = max(rec.produced)
+        overlap = set(touched) & set(pins or {})
+        if overlap:
+            raise ValueError(
+                f"pin override for staged table(s) {sorted(overlap)} — "
+                "a staged table's pin is its own highest produced version"
+            )
         while True:
             cur = self.catalog.state()
             for name in touched:
@@ -922,9 +1035,19 @@ class MultiTableTransaction:
                         f"{base_pin} -> {cur['tables'][name]['pin']} "
                         "since this transaction began; nothing committed"
                     )
+            for name in pins or {}:
+                base_pin = self._base["tables"][name]["pin"]
+                if cur["tables"][name]["pin"] != base_pin:
+                    raise TransactionConflict(
+                        f"pin of {name!r} moved "
+                        f"{base_pin} -> {cur['tables'][name]['pin']} "
+                        "since this transaction began; nothing committed"
+                    )
             tables = {n: dict(e) for n, e in cur["tables"].items()}
             for name, head in touched.items():
                 tables[name]["pin"] = head
+            for name, target in (pins or {}).items():
+                tables[name]["pin"] = target
             try:
                 v = self.catalog._cas(cur, tables, stamps=stamps)
             except TransactionConflict:

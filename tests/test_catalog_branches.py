@@ -346,3 +346,144 @@ def test_catalog_branch_name_reuse_after_merge(spark, wh):
     # main unaffected by the refused re-fork
     assert _kv(cat, "dim") == {"a": 1, "b": 2, "c": 3}
     assert cat.repair("dim") is None
+
+
+def test_branch_born_table_remedy_is_executable(spark, wh, tmp_path):
+    """The only_branch refusal's remedy must actually complete the
+    merge (the r13/r14 advice class: never prescribe an unexecutable
+    remedy): a table CREATED on the branch refuses the merge; after
+    registering its path on main (registration pins its committed
+    head = the merge for a branch-born table), merge_branch must
+    recognize the ref-less table, skip it, and land every other
+    table's merge — the old loop KeyError'd on a fork ref that never
+    existed, wedging the whole merge."""
+    cat = wh
+    bcat = cat.create_branch("exp")
+    # work on a FORKED table too, so the re-run has something to merge
+    btxn = bcat.transaction()
+    btxn.table("dim").append(_rows(spark, [("c", 3)]))
+    btxn.commit()
+    # a table born ON the branch (registered at a main-side path)
+    newt_path = str(tmp_path / "newt")
+    bcat.register("newt", newt_path)
+    btxn2 = bcat.transaction()
+    btxn2.table("newt").create(_rows(spark, [("n", 100)]))
+    btxn2.commit()
+
+    with pytest.raises(ValueError, match="register each branch table"):
+        cat.merge_branch("exp")
+    # the refusal rolled nothing and kept the branch intact
+    assert "exp" in cat.branches()
+    assert _kv(cat, "dim") == {"a": 1, "b": 2}
+
+    # THE PRESCRIBED REMEDY, verbatim
+    cat.register("newt", bcat.state()["tables"]["newt"]["path"])
+    v = cat.merge_branch("exp")
+    assert v is not None
+    assert _kv(cat, "dim") == {"a": 1, "b": 2, "c": 3}  # forked merge landed
+    assert _kv(cat, "newt") == {"n": 100}  # registration IS the merge
+    assert "exp" not in cat.branches()
+    # the warehouse stays transactable afterwards
+    txn = cat.transaction()
+    txn.table("newt").append(_rows(spark, [("m", 200)]))
+    txn.commit()
+    assert _kv(cat, "newt") == {"n": 100, "m": 200}
+
+
+def test_branch_born_table_unsafe_states_refuse_precisely(
+    spark, wh, tmp_path
+):
+    """The three states where registration != merge refuse with exact
+    messages and stage nothing: a DIFFERENT table at main's name, data
+    under the branch catalog directory (merge's rmtree would destroy
+    it), and disagreeing pins (the catalogs alias one table log — an
+    auto-repair would roll back one side's commits, so it must refuse
+    instead)."""
+    cat = wh
+
+    # (1) unrelated table registered under the branch-born name
+    bcat = cat.create_branch("b1")
+    bcat.register("ghost", str(tmp_path / "ghost_branch"))
+    g = bcat.transaction()
+    g.table("ghost").create(_rows(spark, [("g", 1)]))
+    g.commit()
+    other = SnapshotTable(spark, str(tmp_path / "ghost_main"))
+    other.create(_rows(spark, [("o", 9)]))
+    cat.register("ghost", other.path)
+    with pytest.raises(ValueError, match="DIFFERENT table"):
+        cat.merge_branch("b1")
+    assert "b1" in cat.branches()  # intact for the rebase
+    cat.drop_branch("b1")
+
+    # (2) branch-born data under the branch catalog directory
+    cat2 = PinnedCatalog(spark, str(tmp_path / "cat2"))
+    cat2.register("dim", str(tmp_path / "dim2"))
+    t0 = cat2.transaction()
+    t0.table("dim").create(_rows(spark, [("a", 1)]))
+    t0.commit()
+    bcat2 = cat2.create_branch("b2")
+    inside = os.path.join(bcat2.path, "tables", "inborn")
+    bcat2.register("inborn", inside)
+    bi = bcat2.transaction()
+    bi.table("inborn").create(_rows(spark, [("i", 1)]))
+    bi.commit()
+    cat2.register("inborn", inside)
+    with pytest.raises(ValueError, match="UNDER the branch catalog"):
+        cat2.merge_branch("b2")
+    cat2.drop_branch("b2")
+
+    # (3) the branch advances the shared log AFTER main registered:
+    # the branch catalog's pin PROVES those versions are committed
+    # truth, so the merge fast-forwards main's pin in the same CAS (a
+    # plain main transaction would hit the foreign-staged-lineage
+    # refusal here — it cannot tell branch-committed from abandoned)
+    bcat3 = cat.create_branch("b3")
+    np = str(tmp_path / "newt3")
+    bcat3.register("newt3", np)
+    b3 = bcat3.transaction()
+    b3.table("newt3").create(_rows(spark, [("n", 1)]))
+    b3.commit()
+    cat.register("newt3", np)  # pins at head (v1)
+    b3b = bcat3.transaction()
+    b3b.table("newt3").append(_rows(spark, [("p", 2)]))
+    b3b.commit()  # branch pin v2, main pin v1
+    assert cat.merge_branch("b3") is not None
+    assert "b3" not in cat.branches()
+    assert _kv(cat, "newt3") == {"n": 1, "p": 2}  # fast-forwarded
+    assert cat.pin("newt3") == 2
+
+    # (4) orphan staged versions past the branch pin: branch-side
+    # repair is the prescribed (and executable) remedy
+    bcat4 = cat.create_branch("b4")
+    np4 = str(tmp_path / "newt4")
+    bcat4.register("newt4", np4)
+    b4 = bcat4.transaction()
+    b4.table("newt4").create(_rows(spark, [("n", 1)]))
+    b4.commit()
+    cat.register("newt4", np4)
+    orphan = bcat4.transaction()
+    orphan.table("newt4").append(_rows(spark, [("o", 9)]))
+    orphan.abandon()  # head v2 past branch pin v1
+    with pytest.raises(ValueError, match="orphan staged"):
+        cat.merge_branch("b4")
+    cat.branch("b4").repair("newt4")
+    cat.merge_branch("b4")
+    assert "b4" not in cat.branches()
+    assert "o" not in _kv(cat, "newt4")  # the orphan never published
+
+    # (5) main advanced the shared log past the branch: stale branch
+    # view, the squash cannot arbitrate — refuse; drop_branch works
+    bcat5 = cat.create_branch("b5")
+    np5 = str(tmp_path / "newt5")
+    bcat5.register("newt5", np5)
+    b5 = bcat5.transaction()
+    b5.table("newt5").create(_rows(spark, [("n", 1)]))
+    b5.commit()
+    cat.register("newt5", np5)
+    mt5 = cat.transaction()
+    mt5.table("newt5").append(_rows(spark, [("m", 2)]))
+    mt5.commit()  # main pin v2, branch pin v1
+    with pytest.raises(ValueError, match="view is stale"):
+        cat.merge_branch("b5")
+    cat.drop_branch("b5")
+    assert _kv(cat, "newt5") == {"n": 1, "m": 2}
