@@ -211,6 +211,39 @@ class PinnedCatalog:
             except TransactionConflict:
                 continue  # somebody registered another table; re-read
 
+    def unregister(self, name: str) -> int:
+        """Remove ``name`` from the catalog (the catalog layer of a
+        DROP TABLE — Nessie/Iceberg drop semantics): one CAS deletes
+        the registration. The table DIRECTORY and its log are
+        untouched — re-register the path to serve it again, and
+        historical catalog states still name it for cross-table time
+        travel (bounded by the table's own retention, as ever). Also
+        the executable escape hatch :meth:`repair` prescribes for a
+        pin-0 table wedged by an abandoned stager's orphan commits:
+        unregister, clear (or abandon) the directory, re-register,
+        then commit the real first transaction. Refuses while a
+        catalog BRANCH is live — the branch catalog forked this
+        registration and :meth:`merge_branch`/:meth:`drop_branch`
+        resolve it as a set."""
+        if self.branches():
+            raise ValueError(
+                f"unregister {name!r} refused: catalog branch(es) "
+                f"{sorted(self.branches())} are live and fork the "
+                "registrations as a set — merge_branch or drop_branch "
+                "first"
+            )
+        while True:
+            cur = self.state()
+            if name not in cur["tables"]:
+                raise KeyError(f"table {name!r} not registered")
+            tables = {
+                n: dict(e) for n, e in cur["tables"].items() if n != name
+            }
+            try:
+                return self._cas(cur, tables)
+            except TransactionConflict:
+                continue  # unrelated commit; re-read
+
     def pin(self, name: str) -> int:
         entry = self.state()["tables"].get(name)
         if entry is None:
@@ -554,10 +587,15 @@ class PinnedCatalog:
             if head == entry["pin"]:
                 return None
             if entry["pin"] == 0:
+                # a first transaction CANNOT fix this (its commit hits
+                # the foreign-staged-lineage refusal: it staged on top
+                # of the orphans), and rollback has no version-0 target
+                # — the executable remedy is the unregister lifecycle
                 raise ValueError(
                     f"table {name!r} has orphan staged commits but no "
-                    "committed pin to roll back to; drop and re-create "
-                    "the table, or commit a first transaction"
+                    "committed pin to roll back to; unregister() it, "
+                    "clear the table directory, re-register, then "
+                    "commit the first transaction"
                 )
             new_head = t.rollback(entry["pin"]).version
             tables = {n: dict(e) for n, e in cur["tables"].items()}

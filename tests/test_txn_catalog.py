@@ -370,3 +370,64 @@ def test_lock_file_mutex_excludes_across_processes(tmp_path):
             )
             assert sum(wins) == 1, f"version {i}: {sum(wins)} winners"
     assert not os.path.exists(lock_path)  # no leaked lock
+
+
+def test_pin0_orphan_remedy_is_executable(spark, cat, tmp_path):
+    """The repair() pin-0 refusal's old remedy ('commit a first
+    transaction') could never run: the first transaction stages ON TOP
+    of the orphans and its commit hits the foreign-staged-lineage
+    refusal; rollback has no version-0 target. unregister() is the
+    executable lifecycle — proven here verbatim, including the dead
+    end it replaces."""
+    import shutil as _sh
+
+    path = str(tmp_path / "wedged")
+    cat.register("wedged", path)
+    ghost = cat.transaction()
+    ghost.table("wedged").create(_df(spark, 0, 3))
+    ghost.abandon()  # pin 0, log head 1: the wedge
+
+    # the OLD remedy is a dead end: create() refuses outright on the
+    # orphan's manifest, and an append's commit hits the lineage check
+    dead = cat.transaction()
+    with pytest.raises(FileExistsError):
+        dead.table("wedged").create(_df(spark, 10, 13))
+    dead.abandon()
+    first = cat.transaction()
+    first.table("wedged").append(_df(spark, 10, 13))
+    with pytest.raises(TransactionConflict, match="unpinned version"):
+        first.commit()
+    with pytest.raises(ValueError, match="unregister"):
+        cat.repair("wedged")
+
+    # THE PRESCRIBED REMEDY, verbatim
+    cat.unregister("wedged")
+    _sh.rmtree(path, ignore_errors=True)
+    cat.register("wedged", path)
+    txn = cat.transaction()
+    txn.table("wedged").create(_df(spark, 10, 13))
+    txn.commit()
+    assert _ids(cat.read("wedged")) == [10, 11, 12]
+
+
+def test_unregister_lifecycle(spark, cat, tmp_path):
+    """unregister removes only the REGISTRATION: the table directory
+    survives and re-registering serves it again at its head; unknown
+    names KeyError; a live catalog branch refuses (the branch forked
+    the registrations as a set)."""
+    assert _ids(cat.read("orders")) == list(range(10))
+    cat.unregister("orders")
+    with pytest.raises(KeyError):
+        cat.read("orders")
+    with pytest.raises(KeyError):
+        cat.unregister("orders")
+    # the table itself is untouched: re-register serves the same rows
+    cat.register("orders", str(tmp_path / "orders"))
+    assert _ids(cat.read("orders")) == list(range(10))
+
+    cat.create_branch("exp")
+    with pytest.raises(ValueError, match="merge_branch or drop_branch"):
+        cat.unregister("totals")
+    cat.drop_branch("exp")
+    cat.unregister("totals")
+    assert "totals" not in cat.state()["tables"]
