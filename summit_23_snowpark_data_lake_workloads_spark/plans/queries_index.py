@@ -4627,7 +4627,6 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: export is O(files) metadata + hard links, zero data
     movement; sync is O(commit delta) per version — the same cost
     envelope as the table's own manifests."""
-    import glob as _glob
     import json as _json
     import re as _re
     from urllib.parse import unquote as _unquote
@@ -4672,10 +4671,16 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("doc_id").cast("long").alias("agg"),
             ).select(F.lit(probe).alias("probe"), "n", "agg")
 
+        # ONE job computes the head aggregate; the gated row and the
+        # vacuum_survival baseline both reuse the collected values
+        # (the old shape scanned the exported files twice)
         head_live = fold()
-        out = agg_of(head_live, "export_head").unionByName(
-            agg_of(fold(version=0), "delta_v0_time_travel")
-        )
+        head_rows = agg_of(head_live, "export_head").collect()
+        before = {r.probe: (r.n, r.agg) for r in head_rows}
+        out = spark.createDataFrame(
+            [(r.probe, r.n, r.agg) for r in head_rows],
+            "probe string, n long, agg long",
+        ).unionByName(agg_of(fold(version=0), "delta_v0_time_travel"))
 
         stats_exact = int(
             sum(
@@ -4700,10 +4705,6 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ValueError:
             dv_refusal = 1
 
-        before = {
-            r.probe: (r.n, r.agg)
-            for r in agg_of(head_live, "export_head").collect()
-        }
         t.compact(target_files=1)
         t.vacuum(retain_last=1, orphan_grace_ms=0)
         after = {

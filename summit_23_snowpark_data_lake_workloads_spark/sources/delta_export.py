@@ -28,8 +28,10 @@ Refusals — honesty over silent lossiness:
   into rewrites) first — the same remedy the MoR docs give.
 - **Active column maps / dropped columns**: physical parquet column
   names would not match the logical ``schemaString`` without
-  writer-5 column mapping. Compact after a rename lifecycle, or
-  export a version predating it.
+  writer-5 column mapping. ``compact()`` past the rename lifecycle
+  is the remedy (exporting an older version does NOT work: reads
+  apply the HEAD column map, so the refusal rightly covers every
+  version while the map is active).
 - **Schema / metadata changes inside a sync range**: Delta carries
   schema in ``metaData`` actions; re-emitting it mid-log is legal
   but our incremental sync keeps the stronger invariant that the
@@ -141,9 +143,7 @@ def _delta_stats(snap: Snapshot, f: str) -> str | None:
     return json.dumps(out) if out else None
 
 
-def _add_action(
-    table: SnapshotTable, snap: Snapshot, f: str, now_ms: int
-) -> dict:
+def _add_action(table: SnapshotTable, snap: Snapshot, f: str) -> dict:
     src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
     if not os.path.exists(src_abs):
         raise FileNotFoundError(
@@ -165,18 +165,26 @@ def _add_action(
 
 
 def _write_commit(dst: str, delta_version: int, actions: list[dict]) -> None:
+    """Content-atomic, claim-once commit publish — the PosixCommit
+    ``os.link`` pattern: the file appears with its full body or not at
+    all, and two racing writers get exactly one winner (a bare
+    exists-check + replace would let the second silently clobber the
+    first)."""
     logdir = os.path.join(dst, _LOG_DIR)
     os.makedirs(logdir, exist_ok=True)
     path = os.path.join(logdir, f"{delta_version:020d}.json")
-    if os.path.exists(path):
-        raise FileExistsError(
-            f"delta commit {delta_version} already exported at {path}"
-        )
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, path)  # content-atomic: full body or nothing
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise FileExistsError(
+            f"delta commit {delta_version} already exported at {path}"
+        )
+    finally:
+        os.unlink(tmp)
 
 
 def _load_state(dst: str) -> dict:
@@ -231,7 +239,7 @@ def export_delta(
     for f in sorted(snap.files):
         src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
         _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
-        actions.append(_add_action(table, snap, f, now_ms))
+        actions.append(_add_action(table, snap, f))
     _write_commit(dst, 0, actions)
     _save_state(
         dst,
@@ -253,10 +261,42 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
     """Extend an existing export with one Delta commit PER source
     commit since the last export/sync — add/remove actions from the
     manifests' own commit deltas, so Delta-side time travel replays
-    the same history. Refuses on metadata ops, schema drift, or a
-    deletion-vector delta inside the range (each names the offending
-    version). Returns ``{"synced_versions", "delta_version"}``."""
+    the same history. Returns ``{"synced_versions", "delta_version"}``.
+
+    The WHOLE range validates before anything is written (a mid-range
+    refusal must never leave a half-synced log): metadata ops, schema
+    drift from commit 0's metaData (checked once at the head — schema
+    can only move through metadata ops, which refuse anyway), a
+    deletion-vector delta, AND any version carrying live deletion
+    vectors at all — the per-commit delta deliberately excludes DVs
+    riding on ADDED files (a rollback re-adds files WITH their
+    vectors), and exporting those files would resurrect their
+    soft-deleted rows at reader 1, the exact lossiness
+    :func:`export_delta`'s refusal exists to prevent.
+
+    Crash-safe: a death between a commit write and the sidecar update
+    is repaired on the next call by reconciling the sidecar against
+    the log on disk (each sync commit maps 1:1, in order, to one
+    source version). Refuses a ``table`` that is not the one this
+    export recorded — syncing another table would splice two
+    histories into one log."""
     state = _load_state(dst)
+    if os.path.realpath(table.path) != os.path.realpath(
+        state["table_path"]
+    ):
+        raise ValueError(
+            f"sync refused: this export tracks "
+            f"{state['table_path']!r}, not {table.path!r} — syncing "
+            "another table would splice two histories into one log"
+        )
+    disk_v, _, _, _ = _fold_state(dst)
+    if disk_v > state["delta_version"]:
+        # crash between _write_commit and _save_state: the log ran
+        # ahead of the sidecar; advance both counters by the gap
+        gap = disk_v - state["delta_version"]
+        state["table_version"] += gap
+        state["delta_version"] = disk_v
+        _save_state(dst, state)
     last_tv = state["table_version"]
     head = table.snapshot().version
     if head < last_tv:
@@ -264,10 +304,8 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
             f"table head v{head} is BEHIND the exported v{last_tv} "
             "(rollback since the export?) — re-export to a fresh dst"
         )
-    synced = 0
-    dv = state["delta_version"]
-    now_ms = int(time.time() * 1000)
-    for v, op, added, removed, dv_delta in table.file_changes(last_tv, head):
+    changes = table.file_changes(last_tv, head)
+    for v, op, _added, _removed, dv_delta in changes:
         if op in _META_OPS:
             raise ValueError(
                 f"sync refused at table v{v}: metadata operation "
@@ -280,12 +318,23 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
                 "rows via deletion vectors, invisible to a reader-1 "
                 "Delta log; compact() and re-export"
             )
-        schema_now = _schema_string(table, v)
-        if schema_now != state["schema_string"]:
+        if table.snapshot(v).dvs:
             raise ValueError(
-                f"sync refused at table v{v}: schema diverged from the "
-                "exported metaData; re-export to a fresh dst"
+                f"sync refused at table v{v}: live deletion vectors "
+                "(a rollback or merge re-added DV-carrying files — "
+                "absent from the per-commit delta, but a reader-1 "
+                "Delta log would resurrect their soft-deleted rows); "
+                "compact() and re-export"
             )
+    if changes and _schema_string(table, head) != state["schema_string"]:
+        raise ValueError(
+            "sync refused: the head schema diverged from the exported "
+            "metaData; re-export to a fresh dst"
+        )
+    synced = 0
+    dv = state["delta_version"]
+    now_ms = int(time.time() * 1000)
+    for v, op, added, removed, _dv_delta in changes:
         snap_v = table.snapshot(v)
         actions: list[dict] = [
             {
@@ -299,7 +348,7 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
         for f in added:
             src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
             _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
-            actions.append(_add_action(table, snap_v, f, now_ms))
+            actions.append(_add_action(table, snap_v, f))
         for f in removed:
             actions.append(
                 {

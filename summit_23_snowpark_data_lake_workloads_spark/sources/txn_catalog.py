@@ -367,6 +367,7 @@ class PinnedCatalog:
                 # names: repair the pin to the erase head (the only
                 # serving version left) so pinned reads un-wedge, THEN
                 # raise — the racing writer's update is still lost
+                repaired = False
                 try:
                     while True:
                         cur = self.state()
@@ -376,16 +377,30 @@ class PinnedCatalog:
                         tables[name] = {**tables[name], "pin": new_head}
                         try:
                             self._cas(cur, tables)
+                            repaired = True
                             break
                         except TransactionConflict:
                             continue  # unrelated commit; re-read
                 except OSError:
                     pass  # best-effort: the conflict below still states it
+                if repaired:
+                    raise TransactionConflict(
+                        f"pin for {name!r} moved to v{moved_pin} while "
+                        "the erase ran, and the erase expired that "
+                        f"version; pin re-pinned to the erase head "
+                        f"v{new_head} — the racing update is lost, "
+                        "re-read and re-apply"
+                    )
+                # not repaired BY US: either another writer moved it to
+                # a readable version mid-repair, or the repair attempt
+                # itself failed — say so instead of asserting a state
+                # that may not exist
                 raise TransactionConflict(
                     f"pin for {name!r} moved to v{moved_pin} while the "
-                    "erase ran, and the erase expired that version; "
-                    f"pin re-pinned to the erase head v{new_head} — "
-                    "the racing update is lost, re-read and re-apply"
+                    "erase ran, and the erase expired that version; a "
+                    "repair was attempted but did not land (another "
+                    "writer moved the pin, or the CAS failed) — check "
+                    "pin() before retrying; the racing update is lost"
                 )
             tables = dict(cur["tables"])
             tables[name] = {**tables[name], "pin": new_head}

@@ -423,3 +423,68 @@ def test_export_empty_head(spark, tmp_path):
     df = _read_delta(spark, dst)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["id", "grp", "val"]
+
+
+def test_sync_refuses_dvs_on_readded_files(spark, tmp_path):
+    """The review-found gap: a ROLLBACK re-adds files WITH their
+    deletion vectors, and the per-commit delta deliberately excludes
+    DVs riding on added files — so the old dv_delta-only refusal let
+    the sync export a reader-1 log that resurrects the soft-deleted
+    rows. The whole-version DV check closes it."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))  # v1
+    t.delete_mor(F.col("id") == 3)  # v2: DVs
+    t.compact(target_files=1)  # v3: folded — exportable head
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.rollback(2)  # v4: re-adds v2's files WITH their vectors,
+    # and the rollback commit's dv_delta is EMPTY by design
+    with pytest.raises(ValueError, match="re-added DV-carrying"):
+        sync_delta(t, dst)
+    # nothing was written: the export still folds to the v3 state
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read(version=3))
+
+
+def test_sync_refuses_wrong_table(spark, tmp_path):
+    """Syncing a different table into an export would splice two
+    histories into one log — refused by the recorded table_path."""
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    a.create(_df(spark, 0, 5))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    b.create(_df(spark, 100, 110))
+    dst = str(tmp_path / "delta")
+    export_delta(a, dst)
+    b.append(_df(spark, 110, 112))
+    with pytest.raises(ValueError, match="splice two histories"):
+        sync_delta(b, dst)
+    assert sync_delta(a, dst)["synced_versions"] == 0
+
+
+def test_sync_resumes_after_sidecar_crash(spark, tmp_path):
+    """A death between the commit write and the sidecar update must
+    not wedge the export: the next sync reconciles the sidecar against
+    the log on disk and continues (the old behavior: FileExistsError
+    forever)."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 6))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.append(_df(spark, 6, 9, grp=1))  # v2
+    t.append(_df(spark, 9, 12, grp=2))  # v3
+    sync_delta(t, dst)
+    # simulate the crash: the sidecar never learned about the LAST
+    # synced commit (delta 2 / table v3)
+    sp = os.path.join(dst, "_spark_graft_export.json")
+    with open(sp) as fh:
+        state = _json.load(fh)
+    state["delta_version"] -= 1
+    state["table_version"] -= 1
+    with open(sp, "w") as fh:
+        _json.dump(state, fh)
+    # heals: no FileExistsError, nothing re-synced, log unchanged
+    assert sync_delta(t, dst)["synced_versions"] == 0
+    t.append(_df(spark, 12, 14, grp=3))  # and sync continues past it
+    assert sync_delta(t, dst)["synced_versions"] == 1
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
