@@ -265,14 +265,17 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
 
     The WHOLE range validates before anything is written (a mid-range
     refusal must never leave a half-synced log): metadata ops, schema
-    drift from commit 0's metaData (checked once at the head — schema
-    can only move through metadata ops, which refuse anyway), a
-    deletion-vector delta, AND any version carrying live deletion
-    vectors at all — the per-commit delta deliberately excludes DVs
-    riding on ADDED files (a rollback re-adds files WITH their
-    vectors), and exporting those files would resurrect their
-    soft-deleted rows at reader 1, the exact lossiness
-    :func:`export_delta`'s refusal exists to prevent.
+    drift from commit 0's metaData — checked PER VERSION, because a
+    ``schema_evolution=True`` append widens the schema without a
+    metadata op, and an evolve-then-revert range would pass a
+    head-only check while exporting files whose physical schema the
+    log's schemaString does not describe — a deletion-vector delta,
+    AND any version carrying live deletion vectors at all: the
+    per-commit delta deliberately excludes DVs riding on ADDED files
+    (a rollback re-adds files WITH their vectors), and exporting
+    those files would resurrect their soft-deleted rows at reader 1,
+    the exact lossiness :func:`export_delta`'s refusal exists to
+    prevent.
 
     Crash-safe: a death between a commit write and the sidecar update
     is repaired on the next call by reconciling the sidecar against
@@ -289,7 +292,21 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
             f"{state['table_path']!r}, not {table.path!r} — syncing "
             "another table would splice two histories into one log"
         )
-    disk_v, _, _, _ = _fold_state(dst)
+    # highest delta version ON DISK from a directory listing alone —
+    # folding the whole log (every action line of every commit) just
+    # for this number would make the common no-op sync O(log size)
+    logdir = os.path.join(dst, _LOG_DIR)
+    disk_v = -1
+    lc = os.path.join(logdir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            disk_v = json.load(fh)["version"]
+    for nm in os.listdir(logdir):
+        m2 = re.fullmatch(r"(\d{20})\.json", nm)
+        if m2:
+            disk_v = max(disk_v, int(m2.group(1)))
+    if disk_v < 0:
+        raise FileNotFoundError(f"no delta log at {logdir}")
     if disk_v > state["delta_version"]:
         # crash between _write_commit and _save_state: the log ran
         # ahead of the sidecar; advance both counters by the gap
@@ -305,6 +322,7 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
             "(rollback since the export?) — re-export to a fresh dst"
         )
     changes = table.file_changes(last_tv, head)
+    snaps: dict[int, Snapshot] = {}
     for v, op, _added, _removed, dv_delta in changes:
         if op in _META_OPS:
             raise ValueError(
@@ -318,7 +336,8 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
                 "rows via deletion vectors, invisible to a reader-1 "
                 "Delta log; compact() and re-export"
             )
-        if table.snapshot(v).dvs:
+        snaps[v] = table.snapshot(v)
+        if snaps[v].dvs:
             raise ValueError(
                 f"sync refused at table v{v}: live deletion vectors "
                 "(a rollback or merge re-added DV-carrying files — "
@@ -326,16 +345,21 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
                 "Delta log would resurrect their soft-deleted rows); "
                 "compact() and re-export"
             )
-    if changes and _schema_string(table, head) != state["schema_string"]:
-        raise ValueError(
-            "sync refused: the head schema diverged from the exported "
-            "metaData; re-export to a fresh dst"
-        )
+        # PER VERSION, not head-only: a schema_evolution=True append
+        # widens the schema without a metadata op, and an
+        # evolve-then-revert range would slip past a head check while
+        # its files' physical schema diverges from the schemaString
+        if _schema_string(table, v) != state["schema_string"]:
+            raise ValueError(
+                f"sync refused at table v{v}: schema diverged from "
+                "the exported metaData (schema_evolution write?); "
+                "re-export to a fresh dst"
+            )
     synced = 0
     dv = state["delta_version"]
     now_ms = int(time.time() * 1000)
     for v, op, added, removed, _dv_delta in changes:
-        snap_v = table.snapshot(v)
+        snap_v = snaps[v]
         actions: list[dict] = [
             {
                 "commitInfo": {

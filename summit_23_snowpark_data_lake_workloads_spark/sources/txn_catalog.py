@@ -224,15 +224,21 @@ class PinnedCatalog:
         then commit the real first transaction. Refuses while a
         catalog BRANCH is live — the branch catalog forked this
         registration and :meth:`merge_branch`/:meth:`drop_branch`
-        resolve it as a set."""
-        if self.branches():
-            raise ValueError(
-                f"unregister {name!r} refused: catalog branch(es) "
-                f"{sorted(self.branches())} are live and fork the "
-                "registrations as a set — merge_branch or drop_branch "
-                "first"
-            )
+        resolve it as a set. The guard re-checks before every CAS
+        attempt, but branch refs live OUTSIDE the catalog-state CAS,
+        so a ``create_branch`` racing inside the final window can
+        still interleave (stated, not hidden): the outcome is LOUD,
+        never silent — the later merge hits the only_branch refusal
+        for the now-unregistered table, and re-registering the path
+        recovers."""
         while True:
+            if self.branches():
+                raise ValueError(
+                    f"unregister {name!r} refused: catalog branch(es) "
+                    f"{sorted(self.branches())} are live and fork the "
+                    "registrations as a set — merge_branch or "
+                    "drop_branch first"
+                )
             cur = self.state()
             if name not in cur["tables"]:
                 raise KeyError(f"table {name!r} not registered")
@@ -354,7 +360,15 @@ class PinnedCatalog:
         new_head = t.snapshot().version
         while True:
             cur = self.state()
-            moved_pin = cur["tables"][name]["pin"]
+            entry_now = cur["tables"].get(name)
+            if entry_now is None:
+                raise TransactionConflict(
+                    f"table {name!r} was unregistered while the erase "
+                    "ran; the erase itself is durable (the table log "
+                    "holds only the erased truth) — re-register the "
+                    "path to serve it"
+                )
+            moved_pin = entry_now["pin"]
             if moved_pin != pin_at_start:
                 if moved_pin in t._versions():
                     raise TransactionConflict(
@@ -371,8 +385,9 @@ class PinnedCatalog:
                 try:
                     while True:
                         cur = self.state()
-                        if cur["tables"][name]["pin"] in t._versions():
-                            break  # someone else repaired it first
+                        e2 = cur["tables"].get(name)
+                        if e2 is None or e2["pin"] in t._versions():
+                            break  # unregistered / repaired elsewhere
                         tables = dict(cur["tables"])
                         tables[name] = {**tables[name], "pin": new_head}
                         try:
@@ -838,9 +853,22 @@ class PinnedCatalog:
         staged: list[str] = []
         pin_ff: dict[str, int] = {}
         txn = self.transaction()
+        # pin decisions (the fast-forward arm especially) must read the
+        # SAME baseline commit() validates against — deciding from an
+        # earlier state read would let a pin move landing between the
+        # two reads be validated against the post-move value and
+        # silently clobbered instead of conflicting
+        cur = txn._base
         try:
             for tname in bstate["tables"]:
-                main_path = cur["tables"][tname]["path"]
+                entry = cur["tables"].get(tname)
+                if entry is None:
+                    raise TransactionConflict(
+                        f"table {tname!r} was unregistered between the "
+                        "merge's checks and its transaction; nothing "
+                        "merged"
+                    )
+                main_path = entry["path"]
                 mt = SnapshotTable(
                     self.spark,
                     main_path,
@@ -877,7 +905,7 @@ class PinnedCatalog:
                             "deletes — clone_to() a main-side path, "
                             "register that, then re-run merge_branch"
                         )
-                    m_pin = cur["tables"][tname]["pin"]
+                    m_pin = entry["pin"]
                     b_pin = bstate["tables"][tname]["pin"]
                     head_vs = mt._versions()
                     head = head_vs[-1] if head_vs else 0
@@ -1072,6 +1100,14 @@ class MultiTableTransaction:
             )
         while True:
             cur = self.catalog.state()
+            for name in list(touched) + list(pins or {}):
+                # unregister() can now remove entries mid-flight — a
+                # clean first-committer-wins conflict, never a KeyError
+                if name not in cur["tables"]:
+                    raise TransactionConflict(
+                        f"table {name!r} was unregistered since this "
+                        "transaction began; nothing committed"
+                    )
             for name in touched:
                 base_pin = self._base["tables"][name]["pin"]
                 if self._stage_base[name] != base_pin:

@@ -488,3 +488,26 @@ def test_sync_resumes_after_sidecar_crash(spark, tmp_path):
     t.append(_df(spark, 12, 14, grp=3))  # and sync continues past it
     assert sync_delta(t, dst)["synced_versions"] == 1
     assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+
+
+def test_sync_refuses_schema_evolution_even_when_head_reverts(
+    spark, tmp_path
+):
+    """A schema_evolution=True append widens the schema WITHOUT a
+    metadata op, and a later rollback can revert the head — a
+    head-only schema check passes while the range exports files whose
+    physical schema the log's schemaString does not describe. The
+    per-version check refuses at the exact version."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))  # v1
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.append(
+        _df(spark, 5, 8, grp=1).withColumn("extra", F.lit(7)),
+        schema_evolution=True,
+    )  # v2: wider, no metadata op
+    t.rollback(1)  # v3: head schema == exported schema again
+    with pytest.raises(ValueError, match="schema diverged"):
+        sync_delta(t, dst)
+    # whole-range validation: NOTHING was written
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read(version=1))

@@ -431,3 +431,14 @@ def test_unregister_lifecycle(spark, cat, tmp_path):
     cat.drop_branch("exp")
     cat.unregister("totals")
     assert "totals" not in cat.state()["tables"]
+
+
+def test_unregister_mid_transaction_is_a_clean_conflict(spark, cat):
+    """unregister() can now remove entries mid-flight: a transaction
+    whose touched table vanishes must raise TransactionConflict (the
+    first-committer-wins outcome), never a raw KeyError."""
+    txn = cat.transaction()
+    txn.table("orders").append(_df(spark, 100, 102))
+    cat.unregister("orders")
+    with pytest.raises(TransactionConflict, match="unregistered"):
+        txn.commit()
