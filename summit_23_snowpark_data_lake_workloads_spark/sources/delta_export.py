@@ -72,6 +72,31 @@ _LOG_DIR = "_delta_log"
 _STATE_FILE = "_spark_graft_export.json"
 
 
+def _checkpoint_version(logdir: str) -> int | None:
+    """The last checkpoint's version from ``_last_checkpoint``, or
+    None — the ONE place the pointer is parsed (sync's crash repair,
+    the fold seed, and log expiry all read it)."""
+    lc = os.path.join(logdir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    with open(lc) as fh:
+        return json.load(fh)["version"]
+
+
+def _disk_version(logdir: str) -> int:
+    """Highest delta version ON DISK from the directory listing alone
+    (checkpoint pointer + ``\\d{20}.json`` names) — no log fold."""
+    v = _checkpoint_version(logdir)
+    disk_v = -1 if v is None else v
+    for nm in os.listdir(logdir):
+        m2 = re.fullmatch(r"(\d{20})\.json", nm)
+        if m2:
+            disk_v = max(disk_v, int(m2.group(1)))
+    if disk_v < 0:
+        raise FileNotFoundError(f"no delta log at {logdir}")
+    return disk_v
+
+
 def _schema_string(table: SnapshotTable, version: int) -> str:
     """Spark StructType JSON (== Delta's ``schemaString``) at
     ``version`` — an EMPTY version (delete-all) inherits the last
@@ -295,18 +320,7 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
     # highest delta version ON DISK from a directory listing alone —
     # folding the whole log (every action line of every commit) just
     # for this number would make the common no-op sync O(log size)
-    logdir = os.path.join(dst, _LOG_DIR)
-    disk_v = -1
-    lc = os.path.join(logdir, "_last_checkpoint")
-    if os.path.exists(lc):
-        with open(lc) as fh:
-            disk_v = json.load(fh)["version"]
-    for nm in os.listdir(logdir):
-        m2 = re.fullmatch(r"(\d{20})\.json", nm)
-        if m2:
-            disk_v = max(disk_v, int(m2.group(1)))
-    if disk_v < 0:
-        raise FileNotFoundError(f"no delta log at {logdir}")
+    disk_v = _disk_version(os.path.join(dst, _LOG_DIR))
     if disk_v > state["delta_version"]:
         # crash between _write_commit and _save_state: the log ran
         # ahead of the sidecar; advance both counters by the gap
@@ -345,11 +359,15 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
                 "Delta log would resurrect their soft-deleted rows); "
                 "compact() and re-export"
             )
-        # PER VERSION, not head-only: a schema_evolution=True append
-        # widens the schema without a metadata op, and an
+        # PER ADDING VERSION, not head-only: a schema_evolution=True
+        # append widens the schema without a metadata op, and an
         # evolve-then-revert range would slip past a head check while
-        # its files' physical schema diverges from the schemaString
-        if _schema_string(table, v) != state["schema_string"]:
+        # its files' physical schema diverges from the schemaString.
+        # Only versions that ADD files can widen (removes can only
+        # narrow the merged view, and a wider-than-files schemaString
+        # reads the absent columns as nulls — valid Delta), so
+        # delete-only commits skip the inference pass.
+        if _added and _schema_string(table, v) != state["schema_string"]:
             raise ValueError(
                 f"sync refused at table v{v}: schema diverged from "
                 "the exported metaData (schema_evolution write?); "
@@ -413,11 +431,9 @@ def _fold_state(dst: str):
     live: dict[str, dict] = {}
     protocol = None
     metadata = None
-    start = -1
-    lc_path = os.path.join(logdir, "_last_checkpoint")
-    if os.path.exists(lc_path):
-        with open(lc_path) as fh:
-            start = json.load(fh)["version"]
+    ck = _checkpoint_version(logdir)
+    start = -1 if ck is None else ck
+    if ck is not None:
         tbl = pq.read_table(
             os.path.join(logdir, f"{start:020d}.checkpoint.parquet")
         )
@@ -527,14 +543,12 @@ def expire_delta_log(dst: str) -> int:
     removed; refuses when no checkpoint exists (expiry without a
     checkpoint would destroy the table)."""
     logdir = os.path.join(dst, _LOG_DIR)
-    lc_path = os.path.join(logdir, "_last_checkpoint")
-    if not os.path.exists(lc_path):
+    ckpt_v = _checkpoint_version(logdir)
+    if ckpt_v is None:
         raise FileNotFoundError(
             "expire_delta_log refused: no _last_checkpoint — write a "
             "checkpoint first (expiry would destroy the log)"
         )
-    with open(lc_path) as fh:
-        ckpt_v = json.load(fh)["version"]
     removed = 0
     for name in sorted(os.listdir(logdir)):
         m = re.fullmatch(r"(\d{20})\.json", name)

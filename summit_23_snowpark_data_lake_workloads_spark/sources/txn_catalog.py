@@ -361,12 +361,19 @@ class PinnedCatalog:
         while True:
             cur = self.state()
             entry_now = cur["tables"].get(name)
-            if entry_now is None:
+            if entry_now is None or os.path.realpath(
+                entry_now["path"]
+            ) != os.path.realpath(t.path):
+                # gone, or the NAME now belongs to a different table
+                # (unregister + re-register raced in) — writing the
+                # erase head onto a foreign registration would serve
+                # the wrong table's version or wedge every read
                 raise TransactionConflict(
-                    f"table {name!r} was unregistered while the erase "
-                    "ran; the erase itself is durable (the table log "
-                    "holds only the erased truth) — re-register the "
-                    "path to serve it"
+                    f"table {name!r} was unregistered (or re-registered "
+                    "at a different path) while the erase ran; the "
+                    "erase itself is durable (the table log holds only "
+                    "the erased truth) — re-register the erased path "
+                    "to serve it"
                 )
             moved_pin = entry_now["pin"]
             if moved_pin != pin_at_start:
@@ -386,8 +393,13 @@ class PinnedCatalog:
                     while True:
                         cur = self.state()
                         e2 = cur["tables"].get(name)
-                        if e2 is None or e2["pin"] in t._versions():
-                            break  # unregistered / repaired elsewhere
+                        if (
+                            e2 is None
+                            or os.path.realpath(e2["path"])
+                            != os.path.realpath(t.path)
+                            or e2["pin"] in t._versions()
+                        ):
+                            break  # gone / re-registered / repaired
                         tables = dict(cur["tables"])
                         tables[name] = {**tables[name], "pin": new_head}
                         try:
@@ -958,10 +970,15 @@ class PinnedCatalog:
             # ANY failure mid-staging (conflicts, but also LookupError /
             # OSError from a sick table) must abandon + roll back, or
             # the transaction stays open and orphan staged manifests
-            # linger until the next auto_repair
+            # linger until the next auto_repair. EVERY staged table is
+            # attempted even if one repair itself fails (a racing
+            # writer mid-rollback, an unregistered name) — and the
+            # ORIGINAL conflict is what the caller sees, never the
+            # cleanup's error
             txn.abandon()
             for tname in staged:
-                self.repair(tname)  # roll back the orphan staged merges
+                with contextlib.suppress(Exception):
+                    self.repair(tname)
             raise
         # release the refs (the merge is committed truth now); branch
         # table DIRECTORIES stay — main references merged files in place
@@ -1102,10 +1119,19 @@ class MultiTableTransaction:
             cur = self.catalog.state()
             for name in list(touched) + list(pins or {}):
                 # unregister() can now remove entries mid-flight — a
-                # clean first-committer-wins conflict, never a KeyError
-                if name not in cur["tables"]:
+                # clean first-committer-wins conflict, never a KeyError;
+                # and the NAME must still mean the same TABLE: an
+                # unregister + re-register at a different path with a
+                # coinciding pin would otherwise accept our staged
+                # versions onto a foreign registration
+                entry = cur["tables"].get(name)
+                base_path = self._base["tables"][name]["path"]
+                if entry is None or os.path.realpath(
+                    entry["path"]
+                ) != os.path.realpath(base_path):
                     raise TransactionConflict(
-                        f"table {name!r} was unregistered since this "
+                        f"table {name!r} was unregistered (or "
+                        "re-registered at a different path) since this "
                         "transaction began; nothing committed"
                     )
             for name in touched:

@@ -487,3 +487,43 @@ def test_branch_born_table_unsafe_states_refuse_precisely(
         cat.merge_branch("b5")
     cat.drop_branch("b5")
     assert _kv(cat, "newt5") == {"n": 1, "m": 2}
+
+
+def test_merge_rollback_attempts_every_staged_table(
+    spark, wh, tmp_path, monkeypatch
+):
+    """A failing repair() during the merge's conflict cleanup must not
+    abort the rollback of the REMAINING staged tables, and the caller
+    must see the ORIGINAL conflict, not the cleanup's error."""
+    cat = wh
+    bcat = cat.create_branch("exp")
+    btxn = bcat.transaction()
+    btxn.table("dim").append(_rows(spark, [("c", 3)]))  # clean merge
+    bf = btxn.table("fact")
+    bf.delete(F.col("k") == "x")  # branch rewrites fact's file
+    btxn.commit()
+    mtxn = cat.transaction()
+    mtxn.table("fact").delete(F.col("k") == "y")  # main rewrites SAME file
+    mtxn.commit()
+
+    calls = []
+    orig_repair = cat.repair
+
+    def flaky_repair(name):
+        calls.append(name)
+        if len(calls) == 1:
+            raise RuntimeError("simulated repair failure")
+        return orig_repair(name)
+
+    monkeypatch.setattr(cat, "repair", flaky_repair)
+    with pytest.raises(BranchMergeConflict):
+        # the ORIGINAL conflict, never the cleanup's RuntimeError
+        cat.merge_branch("exp", auto_repair=False)
+    monkeypatch.undo()
+    assert calls == ["dim", "fact"], (
+        "a failing repair aborted the rollback loop"
+    )
+    # finish the cleanup the flaky first call skipped; branch intact
+    cat.repair("dim")
+    assert "exp" in cat.branches()
+    assert _kv(cat, "dim") == {"a": 1, "b": 2}

@@ -442,3 +442,58 @@ def test_unregister_mid_transaction_is_a_clean_conflict(spark, cat):
     cat.unregister("orders")
     with pytest.raises(TransactionConflict, match="unregistered"):
         txn.commit()
+
+
+def test_commit_refuses_rebound_name_at_different_path(
+    spark, cat, tmp_path
+):
+    """Name-only identity is not enough: unregister + re-register the
+    SAME name at a DIFFERENT path (with a coinciding pin) must
+    conflict a transaction staged against the old table — committing
+    would push the old table's staged version onto a foreign
+    registration and serve a version it does not have."""
+    txn = cat.transaction()
+    txn.table("orders").append(_df(spark, 100, 102))
+    cat.unregister("orders")
+    other = SnapshotTable(spark, str(tmp_path / "impostor"))
+    other.create(_df(spark, 500, 505))  # head v1 == old pin? no: pin 1
+    cat.register("orders", other.path)
+    with pytest.raises(TransactionConflict, match="different path"):
+        txn.commit()
+    # the impostor registration is untouched and serves its own truth
+    assert _ids(cat.read("orders")) == [500, 501, 502, 503, 504]
+
+
+def test_erase_conflict_never_repins_a_rebound_name(
+    spark, tmp_path, monkeypatch
+):
+    """The erase's best-effort re-pin must not write the erased
+    table's head onto a re-registered entry pointing at a DIFFERENT
+    table — the name no longer means the erased table."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+        SnapshotTable as ST,
+    )
+
+    cat = PinnedCatalog(spark, str(tmp_path / "cat"))
+    cat.register("t", str(tmp_path / "t"))
+    txn = cat.transaction()
+    txn.table("t").create(_df(spark, 0, 8))
+    txn.commit()
+    impostor = ST(spark, str(tmp_path / "impostor"))
+    impostor.create(_df(spark, 900, 905))
+
+    orig = ST.erase_rows
+
+    def race(self, predicate):
+        stats = orig(self, predicate)
+        cat.unregister("t")
+        cat.register("t", impostor.path)
+        return stats
+
+    monkeypatch.setattr(ST, "erase_rows", race)
+    with pytest.raises(TransactionConflict, match="different path"):
+        cat.erase_rows("t", F.col("id") == 3)
+    monkeypatch.undo()
+    # the impostor's registration and pin are untouched
+    assert cat.pin("t") == impostor.snapshot().version
+    assert _ids(cat.read("t")) == [900, 901, 902, 903, 904]
