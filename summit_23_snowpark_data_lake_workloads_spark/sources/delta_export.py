@@ -47,8 +47,9 @@ Delta side if pruning matters there).
 
 Reference anchor: the reference hands result tables to downstream
 BI/warehouse consumers via CTAS into its native format
-(3_harmonize_data.sql); this is the same hand-off re-expressed as an
-open-format export any engine can ingest.
+(code/ingest/3B2_load_pdf_to_text.sql:1,
+code/curate/04_sales_enrich_sp.sql:61); this is the same hand-off
+re-expressed as an open-format export any engine can ingest.
 """
 
 from __future__ import annotations
@@ -168,20 +169,40 @@ def _delta_stats(snap: Snapshot, f: str) -> str | None:
     return json.dumps(out) if out else None
 
 
-def _add_action(table: SnapshotTable, snap: Snapshot, f: str) -> dict:
+#: rewrite-only source operations — same rows, new layout. Delta's
+#: OPTIMIZE convention marks their add/remove actions
+#: ``dataChange: false`` so a Delta STREAMING consumer of the exported
+#: log does not reprocess every compacted row as new data (batch reads
+#: ignore the flag either way).
+_REWRITE_OPS = frozenset({"compact", "zorder"})
+
+
+def _require_source(table: SnapshotTable, f: str) -> str:
+    """Absolute source path for a manifest file entry, with the guided
+    refusal when the bytes are gone — called during PRE-WRITE
+    validation (so a vacuumed file refuses before any Delta commit
+    publishes) and again at action-build time (the validate→write gap
+    is not atomic against a concurrent vacuum)."""
     src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
     if not os.path.exists(src_abs):
         raise FileNotFoundError(
             f"export needs {src_abs} but it is gone (vacuumed between "
             "commit and sync?) — sync before vacuuming, or re-export"
         )
+    return src_abs
+
+
+def _add_action(
+    table: SnapshotTable, snap: Snapshot, f: str, data_change: bool = True
+) -> dict:
+    src_abs = _require_source(table, f)
     rel = _dst_relname(table, f)
     add = {
         "path": quote(rel),
         "partitionValues": {},
         "size": os.path.getsize(src_abs),
         "modificationTime": int(os.path.getmtime(src_abs) * 1000),
-        "dataChange": True,
+        "dataChange": data_change,
     }
     stats = _delta_stats(snap, f)
     if stats:
@@ -213,11 +234,19 @@ def _write_commit(dst: str, delta_version: int, actions: list[dict]) -> None:
 
 
 def _load_state(dst: str) -> dict:
-    with open(os.path.join(dst, _STATE_FILE)) as fh:
-        return json.load(fh)
+    try:
+        with open(os.path.join(dst, _STATE_FILE)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no export sidecar ({_STATE_FILE}) under {dst!r} — either "
+            "this directory is not a spark-graft Delta export, or the "
+            "sidecar was deleted; delete dst and export_delta afresh"
+        ) from None
 
 
 def _save_state(dst: str, state: dict) -> None:
+    os.makedirs(dst, exist_ok=True)  # sidecar is the FIRST write now
     tmp = os.path.join(dst, f"{_STATE_FILE}.tmp")
     with open(tmp, "w") as fh:
         json.dump(state, fh)
@@ -261,20 +290,32 @@ def export_delta(
             }
         },
     ]
+    # pre-write validation: every source file must exist BEFORE any
+    # byte lands under dst (a vacuumed file must refuse with the
+    # guided message, not die mid-copy after a prefix published)
     for f in sorted(snap.files):
-        src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
-        _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
+        _require_source(table, f)
+    # the sidecar publishes FIRST, at delta_version -1 ("commit 0
+    # pending"): a crash before commit 0 then leaves a destination
+    # sync_delta can diagnose with a guided error — the old order
+    # (commit first) could wedge dst with a _delta_log and no sidecar.
+    # The -1/(version-1) pair is chosen so sync's crash repair (log
+    # ahead of sidecar advances both counters by the gap) lands on
+    # exactly (0, snap.version) when commit 0 DID publish.
+    state = {
+        "table_path": table.path,
+        "table_version": snap.version - 1,
+        "delta_version": -1,
+        "schema_string": schema_string,
+    }
+    _save_state(dst, state)
+    for f in sorted(snap.files):
+        src_abs = _require_source(table, f)
         actions.append(_add_action(table, snap, f))
+        _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
     _write_commit(dst, 0, actions)
-    _save_state(
-        dst,
-        {
-            "table_path": table.path,
-            "table_version": snap.version,
-            "delta_version": 0,
-            "schema_string": schema_string,
-        },
-    )
+    state.update({"table_version": snap.version, "delta_version": 0})
+    _save_state(dst, state)
     return {
         "delta_version": 0,
         "table_version": snap.version,
@@ -289,7 +330,9 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
     the same history. Returns ``{"synced_versions", "delta_version"}``.
 
     The WHOLE range validates before anything is written (a mid-range
-    refusal must never leave a half-synced log): metadata ops, schema
+    refusal must never leave a half-synced log): source-file
+    existence for every added file (a vacuumed file refuses with the
+    guided message before any commit publishes), metadata ops, schema
     drift from commit 0's metaData — checked PER VERSION, because a
     ``schema_evolution=True`` append widens the schema without a
     metadata op, and an evolve-then-revert range would pass a
@@ -320,7 +363,16 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
     # highest delta version ON DISK from a directory listing alone —
     # folding the whole log (every action line of every commit) just
     # for this number would make the common no-op sync O(log size)
-    disk_v = _disk_version(os.path.join(dst, _LOG_DIR))
+    try:
+        disk_v = _disk_version(os.path.join(dst, _LOG_DIR))
+    except FileNotFoundError:
+        if state["delta_version"] < 0:
+            raise FileNotFoundError(
+                f"export_delta crashed before publishing commit 0 "
+                f"under {dst!r} (sidecar present, no commits) — "
+                "delete dst and export_delta afresh"
+            ) from None
+        raise
     if disk_v > state["delta_version"]:
         # crash between _write_commit and _save_state: the log ran
         # ahead of the sidecar; advance both counters by the gap
@@ -338,6 +390,11 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
     changes = table.file_changes(last_tv, head)
     snaps: dict[int, Snapshot] = {}
     for v, op, _added, _removed, dv_delta in changes:
+        for f in _added:
+            # pre-write validation: a vacuumed source file must refuse
+            # with the guided message BEFORE any Delta commit of the
+            # range publishes, not as a raw copy error mid-range
+            _require_source(table, f)
         if op in _META_OPS:
             raise ValueError(
                 f"sync refused at table v{v}: metadata operation "
@@ -378,6 +435,7 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
     now_ms = int(time.time() * 1000)
     for v, op, added, removed, _dv_delta in changes:
         snap_v = snaps[v]
+        data_change = op not in _REWRITE_OPS
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -388,16 +446,18 @@ def sync_delta(table: SnapshotTable, dst: str) -> dict:
             }
         ]
         for f in added:
+            # action first (its existence check fires the guided
+            # refusal), THEN the link — never a raw copy error
+            actions.append(_add_action(table, snap_v, f, data_change))
             src_abs = f if os.path.isabs(f) else os.path.join(table.path, f)
             _link_in(src_abs, os.path.join(dst, _dst_relname(table, f)))
-            actions.append(_add_action(table, snap_v, f))
         for f in removed:
             actions.append(
                 {
                     "remove": {
                         "path": quote(_dst_relname(table, f)),
                         "deletionTimestamp": now_ms,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )

@@ -511,3 +511,130 @@ def test_sync_refuses_schema_evolution_even_when_head_reverts(
         sync_delta(t, dst)
     # whole-range validation: NOTHING was written
     assert _rows(_read_delta(spark, dst)) == _rows(t.read(version=1))
+
+
+def test_rewrite_sync_marks_data_change_false(spark, tmp_path):
+    """Delta's OPTIMIZE convention: a rewrite-only source commit
+    (compact/zorder) syncs with dataChange: false on every add AND
+    remove — a Delta STREAMING consumer must not reprocess the
+    compacted rows as new data. A real append keeps dataChange true,
+    and batch folds are unaffected either way."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 8))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.append(_df(spark, 8, 12, grp=1))  # v2: real data change
+    t.compact(target_files=1)  # v3: layout only
+    assert sync_delta(t, dst)["synced_versions"] == 2
+
+    def flags(delta_v):
+        out = []
+        with open(
+            os.path.join(dst, "_delta_log", f"{delta_v:020d}.json")
+        ) as fh:
+            for line in fh:
+                a = json.loads(line)
+                for k in ("add", "remove"):
+                    if k in a:
+                        out.append((k, a[k]["dataChange"]))
+        return out
+
+    append_flags = flags(1)
+    compact_flags = flags(2)
+    assert append_flags and all(dc for _k, dc in append_flags)
+    assert {k for k, _dc in compact_flags} == {"add", "remove"}
+    assert all(dc is False for _k, dc in compact_flags)
+    # the fold (batch read) is oblivious to the flag
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+
+
+def test_sync_vacuumed_file_refuses_before_any_commit_publishes(
+    spark, tmp_path
+):
+    """Whole-range pre-validation includes source-file EXISTENCE: a
+    file vacuumed between commit and sync must surface the guided
+    'sync before vacuuming' refusal BEFORE any Delta commit of the
+    range publishes — not a raw copy error after a prefix landed."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 6))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.append(_df(spark, 6, 9, grp=1))  # v2
+    t.append(_df(spark, 9, 12, grp=2))  # v3
+    # simulate a vacuum race: a file added by the LAST version is gone,
+    # so the naive per-commit loop would publish v2's delta first
+    changes = t.file_changes(1, 3)
+    victim = os.path.join(t.path, changes[-1][2][0])
+    victim_bytes = open(victim, "rb").read()
+    os.unlink(victim)
+    with pytest.raises(FileNotFoundError, match="sync before vacuuming"):
+        sync_delta(t, dst)
+    # NOTHING published: commit 0 is still the whole log
+    logdir = os.path.join(dst, "_delta_log")
+    assert [
+        n for n in sorted(os.listdir(logdir)) if re.fullmatch(r"\d{20}\.json", n)
+    ] == ["0" * 20 + ".json"]
+    # restore the bytes and the same sync goes through cleanly
+    with open(victim, "wb") as fh:
+        fh.write(victim_bytes)
+    assert sync_delta(t, dst)["synced_versions"] == 2
+    assert _rows(_read_delta(spark, dst)) == _rows(t.read())
+
+
+def test_export_crash_before_commit0_is_diagnosed_not_wedged(
+    spark, tmp_path, monkeypatch
+):
+    """The sidecar now publishes BEFORE commit 0 ('commit pending'
+    state), so a crash inside export_delta leaves a destination that
+    sync_delta diagnoses with a guided error instead of an unguided
+    FileNotFoundError from the sidecar load — and a crash after
+    commit 0 published but before the final sidecar update heals via
+    sync's existing log-ahead repair."""
+    import summit_23_snowpark_data_lake_workloads_spark.sources.delta_export as de
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 6))
+    t.append(_df(spark, 6, 9, grp=1))  # v2: export at head v2
+
+    # crash BEFORE commit 0 publishes
+    dst1 = str(tmp_path / "delta1")
+    real_write = de._write_commit
+
+    def boom(dstp, v, actions):
+        raise RuntimeError("injected crash before commit 0")
+
+    monkeypatch.setattr(de, "_write_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        export_delta(t, dst1)
+    monkeypatch.setattr(de, "_write_commit", real_write)
+    # the sidecar exists in pending state; sync names the remedy
+    with pytest.raises(FileNotFoundError, match="delete dst and export"):
+        sync_delta(t, dst1)
+
+    # crash AFTER commit 0 but before the final sidecar update:
+    # rewind the sidecar to its published pre-commit state
+    dst2 = str(tmp_path / "delta2")
+    export_delta(t, dst2)
+    sp = os.path.join(dst2, "_spark_graft_export.json")
+    state = json.load(open(sp))
+    state.update(
+        {"delta_version": -1, "table_version": state["table_version"] - 1}
+    )
+    json.dump(state, open(sp, "w"))
+    assert sync_delta(t, dst2)["synced_versions"] == 0  # repaired
+    t.append(_df(spark, 9, 11, grp=2))  # v3 — and sync continues
+    assert sync_delta(t, dst2)["synced_versions"] == 1
+    assert _rows(_read_delta(spark, dst2)) == _rows(t.read())
+
+
+def test_sync_missing_sidecar_gets_guided_error(spark, tmp_path):
+    """A destination holding a _delta_log but no sidecar (deleted, or
+    a foreign Delta table) refuses with a guided message naming the
+    sidecar — not a raw open() FileNotFoundError."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    os.unlink(os.path.join(dst, "_spark_graft_export.json"))
+    with pytest.raises(FileNotFoundError, match="no export sidecar"):
+        sync_delta(t, dst)
