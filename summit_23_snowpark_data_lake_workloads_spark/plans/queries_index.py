@@ -4590,6 +4590,13 @@ def _delta_export_oracle() -> str:
     UNION ALL
     SELECT 'vacuum_survival', 1::BIGINT, 1::BIGINT
     UNION ALL
+    SELECT 'compact_sync', 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT 'rollback_head', count(*)::BIGINT, sum(doc_id)::BIGINT
+    FROM documents WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT 'rollback_dv_refusal', 1::BIGINT, 1::BIGINT
+    UNION ALL
     SELECT 'checkpoint_fold', 1::BIGINT, 1::BIGINT
     """
 
@@ -4603,7 +4610,9 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer 2) with hard-linked data files, and incremental ``sync``
     replays the source history as Delta commits — the hand-off the
     reference performs via CTAS into its native warehouse format
-    (3_harmonize_data.sql), re-expressed as a log any engine ingests.
+    (code/ingest/3B2_load_pdf_to_text.sql:1,
+    code/curate/04_sales_enrich_sp.sql:61), re-expressed as a log any
+    engine ingests.
 
     Lifecycle: create (doc_id%4==0 slice) -> export (delta 0) ->
     append (%4==1) -> COW delete (doc_id%10==3) -> sync (2 delta
@@ -4618,7 +4627,19 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     live deletion vector refuses: reader-1 Delta would resurrect its
     soft-deleted rows); ``vacuum_survival`` pins that a source-side
     compact + retention sweep cannot rot the export (the links keep
-    the bytes alive); ``checkpoint_fold`` pins the long-history path —
+    the bytes alive); ``compact_sync`` pins OPTIMIZE semantics — a
+    source compact replays as one Delta commit whose add/remove
+    actions all carry ``dataChange: false`` (a Delta streaming
+    consumer must not reprocess compacted rows) with the head fold
+    unchanged; ``rollback_head`` gates the ROLLBACK sync path as a
+    VALUE row — a source rollback replays as a replace-all Delta
+    commit and the Delta head serves exactly the rolled-back slice
+    DuckDB recomputes from the original parquet;
+    ``rollback_dv_refusal`` pins the refusal twin — a rollback that
+    re-adds files WITH live deletion vectors refuses sync (reader-1
+    Delta would resurrect the soft-deleted rows) and the prescribed
+    compact-then-re-export remedy round-trips exactly;
+    ``checkpoint_fold`` pins the long-history path —
     a checkpoint parquet + ``_last_checkpoint`` is written, EVERY
     pre-checkpoint JSON commit is expired, and the checkpoint-seeded
     fold still reproduces the head exactly (Delta's bounded-fold
@@ -4713,6 +4734,34 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         vacuum_survival = int(before == after)
 
+        # rewrite-only sync: the source compact replays as ONE Delta
+        # commit whose add/remove actions all carry dataChange: false
+        # (OPTIMIZE semantics — a Delta streaming consumer must not
+        # reprocess the compacted rows), and the head fold still
+        # serves the same rows from the new layout
+        sync_rpt = sync_delta(t, dst)
+        dc_flags = []
+        with open(
+            os.path.join(
+                dst, "_delta_log", f"{sync_rpt['delta_version']:020d}.json"
+            )
+        ) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                for k in ("add", "remove"):
+                    if k in a:
+                        dc_flags.append(a[k]["dataChange"])
+        post_compact = {
+            r.probe: (r.n, r.agg)
+            for r in agg_of(fold(), "export_head").collect()
+        }
+        compact_sync = int(
+            sync_rpt["synced_versions"] == 1
+            and len(dc_flags) >= 2
+            and not any(dc_flags)
+            and post_compact == before
+        )
+
         # checkpoint + log expiry: the bounded-fold path a long-lived
         # export lives on — after EVERY pre-checkpoint JSON commit is
         # deleted, the checkpoint-seeded fold must still serve the head
@@ -4734,16 +4783,96 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         checkpoint_fold = int(expired >= 1 and ck_agg == before)
 
+        # ROLLBACK sync, positive arm: a source rollback is a normal
+        # replace-all commit to the sync — it replays as one Delta
+        # commit re-adding the old files, and the Delta head then
+        # serves exactly the rolled-back state (gated as a VALUE row
+        # against DuckDB recomputing the original slice)
+        t3 = SnapshotTable(spark, os.path.join(tmp, "t3"))
+        t3.create(docs.filter(F.col("doc_id") % 4 == 2))  # v1
+        dst3 = os.path.join(tmp, "delta3")
+        export_delta(t3, dst3)
+        t3.append(docs.filter(F.col("doc_id") % 4 == 3))  # v2
+        sync_delta(t3, dst3)
+        t3.rollback(1)  # v3: replace-all back to the created slice
+        sync_delta(t3, dst3)
+
+        def fold_of(dstp, version=None):
+            live = {}
+            logdir = os.path.join(dstp, "_delta_log")
+            for name in sorted(os.listdir(logdir)):
+                if not _re.fullmatch(r"\d{20}\.json", name):
+                    continue
+                if version is not None and int(name[:-5]) > version:
+                    continue
+                with open(os.path.join(logdir, name)) as fh:
+                    for line in fh:
+                        a = _json.loads(line)
+                        if "add" in a:
+                            live[_unquote(a["add"]["path"])] = a["add"]
+                        if "remove" in a:
+                            live.pop(_unquote(a["remove"]["path"]), None)
+            return live
+
+        rb_live = fold_of(dst3)
+        rollback_head = spark.read.parquet(
+            *[os.path.join(dst3, p) for p in rb_live]
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("agg"),
+        ).select(F.lit("rollback_head").alias("probe"), "n", "agg")
+
+        # ROLLBACK sync, refusal arm: a rollback that re-adds files
+        # WITH live deletion vectors refuses (reader-1 Delta would
+        # resurrect the soft-deleted rows — the DV delta excludes DVs
+        # riding on added files by design), and the prescribed remedy
+        # (compact to fold the vectors, re-export fresh) round-trips
+        t4 = SnapshotTable(spark, os.path.join(tmp, "t4"))
+        t4.create(docs.filter(F.col("doc_id") % 7 == 1))  # v1
+        t4.delete_mor(F.col("doc_id") % 14 == 1)  # v2: DVs
+        t4.compact(target_files=1)  # v3: folded, exportable
+        dst4 = os.path.join(tmp, "delta4")
+        export_delta(t4, dst4)
+        t4.rollback(2)  # v4: re-adds v2's files WITH their vectors
+        rb_refused = 0
+        try:
+            sync_delta(t4, dst4)
+        except ValueError:
+            rb_refused = 1
+        t4.compact(target_files=1)  # remedy: fold the vectors...
+        dst5 = os.path.join(tmp, "delta5")
+        export_delta(t4, dst5)  # ...and re-export fresh
+        r5 = fold_of(dst5)
+        remedy = spark.read.parquet(
+            *[os.path.join(dst5, p) for p in r5]
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("agg"),
+        ).collect()[0]
+        direct = t4.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("agg"),
+        ).collect()[0]
+        rollback_dv_refusal = int(
+            rb_refused == 1 and (remedy.n, remedy.agg) == (direct.n, direct.agg)
+        )
+
         flags = spark.createDataFrame(
             [
                 ("stats_exact", stats_exact, stats_exact),
                 ("zero_copy", zero_copy, zero_copy),
                 ("dv_refusal", dv_refusal, dv_refusal),
                 ("vacuum_survival", vacuum_survival, vacuum_survival),
+                ("compact_sync", compact_sync, compact_sync),
+                ("rollback_dv_refusal", rollback_dv_refusal, rollback_dv_refusal),
                 ("checkpoint_fold", checkpoint_fold, checkpoint_fold),
             ],
             "probe string, n long, agg long",
         )
-        return out.unionByName(flags).localCheckpoint(eager=True)
+        return (
+            out.unionByName(rollback_head)
+            .unionByName(flags)
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
