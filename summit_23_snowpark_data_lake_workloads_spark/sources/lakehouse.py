@@ -3796,6 +3796,39 @@ class SnapshotTable:
         construction — the tag kept its target retained."""
         return self.rollback(self._tag_version(name))
 
+    def restore(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        tag: str | None = None,
+    ) -> Snapshot:
+        """``RESTORE TABLE t TO VERSION/TIMESTAMP AS OF`` as ONE
+        table-local verb: resolve the target exactly like
+        :meth:`read`'s time travel (explicit version, wall-clock
+        timestamp, or named tag) and replay its content forward as a
+        normal :meth:`rollback` commit — history never rewritten, the
+        mis-step stays auditable, replay stamps untouched, and the
+        target's deletion vectors restored with its files. An explicit
+        target is REQUIRED (restore-to-latest is a no-op that hides a
+        typo'd argument, so it refuses)."""
+        picked = [
+            n
+            for n, v in (
+                ("version", version),
+                ("as_of_ms", as_of_ms),
+                ("tag", tag),
+            )
+            if v is not None
+        ]
+        if len(picked) != 1:
+            raise ValueError(
+                "restore needs exactly ONE of version=, as_of_ms=, "
+                f"tag= (got {picked or 'none'})"
+            )
+        if tag is not None:
+            return self.restore_tag(tag)
+        return self.rollback(self._resolve_v(version, as_of_ms))
+
     # ------------------------------------------------------------------
     # Writable branches (the tags twin — Iceberg/Nessie's movable refs)
     # ------------------------------------------------------------------

@@ -490,3 +490,37 @@ def test_restore_tag_table_and_catalog(spark, tagcat, tmp_path):
     cat.restore_tag("golden")
     assert _ids(cat.read("a")) == good_a
     assert _ids(cat.read("b")) == good_b
+
+
+def test_restore_unified_verb(spark, tmp_path):
+    """`RESTORE TABLE t TO VERSION/TIMESTAMP AS OF` as one table-local
+    verb: restore(version=) == rollback, restore(as_of_ms=) resolves
+    like read()'s time travel, restore(tag=) == restore_tag — all
+    replayed forward as auditable rollback commits; an explicit target
+    is required and exactly one selector is accepted."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))  # v1
+    t.append(_df(spark, 4, 7))  # v2
+    ts_v2 = t.snapshot(2).timestamp_ms
+    at_ts = _ids(t.read(as_of_ms=ts_v2))  # whatever read() resolves
+    t.create_tag("keep")
+    t.overwrite(_df(spark, 100, 103))  # v3
+
+    snap = t.restore(version=1)
+    assert snap.operation == "rollback"
+    assert _ids(t.read()) == list(range(4))
+
+    t.restore(as_of_ms=ts_v2)
+    assert _ids(t.read()) == at_ts  # same resolution as read()
+
+    t.restore(tag="keep")
+    assert _ids(t.read()) == list(range(7))
+
+    # history is forward-only: every restore is a new auditable commit
+    assert t.snapshot().version == 6
+    with pytest.raises(ValueError, match="exactly ONE"):
+        t.restore()
+    with pytest.raises(ValueError, match="exactly ONE"):
+        t.restore(version=1, tag="keep")
+    with pytest.raises(LookupError):
+        t.restore(as_of_ms=0)
