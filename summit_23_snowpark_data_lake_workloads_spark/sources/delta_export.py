@@ -581,6 +581,10 @@ def write_delta_checkpoint(dst: str) -> dict:
     for path in sorted(live):
         a = dict(live[path])
         a.setdefault("stats", None)
+        # PROTOCOL.md: actions reconstituted into a checkpoint carry
+        # dataChange: false — the checkpoint restates existing state,
+        # and a streaming consumer must not replay it as new data
+        a["dataChange"] = False
         rows.append({"protocol": None, "metaData": None, "add": a})
     logdir = os.path.join(dst, _LOG_DIR)
     ck = os.path.join(logdir, f"{version:020d}.checkpoint.parquet")

@@ -363,6 +363,15 @@ def test_checkpoint_bounds_the_fold_and_survives_log_expiry(spark, tmp_path):
     logdir = os.path.join(dst, "_delta_log")
     ck = os.path.join(logdir, f"{2:020d}.checkpoint.parquet")
     assert os.path.isfile(ck), "checkpoint must be a single FILE"
+    # PROTOCOL.md: checkpoint-reconstituted actions carry
+    # dataChange: false (a streaming reader must not replay them)
+    ck_adds = [
+        a
+        for (a,) in duckdb.sql(
+            f"SELECT add FROM read_parquet('{ck}') WHERE add IS NOT NULL"
+        ).fetchall()
+    ]
+    assert ck_adds and all(a["dataChange"] is False for a in ck_adds)
     # checkpoint-aware fold == JSON-only fold == the table
     assert _rows(_fold_with_checkpoint(spark, dst)) == _rows(t.read())
     assert _rows(_read_delta(spark, dst)) == _rows(t.read())
