@@ -4597,6 +4597,8 @@ def _delta_export_oracle() -> str:
     UNION ALL
     SELECT 'rollback_dv_refusal', 1::BIGINT, 1::BIGINT
     UNION ALL
+    SELECT 'column_map_export', 1::BIGINT, 1::BIGINT
+    UNION ALL
     SELECT 'checkpoint_fold', 1::BIGINT, 1::BIGINT
     """
 
@@ -4639,7 +4641,12 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-adds files WITH live deletion vectors refuses sync (reader-1
     Delta would resurrect the soft-deleted rows) and the prescribed
     compact-then-re-export remedy round-trips exactly;
-    ``checkpoint_fold`` pins the long-history path —
+    ``column_map_export`` pins NAME-mode column mapping — a
+    renamed/dropped-column table exports reader 2 / writer 5 with
+    per-field ``delta.columnMapping.physicalName`` metadata and an
+    independent mapped fold (bind physical, present logical)
+    reproduces the logical view; ``checkpoint_fold`` pins the
+    long-history path —
     a checkpoint parquet + ``_last_checkpoint`` is written, EVERY
     pre-checkpoint JSON commit is expired, and the checkpoint-seeded
     fold still reproduces the head exactly (Delta's bounded-fold
@@ -4857,6 +4864,58 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rb_refused == 1 and (remedy.n, remedy.agg) == (direct.n, direct.agg)
         )
 
+        # NAME-mode column mapping: a renamed/dropped-column table
+        # exports reader 2 / writer 5 with per-field physicalName
+        # metadata instead of refusing — an independent mapped fold
+        # (bind by physical name, present logical) must reproduce the
+        # table's logical view exactly
+        t5 = SnapshotTable(spark, os.path.join(tmp, "t5"))
+        t5.create(docs.filter(F.col("doc_id") % 9 == 0))
+        t5.rename_column("doc_id", "document_id")
+        t5.drop_column("source")
+        dst6 = os.path.join(tmp, "delta6")
+        export_delta(t5, dst6)
+        md = None
+        with open(
+            os.path.join(dst6, "_delta_log", "0" * 20 + ".json")
+        ) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "metaData" in a:
+                    md = a["metaData"]
+                if "protocol" in a:
+                    proto5 = a["protocol"]
+        sch5 = _json.loads(md["schemaString"])
+        phys_of = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in sch5["fields"]
+        }
+        m_live = fold_of(dst6)
+        mapped = spark.read.parquet(
+            *[os.path.join(dst6, p) for p in m_live]
+        ).select(
+            *[
+                F.col(p).alias(l)
+                for l, p in phys_of.items()
+            ]
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("document_id").cast("long").alias("agg"),
+        ).collect()[0]
+        d5 = t5.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("document_id").cast("long").alias("agg"),
+        ).collect()[0]
+        column_map_export = int(
+            md["configuration"].get("delta.columnMapping.mode") == "name"
+            and proto5
+            == {"minReaderVersion": 2, "minWriterVersion": 5}
+            and sorted(f["name"] for f in sch5["fields"])
+            == ["document_id"]
+            and phys_of["document_id"] == "doc_id"
+            and (mapped.n, mapped.agg) == (d5.n, d5.agg)
+        )
+
         flags = spark.createDataFrame(
             [
                 ("stats_exact", stats_exact, stats_exact),
@@ -4865,6 +4924,7 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("vacuum_survival", vacuum_survival, vacuum_survival),
                 ("compact_sync", compact_sync, compact_sync),
                 ("rollback_dv_refusal", rollback_dv_refusal, rollback_dv_refusal),
+                ("column_map_export", column_map_export, column_map_export),
                 ("checkpoint_fold", checkpoint_fold, checkpoint_fold),
             ],
             "probe string, n long, agg long",

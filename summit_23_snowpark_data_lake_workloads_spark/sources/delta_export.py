@@ -26,17 +26,21 @@ Refusals — honesty over silent lossiness:
   encoding; exporting the files without their vectors would
   RESURRECT soft-deleted rows. ``compact()`` (which folds vectors
   into rewrites) first — the same remedy the MoR docs give.
-- **Active column maps / dropped columns**: physical parquet column
-  names would not match the logical ``schemaString`` without
-  writer-5 column mapping. ``compact()`` past the rename lifecycle
-  is the remedy (exporting an older version does NOT work: reads
-  apply the HEAD column map, so the refusal rightly covers every
-  version while the map is active).
 - **Schema / metadata changes inside a sync range**: Delta carries
   schema in ``metaData`` actions; re-emitting it mid-log is legal
   but our incremental sync keeps the stronger invariant that the
   exported log's schema equals commit 0's — a diverged range refuses
   with the exact version.
+
+Tables with an active column map / dropped columns (post
+rename/drop/readd lifecycle) export with Delta NAME-mode column
+mapping instead of refusing: ``delta.columnMapping.mode: name`` in
+the metaData configuration, per-field ``delta.columnMapping.id`` /
+``physicalName`` metadata in the ``schemaString`` (reader 2 /
+writer 5) — a mapped reader binds parquet columns by their physical
+(creation-time) names and presents the logical view, and dropped
+columns' retained bytes are ignored, exactly matching this format's
+own read semantics.
 
 Partitioned tables export with ``partitionColumns: []``: this
 format keeps partition columns physically present in the data files
@@ -98,16 +102,42 @@ def _disk_version(logdir: str) -> int:
     return disk_v
 
 
+def _is_mapped(table: SnapshotTable) -> bool:
+    return bool(table.column_map or table.dropped_cols)
+
+
 def _schema_string(table: SnapshotTable, version: int) -> str:
     """Spark StructType JSON (== Delta's ``schemaString``) at
     ``version`` — an EMPTY version (delete-all) inherits the last
     non-empty one's schema, which is safe because schema-changing
-    metadata ops refuse export/sync outright."""
+    metadata ops refuse export/sync outright.
+
+    A table carrying a column map / dropped columns exports with Delta
+    NAME-mode column mapping (PROTOCOL.md, reader 2 / writer 5): every
+    logical field is annotated with ``delta.columnMapping.id`` and
+    ``delta.columnMapping.physicalName`` (the creation-time name the
+    parquet files actually store), so a mapped reader binds columns by
+    physical name and presents the logical view — and dropped columns'
+    bytes, present in the files but absent from the schemaString, are
+    ignored exactly as this format's own readers ignore them. Field
+    ids are positional at export time and stable for the log's life
+    because schema-changing ops refuse sync."""
     for v in reversed([x for x in table._versions() if x <= version]):
         try:
-            return table.read(version=v).schema.json()
+            schema = table.read(version=v).schema
         except ValueError:
             continue  # empty version: walk back
+        if not _is_mapped(table):
+            return schema.json()
+        d = schema.jsonValue()
+        for i, f in enumerate(d["fields"], start=1):
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = table.column_map.get(
+                f["name"], f["name"]
+            )
+            f["metadata"] = md
+        return json.dumps(d)
     raise ValueError(
         "cannot determine the export schema: every version at or "
         f"before v{version} is empty"
@@ -121,13 +151,6 @@ def _refuse_unexportable(table: SnapshotTable, snap: Snapshot) -> None:
             f"deletion vectors on {len(snap.dvs)} file(s) — plain-"
             "parquet Delta (reader 1) would resurrect their soft-"
             "deleted rows; compact() to fold the vectors, then export"
-        )
-    if table.column_map or table.dropped_cols:
-        raise ValueError(
-            "export refused: active column map / dropped columns — "
-            "physical parquet names would not match the logical "
-            "schemaString without Delta column mapping (writer 5); "
-            "compact() past the rename lifecycle first"
         )
 
 
@@ -269,6 +292,20 @@ def export_delta(
         )
     schema_string = _schema_string(table, snap.version)
     now_ms = int(time.time() * 1000)
+    # a column map / dropped columns need NAME-mode column mapping:
+    # reader 2 / writer 5 plus the mapping configuration keys — a
+    # plain table stays at the reader-1 feature set every reader opens
+    if _is_mapped(table):
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(
+                len(json.loads(schema_string)["fields"])
+            ),
+        }
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        configuration = {}
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -278,14 +315,14 @@ def export_delta(
                 "engineInfo": "summit23-spark snapshot export",
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_string,
                 "partitionColumns": [],
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": now_ms,
             }
         },

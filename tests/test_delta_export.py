@@ -57,11 +57,13 @@ def _rows(df):
 def _fold_log(dst: str, version: int | None = None):
     """Fold _delta_log per PROTOCOL.md: commits are \\d{20}.json files
     of newline-delimited actions; state = adds minus removes; schema =
-    last metaData.schemaString."""
+    last metaData.schemaString; configuration carries the column-
+    mapping mode when present."""
     logdir = os.path.join(dst, "_delta_log")
     live: dict[str, dict] = {}
     schema_string = None
     protocol = None
+    config: dict = {}
     for name in sorted(os.listdir(logdir)):
         if not re.fullmatch(r"\d{20}\.json", name):
             continue
@@ -76,18 +78,51 @@ def _fold_log(dst: str, version: int | None = None):
                     md = a["metaData"]
                     assert md["format"]["provider"] == "parquet"
                     schema_string = md["schemaString"]
+                    config = md.get("configuration") or {}
                 if "add" in a:
                     live[unquote(a["add"]["path"])] = a["add"]
                 if "remove" in a:
                     live.pop(unquote(a["remove"]["path"]), None)
-    assert protocol is not None and protocol["minReaderVersion"] == 1
+    assert protocol is not None
+    mapped = config.get("delta.columnMapping.mode") == "name"
+    # PROTOCOL.md: name-mode column mapping requires reader 2; the
+    # plain-parquet feature set stays at reader 1
+    assert protocol["minReaderVersion"] == (2 if mapped else 1)
     assert schema_string is not None
-    return live, schema_string
+    return live, schema_string, config
 
 
 def _read_delta(spark, dst: str, version: int | None = None):
-    live, schema_string = _fold_log(dst, version)
-    schema = StructType.fromJson(json.loads(schema_string))
+    live, schema_string, config = _fold_log(dst, version)
+    sch = json.loads(schema_string)
+    if config.get("delta.columnMapping.mode") == "name":
+        # mapped reader: bind parquet columns by their PHYSICAL names
+        # from the field metadata, present the logical view
+        phys_fields = [
+            {
+                **f,
+                "name": f["metadata"]["delta.columnMapping.physicalName"],
+                "metadata": {},
+            }
+            for f in sch["fields"]
+        ]
+        phys = StructType.fromJson(
+            {"type": "struct", "fields": phys_fields}
+        )
+        proj = [
+            F.col(pf["name"]).alias(lf["name"])
+            for pf, lf in zip(phys_fields, sch["fields"])
+        ]
+        if not live:
+            return spark.createDataFrame(
+                [], StructType.fromJson(sch)
+            )
+        return (
+            spark.read.schema(phys)
+            .parquet(*[os.path.join(dst, p) for p in live])
+            .select(*proj)
+        )
+    schema = StructType.fromJson(sch)
     if not live:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
@@ -112,7 +147,7 @@ def test_snapshot_export_round_trip_and_structure(spark, tmp_path):
     assert _rows(_read_delta(spark, dst)) == _rows(t.read())
 
     # DuckDB over exactly the exported file set
-    live, _ = _fold_log(dst)
+    live, _, _ = _fold_log(dst)
     paths = [os.path.join(dst, p) for p in live]
     con = duckdb.connect()
     n, s = con.sql(
@@ -148,11 +183,18 @@ def test_export_refusals_and_compact_remedy(spark, tmp_path):
     with pytest.raises(FileExistsError, match="_delta_log"):
         export_delta(t, dst)
 
+    # a renamed table no longer refuses: it exports with NAME-mode
+    # column mapping (full lifecycle pinned in
+    # test_column_mapped_table_exports_with_name_mapping)
     t2 = SnapshotTable(spark, str(tmp_path / "t2"))
     t2.create(_df(spark, 0, 5))
     t2.rename_column("val", "value")
-    with pytest.raises(ValueError, match="column map"):
-        export_delta(t2, str(tmp_path / "delta2"))
+    export_delta(t2, str(tmp_path / "delta2"))
+    out = _read_delta(spark, str(tmp_path / "delta2"))
+    assert out.columns == ["id", "grp", "value"]
+    assert sorted((r.id, r.grp, r.value) for r in out.collect()) == _rows(
+        t2.read().withColumnRenamed("value", "val")
+    )
 
 
 def test_sync_replays_history_with_delta_time_travel(spark, tmp_path):
@@ -225,7 +267,7 @@ def test_clone_absolute_refs_export_under_imported(spark, tmp_path):
     assert any(os.path.isabs(f) for f in clone.snapshot().files)
     dst = str(tmp_path / "delta")
     export_delta(clone, dst)
-    live, _ = _fold_log(dst)
+    live, _, _ = _fold_log(dst)
     assert all(not os.path.isabs(p) for p in live)
     assert any(p.startswith("imported/") for p in live)
     assert _rows(_read_delta(spark, dst)) == _rows(clone.read())
@@ -646,4 +688,70 @@ def test_sync_missing_sidecar_gets_guided_error(spark, tmp_path):
     export_delta(t, dst)
     os.unlink(os.path.join(dst, "_spark_graft_export.json"))
     with pytest.raises(FileNotFoundError, match="no export sidecar"):
+        sync_delta(t, dst)
+
+
+def test_column_mapped_table_exports_with_name_mapping(spark, tmp_path):
+    """A table with an active column map / dropped columns exports
+    with Delta NAME-mode column mapping (PROTOCOL.md reader 2 /
+    writer 5) instead of refusing: per-field id + physicalName
+    metadata in the schemaString, mapping keys in the metaData
+    configuration; a mapped reader binds parquet columns by physical
+    name, presents the logical view, and ignores dropped columns'
+    retained bytes. Sync keeps working; a rename AFTER export still
+    refuses sync (schema must equal commit 0's)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 8))  # physical names id/grp/val forever
+    t.rename_column("id", "ident")
+    t.drop_column("val")
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+
+    live, schema_string, config = _fold_log(dst)
+    assert config["delta.columnMapping.mode"] == "name"
+    assert config["delta.columnMapping.maxColumnId"] == "2"
+    sch = json.loads(schema_string)
+    assert [f["name"] for f in sch["fields"]] == ["ident", "grp"]
+    assert {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in sch["fields"]
+    } == {"ident": "id", "grp": "grp"}
+    assert sorted(
+        f["metadata"]["delta.columnMapping.id"] for f in sch["fields"]
+    ) == [1, 2]
+    with open(
+        os.path.join(dst, "_delta_log", "0" * 20 + ".json")
+    ) as fh:
+        acts = [json.loads(l) for l in fh]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+
+    def logical_rows(df):
+        return sorted((r.ident, r.grp) for r in df.collect())
+
+    out = _read_delta(spark, dst)
+    assert out.columns == ["ident", "grp"]
+    assert logical_rows(out) == logical_rows(t.read())
+
+    # DuckDB binds the same files by PHYSICAL name
+    paths = [os.path.join(dst, p) for p in live]
+    n, s = duckdb.sql(
+        f"SELECT count(*), sum(id) FROM read_parquet({paths!r})"
+    ).fetchone()
+    assert (n, s) == (8, sum(range(8)))
+
+    # sync keeps working: appends/deletes store physical names
+    t.append(
+        spark.range(8, 12).select(
+            F.col("id").cast("int").alias("ident"),
+            F.lit(9).cast("int").alias("grp"),
+        )
+    )
+    t.delete(F.col("ident") == 2)
+    assert sync_delta(t, dst)["synced_versions"] == 2
+    assert logical_rows(_read_delta(spark, dst)) == logical_rows(t.read())
+
+    # a rename AFTER export is a metadata op: sync still refuses
+    t.rename_column("grp", "grp2")
+    with pytest.raises(ValueError, match="metadata operation"):
         sync_delta(t, dst)
