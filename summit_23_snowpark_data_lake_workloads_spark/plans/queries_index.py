@@ -4599,6 +4599,8 @@ def _delta_export_oracle() -> str:
     UNION ALL
     SELECT 'column_map_export', 1::BIGINT, 1::BIGINT
     UNION ALL
+    SELECT 'delta_import_roundtrip', 1::BIGINT, 1::BIGINT
+    UNION ALL
     SELECT 'checkpoint_fold', 1::BIGINT, 1::BIGINT
     """
 
@@ -4645,7 +4647,11 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     renamed/dropped-column table exports reader 2 / writer 5 with
     per-field ``delta.columnMapping.physicalName`` metadata and an
     independent mapped fold (bind physical, present logical)
-    reproduces the logical view; ``checkpoint_fold`` pins the
+    reproduces the logical view; ``delta_import_roundtrip`` pins the
+    REVERSE direction — ``import_delta`` folds the mapped log back
+    into a brand-new SnapshotTable (zero-copy links, mapping folded
+    into ``column_map``, extras into ``dropped_cols``) whose logical
+    view matches the original; ``checkpoint_fold`` pins the
     long-history path —
     a checkpoint parquet + ``_last_checkpoint`` is written, EVERY
     pre-checkpoint JSON commit is expired, and the checkpoint-seeded
@@ -4916,6 +4922,23 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             and (mapped.n, mapped.agg) == (d5.n, d5.agg)
         )
 
+        # REVERSE direction: the mapped export imports back as a new
+        # SnapshotTable (zero-copy links, mapping folded into
+        # column_map) whose logical view matches the original exactly
+        from ..sources.delta_export import import_delta
+
+        import_delta(spark, dst6, os.path.join(tmp, "t6"))
+        t6 = SnapshotTable(spark, os.path.join(tmp, "t6"))
+        i6 = t6.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("document_id").cast("long").alias("agg"),
+        ).collect()[0]
+        delta_import_roundtrip = int(
+            t6.column_map == {"document_id": "doc_id"}
+            and t6.dropped_cols == ["source"]
+            and (i6.n, i6.agg) == (d5.n, d5.agg)
+        )
+
         flags = spark.createDataFrame(
             [
                 ("stats_exact", stats_exact, stats_exact),
@@ -4925,6 +4948,7 @@ def lakehouse_delta_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("compact_sync", compact_sync, compact_sync),
                 ("rollback_dv_refusal", rollback_dv_refusal, rollback_dv_refusal),
                 ("column_map_export", column_map_export, column_map_export),
+                ("delta_import_roundtrip", delta_import_roundtrip, delta_import_roundtrip),
                 ("checkpoint_fold", checkpoint_fold, checkpoint_fold),
             ],
             "probe string, n long, agg long",

@@ -65,9 +65,9 @@ import re
 import shutil
 import time
 import uuid
-from urllib.parse import quote
+from urllib.parse import quote, unquote
 
-from .lakehouse import _META_OPS, Snapshot, SnapshotTable
+from .lakehouse import _DATA_DIR, _META_OPS, Snapshot, SnapshotTable
 
 _LOG_DIR = "_delta_log"
 #: sidecar at the EXPORT root (outside _delta_log, which readers
@@ -657,3 +657,151 @@ def expire_delta_log(dst: str) -> int:
             os.unlink(os.path.join(logdir, name))
             removed += 1
     return removed
+
+
+# ------------------------------------------------------------ import
+#
+# The REVERSE interop direction: a standard Delta table's _delta_log
+# head folds into a brand-new SnapshotTable, data files hard-linked
+# (zero-copy — migrating INTO this format costs O(files) metadata, no
+# data movement, at 100 TB exactly like the export). The fold is
+# checkpoint-aware (_fold_state), so a log whose early JSON commits
+# were expired imports from the checkpoint parquet like any reader.
+
+
+def import_delta(spark, src: str, table_path: str) -> dict:
+    """Create a new :class:`~.lakehouse.SnapshotTable` at
+    ``table_path`` from the Delta table at ``src`` (its current head —
+    Delta history does not transfer; the import is a snapshot
+    hand-off, the mirror of :func:`export_delta`). Data files are
+    hard-linked; per-file stats are recomputed from the parquet
+    footers by the normal commit path, so data skipping works
+    immediately.
+
+    Supported feature sets — refusals mirror the export's honesty:
+
+    - reader 1 (plain parquet): direct import.
+    - reader 2 + NAME-mode column mapping: the per-field
+      ``physicalName`` metadata becomes the table's ``column_map``
+      (files keep physical names, reads present the logical view);
+      physical columns present in the files but absent from the
+      ``schemaString`` are registered as ``dropped_cols`` so they stay
+      invisible and their names stay reserved — the same semantics the
+      mapping encodes on the Delta side.
+    - refused: reader 3+ features (deletion vectors would silently
+      resurrect rows), ID-mode mapping, ``partitionColumns`` (Delta
+      keeps partition values OUTSIDE the data files; linking would
+      lose those columns — materialize via a mapped read +
+      ``create()`` instead, a documented copy), absolute/external add
+      paths, and a file whose footer is missing a mapped physical
+      column (a heterogeneous-schema log needs the copy path too).
+
+    Returns ``{"files", "rows", "delta_version"}``."""
+    version, protocol, metadata, live = _fold_state(src)
+    if metadata is None or protocol is None:
+        raise ValueError(f"no metaData/protocol action in {src!r}")
+    reader = int(protocol.get("minReaderVersion", 1))
+    config = metadata.get("configuration") or {}
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+    if reader > 2:
+        raise ValueError(
+            f"import refused: minReaderVersion {reader} — reader-3+ "
+            "features (deletion vectors, v2 checkpoints) cannot be "
+            "represented losslessly by a file-link import"
+        )
+    if reader == 2 and mode != "name":
+        raise ValueError(
+            f"import refused: reader 2 with columnMapping mode "
+            f"{mode!r} — only NAME mode maps onto this format's "
+            "column_map (ID mode binds by parquet field ids)"
+        )
+    if metadata.get("partitionColumns"):
+        raise ValueError(
+            "import refused: Delta partition columns keep their "
+            "values OUTSIDE the data files (directory convention); "
+            "linking the files would lose those columns — read the "
+            "Delta table and create() the SnapshotTable from the "
+            "DataFrame instead (a documented copy, not a link)"
+        )
+    for add in live.values():
+        if add.get("deletionVector"):
+            raise ValueError(
+                "import refused: an add action carries a deletion "
+                "vector — importing the file without it would "
+                "resurrect soft-deleted rows"
+            )
+
+    # column mapping: {logical: physical} pairs from the schemaString
+    # field metadata (identity pairs elided — the table convention is
+    # an EMPTY map until the first rename)
+    schema = json.loads(metadata["schemaString"])
+    column_map: dict[str, str] = {}
+    mapped_physical: list[str] = []
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        mapped_physical.append(phys)
+        if phys != f["name"]:
+            column_map[f["name"]] = phys
+
+    t = SnapshotTable(spark, table_path)
+    if t._versions():
+        raise FileExistsError(f"table already exists at {table_path}")
+
+    import pyarrow.parquet as pq
+
+    # validate + link: every add path must resolve inside src, every
+    # mapped physical column must exist in every file's footer, and
+    # physical columns NOT in the schemaString become dropped_cols
+    batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(table_path, batch), exist_ok=True)
+    rels: list[str] = []
+    extras: set[str] = set()
+    rows = 0
+    for i, p in enumerate(sorted(live)):
+        rel_src = unquote(p)
+        if os.path.isabs(rel_src) or rel_src.startswith(("..", "file:")):
+            raise ValueError(
+                f"import refused: add path {rel_src!r} points outside "
+                "the Delta table root"
+            )
+        src_abs = os.path.join(src, rel_src)
+        if not os.path.exists(src_abs):
+            raise FileNotFoundError(
+                f"import needs {src_abs} but it is gone (Delta-side "
+                "VACUUM removed a live file? the log and the data "
+                "directory disagree)"
+            )
+        fmeta = pq.ParquetFile(src_abs)
+        names = set(fmeta.schema_arrow.names)
+        missing = [c for c in mapped_physical if c not in names]
+        if missing:
+            raise ValueError(
+                f"import refused: {rel_src!r} is missing mapped "
+                f"column(s) {missing} — a heterogeneous-schema log "
+                "needs the read-and-create copy path"
+            )
+        extras |= names - set(mapped_physical)
+        rows += fmeta.metadata.num_rows
+        rel = os.path.join(
+            batch, f"{i:05d}_{os.path.basename(rel_src)}"
+        )
+        _link_in(src_abs, os.path.join(table_path, rel))
+        rels.append(rel)
+    if not rels:
+        raise ValueError(
+            "import refused: the Delta head holds no live files — "
+            "an empty table carries no schema in this format; "
+            "create() the table directly instead"
+        )
+    # table metadata BEFORE the commit: _commit records column_map /
+    # dropped_cols into the manifest it publishes
+    t.column_map = dict(column_map)
+    t.dropped_cols = sorted(extras)
+    snap = t._commit("create", 0, rels, replace_all=True)
+    return {
+        "files": len(rels),
+        "rows": rows,
+        "delta_version": version,
+        "table_version": snap.version,
+    }

@@ -755,3 +755,163 @@ def test_column_mapped_table_exports_with_name_mapping(spark, tmp_path):
     t.rename_column("grp", "grp2")
     with pytest.raises(ValueError, match="metadata operation"):
         sync_delta(t, dst)
+
+
+# ------------------------------------------------------------ import
+
+
+def test_import_delta_round_trip_zero_copy(spark, tmp_path):
+    """export -> import round-trip: the imported SnapshotTable serves
+    the same rows, files are hard-linked (zero-copy), stats are
+    recomputed from footers (metadata-only row_count works), and the
+    imported table is fully writable."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        import_delta,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 16, grp=1))
+    t.delete(F.col("id") < 2)
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    sync_delta(t, dst)
+
+    rpt = import_delta(spark, dst, str(tmp_path / "t2"))
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    assert _rows(t2.read()) == _rows(t.read())
+    assert rpt["rows"] == t.read().count()
+    assert t2.row_count() == t.read().count()  # footer stats landed
+    # zero-copy: every imported data file is a link, not a copy
+    for f in t2.snapshot().files:
+        assert os.stat(os.path.join(t2.path, f)).st_nlink >= 2
+    # the imported table is a first-class table: writes work
+    t2.append(_df(spark, 100, 103, grp=9))
+    assert t2.read().count() == t.read().count() + 3
+
+
+def test_import_delta_name_mapped_table(spark, tmp_path):
+    """A NAME-mapped Delta log imports with the mapping folded into
+    the table's column_map (+ extra physical columns registered as
+    dropped_cols): logical views agree, the dropped bytes stay
+    invisible, and the reserved names cannot be re-appended."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        import_delta,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 8))
+    t.rename_column("id", "ident")
+    t.drop_column("val")
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+
+    import_delta(spark, dst, str(tmp_path / "t2"))
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    assert t2.column_map == {"ident": "id"}
+    assert t2.dropped_cols == ["val"]
+    assert t2.read().columns == sorted(
+        t.read().columns, key=t.read().columns.index
+    )
+    assert sorted((r.ident, r.grp) for r in t2.read().collect()) == sorted(
+        (r.ident, r.grp) for r in t.read().collect()
+    )
+
+
+def test_import_delta_from_checkpoint_seeded_log(spark, tmp_path):
+    """Import folds through a checkpoint like any reader: after the
+    pre-checkpoint JSON commits are expired, the import still lands
+    the head exactly."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        expire_delta_log,
+        import_delta,
+        write_delta_checkpoint,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 6))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    t.append(_df(spark, 6, 9, grp=1))
+    sync_delta(t, dst)
+    write_delta_checkpoint(dst)
+    assert expire_delta_log(dst) >= 1
+    import_delta(spark, dst, str(tmp_path / "t2"))
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    assert _rows(t2.read()) == _rows(t.read())
+
+
+def test_import_delta_refusals(spark, tmp_path):
+    """Honest refusals mirror the export's: reader-3 logs, ID-mode
+    mapping, partitionColumns, DV-carrying adds, existing tables, and
+    empty heads all refuse with guided messages."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        import_delta,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+
+    def tweak(name, fn):
+        """Copy the exported log into a fresh dst with commit 0's
+        actions rewritten by fn."""
+        import shutil as _sh
+
+        d2 = str(tmp_path / name)
+        _sh.copytree(dst, d2)
+        p = os.path.join(d2, "_delta_log", "0" * 20 + ".json")
+        acts = [json.loads(l) for l in open(p)]
+        acts = [fn(a) for a in acts]
+        with open(p, "w") as fh:
+            for a in acts:
+                fh.write(json.dumps(a) + "\n")
+        return d2
+
+    d_r3 = tweak(
+        "r3",
+        lambda a: (
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            if "protocol" in a
+            else a
+        ),
+    )
+    with pytest.raises(ValueError, match="minReaderVersion 3"):
+        import_delta(spark, d_r3, str(tmp_path / "x1"))
+
+    def idmode(a):
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "id"
+            }
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
+        return a
+
+    with pytest.raises(ValueError, match="ID mode"):
+        import_delta(spark, tweak("idm", idmode), str(tmp_path / "x2"))
+
+    def parted(a):
+        if "metaData" in a:
+            a["metaData"]["partitionColumns"] = ["grp"]
+        return a
+
+    with pytest.raises(ValueError, match="partition columns"):
+        import_delta(spark, tweak("pc", parted), str(tmp_path / "x3"))
+
+    def dv(a):
+        if "add" in a:
+            a["add"]["deletionVector"] = {"storageType": "u"}
+        return a
+
+    with pytest.raises(ValueError, match="deletion vector"):
+        import_delta(spark, tweak("dv", dv), str(tmp_path / "x4"))
+
+    # an existing table refuses; so does an empty head
+    with pytest.raises(FileExistsError, match="already exists"):
+        import_delta(spark, dst, str(tmp_path / "t"))
+    t.delete(F.col("id") >= 0)  # empty the head
+    sync_delta(t, dst)
+    with pytest.raises(ValueError, match="no live files"):
+        import_delta(spark, dst, str(tmp_path / "x5"))
