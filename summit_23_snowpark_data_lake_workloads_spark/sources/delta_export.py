@@ -531,9 +531,20 @@ def _fold_state(dst: str):
     ck = _checkpoint_version(logdir)
     start = -1 if ck is None else ck
     if ck is not None:
-        tbl = pq.read_table(
-            os.path.join(logdir, f"{start:020d}.checkpoint.parquet")
-        )
+        ck_file = os.path.join(logdir, f"{start:020d}.checkpoint.parquet")
+        if not os.path.exists(ck_file):
+            # a FOREIGN log (import path) may use multi-part
+            # checkpoints (N.checkpoint.%010d.%010d.parquet) — legal
+            # at reader 1 but not a shape this fold reads; refuse with
+            # the shape named rather than a raw missing-file error
+            raise ValueError(
+                f"unsupported checkpoint shape at {logdir}: "
+                f"_last_checkpoint names version {start} but the "
+                "single-file checkpoint parquet is absent (multi-part "
+                "or v2 checkpoint?) — only single-file classic "
+                "checkpoints are supported"
+            )
+        tbl = pq.read_table(ck_file)
         for row in tbl.to_pylist():
             if row.get("protocol"):
                 protocol = row["protocol"]
@@ -693,8 +704,14 @@ def import_delta(spark, src: str, table_path: str) -> dict:
       keeps partition values OUTSIDE the data files; linking would
       lose those columns — materialize via a mapped read +
       ``create()`` instead, a documented copy), absolute/external add
-      paths, and a file whose footer is missing a mapped physical
-      column (a heterogeneous-schema log needs the copy path too).
+      paths, multi-part / v2 checkpoints, and a file whose footer is
+      missing a mapped physical column (a heterogeneous-schema log
+      needs the copy path too).
+
+    Crash-safe: files link before the single manifest commit
+    publishes; a re-run after a crash starts a fresh batch directory
+    and the first attempt's unreferenced links are ordinary orphans
+    for the table's grace-gated vacuum sweep.
 
     Returns ``{"files", "rows", "delta_version"}``."""
     version, protocol, metadata, live = _fold_state(src)

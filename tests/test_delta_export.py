@@ -915,3 +915,29 @@ def test_import_delta_refusals(spark, tmp_path):
     sync_delta(t, dst)
     with pytest.raises(ValueError, match="no live files"):
         import_delta(spark, dst, str(tmp_path / "x5"))
+
+
+def test_import_refuses_multipart_checkpoint_shape(spark, tmp_path):
+    """A foreign log with a multi-part checkpoint (legal at reader 1,
+    but not a shape the single-file fold reads) refuses with the
+    shape named — not a raw missing-file error."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        import_delta,
+        write_delta_checkpoint,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 4))
+    dst = str(tmp_path / "delta")
+    export_delta(t, dst)
+    write_delta_checkpoint(dst)
+    logdir = os.path.join(dst, "_delta_log")
+    single = os.path.join(logdir, f"{0:020d}.checkpoint.parquet")
+    os.rename(
+        single,
+        os.path.join(
+            logdir, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+        ),
+    )
+    with pytest.raises(ValueError, match="checkpoint shape"):
+        import_delta(spark, dst, str(tmp_path / "t2"))
