@@ -60,6 +60,11 @@ CEILINGS_500K = {
     # rows at 500k docs, one shuffle + the boilerplate cluster's 25k-doc
     # repeated-window hit join (r12 measurement below)
     "substring": 900.0,
+    # open-format interop: lakehouse table build (the one data write),
+    # Delta log export + a sync'd append + zero-copy import + read-back
+    # — everything past the initial create must be O(files) metadata
+    # and hard links, so the ceiling is dominated by the corpus write
+    "delta": 300.0,
 }
 
 
@@ -120,7 +125,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=500_000)
     ap.add_argument(
-        "--stages", default="charlm,dsir,minhash,incremental,substring"
+        "--stages", default="charlm,dsir,minhash,incremental,substring,delta"
     )
     ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
     args = ap.parse_args()
@@ -181,6 +186,31 @@ def main() -> int:
             # (r12 measured: 214.9s at 500k docs, 67.9s at 100k)
             run("substring",
                 lambda: QUERIES["dedup_substring_repeats"](spark, tmp))
+        if "delta" in stages:
+            def delta_interop():
+                from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+                    export_delta,
+                    import_delta,
+                    sync_delta,
+                )
+                from summit_23_snowpark_data_lake_workloads_spark.sources.lakehouse import (
+                    SnapshotTable,
+                )
+
+                t = SnapshotTable(spark, os.path.join(tmp, "lh_t"))
+                # 64 files: enough for the per-file metadata loops
+                # (stats, links, add actions) to dominate over constant
+                # overhead without the create write drowning the signal
+                t.create(docs.repartition(64))
+                e = os.path.join(tmp, "lh_delta")
+                export_delta(t, e)
+                t.append(docs.limit(1000))
+                sync_delta(t, e)
+                import_delta(spark, e, os.path.join(tmp, "lh_imp"))
+                t2 = SnapshotTable(spark, os.path.join(tmp, "lh_imp"))
+                return t2.read().groupBy().count()
+
+            run("delta", delta_interop)
     finally:
         if not args.keep:
             shutil.rmtree(tmp, ignore_errors=True)
