@@ -38,33 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
 FORCE_REGATE: dict[str, int] = {
-    # r12 entries (the incremental-dedup rewrite pair) expired
-    # automatically — green r12 rows exist for both — and were pruned.
-    # r13 audit-flag changes land in queries that are ALREADY tier-0
-    # this round (lakehouse_erase_audit, lakehouse_catalog_branch_audit)
-    # so they need no entries. The charlm score pass was replanned
-    # (checkpointed model + one fused log-prob broadcast instead of
-    # three broadcast subtrees re-aggregating the count table; values
-    # bit-identical, 1.79s -> 1.36s bench median) — force it and the
-    # one query that composes it. Both are r9 greens already inside
-    # the r13 window, so the rotation budget is unchanged.
-    "charlm_doc_quality": 13,
-    "training_corpus_pipeline_v2": 13,
-    # r14: dsir_importance_weights replanned with the same
-    # checkpoint-and-fuse fix (joint cr/ct training via a broadcast
-    # target flag -> ONE log-ratio broadcast over 2 count-table scans
-    # instead of ~6 scans + 3 broadcast exchanges; values
-    # bit-identical). Nothing composes it, so one entry suffices;
-    # the window has 50 rotation slots this round (r13 had 0).
-    "dsir_importance_weights": 14,
-    # r14: merge_branch's staging loop changed (branch-born tables:
-    # ref-less recognition + pin fast-forward through the new
-    # commit(pins=) override) — the audit composing catalog merges
-    # re-proves on the driver even though every pre-existing path is
-    # behavior-identical (37-test catalog suites + oracle green).
-    # Costs one more r11 green its slot until r15 (age 4, invariant
-    # holds — verified with gate_window.py --check).
-    "lakehouse_catalog_branch_audit": 14,
+    # r13 entries (charlm_doc_quality, training_corpus_pipeline_v2)
+    # and r14 entries (dsir_importance_weights,
+    # lakehouse_catalog_branch_audit) all expired automatically —
+    # green rows exist at their named rounds — and were pruned.
+    # r15 needs NO forces: every plan/oracle change this round lands
+    # in lakehouse_delta_export_audit, which is tier-0 never-gated
+    # (already at the window front at zero slot cost).
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.
@@ -78,17 +58,11 @@ FORCE_REGATE: dict[str, int] = {
 #: differential (tests/test_queries_oracle.py runs every declared
 #: query against DuckDB).
 DEFER_GATE: dict[str, int] = {
-    # The four r12 late registrations expired into tier-0 when
-    # CORRECTNESS_r12 landed — they occupy window slots 0-3 for the
-    # r13 gate (verified via tools/gate_window.py: 4 tier-0 + 46
-    # rotating r9 greens fill the window exactly, stalest-left-out
-    # r10). r13's slot budget is therefore ZERO for new registrations:
-    # anything registered this round goes here with round 13.
-    # r14: the Delta-log export audit (open-format interop) registers
-    # late — the r14 window is already exactly full (dsir force + 49
-    # rotating greens); it lands tier-0 at the front of r15's window
-    # (50 rotation slots free there, gate_window --next verified).
-    "lakehouse_delta_export_audit": 14,
+    # The r14 entry (lakehouse_delta_export_audit) expired into
+    # tier-0 when CORRECTNESS_r14 landed — it heads the r15 window as
+    # the only never-gated query — and was pruned. r15 registers no
+    # new queries (the round's new surface extends that audit by
+    # flags, at zero slot cost while it has no green row yet).
 }
 
 
