@@ -708,10 +708,12 @@ def import_delta(spark, src: str, table_path: str) -> dict:
       missing a mapped physical column (a heterogeneous-schema log
       needs the copy path too).
 
-    Crash-safe: files link before the single manifest commit
-    publishes; a re-run after a crash starts a fresh batch directory
-    and the first attempt's unreferenced links are ordinary orphans
-    for the table's grace-gated vacuum sweep.
+    Crash-safe: files link under deterministic content-addressed
+    names BEFORE the single manifest commit publishes, so a re-run
+    after a crash re-derives the same names and ``_link_in`` skips
+    the existing links — no orphans, no duplicate bytes.
+    :func:`sync_import` extends the table incrementally afterwards
+    (the pull twin of :func:`sync_delta`).
 
     Returns ``{"files", "rows", "delta_version"}``."""
     version, protocol, metadata, live = _fold_state(src)
@@ -765,46 +767,19 @@ def import_delta(spark, src: str, table_path: str) -> dict:
     if t._versions():
         raise FileExistsError(f"table already exists at {table_path}")
 
-    import pyarrow.parquet as pq
-
     # validate + link: every add path must resolve inside src, every
     # mapped physical column must exist in every file's footer, and
     # physical columns NOT in the schemaString become dropped_cols
-    batch = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex[:12]}")
-    os.makedirs(os.path.join(table_path, batch), exist_ok=True)
     rels: list[str] = []
     extras: set[str] = set()
     rows = 0
-    for i, p in enumerate(sorted(live)):
-        rel_src = unquote(p)
-        if os.path.isabs(rel_src) or rel_src.startswith(("..", "file:")):
-            raise ValueError(
-                f"import refused: add path {rel_src!r} points outside "
-                "the Delta table root"
-            )
-        src_abs = os.path.join(src, rel_src)
-        if not os.path.exists(src_abs):
-            raise FileNotFoundError(
-                f"import needs {src_abs} but it is gone (Delta-side "
-                "VACUUM removed a live file? the log and the data "
-                "directory disagree)"
-            )
-        fmeta = pq.ParquetFile(src_abs)
-        names = set(fmeta.schema_arrow.names)
-        missing = [c for c in mapped_physical if c not in names]
-        if missing:
-            raise ValueError(
-                f"import refused: {rel_src!r} is missing mapped "
-                f"column(s) {missing} — a heterogeneous-schema log "
-                "needs the read-and-create copy path"
-            )
-        extras |= names - set(mapped_physical)
-        rows += fmeta.metadata.num_rows
-        rel = os.path.join(
-            batch, f"{i:05d}_{os.path.basename(rel_src)}"
+    for p in sorted(live):
+        rel, nrows, extra = _import_one(
+            src, p, table_path, mapped_physical
         )
-        _link_in(src_abs, os.path.join(table_path, rel))
         rels.append(rel)
+        rows += nrows
+        extras |= extra
     if not rels:
         raise ValueError(
             "import refused: the Delta head holds no live files — "
@@ -815,10 +790,243 @@ def import_delta(spark, src: str, table_path: str) -> dict:
     # dropped_cols into the manifest it publishes
     t.column_map = dict(column_map)
     t.dropped_cols = sorted(extras)
-    snap = t._commit("create", 0, rels, replace_all=True)
+    snap = t._commit(
+        "create",
+        0,
+        rels,
+        replace_all=True,
+        txn={"app_id": _IMPORT_APP_ID, "batch_id": version},
+    )
+    _save_import_state(
+        table_path,
+        {"src": os.path.realpath(src), "delta_version": version},
+    )
     return {
         "files": len(rels),
         "rows": rows,
         "delta_version": version,
         "table_version": snap.version,
+    }
+
+
+#: txn app_id for import commits: each Delta version applies as ONE
+#: table commit stamped (app_id, batch_id=delta version), so the
+#: table's own replay detector (last_committed_batch — the streaming
+#: sink's exactly-once machinery) makes a re-applied version a no-op
+#: after any crash between a commit and the sidecar update.
+_IMPORT_APP_ID = "delta_import"
+#: sidecar at the TABLE root recording which Delta table this import
+#: mirrors (splice guard) and the last applied delta version (fast
+#: cursor; the txn stamp is the committed truth it reconciles to).
+_IMPORT_STATE_FILE = "_spark_graft_import.json"
+
+
+def _import_relname(delta_rel: str) -> str:
+    """Deterministic, content-addressed table-relative name for a
+    Delta file: re-running a crashed import/sync re-derives the same
+    name, ``_link_in`` skips the existing link, and a ``remove``
+    action later resolves to the same path with no stored mapping."""
+    digest = hashlib.sha1(delta_rel.encode()).hexdigest()[:12]
+    return os.path.join(
+        _DATA_DIR,
+        "imported",
+        f"{digest}_{os.path.basename(delta_rel)}",
+    )
+
+
+def _import_one(
+    src: str,
+    quoted_path: str,
+    table_path: str,
+    mapped_physical: list[str],
+) -> tuple[str, int, set[str]]:
+    """Validate one Delta ``add`` and hard-link it into the table:
+    (table-relative name, row count, extra physical columns)."""
+    import pyarrow.parquet as pq
+
+    rel_src = unquote(quoted_path)
+    if os.path.isabs(rel_src) or rel_src.startswith(("..", "file:")):
+        raise ValueError(
+            f"import refused: add path {rel_src!r} points outside "
+            "the Delta table root"
+        )
+    src_abs = os.path.join(src, rel_src)
+    if not os.path.exists(src_abs):
+        raise FileNotFoundError(
+            f"import needs {src_abs} but it is gone (Delta-side "
+            "VACUUM removed a live file? the log and the data "
+            "directory disagree)"
+        )
+    fmeta = pq.ParquetFile(src_abs)
+    names = set(fmeta.schema_arrow.names)
+    missing = [c for c in mapped_physical if c not in names]
+    if missing:
+        raise ValueError(
+            f"import refused: {rel_src!r} is missing mapped "
+            f"column(s) {missing} — a heterogeneous-schema log "
+            "needs the read-and-create copy path"
+        )
+    rel = _import_relname(rel_src)
+    _link_in(src_abs, os.path.join(table_path, rel))
+    return rel, fmeta.metadata.num_rows, names - set(mapped_physical)
+
+
+def _save_import_state(table_path: str, state: dict) -> None:
+    tmp = os.path.join(
+        table_path, f"{_IMPORT_STATE_FILE}.{uuid.uuid4().hex}.tmp"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, os.path.join(table_path, _IMPORT_STATE_FILE))
+
+
+def sync_import(spark, src: str, table_path: str) -> dict:
+    """Pull the Delta commits written at ``src`` SINCE the import (or
+    the last sync) into the imported table — one table commit per
+    Delta commit, so the bridge is incremental in BOTH directions
+    (:func:`sync_delta` pushes this format's history out; this pulls
+    Delta history in). O(commit delta) metadata + hard links per
+    version, no data movement.
+
+    Exactly-once: each applied version commits with a ``txn`` stamp
+    ``(delta_import, delta_version)``, so the table's own replay
+    detector absorbs a crash between a commit and the sidecar update —
+    the re-applied version no-ops, exactly like a replayed streaming
+    micro-batch. The cursor is ``max(sidecar, committed stamp)``.
+
+    Per-commit mapping: adds validate + hard-link under the
+    content-addressed import name; removes resolve to the same name
+    and must reference a live file. A commit whose actions all carry
+    ``dataChange: false`` (Delta OPTIMIZE) applies with operation
+    ``compact`` so this table's change feed skips it as layout-only —
+    the same semantic the export's ``dataChange`` stamping preserves
+    in the other direction.
+
+    Refusals (whole pending range pre-validates before anything
+    lands): a ``metaData`` or ``protocol`` action mid-range (schema /
+    feature change — re-import fresh), adds carrying deletion
+    vectors, a JSON gap (the Delta side expired commits past our
+    cursor into a checkpoint — the per-commit history is gone;
+    re-import fresh), a remove naming a file this table never
+    imported, and a different ``src`` than the sidecar records."""
+    sp = os.path.join(table_path, _IMPORT_STATE_FILE)
+    try:
+        with open(sp) as fh:
+            state = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no import sidecar ({_IMPORT_STATE_FILE}) under "
+            f"{table_path!r} — sync_import only extends a table "
+            "created by import_delta"
+        ) from None
+    if os.path.realpath(src) != state["src"]:
+        raise ValueError(
+            f"sync_import refused: this table mirrors {state['src']!r}, "
+            f"not {os.path.realpath(src)!r} — syncing another Delta "
+            "table would splice two histories"
+        )
+    t = SnapshotTable(spark, table_path)
+    committed = t.last_committed_batch(_IMPORT_APP_ID)
+    cursor = max(
+        state["delta_version"],
+        committed if committed is not None else -1,
+    )
+    logdir = os.path.join(src, _LOG_DIR)
+    disk_v = _disk_version(logdir)
+    if disk_v <= cursor:
+        return {
+            "synced_versions": 0,
+            "delta_version": cursor,
+            "table_version": t.snapshot().version,
+        }
+    # need the ORIGINAL logical schema's physical names for per-file
+    # validation — recover them from the table's own metadata (the
+    # import recorded mapping pairs in column_map; unmapped fields are
+    # identity), via the current logical read schema
+    mapped_physical = [
+        t.column_map.get(c, c) for c in t.read().columns
+    ]
+    # whole-range pre-validation (running membership set: table's
+    # current files + adds seen earlier in the range — O(range), not
+    # a per-version rebuild)
+    known = set(t.snapshot().files)
+    pending: list[tuple[int, list[dict]]] = []
+    for v in range(cursor + 1, disk_v + 1):
+        cpath = os.path.join(logdir, f"{v:020d}.json")
+        if not os.path.exists(cpath):
+            raise FileNotFoundError(
+                f"sync_import refused: Delta commit {v} is gone "
+                "(expired into a checkpoint past our cursor) — the "
+                "per-commit history this sync replays no longer "
+                "exists; re-import to a fresh table"
+            )
+        with open(cpath) as fh:
+            acts = [json.loads(line) for line in fh]
+        for a in acts:
+            if "metaData" in a or "protocol" in a:
+                raise ValueError(
+                    f"sync_import refused at delta v{v}: a metaData/"
+                    "protocol action changes the schema or feature "
+                    "set mid-stream — re-import to a fresh table"
+                )
+            if "add" in a and a["add"].get("deletionVector"):
+                raise ValueError(
+                    f"sync_import refused at delta v{v}: an add "
+                    "carries a deletion vector — importing the file "
+                    "without it would resurrect soft-deleted rows"
+                )
+        for a in acts:
+            if "add" in a:
+                known.add(_import_relname(unquote(a["add"]["path"])))
+            if "remove" in a:
+                rel = _import_relname(unquote(a["remove"]["path"]))
+                if rel not in known:
+                    raise ValueError(
+                        f"sync_import refused at delta v{v}: remove "
+                        f"names {unquote(a['remove']['path'])!r}, "
+                        "which this table never imported"
+                    )
+        pending.append((v, acts))
+    # apply: one stamped table commit per Delta commit
+    synced = 0
+    for v, acts in pending:
+        adds = [a["add"] for a in acts if "add" in a]
+        removes = [a["remove"] for a in acts if "remove" in a]
+        dc = [x.get("dataChange", True) for x in adds + removes]
+        rels: list[str] = []
+        for add in adds:
+            rel, _nrows, extra = _import_one(
+                src, add["path"], table_path, mapped_physical
+            )
+            if extra - set(t.dropped_cols):
+                raise ValueError(
+                    f"sync_import refused at delta v{v}: file "
+                    f"{unquote(add['path'])!r} carries new columns "
+                    f"{sorted(extra - set(t.dropped_cols))} absent "
+                    "from the imported schema — re-import fresh"
+                )
+            rels.append(rel)
+        rm = frozenset(
+            _import_relname(unquote(x["path"])) for x in removes
+        )
+        op = (
+            "compact"
+            if dc and not any(dc)
+            else ("append" if not rm else "import_sync")
+        )
+        prev = t.snapshot()
+        t._commit(
+            op,
+            prev.version,
+            rels,
+            remove=rm or None,
+            txn={"app_id": _IMPORT_APP_ID, "batch_id": v},
+        )
+        state["delta_version"] = v
+        _save_import_state(table_path, state)
+        synced += 1
+    return {
+        "synced_versions": synced,
+        "delta_version": state["delta_version"],
+        "table_version": t.snapshot().version,
     }

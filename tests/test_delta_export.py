@@ -941,3 +941,112 @@ def test_import_refuses_multipart_checkpoint_shape(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="checkpoint shape"):
         import_delta(spark, dst, str(tmp_path / "t2"))
+
+
+def test_sync_import_incremental_pull(spark, tmp_path):
+    """The bridge is incremental in BOTH directions: A's history
+    pushes out via sync_delta, and the imported mirror B pulls new
+    Delta commits via sync_import — appends, COW deletes, and an
+    OPTIMIZE (dataChange:false) that must apply as a layout-only
+    'compact' commit B's change feed skips."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        import_delta,
+        sync_import,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    a.create(_df(spark, 0, 10))
+    dst = str(tmp_path / "delta")
+    export_delta(a, dst)
+    import_delta(spark, dst, str(tmp_path / "b"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    assert _rows(b.read()) == _rows(a.read())
+
+    # no-op sync
+    assert sync_import(spark, dst, b.path)["synced_versions"] == 0
+
+    # push two real commits + one rewrite-only commit out of A...
+    a.append(_df(spark, 10, 14, grp=1))
+    a.delete(F.col("id").isin(1, 11))
+    a.compact(target_files=1)
+    sync_delta(a, dst)
+    # ...and pull them into B
+    rpt = sync_import(spark, dst, b.path)
+    assert rpt["synced_versions"] == 3
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    assert _rows(b.read()) == _rows(a.read())
+    # the OPTIMIZE landed as a layout-only 'compact' commit: B's
+    # change feed must skip it (same rows, new layout)
+    ops = [op for _v, op, _a, _r, _d in b.file_changes(0, b.snapshot().version)]
+    assert ops[-1] == "compact"
+    # idempotent: nothing new
+    assert sync_import(spark, dst, b.path)["synced_versions"] == 0
+
+
+def test_sync_import_crash_repair_and_refusals(spark, tmp_path):
+    """A crash between a pulled commit and the sidecar update is
+    absorbed by the commit's txn stamp (the streaming-sink replay
+    detector): the re-applied version no-ops. Refusals: foreign src,
+    missing sidecar, expired JSON gap, mid-range metaData."""
+    from summit_23_snowpark_data_lake_workloads_spark.sources.delta_export import (
+        expire_delta_log,
+        import_delta,
+        sync_import,
+        write_delta_checkpoint,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    a.create(_df(spark, 0, 6))
+    dst = str(tmp_path / "delta")
+    export_delta(a, dst)
+    import_delta(spark, dst, str(tmp_path / "b"))
+    b_path = str(tmp_path / "b")
+    a.append(_df(spark, 6, 9, grp=1))
+    sync_delta(a, dst)
+    assert sync_import(spark, dst, b_path)["synced_versions"] == 1
+
+    # crash simulation: sidecar forgets the last applied version —
+    # the committed txn stamp still wins, nothing re-applies
+    sp = os.path.join(b_path, "_spark_graft_import.json")
+    st = json.load(open(sp))
+    st["delta_version"] -= 1
+    json.dump(st, open(sp, "w"))
+    assert sync_import(spark, dst, b_path)["synced_versions"] == 0
+    b = SnapshotTable(spark, b_path)
+    assert _rows(b.read()) == _rows(a.read())
+
+    # foreign src refuses; a table without the sidecar refuses
+    other = SnapshotTable(spark, str(tmp_path / "o"))
+    other.create(_df(spark, 0, 3))
+    dst2 = str(tmp_path / "delta2")
+    export_delta(other, dst2)
+    with pytest.raises(ValueError, match="splice"):
+        sync_import(spark, dst2, b_path)
+    with pytest.raises(FileNotFoundError, match="import sidecar"):
+        sync_import(spark, dst, str(tmp_path / "o"))
+
+    # expired JSON gap: checkpoint + expire on the Delta side kills
+    # the per-commit history this sync needs
+    a.append(_df(spark, 9, 12, grp=2))
+    sync_delta(a, dst)
+    write_delta_checkpoint(dst)
+    expire_delta_log(dst)
+    with pytest.raises(FileNotFoundError, match="expired into a checkpoint"):
+        sync_import(spark, dst, b_path)
+
+    # mid-range metaData refuses (fresh pair, synthetic commit)
+    c = SnapshotTable(spark, str(tmp_path / "c"))
+    c.create(_df(spark, 0, 4))
+    dst3 = str(tmp_path / "delta3")
+    export_delta(c, dst3)
+    import_delta(spark, dst3, str(tmp_path / "d"))
+    c.append(_df(spark, 4, 6, grp=1))
+    sync_delta(c, dst3)
+    p1 = os.path.join(dst3, "_delta_log", f"{1:020d}.json")
+    acts = [json.loads(l) for l in open(p1)]
+    md = {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}}, "schemaString": "{}", "partitionColumns": [], "configuration": {}, "createdTime": 0}}
+    with open(p1, "w") as fh:
+        for x in [md] + acts:
+            fh.write(json.dumps(x) + "\n")
+    with pytest.raises(ValueError, match="metaData/"):
+        sync_import(spark, dst3, str(tmp_path / "d"))
