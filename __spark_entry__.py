@@ -42,9 +42,13 @@ FORCE_REGATE: dict[str, int] = {
     # and r14 entries (dsir_importance_weights,
     # lakehouse_catalog_branch_audit) all expired automatically —
     # green rows exist at their named rounds — and were pruned.
-    # r15 needs NO forces: every plan/oracle change this round lands
-    # in lakehouse_delta_export_audit, which is tier-0 never-gated
-    # (already at the window front at zero slot cost).
+    # r15 (optimization round): the LSH band-signature aggregate moved
+    # from collect_list+array_sort+lambda-transform (ObjectHashAggregate)
+    # to per-seed-slot conditional aggregates (codegen HashAggregate) —
+    # byte-identical signatures, different executed plan, so both
+    # consumers re-gate on the new plan.
+    "dedup_minhash_lsh": 15,
+    "dedup_minhash_prefilter": 15,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.

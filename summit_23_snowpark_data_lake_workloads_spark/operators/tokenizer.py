@@ -150,7 +150,9 @@ def learn_bpe_merges(
     vocabulary is persisted and the previous one released once the next
     materializes, keeping lineage flat across rounds.
     """
-    words = word_symbol_table(docs, text_col).persist()
+    from ..cache import CACHE_LEVEL
+
+    words = word_symbol_table(docs, text_col).persist(CACHE_LEVEL)
     merges: list[tuple] = []
     try:
         for rank in range(1, k + 1):
@@ -172,7 +174,7 @@ def learn_bpe_merges(
                 "word",
                 "freq",
                 _canonical(F.split(F.trim(replaced), " +")).alias("s"),
-            ).persist()
+            ).persist(CACHE_LEVEL)
             nxt.count()  # materialize before dropping the parent cache
             words.unpersist()
             words = nxt
