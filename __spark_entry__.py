@@ -49,6 +49,15 @@ FORCE_REGATE: dict[str, int] = {
     # consumers re-gate on the new plan.
     "dedup_minhash_lsh": 15,
     "dedup_minhash_prefilter": 15,
+    # same band-signature replan inside the persisted-index probe path
+    "minhash_index_probe_audit": 15,
+    # tfidf_weights now derives df from the tf table (one tokenize
+    # pass, AQE-reusable exchange) instead of a second distinct over
+    # the raw token stream — identical weights, different plan.
+    "tfidf_topk": 15,
+    # chunking replanned shuffle-free: sequence+slice per row replaces
+    # the per-token explode + (doc, chunk) shuffle + collect_list.
+    "doc_chunk_windows": 15,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.

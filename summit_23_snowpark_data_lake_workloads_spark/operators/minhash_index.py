@@ -38,16 +38,23 @@ def _band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     identical construction to ``minhash_lsh_pairs`` so an index probe
     generates the same candidates as the one-shot operator."""
     rows_per_band = num_hashes // bands
+    # conditional aggregates instead of collect_list+array_sort+lambda:
+    # codegen HashAggregate with O(1) group state (the minhash_lsh_pairs
+    # r15 shape — byte-identical band strings, same candidates)
     return (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(
             F.concat_ws(
                 "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+                *[
+                    F.max(
+                        F.when(
+                            F.col("seed") % rows_per_band == r, F.col("minhash")
+                        )
+                    ).cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("sig")
         )
     )

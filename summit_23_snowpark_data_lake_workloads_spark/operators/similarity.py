@@ -547,15 +547,20 @@ def tfidf_weights(
     row per DISTINCT TOKEN in the corpus (billions at 100 TB), far past
     any broadcast ceiling — a forced broadcast here would OOM the driver;
     AQE broadcasts it only when it is actually small.
+
+    df derives FROM the tf table (one row per distinct (doc, token), so
+    ``count(*)`` per token IS the document frequency) instead of a
+    second ``distinct`` over the raw token stream: the corpus is
+    tokenized and exploded exactly once per build — the previous shape
+    ran the scan+explode twice (tf branch + df branch), a full extra
+    corpus pass at any scale.
     """
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
     )
     tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.select("id", "token").distinct().groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     return (
         tf.join(df_, "token")

@@ -1522,29 +1522,34 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     -length packing step of a training pipeline: every document splits
     into contiguous chunks carrying their token count and text.
 
-    Scale: posexplode (codegen) + one groupBy on (doc_id, chunk_id);
-    chunk reassembly sorts each chunk's <= 64 collected (pos, word)
-    structs — bounded per-group state, no windows over the whole doc.
-    The transform() extracting words runs interpreted but on 64-element
-    arrays once per chunk — plan-build cost, not a per-token hot loop.
+    Scale: SHUFFLE-FREE — one explode over ``sequence(0, n_chunks-1)``
+    plus a ``slice`` of the token array per chunk, all per-row codegen
+    in the scan stage (the ``segment_dedup_rewrite`` segmentation
+    pattern). The previous shape exploded every token and reassembled
+    chunks through a (doc_id, chunk_id) shuffle into an
+    ObjectHashAggregate (collect_list + array_sort + interpreted
+    transform): the entire corpus token stream crossed the network just
+    to be re-concatenated in order. Output is row-identical (chunk_id
+    = floor(pos/64), words rejoined in position order).
     """
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    w = F.split(F.col("text"), " ")
+    chunks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.ceil(F.size(w) / F.lit(64.0)).cast("bigint") - 1,
+            )
+        ).alias("chunk_id"),
+        w.alias("w"),
     )
-    return (
-        tok.withColumn("chunk_id", F.floor(F.col("pos") / 64))
-        .groupBy("doc_id", "chunk_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"
-                ),
-                " ",
-            ).alias("chunk_text"),
-        )
+    sl = F.slice("w", (F.col("chunk_id") * 64 + 1).cast("int"), 64)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
     )
 
 
