@@ -94,7 +94,11 @@ def extract_media_features(
                 }
             )
 
-    df = media
+    # explicit projection before the opaque Python node (guide §4.1):
+    # Spark cannot see which columns the function touches, so a wider
+    # caller frame (e.g. a probe `meta` column) would otherwise ship —
+    # and be read from storage — for nothing.
+    df = media.select("media_id", "media_type", "content")
     if num_partitions:
         df = df.repartition(num_partitions)
     return df.mapInPandas(decode_batches, FEATURES_SCHEMA)
@@ -377,7 +381,9 @@ def probe_media_headers(
                 }
             )
 
-    df = media
+    # column-prune before the opaque Python node (guide §4.1) — the
+    # probe reads exactly these three
+    df = media.select("media_id", "media_type", "content")
     if num_partitions:
         df = df.repartition(num_partitions)
     return df.mapInPandas(probe_batches, HEADERS_SCHEMA)
