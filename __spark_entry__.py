@@ -37,27 +37,34 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (``max_bucket=None`` default), removing the window-sizing branch
 #: from both MinHash pair plans (results identical below the cap, but
 #: the executed plan changed).
+#: Exemption note (r15 judge ADVICE): "the executed plan changed" means
+#: the plan's OPERATOR/EXPRESSION shape — storage-level-only deltas
+#: (e.g. the r15 serialized CACHE_LEVEL changing every InMemoryRelation's
+#: level) are exempt from forcing, because a storage level cannot change
+#: results; the ~2-round stale-green rotation re-greens every persisting
+#: query on the new level anyway (and r15 additionally ran the full
+#: 192/192 differential after the level change).
 FORCE_REGATE: dict[str, int] = {
-    # r13 entries (charlm_doc_quality, training_corpus_pipeline_v2)
-    # and r14 entries (dsir_importance_weights,
-    # lakehouse_catalog_branch_audit) all expired automatically —
-    # green rows exist at their named rounds — and were pruned.
-    # r15 (optimization round): the LSH band-signature aggregate moved
-    # from collect_list+array_sort+lambda-transform (ObjectHashAggregate)
-    # to per-seed-slot conditional aggregates (codegen HashAggregate) —
-    # byte-identical signatures, different executed plan, so both
-    # consumers re-gate on the new plan.
-    "dedup_minhash_lsh": 15,
-    "dedup_minhash_prefilter": 15,
-    # same band-signature replan inside the persisted-index probe path
-    "minhash_index_probe_audit": 15,
-    # tfidf_weights now derives df from the tf table (one tokenize
-    # pass, AQE-reusable exchange) instead of a second distinct over
-    # the raw token stream — identical weights, different plan.
-    "tfidf_topk": 15,
-    # chunking replanned shuffle-free: sequence+slice per row replaces
-    # the per-token explode + (doc, chunk) shuffle + collect_list.
-    "doc_chunk_windows": 15,
+    # r15 entries (dedup_minhash_lsh, dedup_minhash_prefilter,
+    # minhash_index_probe_audit, tfidf_topk, doc_chunk_windows) all
+    # expired automatically — green rows exist in CORRECTNESS_r15 —
+    # and were pruned.
+    # r16 (optimization round 2): refresh_rollup now materializes each
+    # refresh's per-group delta ONCE (localCheckpoint) before
+    # _apply_delta's several consuming actions — identical rollup
+    # states, different executed lifecycle, so every gated composition
+    # over the refresh loop re-gates:
+    "lakehouse_incremental_rollup_audit": 16,
+    "lakehouse_dedup_retention_audit": 16,
+    "lakehouse_txn_medallion_audit": 16,
+    "streaming_txn_chain_audit": 16,
+    "lakehouse_catalog_branch_audit": 16,
+    "medallion_incremental_audit": 16,
+    # r16: the BPE trainer fused cache materialization into the argmax
+    # job (one job per iteration, byte-identical merge table — pinned
+    # in tests/test_r16_optimizations.py).
+    "bpe_learn_merges": 16,
+    "bpe_artifact_encode_audit": 16,
 }
 
 #: Queries registered AFTER this round's gate-slot budget was spent.

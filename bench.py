@@ -26,6 +26,22 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_calibration(spark, sf_dir: str, runs: int = 3) -> float:
+    """Median runtime of the CONSTANT calibration plan (fixed scan +
+    hash-agg over lineitem, inline here so no engine code change can
+    ever touch it). Used for both the cold (pre-warm-up) and steady
+    (post-warm-up) anchors."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(hash(l_orderkey, l_partkey, l_extendedprice)) AS h",
+            "count(*) AS n",
+        ).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[len(samples) // 2], 3)
+
+
 def _proc_stat_busy() -> int | None:
     """Total non-idle jiffies across all CPUs from /proc/stat (user+
     nice+system+irq+softirq+steal; idle+iowait excluded). Machine-wide,
@@ -132,7 +148,16 @@ def recorded_floor(here: str, max_load: float) -> dict:
             for name, t in (p.get("queries") or {}).items():
                 if t and (name not in fq or t < fq[name]):
                     fq[name] = t
-            c = p.get("calibration_sec")
+            # The calibration floor must be a COLD-anchor minimum
+            # (r15 judge finding #3): r01-r14 recorded calibration_sec
+            # before any warm-up existed (cold); r15 recorded it AFTER
+            # the codegen warm-up loop (warm — skipped here, it would
+            # poison the cold floor); r16+ record the pre-warm-up
+            # anchor explicitly as calibration_cold_sec.
+            rnd = int(re.search(r"\d+", f).group())
+            c = p.get("calibration_cold_sec")
+            if c is None and rnd <= 14:
+                c = p.get("calibration_sec")
             if c and (calib_floor is None or c < calib_floor):
                 calib_floor = c
             used.append(f)
@@ -160,6 +185,15 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, not counted
     materialize(QUERIES[HEADLINE[0]](spark, sf_dir).limit(1))
 
+    # COLD calibration anchor (r16): timed at the exact point the pre-r15
+    # benches timed their anchor — after the JVM/footer warm-up but BEFORE
+    # the codegen warm-up loop — so it stays comparable with the anchors
+    # recorded in BENCH_r01..r14 (cold JVM). The r15 warm-up moved the
+    # anchor behind the loop, which made `calibration_sec` partly measure
+    # "how much warm-up ran" instead of box state (r15 judge finding #3).
+    # Both anchors are emitted; floor/drift logic reads the cold one.
+    calibration_cold = _time_calibration(spark, sf_dir)
+
     # codegen/JIT warm-up (r15, untimed, disclosed in OPTIMIZATION_r15.md):
     # run every headline plan once at the SMALLEST scale factor so each
     # query's generated classes are compiled (Janino + HotSpot) before
@@ -171,7 +205,8 @@ def main() -> None:
     # block survives into the timed region; the timed action, scale
     # factor, and median-of-3 methodology are unchanged.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir):
+    warmed_up = os.path.isdir(warm_dir)
+    if warmed_up:
         for _wname in HEADLINE:
             try:
                 materialize(QUERIES[_wname](spark, warm_dir))
@@ -180,23 +215,24 @@ def main() -> None:
             finally:
                 release_caches()
                 spark.catalog.clearCache()
+        # liveness probe (r16, ADVICE): the bare except above would let a
+        # dead SparkSession (py4j socket loss, OOM-killed JVM) limp into
+        # the timed region where every query then "errors". Fail fast and
+        # loudly here instead.
+        spark.sql("SELECT 1").collect()
 
-    # calibration anchor: a CONSTANT plan (fixed scan + hash-agg over
-    # lineitem, inline here so no engine code change can ever touch it)
-    # timed like a headline query. The judge band moved 33s -> 41s
-    # between r8 and r9 on UNTOUCHED plans — without an anchor a round
-    # cannot attribute that to environment vs regressions. Ratios
-    # normalized by calibration (see delta_vs_floor_pct_calibrated)
-    # cancel box/JVM/page-cache drift; raw deltas stay reported too.
-    calib_samples = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
-        t0 = time.perf_counter()
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
-            "sum(hash(l_orderkey, l_partkey, l_extendedprice)) AS h",
-            "count(*) AS n",
-        ).collect()
-        calib_samples.append(time.perf_counter() - t0)
-    calibration = round(sorted(calib_samples)[len(calib_samples) // 2], 3)
+    # steady-state calibration anchor: the same CONSTANT plan timed like
+    # a headline query, AFTER the warm-up loop (matching where the timed
+    # queries run). The judge band moved 33s -> 41s between r8 and r9 on
+    # UNTOUCHED plans — without an anchor a round cannot attribute that
+    # to environment vs regressions. Ratios normalized by calibration
+    # (see delta_vs_floor_pct_calibrated) cancel box/JVM/page-cache
+    # drift; raw deltas stay reported too. Kept as `calibration_sec` for
+    # r15-compatibility; the cold anchor above is the pre-r15-comparable
+    # one and feeds the drift ratio.
+    calibration = _time_calibration(
+        spark, sf_dir, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    )
 
     # IO calibration anchor: the CPU anchor above misses DISK state —
     # measured this session: an idle-CPU box (cpu calibration 0.31)
@@ -259,7 +295,12 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_cold_sec": calibration_cold,
         "calibration_io_sec": calibration_io,
+        # distinguishes samples taken without sf0.001 present (the
+        # warm-up silently skips): two runs of this file can otherwise
+        # use different methodologies with no trace in the payload.
+        "warmed_up": warmed_up,
     }
     # contention annotation: 1-min load average BEFORE our own Spark
     # session spun up, and again at suite end. BENCH_r06 recorded a 45.7s
@@ -312,7 +353,7 @@ def main() -> None:
             # `get("parsed", floor)` is not enough: use `or floor`.
             p = floor.get("parsed") or floor
             fq = p.get("queries", {})
-            calib_floor = p.get("calibration_sec")
+            calib_floor = p.get("calibration_cold_sec") or p.get("calibration_sec")
             payload["floor"] = os.path.basename(floor_path)
         except (OSError, ValueError, KeyError, AttributeError, TypeError):
             fq = {}
@@ -352,7 +393,7 @@ def main() -> None:
         # so an across-the-board +25% from a slower box/JVM cancels and
         # only plan-shape regressions remain. Available once one prior
         # round recorded calibration_sec (r10+).
-        if calib_floor and calibration:
+        if calib_floor and calibration_cold:
             # Clamp drift at 1.0: the per-query floors are MINIMA across
             # rounds (mostly recorded before calibration existed, on
             # clean boxes), so a CURRENT box faster than the calibration
@@ -362,7 +403,10 @@ def main() -> None:
             # round (r10, 0.944s vs ~0.4s clean; judge finding r10 #3).
             # The min rule self-heals as clean rounds record anchors;
             # the clamp protects the window until they do.
-            drift = max(1.0, calibration / calib_floor)
+            # cold-vs-cold: both sides of the ratio are pre-warm-up
+            # anchors, so the signal keeps meaning "box state", not
+            # "how much warm-up ran" (r15 judge finding #3).
+            drift = max(1.0, calibration_cold / calib_floor)
             payload["calibration_drift_ratio"] = round(drift, 3)
             # size diet: when drift clamps to 1.0 the calibrated map is
             # byte-identical to delta_vs_floor_pct (~700 chars of pure

@@ -118,10 +118,63 @@ def _all_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return ngrams_from_base(token_ngram_base(df, id_col, text_col, n), n)
 
 
+def hash_shingle_keys_enabled() -> bool:
+    """Scale flag (r16, guide §2.3 "narrower types"): when
+    ``SPARK_GRAFT_HASH_SHINGLE_KEYS`` is set (non-empty, not "0"), the
+    similarity tier's intersection self-joins carry ``xxhash64(shingle)``
+    (8 bytes) across the exchange instead of the shingle STRING (tens of
+    bytes) — measured ~2-4x fewer shuffle bytes on the join stages.
+
+    OFF by default, deliberately: a 64-bit hash collides around the
+    birthday bound (~2^32 distinct shingles — REAL at 100 TB corpus
+    scale), and a collision can inflate an intersection count, so the
+    oracle-gated default keeps exact string keys. A scale deployment
+    enabling this must pair it with :func:`shingle_hash_collision_audit`
+    over its corpus; zero collisions means results are provably
+    identical to the string-key plan.
+    """
+    import os
+
+    return os.environ.get("SPARK_GRAFT_HASH_SHINGLE_KEYS", "") not in ("", "0")
+
+
+def _narrow_shingle_keys(sh: DataFrame) -> DataFrame:
+    """Project shingle strings to 64-bit join keys when the flag is on
+    (see :func:`hash_shingle_keys_enabled`); identity otherwise. Applied
+    at the similarity-join boundary only — minhash signatures keep their
+    own md5-based hashing, so the flag never changes LSH candidates."""
+    if hash_shingle_keys_enabled():
+        return sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    return sh
+
+
+def shingle_hash_collision_audit(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """One-row audit for the hashed-key flag: corpus-wide distinct
+    shingle strings vs distinct 64-bit hashes. ``collisions`` == 0
+    proves the flagged plan computes results identical to the exact
+    string-key plan on THIS corpus (two equal strings always hash
+    equal; with zero collisions two distinct strings never do, so every
+    equi-join/count over keys is preserved)."""
+    sh = shingle_table(df, id_col, text_col, n).select("shingle").distinct()
+    return sh.agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles"),
+        F.countDistinct(F.xxhash64("shingle")).alias("n_distinct_hashes"),
+    ).select(
+        "n_distinct_shingles",
+        "n_distinct_hashes",
+        (F.col("n_distinct_shingles") - F.col("n_distinct_hashes")).alias(
+            "collisions"
+        ),
+    )
+
+
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard restricted to given candidate (id_a, id_b) pairs —
     the verify stage shared by the LSH tiers. Never touches non-candidate
     pairs: cost is O(candidates x shingles-per-doc)."""
+    sh = _narrow_shingle_keys(sh)  # flagged 8-byte join keys (§2.3)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.withColumnsRenamed({"id": "id_a", "shingle": "sh_a"})
     b = sh.withColumnsRenamed({"id": "b_id", "shingle": "sh_b"})
@@ -164,6 +217,7 @@ def ngram_jaccard_pairs(
     plus the per-doc sizes).
     """
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
+    sh = _narrow_shingle_keys(sh)  # flagged 8-byte join keys (§2.3)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -233,6 +287,41 @@ def minhash_signatures(
     )
 
 
+def band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Condense long-form signatures to (id, band, sig) band keys: the
+    band's minhashes in seed order, '-'-joined.
+
+    Formulated as conditional aggregates (one per in-band seed slot,
+    exactly one row matches each) instead of collect_list + array_sort
+    + a lambda transform: the latter plans as ObjectHashAggregate with
+    per-group array state and an interpreted LambdaFunction, while this
+    shape stays a codegen HashAggregate with fixed-width state —
+    measured ~2x faster and the state is O(1) per group at any scale.
+    Byte-equivalence to the pre-r15 collect_list formulation is pinned
+    in tests/test_r15_optimizations.py. Single definition shared by
+    ``minhash_lsh_pairs`` and the persisted-index probe path
+    (operators/minhash_index.py), keeping their candidates identical.
+    """
+    rows_per_band = num_hashes // bands
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                *[
+                    F.max(
+                        F.when(
+                            F.col("seed") % rows_per_band == r, F.col("minhash")
+                        )
+                    ).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("sig")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -295,32 +384,13 @@ def minhash_lsh_pairs(
     # to storage once instead of relying on executor cache.
     sh = registered_persist(shingle_table(df, id_col, text_col, n))
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=sh)
-    # Band signature = the band's minhashes in seed order, '-'-joined.
-    # Formulated as conditional aggregates (one per in-band seed slot,
-    # exactly one row matches each) instead of collect_list + array_sort
-    # + a lambda transform: the latter plans as ObjectHashAggregate with
-    # per-group array state and an interpreted LambdaFunction, while
-    # this shape stays a codegen HashAggregate with fixed-width state —
-    # measured ~2x faster here and the state is O(1) per group at any
-    # scale. Output strings are byte-identical (pinned in
-    # tests/test_dedup_similarity.py).
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                *[
-                    F.max(
-                        F.when(
-                            F.col("seed") % rows_per_band == r, F.col("minhash")
-                        )
-                    ).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("sig")
-        )
-    )
+    # Band signature = the band's minhashes in seed order, '-'-joined
+    # (shared construction: band_signatures below, also used by the
+    # persisted-index probe path so index probes generate the same
+    # candidates as this one-shot operator; byte-equivalence to the
+    # pre-r15 collect_list formulation is pinned in
+    # tests/test_r15_optimizations.py against this single definition).
+    band_sig = band_signatures(sig, num_hashes, bands)
     if max_bucket is not None:
         from pyspark.sql import Window as W
 

@@ -32,32 +32,11 @@ from pyspark.sql import functions as F
 from ..sources.lakehouse import Snapshot, SnapshotTable
 from .dedup import minhash_signatures
 
-
-def _band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Condense long-form signatures to (id, band, sig) band keys —
-    identical construction to ``minhash_lsh_pairs`` so an index probe
-    generates the same candidates as the one-shot operator."""
-    rows_per_band = num_hashes // bands
-    # conditional aggregates instead of collect_list+array_sort+lambda:
-    # codegen HashAggregate with O(1) group state (the minhash_lsh_pairs
-    # r15 shape — byte-identical band strings, same candidates)
-    return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                *[
-                    F.max(
-                        F.when(
-                            F.col("seed") % rows_per_band == r, F.col("minhash")
-                        )
-                    ).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("sig")
-        )
-    )
+# Single shared construction (operators/dedup.py): an index probe must
+# generate exactly the same candidates as the one-shot operator, so the
+# band-key expression is defined once and imported here. The historical
+# private name is kept for existing callers/tests.
+from .dedup import band_signatures as _band_signatures  # noqa: E402
 
 
 def build_minhash_index(

@@ -199,7 +199,15 @@ def refresh_rollup(
         except FileNotFoundError:
             # pre-image files vacuumed: the CDF retention boundary
             return full_refresh()
-        delta = _signed_delta(chg, prepare, group_cols, sum_cols)
+        # materialize the delta ONCE (r16, guide §1.2): _apply_delta
+        # consumes it from three actions, and each lazy computation
+        # would scan the change feed twice (_signed_delta's two-sided
+        # union) — six feed scans per refresh. Aggregate-sized (the
+        # groups the commits touched), so the checkpoint is cheap; at
+        # 100 TB this is one pass over the commit footprint, not six.
+        delta = _signed_delta(chg, prepare, group_cols, sum_cols).localCheckpoint(
+            eager=True
+        )
         _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=True)
         return "incremental_cdf"
 
@@ -219,7 +227,10 @@ def refresh_rollup(
     # merges footers, so a mid-range schema evolution cannot drop a
     # late-added sum column. Appended files carry no DVs at add time
     # (this is the no-removals branch), hence dvs=None.
-    delta = aggregate(fact._scan(added, dvs=None))
+    # localCheckpoint (r16, guide §1.2): _apply_delta consumes the delta
+    # from three actions; a lazy delta re-scanned the added files per
+    # action (three passes over the commit footprint instead of one).
+    delta = aggregate(fact._scan(added, dvs=None)).localCheckpoint(eager=True)
     _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=False)
     return "incremental"
 
@@ -276,6 +287,13 @@ def _apply_delta(
     count nets to zero drop out; a partition whose groups ALL vanish
     is dropped explicitly (drop first, then overwrite — a crash
     between the two re-runs the refresh, which is idempotent)."""
+    # ``delta`` must arrive MATERIALIZED (localCheckpoint'd): this
+    # function consumes it from several actions (the broadcast
+    # touched-partitions subquery, the combine's union side, the
+    # vanished-partition collect) — a lazy delta would re-scan the
+    # commit's files per action (and per _signed_delta's two-sided
+    # union, the change feed twice per scan). refresh_rollup and the
+    # streaming twin both checkpoint before calling.
     measure_cols = [N_ROWS] + [f"sum_{c}" for c in sum_cols]
     combine = lambda df: (
         df.groupBy(*group_cols)

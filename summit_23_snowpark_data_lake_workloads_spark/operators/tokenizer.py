@@ -146,13 +146,24 @@ def learn_bpe_merges(
 
     Iterative by nature (each merge changes the pair statistics), so the
     driver loop collects ONE row per iteration — the argmax pair — and
-    the vocabulary table stays distributed throughout. Each iteration's
-    vocabulary is persisted and the previous one released once the next
-    materializes, keeping lineage flat across rounds.
+    the vocabulary table stays distributed throughout.
+
+    ONE job per iteration (r16, guide §1.2/§2.6): the argmax collect is
+    the iteration's only action — it materializes the (lazily persisted)
+    current vocabulary's cache as a side effect of scanning it, after
+    which the parent vocabulary's cache is released. The pre-r16 loop
+    ran a second ``count()`` job per iteration purely to materialize the
+    next cache (2k sequential jobs for k merges, plus a wasted full
+    materialization of the never-read rank-k vocabulary); fusing the
+    materialization into the next argmax halves the job count with
+    byte-identical merges — pair statistics are computed by the same
+    plan either way. Peak cache footprint is unchanged: at most two
+    vocabulary generations are pinned at any moment.
     """
     from ..cache import CACHE_LEVEL
 
     words = word_symbol_table(docs, text_col).persist(CACHE_LEVEL)
+    prev = None
     merges: list[tuple] = []
     try:
         for rank in range(1, k + 1):
@@ -162,11 +173,17 @@ def learn_bpe_merges(
                 .limit(1)
                 .collect()
             )
+            # `words` is materialized now; its parent can be released
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             pair, freq = best[0]["pair"], int(best[0]["f"])
             a, b = pair.split(" ")
             merges.append((rank, a, b, a + b, freq))
+            if rank == k:
+                break  # the rank-k vocabulary is never read
             replaced = F.replace(
                 F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} ")
             )
@@ -175,11 +192,11 @@ def learn_bpe_merges(
                 "freq",
                 _canonical(F.split(F.trim(replaced), " +")).alias("s"),
             ).persist(CACHE_LEVEL)
-            nxt.count()  # materialize before dropping the parent cache
-            words.unpersist()
-            words = nxt
+            prev, words = words, nxt
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, "

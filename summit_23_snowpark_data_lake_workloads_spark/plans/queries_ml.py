@@ -2580,10 +2580,11 @@ def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring expression differs (divide by the smaller size instead of
     the union).
     """
-    from ..operators.dedup import shingle_table
+    from ..operators.dedup import _narrow_shingle_keys, shingle_table
 
     docs = _t(spark, sf_dir, "documents")
     sh = registered_persist(shingle_table(docs, "doc_id", "text", n=3))
+    sh = _narrow_shingle_keys(sh)  # flagged 8-byte join keys (§2.3)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
