@@ -47,9 +47,23 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Exploded distinct word-n-gram shingles: (id, shingle).
+
+    ``hash_keys`` (r16 scale flag, §2.3): project each shingle to its
+    ``xxhash64`` BEFORE the distinct, so the distinct's exchange — the
+    largest string shuffle in the similarity tier — carries 8-byte
+    longs instead of shingle strings. Explicit parameter, NOT the env
+    flag: a hashed table must never reach :func:`minhash_signatures`
+    (its md5-based universal-hash family is oracle-pinned over shingle
+    STRINGS). Only the similarity self-join callers pass
+    ``hash_shingle_keys_enabled()`` here.
 
     Built from the shuffle-free :func:`token_ngram_base` (arrays_zip
     over slice-shifted token arrays — native codegen expressions). NOT
@@ -63,7 +77,10 @@ def shingle_table(
     (stop-shingles): they contribute little discrimination but dominate
     self-join cost and create shuffle skew.
     """
-    sh = _all_shingles(df, id_col, text_col, n).distinct()
+    sh = _all_shingles(df, id_col, text_col, n)
+    if hash_keys:
+        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
     if max_df is not None:
         w2 = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
         sh = sh.join(F.broadcast(w2.filter(F.col("df_count") <= max_df)), "shingle").drop(
@@ -216,8 +233,15 @@ def ngram_jaccard_pairs(
     shingle table — this plan reads it three times (both self-join sides
     plus the per-doc sizes).
     """
-    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
-    sh = _narrow_shingle_keys(sh)  # flagged 8-byte join keys (§2.3)
+    if shingles is not None:
+        # shared (string) table from an LSH caller: narrow post-distinct
+        sh = _narrow_shingle_keys(shingles)
+    else:
+        # own table: hash BEFORE the distinct when flagged, so the
+        # distinct's exchange already carries 8-byte keys (§2.3)
+        sh = shingle_table(
+            df, id_col, text_col, n, hash_keys=hash_shingle_keys_enabled()
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -199,15 +199,19 @@ def refresh_rollup(
         except FileNotFoundError:
             # pre-image files vacuumed: the CDF retention boundary
             return full_refresh()
-        # materialize the delta ONCE (r16, guide §1.2): _apply_delta
-        # consumes it from three actions, and each lazy computation
-        # would scan the change feed twice (_signed_delta's two-sided
-        # union) — six feed scans per refresh. Aggregate-sized (the
-        # groups the commits touched), so the checkpoint is cheap; at
-        # 100 TB this is one pass over the commit footprint, not six.
-        delta = _signed_delta(chg, prepare, group_cols, sum_cols).localCheckpoint(
-            eager=True
-        )
+        # materialize the delta ONCE (r16, guide §1.2): _apply_delta's
+        # partitioned path consumes it from three actions, and each
+        # lazy computation would scan the change feed twice
+        # (_signed_delta's two-sided union) — six feed scans per
+        # refresh. Aggregate-sized (the groups the commits touched), so
+        # the checkpoint is cheap; at 100 TB this is one pass over the
+        # commit footprint, not six. Partitioned rollups only: the
+        # unpartitioned path reads the delta twice inside its single
+        # write action, and the extra checkpoint job measured as a NET
+        # LOSS at gate scale (+0.6s on lakehouse_dedup_retention_audit).
+        delta = _signed_delta(chg, prepare, group_cols, sum_cols)
+        if rollup.partition_by:
+            delta = delta.localCheckpoint(eager=True)
         _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=True)
         return "incremental_cdf"
 
@@ -227,10 +231,14 @@ def refresh_rollup(
     # merges footers, so a mid-range schema evolution cannot drop a
     # late-added sum column. Appended files carry no DVs at add time
     # (this is the no-removals branch), hence dvs=None.
-    # localCheckpoint (r16, guide §1.2): _apply_delta consumes the delta
-    # from three actions; a lazy delta re-scanned the added files per
-    # action (three passes over the commit footprint instead of one).
-    delta = aggregate(fact._scan(added, dvs=None)).localCheckpoint(eager=True)
+    # localCheckpoint (r16, guide §1.2): _apply_delta's partitioned path
+    # consumes the delta from three actions; a lazy delta re-scanned the
+    # added files per action (three passes over the commit footprint
+    # instead of one). Unpartitioned rollups skip it — see the CDF
+    # branch's note.
+    delta = aggregate(fact._scan(added, dvs=None))
+    if rollup.partition_by:
+        delta = delta.localCheckpoint(eager=True)
     _apply_delta(rollup, delta, group_cols, sum_cols, txn, signed=False)
     return "incremental"
 
@@ -287,13 +295,15 @@ def _apply_delta(
     count nets to zero drop out; a partition whose groups ALL vanish
     is dropped explicitly (drop first, then overwrite — a crash
     between the two re-runs the refresh, which is idempotent)."""
-    # ``delta`` must arrive MATERIALIZED (localCheckpoint'd): this
-    # function consumes it from several actions (the broadcast
-    # touched-partitions subquery, the combine's union side, the
-    # vanished-partition collect) — a lazy delta would re-scan the
-    # commit's files per action (and per _signed_delta's two-sided
-    # union, the change feed twice per scan). refresh_rollup and the
-    # streaming twin both checkpoint before calling.
+    # For PARTITIONED rollups ``delta`` must arrive MATERIALIZED
+    # (localCheckpoint'd): that path consumes it from several actions
+    # (the broadcast touched-partitions subquery, the combine's union
+    # side, the vanished-partition collect) — a lazy delta would
+    # re-scan the commit's files per action (and per _signed_delta's
+    # two-sided union, the change feed twice per scan). refresh_rollup
+    # and the streaming twin both checkpoint before calling. The
+    # unpartitioned branch reads the delta only within its single write
+    # action and accepts a lazy frame.
     measure_cols = [N_ROWS] + [f"sum_{c}" for c in sum_cols]
     combine = lambda df: (
         df.groupBy(*group_cols)

@@ -2580,11 +2580,16 @@ def containment_near_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring expression differs (divide by the smaller size instead of
     the union).
     """
-    from ..operators.dedup import _narrow_shingle_keys, shingle_table
+    from ..operators.dedup import hash_shingle_keys_enabled, shingle_table
 
     docs = _t(spark, sf_dir, "documents")
-    sh = registered_persist(shingle_table(docs, "doc_id", "text", n=3))
-    sh = _narrow_shingle_keys(sh)  # flagged 8-byte join keys (§2.3)
+    # flagged 8-byte join keys (§2.3): hashed BEFORE the distinct, so
+    # both the distinct's exchange and the persisted table narrow
+    sh = registered_persist(
+        shingle_table(
+            docs, "doc_id", "text", n=3, hash_keys=hash_shingle_keys_enabled()
+        )
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -445,6 +445,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+# r16: model-based tier (17 s) — SPARK_GRAFT_SLOW=1 (verify-window budget)
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(
     bdel=st.sets(st.integers(0, 9), max_size=4),

@@ -200,6 +200,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+# r16: model-based tier (13 s) — SPARK_GRAFT_SLOW=1 (verify-window budget)
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(
     subj=st.sets(st.integers(0, 19), max_size=6),

@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from summit_23_snowpark_data_lake_workloads_spark.plans.queries import QUERIES
 
 
@@ -59,6 +61,9 @@ def test_topk_no_global_sort(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # r16: 3.6 min — plan-compiles all 192 queries; an
+# exhaustive static guard, run with SPARK_GRAFT_SLOW=1 (every round's
+# full verification pass), not in the driver's default window
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No declared query may contain an unbounded cartesian product.
     (Broadcast nested loop with a one-row side — e.g. the TF-IDF doc-count

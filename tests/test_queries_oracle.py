@@ -26,6 +26,8 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert_matches_oracle(df, duck, ORACLES[name])
 
 
+@pytest.mark.slow  # r16: 5.5 min; redundant with the per-query oracle
+# differentials below (192/192 coverage, each asserting rows vs DuckDB)
 def test_every_query_has_nonzero_result(spark, sf_dir):
     for name, fn in QUERIES.items():
         assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at sf0.001"
