@@ -250,6 +250,7 @@ def test_heavy_hitters_rejects_non_bigint(spark):
         heavy_hitters(df, "s", theta=0.1)
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 def test_kmeans_ivf_improves_cohesion_and_keeps_recall(spark, sf_dir):
     """3 Lloyd rounds must (a) raise within-cell cohesion — the mean
     cosine between each vector and its home centroid, the objective
@@ -356,6 +357,7 @@ def test_connected_components_tiers_agree(spark):
     assert {r.id: r.cluster_id for r in prop} == want
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 def test_connected_components_star_random_graphs(spark):
     """The large-star/small-star distributed tier must agree with the
     driver union-find on seeded random graphs across densities —

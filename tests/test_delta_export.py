@@ -311,6 +311,7 @@ _OPS = st.lists(
 )
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 @settings(max_examples=6, deadline=None)
 @given(ops=_OPS)
 def test_delta_export_model_invariant(spark, tmp_path_factory, ops):

@@ -3,6 +3,8 @@ codebook, encoding/search behave, determinism holds."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from summit_23_snowpark_data_lake_workloads_spark.operators.pq import (
@@ -22,6 +24,7 @@ def _mean_rel_err(emb, codebook=None) -> float:
     return float(row.m)
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 def test_trained_codebooks_reduce_reconstruction_error(spark, sf_dir):
     """Per-subspace Lloyd strictly improves on the seed codebook (the
     whole point of training), and more iterations never hurt —
@@ -36,6 +39,7 @@ def test_trained_codebooks_reduce_reconstruction_error(spark, sf_dir):
     assert err3 <= err1 + 1e-9, (err3, err1)
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 def test_trained_adc_output_shape_and_determinism(spark, sf_dir):
     """ADC over a trained codebook keeps the output contract (k rows
     per query, ranks 1..k, distances non-decreasing in rank) and the

@@ -3,6 +3,8 @@ plus the rate-source datagen."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from summit_23_snowpark_data_lake_workloads_spark.sources.batch import read_table
@@ -128,6 +130,7 @@ def test_transform_with_state_sessionize_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 def test_txn_rate_datagen_shape(spark, tmp_path):
     stream = txn_rate_stream(spark, rows_per_second=500)
     q = (

@@ -313,6 +313,7 @@ def test_dangling_tag_names_itself_in_vacuum_error(spark, tmp_path):
     assert os.path.isdir(tdir)  # tags dir itself survives
 
 
+@pytest.mark.slow  # r16: model/quality tier — SPARK_GRAFT_SLOW=1 (verify-window budget)
 def test_tag_composes_with_mor_rename_cdf_vacuum(spark, tmp_path):
     """The session-3 tag tier must compose with the session-1/2
     mutation tier: tag a post-merge_mor version, rename a column,

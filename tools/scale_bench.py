@@ -149,7 +149,9 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "factor": factor,
         "queries": per_query,
-        "load_avg_start": round(os.getloadavg()[0], 2),
+        # read at print time — reflects load DURING the run (mostly our
+        # own executors), not the pre-run box state
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 
